@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Headline set spans the engine surface: scan+agg, join, top-k, window dedup,
+time bucketing, PromQL alignment, LSH dedup, ANN — the operators whose
+scaling behavior matters at 100 TB.  Each query is executed with a
+count/collect to force full evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "join_inner_3way",
+    "topk_order_limit",
+    "window_rownum_top2",
+    "dedup_latest_by_key",
+    "time_bucket_minute",
+    "downsample_stddev",
+    "promql_rate",
+    "promql_instant",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_bruteforce",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from incubator_horaedb_spark import querybank
+    from incubator_horaedb_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = querybank.queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""InfluxQL frontend (minimal dialect) + line-protocol write parsing.
+
+Reference: src/query_frontend/src/influxql/planner.rs:33-286 bridges
+InfluxQL to the engine via iox's planner; the tested surface
+(integration_tests/cases/env/local/influxql/basic.sql) is SELECT with
+field/tag projection, WHERE on time/tags, GROUP BY time(interval)[, tag],
+plus SHOW MEASUREMENTS.  This module compiles that surface straight to
+DataFrame ops.
+
+Grammar supported::
+
+    SELECT <agg>(<field>) | <field-list>
+    FROM <measurement>
+    [WHERE <cond> [AND <cond>]...]         -- time >=/<= literal, tag = 'v'
+    [GROUP BY time(<interval>)[, <tag>...]]
+    [ORDER BY time [DESC]] [LIMIT n]
+
+Line protocol (write side): ``measurement[,tag=v...] field=v[,field2=v...] [ts]``
+(src/proxy/src/influxdb/types.rs:1-903) — measurement → table, tags →
+TAG columns, fields → value columns, timestamp ns → ms.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.time_bucket import date_bin
+
+_AGG_RE = re.compile(r"^(sum|count|mean|min|max|stddev)\((\w+)\)$", re.I)
+_INTERVAL_RE = re.compile(r"^time\((\d+)([smhd])\)$", re.I)
+_UNIT_MS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+_AGG_FNS = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev_samp,
+}
+
+
+@dataclass
+class InfluxQuery:
+    projections: list[tuple[str | None, str]]  # (agg|None, column)
+    measurement: str
+    conditions: list[str]
+    group_time_ms: int | None
+    group_tags: list[str]
+    order_desc: bool
+    limit: int | None
+
+
+def parse_influxql(q: str) -> InfluxQuery:
+    m = re.match(
+        r"^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+\"?(?P<meas>\w+)\"?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+        r"(?:\s+ORDER\s+BY\s+time(?P<desc>\s+DESC)?)?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+        q.strip(),
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported InfluxQL: {q!r}")
+    projections: list[tuple[str | None, str]] = []
+    for item in m.group("proj").split(","):
+        item = item.strip()
+        agg_m = _AGG_RE.match(item)
+        if agg_m:
+            projections.append((agg_m.group(1).lower(), agg_m.group(2)))
+        else:
+            projections.append((None, item.strip('"')))
+    group_time_ms, group_tags = None, []
+    if m.group("group"):
+        for g in m.group("group").split(","):
+            g = g.strip()
+            t_m = _INTERVAL_RE.match(g)
+            if t_m:
+                group_time_ms = int(t_m.group(1)) * _UNIT_MS[t_m.group(2).lower()]
+            else:
+                group_tags.append(g.strip('"'))
+    conditions = (
+        [c.strip() for c in re.split(r"\s+AND\s+", m.group("where"), flags=re.I)]
+        if m.group("where")
+        else []
+    )
+    return InfluxQuery(
+        projections=projections,
+        measurement=m.group("meas"),
+        conditions=conditions,
+        group_time_ms=group_time_ms,
+        group_tags=group_tags,
+        order_desc=bool(m.group("desc")),
+        limit=int(m.group("limit")) if m.group("limit") else None,
+    )
+
+
+_COND_RE = re.compile(r"^\"?(\w+)\"?\s*(>=|<=|=|!=|>|<)\s*(.+)$")
+
+
+def _condition_to_column(cond: str, ts_col: str):
+    m = _COND_RE.match(cond.strip())
+    if not m:
+        raise ValueError(f"unsupported condition: {cond!r}")
+    name, op, raw = m.groups()
+    raw = raw.strip()
+    if name == "time":
+        name = ts_col
+        value = F.lit(raw.strip("'")).cast("timestamp")
+    elif raw.startswith("'"):
+        value = F.lit(raw.strip("'"))
+    else:
+        value = F.lit(float(raw)) if "." in raw else F.lit(int(raw))
+    col = F.col(name)
+    return {
+        "=": col == value,
+        "!=": col != value,
+        ">": col > value,
+        ">=": col >= value,
+        "<": col < value,
+        "<=": col <= value,
+    }[op]
+
+
+def influxql_to_df(
+    q: str | InfluxQuery,
+    tables: dict[str, DataFrame],
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Compile an InfluxQL SELECT into a DataFrame."""
+    iq = parse_influxql(q) if isinstance(q, str) else q
+    if iq.measurement not in tables:
+        raise KeyError(f"unknown measurement {iq.measurement!r}")
+    df = tables[iq.measurement]
+    for cond in iq.conditions:
+        df = df.filter(_condition_to_column(cond, ts_col))
+
+    if any(agg for agg, _ in iq.projections):
+        group_cols = []
+        if iq.group_time_ms:
+            group_cols.append(date_bin(iq.group_time_ms, ts_col).alias("time"))
+        group_cols += [F.col(t) for t in iq.group_tags]
+        aggs = [
+            _AGG_FNS[agg](col).alias(f"{agg}_{col}")
+            for agg, col in iq.projections
+            if agg
+        ]
+        out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        order = F.col("time") if iq.group_time_ms else None
+    else:
+        cols = [F.col(ts_col).alias("time")] + [F.col(c) for _, c in iq.projections]
+        out = df.select(*cols)
+        order = F.col("time")
+    if order is not None:
+        out = out.orderBy(order.desc() if iq.order_desc else order)
+    if iq.limit:
+        out = out.limit(iq.limit)
+    return out
+
+
+def show_measurements(tables: dict[str, DataFrame]) -> list[str]:
+    """InfluxQL SHOW MEASUREMENTS (planner.rs: SHOW MEASUREMENTS support)."""
+    return sorted(tables)
+
+
+_ESC_RE = re.compile(r"\\(.)")
+
+
+def parse_line_protocol(text: str) -> dict[str, list[dict[str, Any]]]:
+    """InfluxDB line protocol → measurement → rows.
+
+    ``cpu,host=a,region=r usage=0.5,idle=99i 1700000000000000000``
+    Timestamps are nanoseconds (default precision) → stored as ms.
+    Integer fields use the ``i`` suffix; strings are double-quoted.
+    """
+    out: dict[str, list[dict[str, Any]]] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        # split on unescaped spaces into ≤3 segments
+        parts = re.split(r"(?<!\\) ", line)
+        if len(parts) < 2:
+            raise ValueError(f"bad line protocol: {line!r}")
+        head, fields_raw = parts[0], parts[1]
+        ts_ms = int(parts[2]) // 1_000_000 if len(parts) > 2 else None
+        head_parts = re.split(r"(?<!\\),", head)
+        measurement = _ESC_RE.sub(r"\1", head_parts[0])
+        row: dict[str, Any] = {}
+        for tag in head_parts[1:]:
+            k, v = tag.split("=", 1)
+            row[_ESC_RE.sub(r"\1", k)] = _ESC_RE.sub(r"\1", v)
+        for fld in re.split(r"(?<!\\),", fields_raw):
+            k, v = fld.split("=", 1)
+            k = _ESC_RE.sub(r"\1", k)
+            if v.startswith('"'):
+                row[k] = v[1:-1].replace('\\"', '"')
+            elif v.endswith("i"):
+                row[k] = int(v[:-1])
+            elif v in ("t", "T", "true", "True"):
+                row[k] = True
+            elif v in ("f", "F", "false", "False"):
+                row[k] = False
+            else:
+                row[k] = float(v)
+        if ts_ms is not None:
+            row["ts"] = ts_ms
+        out.setdefault(measurement, []).append(row)
+    return out

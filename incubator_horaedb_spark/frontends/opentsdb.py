@@ -1,0 +1,153 @@
+"""OpenTSDB query frontend.
+
+Port of src/query_frontend/src/opentsdb/mod.rs:203-230 (`opentsdb_query_to_plan`):
+each sub-query becomes  scan → filter(tags + time range) → sort(ts) →
+optional aggregate(group-by tags + downsample bucket).  Filter types
+``literal_or`` / ``not_literal_or`` become IN / NOT IN (mod.rs:103-116);
+aggregators sum/count/avg/min/max/dev/none map to Spark aggregates with
+``dev`` = sample stddev (mod.rs:121-134).  Multiple sub-queries are
+independent plans (merged by the response encoder, not the engine).
+
+The write side (/api/put JSON datapoints → rows,
+src/proxy/src/opentsdb/types.rs) is `parse_put` below.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.time_bucket import date_bin
+
+_AGGREGATORS = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "dev": F.stddev_samp,
+}
+
+
+@dataclass
+class OpenTsdbFilter:
+    type: str  # literal_or | not_literal_or
+    tagk: str
+    filter: str  # pipe-separated values, e.g. "web01|web02"
+
+    def to_column(self) -> Column:
+        values = self.filter.split("|")
+        col = F.col(self.tagk)
+        if self.type == "literal_or":
+            return col.isin(values)
+        if self.type == "not_literal_or":
+            return ~col.isin(values)
+        raise ValueError(f"unsupported filter type {self.type!r}")
+
+
+@dataclass
+class OpenTsdbSubQuery:
+    metric: str
+    aggregator: str = "none"
+    downsample_ms: int | None = None  # e.g. 60000 for "1m-avg"
+    downsample_agg: str = "avg"
+    filters: list[OpenTsdbFilter] = field(default_factory=list)
+    group_by_tags: list[str] = field(default_factory=list)
+
+
+@dataclass
+class OpenTsdbQueryRequest:
+    start_ms: int
+    end_ms: int
+    queries: list[OpenTsdbSubQuery]
+
+
+def subquery_to_df(
+    table: DataFrame,
+    req: OpenTsdbQueryRequest,
+    sub: OpenTsdbSubQuery,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One sub-query → DataFrame (subquery_to_plan, opentsdb/mod.rs:137-200)."""
+    ms = F.unix_millis(F.col(ts_col))
+    df = table.filter((ms >= req.start_ms) & (ms <= req.end_ms))
+    for flt in sub.filters:
+        df = df.filter(flt.to_column())
+
+    if sub.aggregator == "none":
+        # default_sort_exprs (mod.rs:163-166): plain time-ordered samples.
+        return df.orderBy(ts_col)
+
+    agg_fn = _AGGREGATORS[sub.aggregator]
+    group_cols: list[Column] = [F.col(t) for t in sub.group_by_tags]
+    if sub.downsample_ms:
+        group_cols.append(date_bin(sub.downsample_ms, ts_col).alias(ts_col))
+    else:
+        group_cols.append(F.col(ts_col))
+    return (
+        df.groupBy(*group_cols)
+        .agg(agg_fn(value_col).alias(value_col))
+        .orderBy(ts_col)
+    )
+
+
+def query_to_dfs(table: DataFrame, request: dict[str, Any] | OpenTsdbQueryRequest, **kw) -> list[DataFrame]:
+    """Full /api/query request → list of DataFrames, one per sub-query."""
+    if isinstance(request, dict):
+        request = parse_query_request(request)
+    return [subquery_to_df(table, request, sub, **kw) for sub in request.queries]
+
+
+def parse_query_request(payload: dict[str, Any]) -> OpenTsdbQueryRequest:
+    subs = []
+    for q in payload.get("queries", []):
+        ds_ms, ds_agg = None, "avg"
+        if ds := q.get("downsample"):
+            # "1m-avg" / "15m-sum"
+            span, ds_agg = ds.split("-", 1)
+            unit = span[-1]
+            mult = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[unit]
+            ds_ms = int(span[:-1]) * mult
+        subs.append(
+            OpenTsdbSubQuery(
+                metric=q["metric"],
+                aggregator=q.get("aggregator", "none"),
+                downsample_ms=ds_ms,
+                downsample_agg=ds_agg,
+                filters=[
+                    OpenTsdbFilter(type=f["type"], tagk=f["tagk"], filter=f["filter"])
+                    for f in q.get("filters", [])
+                ],
+                group_by_tags=[f["tagk"] for f in q.get("filters", []) if f.get("groupBy")],
+            )
+        )
+    return OpenTsdbQueryRequest(start_ms=payload["start"], end_ms=payload["end"], queries=subs)
+
+
+def parse_put(lines: str | list[dict[str, Any]]):
+    """/api/put JSON datapoints → row dicts (proxy/src/opentsdb/types.rs:1-573).
+
+    Returns (metric → list of rows) where each row has ``ts`` (ms), ``value``
+    and one key per tag.  Timestamps in seconds (≤ 10 digits) are upscaled
+    to ms, matching OpenTSDB convention.
+    """
+    if isinstance(lines, str):
+        payload = json.loads(lines)
+        if isinstance(payload, dict):
+            payload = [payload]
+    else:
+        payload = lines
+    out: dict[str, list[dict[str, Any]]] = {}
+    for dp in payload:
+        ts = int(dp["timestamp"])
+        if ts < 10_000_000_000:  # seconds → ms
+            ts *= 1000
+        row = {"ts": ts, "value": float(dp["value"]), **dp.get("tags", {})}
+        out.setdefault(dp["metric"], []).append(row)
+    return out

@@ -1,0 +1,64 @@
+"""Cross-engine deterministic float aggregation.
+
+Problem: SUM/AVG over doubles is summation-order-dependent, and Spark and
+DuckDB reduce groups in different orders, so ``round(sum(x), 2)`` can land
+on opposite sides of a rounding boundary — flaky hash mismatches in the
+correctness gate (observed: avg(value) differing in the 4th decimal at the
+exact .5 boundary).
+
+Fix: quantize every addend to a *dyadic rational* (an exact multiple of
+2^-bits) before aggregating.  IEEE-754 addition of dyadic rationals is
+EXACT — hence order-independent — as long as the running sum stays below
+2^53 * 2^-bits.  Both engines then compute bit-identical sums, so the final
+round() agrees.  The quantization is part of the query semantics (applied
+identically on the Spark and oracle side) and its error (2^-(bits+1) per
+addend) is far below the rounded output precision.
+
+Bit budgets (value_magnitude * 2^bits * n_rows < 2^53):
+- BITS_SMALL = 20  — inputs ≤ ~1e2, group sums ≤ ~8e9.
+- BITS_MONEY = 16  — inputs ≤ ~1e6, table-wide sums ≤ ~1.3e11.
+- BITS_VAR   = 10  — when addends are *squares* of quantized values
+                     (fraction bits double), for stddev/variance.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BITS_SMALL = 20
+BITS_MONEY = 16
+BITS_VAR = 10
+
+
+def dyadic(col: Union[Column, str], bits: int = BITS_SMALL) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 1 << bits
+    return F.round(c * scale) / scale
+
+
+def dyadic_sql(expr: str, bits: int = BITS_SMALL) -> str:
+    scale = 1 << bits
+    return f"(round(({expr}) * {scale}) / {scale})"
+
+
+def stddev_samp_det(col: Union[Column, str], bits: int = BITS_VAR) -> Column:
+    """Deterministic sample stddev: two-pass formula over exact dyadic sums
+    (sqrt((sum(x²) - sum(x)²/n) / (n-1))); NULL when n < 2, matching
+    stddev_samp.  Use the same formula via stddev_samp_det_sql as oracle."""
+    q = dyadic(col, bits)
+    n = F.count(F.col(col) if isinstance(col, str) else col)
+    sx = F.sum(q)
+    sx2 = F.sum(q * q)
+    return F.when(n > 1, F.sqrt((sx2 - sx * sx / n) / (n - 1)))
+
+
+def stddev_samp_det_sql(expr: str, bits: int = BITS_VAR) -> str:
+    q = dyadic_sql(expr, bits)
+    return (
+        f"CASE WHEN count({expr}) > 1 THEN "
+        f"sqrt((sum({q} * {q}) - sum({q}) * sum({q}) / count({expr})) / (count({expr}) - 1)) "
+        f"END"
+    )

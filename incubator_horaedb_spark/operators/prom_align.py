@@ -1,0 +1,274 @@
+"""PromAlign — Prometheus-style range functions on aligned step grids.
+
+Port of the reference's custom logical/physical operator
+(src/query_engine/src/datafusion_impl/physical_plan_extension/prom_align.rs:142-998):
+for each series, walk samples with (align_range, step, lookback_delta) and
+evaluate a range function at every step.  Exact semantics replicated here
+(verified against prom_align.rs):
+
+- window for step ``t`` = samples with ts in **[t - lookback, t]**, both ends
+  inclusive (FixedStepper: ``mint = t - lookback_delta``, entries dropped
+  while ``ts < mint``; tail advanced while ``ts <= t``).
+- steps with an empty window are skipped (no output row).
+- rate/increase/delta (extrapolate_fn_helper, prom_align.rs:743-838):
+  need ≥2 samples; ``difference = last - first + counter_reset_correction``
+  where the correction adds the *previous* value at every in-window reset;
+  extrapolate to ``data_duration + range_to_start + range_to_end`` with
+  (a) counter zero-point shortening applied BEFORE (b) the 1.1×avg-interval
+  threshold clamp to avg/2 — in that order, matching the reference (which
+  differs from modern Prometheus);
+  rate divides by ``lookback_delta`` seconds.
+- irate/idelta (instant_value, prom_align.rs:917-945): need ≥3 in-window
+  samples (reference requires ``tail_index >= 2`` — a stricter-than-Prometheus
+  quirk, ported faithfully); use last two samples; irate treats
+  ``last < prev`` as a counter reset (value = last) and divides by their gap
+  in seconds.
+- instant (InstantFunc, prom_align.rs:978-998): newest sample value ≤ t.
+
+Spark-first design — **no Python UDF anywhere**: each sample is exploded to
+the step indices whose window contains it (`sequence` + `explode`, map-side,
+fan-out = lookback/step), then one hash aggregation per (series, step)
+computes first/last via ``min_by``/``max_by`` and the reset correction from
+pre-computed ``lag`` columns.  At 100 TB this is a single shuffle keyed on
+(series, step) with partial aggregation; there is no per-series collect and
+no skew beyond genuinely hot series (salt-able on the tsid if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EXTRAPOLATION_COEFF = 1.1  # prom_align.rs:59
+DEFAULT_LOOKBACK_MS = 300_000  # promql/convert.rs:55
+
+ALIGN_FUNCS = ("rate", "increase", "delta", "irate", "idelta", "instant")
+
+
+def prom_align(
+    df: DataFrame,
+    func: str,
+    *,
+    series_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Evaluate ``func`` per series on the aligned grid.
+
+    Returns columns: ``*series_cols, ts (timestamp), value (double)``.
+    The grid is ``t = start_ms + k*step_ms`` for ``k in [0, (end-start)/step]``
+    (FixedStepper starts at the align-range start and advances by ``step``).
+    """
+    if func not in ALIGN_FUNCS:
+        raise ValueError(f"unknown align func {func!r}; expected one of {ALIGN_FUNCS}")
+    is_counter = func in ("rate", "increase")
+    is_rate = func == "rate"
+
+    n_steps = (end_ms - start_ms) // step_ms  # k ranges over [0, n_steps]
+
+    ts_ms = F.unix_millis(F.col(ts_col))
+    base = df.select(
+        *series_cols,
+        ts_ms.alias("__ts"),
+        F.col(value_col).cast("double").alias("__val"),
+    ).filter(
+        (F.col("__ts") >= F.lit(start_ms - lookback_ms)) & (F.col("__ts") <= F.lit(end_ms))
+    )
+
+    # Per-series lag: previous sample's (ts, value).  In-window sample sets
+    # are contiguous per series, so the in-window predecessor of a sample is
+    # exactly its series predecessor when that predecessor's ts >= mint.
+    w = Window.partitionBy(*series_cols).orderBy("__ts")
+    base = base.withColumn("__prev_ts", F.lag("__ts").over(w)).withColumn(
+        "__prev_val", F.lag("__val").over(w)
+    )
+
+    # Explode each sample to the step indices whose window [t-lookback, t]
+    # contains it:  k in [ceil((ts-start)/step), floor((ts+lookback-start)/step)].
+    k_lo = F.greatest(-F.floor((F.lit(start_ms) - F.col("__ts")) / step_ms), F.lit(0))
+    k_hi = F.least(
+        F.floor((F.col("__ts") + F.lit(lookback_ms) - F.lit(start_ms)) / step_ms),
+        F.lit(n_steps),
+    )
+    # Guard: when lookback < step a sample may fall in no window (k_lo > k_hi);
+    # Spark's sequence() would generate a *descending* range there, so gate it.
+    ks = F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi)).otherwise(F.array().cast("array<bigint>"))
+    exploded = (
+        base.withColumn("__k", F.explode(ks))
+        .withColumn("__t", (F.lit(start_ms) + F.col("__k") * step_ms).cast("long"))
+        .withColumn("__mint", F.col("__t") - F.lit(lookback_ms))
+    )
+
+    prev_in_window = F.col("__prev_ts").isNotNull() & (F.col("__prev_ts") >= F.col("__mint"))
+    agg = exploded.groupBy(*series_cols, "__t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__ts").alias("first_ts"),
+        F.max("__ts").alias("last_ts"),
+        F.min_by("__val", "__ts").alias("first_val"),
+        F.max_by("__val", "__ts").alias("last_val"),
+        # Counter reset correction: sum of previous values at in-window
+        # resets.  Addends are dyadic-quantized (functions/detfloat.py) so
+        # the group sum is exact and order-independent — the only
+        # order-sensitive float sum in this operator (deviation from the
+        # reference math <= 2^-21 per reset, invisible at 6-digit rounding).
+        F.sum(
+            F.when(
+                prev_in_window & (F.col("__val") < F.col("__prev_val")),
+                F.round(F.col("__prev_val") * (1 << 20)) / (1 << 20),
+            ).otherwise(F.lit(0.0))
+        ).alias("reset_corr"),
+        # second-last in-window sample = the series-predecessor of the last sample
+        F.max_by("__prev_ts", "__ts").alias("second_last_ts"),
+        F.max_by("__prev_val", "__ts").alias("second_last_val"),
+    )
+
+    t = F.col("__t")
+    mint = t - F.lit(lookback_ms)
+
+    if func == "instant":
+        out_val = F.col("last_val")
+        result = agg.withColumn("value", out_val)
+    elif func in ("irate", "idelta"):
+        # instant_value: requires tail_index >= 2, i.e. >= 3 in-window samples.
+        gap_s = (F.col("last_ts") - F.col("second_last_ts")) / F.lit(1000.0)
+        if func == "irate":
+            diff = F.when(
+                F.col("last_val") < F.col("second_last_val"), F.col("last_val")
+            ).otherwise(F.col("last_val") - F.col("second_last_val"))
+            out_val = diff / gap_s
+        else:
+            out_val = F.col("last_val") - F.col("second_last_val")
+        result = agg.filter(F.col("n") >= 3).withColumn("value", out_val)
+    else:
+        # extrapolate_fn_helper: requires tail_index >= 1, i.e. >= 2 samples.
+        difference = F.col("last_val") - F.col("first_val") + (
+            F.col("reset_corr") if is_counter else F.lit(0.0)
+        )
+        data_duration = (F.col("last_ts") - F.col("first_ts")).cast("double")
+        avg_dur = data_duration / (F.col("n") - 1)
+        range_to_start = (F.col("first_ts") - mint).cast("double")
+        range_to_end = (t - F.col("last_ts")).cast("double")
+        if is_counter:
+            zero_point = data_duration * F.col("first_val") / difference
+            range_to_start = F.when(
+                (difference > 0) & (F.col("first_val") >= 0),
+                F.least(range_to_start, zero_point),
+            ).otherwise(range_to_start)
+        threshold = avg_dur * EXTRAPOLATION_COEFF
+        range_to_start = F.when(range_to_start > threshold, avg_dur / 2).otherwise(range_to_start)
+        range_to_end = F.when(range_to_end > threshold, avg_dur / 2).otherwise(range_to_end)
+        extrapolated = difference * (data_duration + range_to_start + range_to_end) / data_duration
+        if is_rate:
+            extrapolated = extrapolated / F.lit(lookback_ms / 1000.0)
+        result = agg.filter((F.col("n") >= 2) & (F.col("last_ts") > F.col("first_ts"))).withColumn(
+            "value", extrapolated
+        )
+
+    return result.select(
+        *series_cols,
+        F.timestamp_millis(F.col("__t")).alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def prom_align_oracle_sql(
+    func: str,
+    *,
+    table: str,
+    series_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    round_digits: int = 6,
+    series_filter_sql: str = "TRUE",
+) -> str:
+    """DuckDB SQL computing the identical PromAlign result — generated from
+    the same parameters so the Spark pipeline and the oracle cannot drift.
+    Used by the correctness gate."""
+    if func not in ALIGN_FUNCS:
+        raise ValueError(func)
+    is_counter = func in ("rate", "increase")
+    n_steps = (end_ms - start_ms) // step_ms
+    series = ", ".join(series_cols)
+
+    base = f"""
+    WITH base AS (
+      SELECT {series},
+             epoch_ms({ts_col}) AS sts,
+             CAST({value_col} AS DOUBLE) AS val,
+             lag(epoch_ms({ts_col})) OVER (PARTITION BY {series} ORDER BY epoch_ms({ts_col})) AS prev_ts,
+             lag(CAST({value_col} AS DOUBLE)) OVER (PARTITION BY {series} ORDER BY epoch_ms({ts_col})) AS prev_val
+      FROM {table}
+      WHERE epoch_ms({ts_col}) >= {start_ms - lookback_ms} AND epoch_ms({ts_col}) <= {end_ms}
+        AND ({series_filter_sql})
+    ), exploded AS (
+      SELECT b.*, ({start_ms} + k.k * {step_ms}) AS t
+      FROM base b
+      JOIN (SELECT unnest(range(0, {n_steps + 1})) AS k) k
+        ON ({start_ms} + k.k * {step_ms}) >= b.sts
+       AND ({start_ms} + k.k * {step_ms}) - {lookback_ms} <= b.sts
+    ), agg AS (
+      SELECT {series}, t,
+             count(*) AS n,
+             min(sts) AS first_ts,
+             max(sts) AS last_ts,
+             arg_min(val, sts) AS first_val,
+             arg_max(val, sts) AS last_val,
+             sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
+                       AND val < prev_val
+                      THEN round(prev_val * 1048576) / 1048576 ELSE 0.0 END) AS reset_corr,
+             arg_max(prev_ts, sts) AS second_last_ts,
+             arg_max(prev_val, sts) AS second_last_val
+      FROM exploded
+      GROUP BY {series}, t
+    )"""
+
+    if func == "instant":
+        value_sql = "last_val"
+        where_sql = "TRUE"
+    elif func in ("irate", "idelta"):
+        if func == "irate":
+            value_sql = (
+                "(CASE WHEN last_val < second_last_val THEN last_val "
+                "ELSE last_val - second_last_val END) / ((last_ts - second_last_ts) / 1000.0)"
+            )
+        else:
+            value_sql = "last_val - second_last_val"
+        where_sql = "n >= 3"
+    else:
+        corr = " + reset_corr" if is_counter else ""
+        diff = f"(last_val - first_val{corr})"
+        dd = "CAST(last_ts - first_ts AS DOUBLE)"
+        avg_dur = f"({dd} / (n - 1))"
+        rts0 = f"CAST(first_ts - (t - {lookback_ms}) AS DOUBLE)"
+        if is_counter:
+            rts1 = (
+                f"(CASE WHEN {diff} > 0 AND first_val >= 0 "
+                f"THEN least({rts0}, {dd} * first_val / {diff}) ELSE {rts0} END)"
+            )
+        else:
+            rts1 = rts0
+        rts = f"(CASE WHEN {rts1} > {avg_dur} * {EXTRAPOLATION_COEFF} THEN {avg_dur} / 2 ELSE {rts1} END)"
+        rte0 = "CAST(t - last_ts AS DOUBLE)"
+        rte = f"(CASE WHEN {rte0} > {avg_dur} * {EXTRAPOLATION_COEFF} THEN {avg_dur} / 2 ELSE {rte0} END)"
+        value_sql = f"{diff} * ({dd} + {rts} + {rte}) / {dd}"
+        if func == "rate":
+            value_sql = f"({value_sql}) / {lookback_ms / 1000.0}"
+        where_sql = "n >= 2 AND last_ts > first_ts"
+
+    return f"""{base}
+    SELECT {series},
+           make_timestamp(t * 1000) AS ts,
+           round(CAST({value_sql} AS DOUBLE), {round_digits}) AS value
+    FROM agg
+    WHERE {where_sql}
+    """

@@ -1,0 +1,111 @@
+"""Text analysis operators (beyond-reference, LLM-pipeline grade):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.  Dual-dialect templates — see operators/dialect.py.
+
+All are embarrassingly parallel map-side expressions (no shuffle except
+the final exact-dup groupBy in fingerprinting) — at 100 TB they run at
+scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from incubator_horaedb_spark.operators.dialect import Dialect
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is"],
+    "es": ["el", "la", "de", "los", "y", "un"],
+    "fr": ["le", "les", "et", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ein", "ist"],
+}
+_LANG_PRIORITY = ["en", "es", "fr", "de"]
+
+
+def _stop_hits(d: Dialect, tokens: str, lang: str) -> str:
+    """Number of tokens (with multiplicity) that are stopwords of ``lang``."""
+    arr = d.str_array(STOPWORDS[lang])
+    return d.size(d.filter(tokens, "t", d.contains(arr, "t")))
+
+
+def langid_sql(d: Dialect, table: str = "documents") -> str:
+    """N-gram/stopword language-ID heuristic: argmax of per-language
+    stopword hits with a fixed priority order; 'und' when no hits."""
+    toks = d.tokens("lower(text)")
+    hit_cols = ",\n             ".join(
+        f"{_stop_hits(d, toks, lang)} AS hits_{lang}" for lang in _LANG_PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANG_PRIORITY) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in _LANG_PRIORITY:
+        pred += f"WHEN hits_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {hit_cols}
+      FROM {table}
+    )
+    SELECT doc_id, lang AS actual_lang, {pred} AS pred_lang,
+           CAST({best} AS BIGINT) AS score
+    FROM scored
+    """
+
+
+def quality_sql(d: Dialect, table: str = "documents") -> str:
+    """Quality scoring: length, punctuation ratio, stopword ratio, and a
+    logistic composite score."""
+    toks = d.tokens("text")
+    n_tokens = d.size(toks)
+    no_punct = d.regexp_replace_all("text", "[.!?,;:]", "")
+    stop_hits = _stop_hits(d, d.tokens("lower(text)"), "en")
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST({n_tokens} AS BIGINT) AS n_tokens,
+             CAST(length(text) - length({no_punct}) AS DOUBLE) / length(text) AS punct_ratio,
+             CAST({stop_hits} AS DOUBLE) / {n_tokens} AS stop_ratio
+      FROM {table}
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio))), 6)
+             AS quality_score
+    FROM m
+    """
+
+
+def token_count_sql(d: Dialect, table: str = "documents") -> str:
+    """Token counting: whitespace tokens and a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    toks = d.tokens("text")
+    if d.engine == "spark":
+        bpe = "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+    else:
+        bpe = "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+    return f"""
+    SELECT doc_id,
+           CAST({d.size(toks)} AS BIGINT) AS ws_tokens,
+           CAST({bpe} AS BIGINT) AS bpe_tokens,
+           round(CAST(length(text) AS DOUBLE) / {d.size(toks)}, 4) AS chars_per_token
+    FROM {table}
+    """
+
+
+def fingerprint_sql(d: Dialect, table: str = "documents") -> str:
+    """Rolling-hash document fingerprint over normalized text, plus the
+    exact-dup group size per fingerprint (hash-groupBy dedup at scale)."""
+    norm = d.regexp_replace_all("lower(text)", " +", " ")
+    fp = d.char_fold_hash(norm)
+    return f"""
+    WITH fps AS (
+      SELECT doc_id, {fp} AS fingerprint
+      FROM {table}
+    )
+    SELECT f.doc_id, f.fingerprint, g.group_size
+    FROM fps f
+    JOIN (SELECT fingerprint, CAST(count(*) AS BIGINT) AS group_size
+          FROM fps GROUP BY fingerprint) g
+      ON f.fingerprint = g.fingerprint
+    """

@@ -1,0 +1,108 @@
+"""PromQL surface: PromAlign range functions + PromQL-style aggregation.
+
+Reference query shape (src/query_frontend/src/promql/convert.rs:155-353):
+selector → scan + tag filters (incl. regex matchers via regex_match_expr)
+→ PromAlignNode(range function) → optional aggregation grouped by
+(timestamp, tags) → sort.  The supported pushdown functions are exactly
+rate/irate/delta/idelta/increase/instant (promql/pushdown.rs:33-56).
+
+Here: events is the metric table, tag = event_type, field = value,
+timestamp key = ts.  Every query rounds `value` to 6 digits on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.hashing import regex_match
+from incubator_horaedb_spark.operators.prom_align import prom_align, prom_align_oracle_sql
+from incubator_horaedb_spark.querybank.registry import load, register
+
+# Grid: full January 2024 at 1-hour steps with 2-hour lookback windows
+# (~5-6 samples per series per window in the events table).
+START_MS = 1704067200000  # 2024-01-01T00:00:00Z
+END_MS = 1706659200000  # 2024-01-31T00:00:00Z
+STEP_MS = 3_600_000
+LOOKBACK_MS = 7_200_000
+
+_PARAMS = dict(
+    series_cols=["event_type"],
+    ts_col="ts",
+    value_col="value",
+    start_ms=START_MS,
+    end_ms=END_MS,
+    step_ms=STEP_MS,
+    lookback_ms=LOOKBACK_MS,
+)
+_ORACLE_PARAMS = dict(
+    table="events",
+    series_cols=["event_type"],
+    ts_col="ts",
+    value_col="value",
+    start_ms=START_MS,
+    end_ms=END_MS,
+    step_ms=STEP_MS,
+    lookback_ms=LOOKBACK_MS,
+)
+
+
+def _rounded(df: DataFrame) -> DataFrame:
+    return df.select("event_type", "ts", F.round("value", 6).alias("value"))
+
+
+def _make(func: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _rounded(prom_align(load(spark, sf_dir, "events"), func, **_PARAMS))
+
+    q.__name__ = f"promql_{func}"
+    q.__doc__ = (
+        f"PromQL {func}() on aligned grid — port of prom_align.rs "
+        "(see operators/prom_align.py for the exact semantics)."
+    )
+    return q
+
+
+for _func in ("rate", "increase", "delta", "irate", "idelta", "instant"):
+    register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
+
+
+@register(
+    "promql_sum_by_ts",
+    oracle=f"""
+    WITH aligned AS (
+      {prom_align_oracle_sql("rate", round_digits=6, **_ORACLE_PARAMS)}
+    )
+    SELECT ts, round(sum(round(value * 1048576) / 1048576), 6) AS value
+    FROM aligned
+    GROUP BY ts
+    """,
+)
+def promql_sum_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum(rate(metric[2h]))` — PromQL aggregation over the align output,
+    grouped by timestamp with tags dropped (convert.rs:270-315 groups by
+    ts + kept tags).  Summed addends are dyadic-quantized for cross-engine
+    sum determinism (functions/detfloat.py)."""
+    aligned = prom_align(load(spark, sf_dir, "events"), "rate", **_PARAMS)
+    q = F.round(F.round("value", 6) * (1 << 20)) / (1 << 20)
+    return (
+        aligned.select("ts", q.alias("value"))
+        .groupBy("ts")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+@register(
+    "promql_regex_selector",
+    oracle=prom_align_oracle_sql(
+        "instant",
+        series_filter_sql="regexp_matches(event_type, '^(c.*|error)$')",
+        **_ORACLE_PARAMS,
+    ),
+)
+def promql_regex_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector with a regex label matcher (`event_type =~ "c.*|error"`) —
+    PromQL =~ compiles to regex_match_expr (promql/udf.rs:50-96), here
+    `rlike` applied before alignment so it pushes into the scan."""
+    ev = load(spark, sf_dir, "events").filter(regex_match("event_type", "^(c.*|error)$"))
+    return _rounded(prom_align(ev, "instant", **_PARAMS))

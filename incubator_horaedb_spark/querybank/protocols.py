@@ -1,0 +1,147 @@
+"""Protocol query frontends exercised end-to-end: OpenTSDB and InfluxQL.
+
+Both compile to DataFrames through incubator_horaedb_spark.frontends — the
+queries here go through the full parse→plan path, not hand-built DataFrames,
+mirroring the reference's protocol integration tests
+(integration_tests/cases/env/local/{influxql,opentsdb}/basic.sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.frontends.influxql import influxql_to_df
+from incubator_horaedb_spark.frontends.opentsdb import parse_query_request, query_to_dfs
+from incubator_horaedb_spark.functions.detfloat import BITS_SMALL, dyadic
+from incubator_horaedb_spark.functions.time_bucket import date_bin_sql
+from incubator_horaedb_spark.querybank.registry import load, register
+
+_START = 1704067200000  # 2024-01-01T00:00:00Z
+_END = 1706659200000  # 2024-01-31T00:00:00Z
+
+
+@register(
+    "opentsdb_downsample_groupby",
+    oracle=f"""
+    SELECT event_type,
+           {date_bin_sql(3600000, 'ts')} AS ts,
+           round(avg(round(value * 1048576) / 1048576), 4) AS value
+    FROM events
+    WHERE epoch_ms(ts) >= {_START} AND epoch_ms(ts) <= {_END}
+      AND event_type IN ('click', 'view')
+    GROUP BY 1, 2
+    """,
+)
+def opentsdb_downsample_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTSDB /api/query: literal_or tag filter + 1h-avg downsample grouped
+    by tag (opentsdb/mod.rs:137-200)."""
+    request = parse_query_request(
+        {
+            "start": _START,
+            "end": _END,
+            "queries": [
+                {
+                    "metric": "events",
+                    "aggregator": "avg",
+                    "downsample": "1h-avg",
+                    "filters": [
+                        {
+                            "type": "literal_or",
+                            "tagk": "event_type",
+                            "filter": "click|view",
+                            "groupBy": True,
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    ev = load(spark, sf_dir, "events").withColumn("value", dyadic("value", BITS_SMALL))
+    (df,) = query_to_dfs(ev, request)
+    return df.select("event_type", "ts", F.round("value", 4).alias("value"))
+
+
+@register(
+    "opentsdb_not_literal_or_raw",
+    oracle=f"""
+    SELECT ts, event_type, round(value, 4) AS value
+    FROM events
+    WHERE epoch_ms(ts) >= {_START} AND epoch_ms(ts) <= {_END}
+      AND event_type NOT IN ('click', 'view', 'signup')
+    """,
+)
+def opentsdb_not_literal_or_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTSDB aggregator=none raw read with not_literal_or filter →
+    time-ordered samples (default_sort_exprs, mod.rs:163-166)."""
+    request = parse_query_request(
+        {
+            "start": _START,
+            "end": _END,
+            "queries": [
+                {
+                    "metric": "events",
+                    "aggregator": "none",
+                    "filters": [
+                        {
+                            "type": "not_literal_or",
+                            "tagk": "event_type",
+                            "filter": "click|view|signup",
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    (df,) = query_to_dfs(load(spark, sf_dir, "events"), request)
+    return df.select("ts", "event_type", F.round("value", 4).alias("value"))
+
+
+@register(
+    "influxql_groupby_time_tag",
+    oracle=f"""
+    SELECT {date_bin_sql(21600000, 'ts')} AS time,
+           event_type,
+           round(avg(round(value * 1048576) / 1048576), 4) AS mean_value,
+           count(value) AS count_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_groupby_time_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL: SELECT mean(value), count(value) ... GROUP BY time(6h), tag
+    — parsed by our InfluxQL frontend, compiled to date_bin + groupBy."""
+    ev = load(spark, sf_dir, "events").withColumn("value", dyadic("value", BITS_SMALL))
+    df = influxql_to_df(
+        "SELECT mean(value), count(value) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type",
+        {"events": ev},
+    )
+    return df.select(
+        "time",
+        "event_type",
+        F.round("mean_value", 4).alias("mean_value"),
+        F.col("count_value"),
+    )
+
+
+@register(
+    "influxql_raw_topn",
+    oracle="""
+    SELECT ts AS time, round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY ts DESC
+    LIMIT 50
+    """,
+)
+def influxql_raw_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL raw field select with ORDER BY time DESC LIMIT — plans as
+    Spark TakeOrderedAndProject (top-k, no global sort)."""
+    df = influxql_to_df(
+        "SELECT value FROM events WHERE event_type = 'purchase' ORDER BY time DESC LIMIT 50",
+        {"events": load(spark, sf_dir, "events")},
+    )
+    return df.select("time", F.round("value", 4).alias("value"))

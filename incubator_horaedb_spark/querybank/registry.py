@@ -1,0 +1,78 @@
+"""Registry pairing Spark query builders with DuckDB oracle SQL."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views; None → rows-only check
+
+
+QUERIES: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Entry(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+# The driver testdata stores timestamps as parquet TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects outright.  We read nanos as LONG
+# (runtime-settable legacy conf) and convert with exact integer division —
+# ns DIV 1000 — matching DuckDB's nanos→micros truncation.  A double-based
+# division would corrupt values (1.7e18 ns exceeds 2^53).
+_NANOS_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        field = next(f for f in df.schema.fields if f.name == col)
+        if field.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views (for spark.sql queries)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in QUERIES.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: e.oracle for name, e in QUERIES.items() if e.oracle is not None}

@@ -1,0 +1,213 @@
+"""TSDB-flavored operators: time_bucket / date_bin buckets, downsampling,
+dedup-on-read (Overwrite tables), append-mode chain reads, timestamp literal
+coercion, approximate NDV.
+
+References:
+- time_bucket: src/df_operator/src/udfs/time_bucket.rs:85-342
+- date_bin corpus: integration_tests/cases/common/function/date_bin.sql
+- merge+dedup read: src/analytic_engine/src/row_iter/{merge.rs,dedup.rs}
+- chain (Append) read: src/analytic_engine/src/row_iter/chain.rs
+- TypeConversion (ts literals): src/query_frontend/src/logical_optimizer/type_conversion.rs:295-355
+- thetasketch_distinct: src/df_operator/src/udfs/thetasketch_distinct.rs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.time_bucket import (
+    date_bin,
+    date_bin_sql,
+    time_bucket,
+    time_bucket_sql,
+)
+from incubator_horaedb_spark.functions.detfloat import (
+    BITS_SMALL,
+    dyadic,
+    stddev_samp_det,
+    stddev_samp_det_sql,
+)
+from incubator_horaedb_spark.functions.sketches import thetasketch_distinct
+from incubator_horaedb_spark.querybank.registry import load, register
+
+
+@register(
+    "time_bucket_minute",
+    oracle=f"""
+    SELECT {time_bucket_sql('ts', 'PT5M')} AS bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(round(value * 1048576) / 1048576), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At 100 TB the bucket column is also the partition key (segment_duration
+    # ladder, sampler.rs:42-51), so this groupBy prunes + combines map-side.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(time_bucket("ts", "PT5M").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(dyadic("value", BITS_SMALL)), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "time_bucket_hour",
+    oracle=f"""
+    SELECT {time_bucket_sql('ts', 'PT1H')} AS bucket,
+           count(*) AS n,
+           round(avg(round(value * 1048576) / 1048576), 4) AS avg_value,
+           count(DISTINCT user_id) AS ndv_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def time_bucket_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(time_bucket("ts", "PT1H").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("ndv_users"),
+    )
+
+
+@register(
+    "date_bin_15m",
+    oracle=f"""
+    SELECT {date_bin_sql(900000, 'ts')} AS bin,
+           round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def date_bin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    return ev.groupBy(date_bin(900000, "ts").alias("bin")).agg(
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+    )
+
+
+# --- dedup-on-read: the Overwrite-mode merge semantics --------------------
+@register(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeIterator+DedupIterator semantics: for an Overwrite table the read
+    keeps only the newest row per primary key (row_iter/dedup.rs:57-264,
+    sequence-ordered).  Here pk=(user_id, event_type), seq=(ts, event_id).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# --- chain read: Append-mode concatenation without merge ------------------
+@register(
+    "chain_append_read",
+    oracle="""
+    SELECT event_id, ts, event_type FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, ts, event_type FROM events WHERE event_type = 'signup' AND value > 90
+    """,
+)
+def chain_append_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChainIterator (chain.rs:1-499): Append tables concatenate source
+    streams with no sort/merge → plain unionByName."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    a = ev.filter(F.col("event_type") == "error")
+    b = ev.filter((F.col("event_type") == "signup") & (F.col("value") > 90))
+    return a.unionByName(b).select("event_id", "ts", "event_type")
+
+
+# --- timestamp literal coercion (TypeConversion analyzer parity) ----------
+@register(
+    "ts_literal_coercion",
+    oracle="""
+    SELECT event_id, ts
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-28 12:00:00'
+      AND epoch_ms(ts) < 1706702400000
+    """,
+)
+def ts_literal_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String and ms-epoch integer literals compared against the timestamp
+    key (type_conversion.rs:295-355).  Spark casts strings natively; the
+    ms-integer comparison is expressed via unix_millis."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") > F.lit("2024-01-28 12:00:00").cast("timestamp"))
+        & (F.unix_millis(F.col("ts")) < 1706702400000)
+    ).select("event_id", "ts")
+
+
+# --- BETWEEN time-range scan (PredicateBuilder::extract_time_range) -------
+@register(
+    "time_range_scan",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-11 00:00:00'
+    """,
+)
+def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference derives a TimeRange from WHERE and prunes segments
+    (predicate.rs:180-197); on Spark the same predicate prunes time
+    partitions + parquet row groups via min/max stats."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts").between("2024-01-10 00:00:00", "2024-01-11 00:00:00")
+    ).select("event_id", "ts", "user_id", "event_type")
+
+
+# --- approximate NDV (thetasketch_distinct) -------------------------------
+# No oracle: the sketch constants differ between HLL impls, exactly like the
+# reference's golden values differ from exact counts (driver records the
+# weaker rows-only check; `distinct_agg` provides the exact-NDV hash gate).
+@register("thetasketch_distinct_users", oracle=None)
+def thetasketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        thetasketch_distinct("user_id").alias("approx_ndv_users")
+    )
+
+
+# --- OpenTSDB-style downsample (opentsdb/mod.rs:137-200) ------------------
+@register(
+    "downsample_stddev",
+    oracle=f"""
+    SELECT {time_bucket_sql('ts', 'PT30M')} AS bucket,
+           event_type,
+           round({stddev_samp_det_sql('value')}, 4) AS dev_value,
+           round(avg(round(value * 1048576) / 1048576), 4) AS avg_value
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY 1, 2
+    """,
+)
+def downsample_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTSDB 'dev' aggregator (= sample stddev, opentsdb/mod.rs:121-134)
+    over 30-minute downsample buckets."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    return ev.groupBy(time_bucket("ts", "PT30M").alias("bucket"), "event_type").agg(
+        F.round(stddev_samp_det("value"), 4).alias("dev_value"),
+        F.round(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
+    )

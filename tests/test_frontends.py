@@ -1,0 +1,82 @@
+"""Frontend tests: InfluxQL parse/plan, line protocol, OpenTSDB put/query."""
+
+from __future__ import annotations
+
+from incubator_horaedb_spark.frontends.influxql import (
+    influxql_to_df,
+    parse_influxql,
+    parse_line_protocol,
+)
+from incubator_horaedb_spark.frontends.opentsdb import parse_put, parse_query_request
+
+
+def test_parse_influxql():
+    q = parse_influxql(
+        "SELECT mean(value), count(value) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND event_type = 'click' "
+        "GROUP BY time(6h), event_type ORDER BY time DESC LIMIT 10"
+    )
+    assert q.projections == [("mean", "value"), ("count", "value")]
+    assert q.measurement == "events"
+    assert q.group_time_ms == 6 * 3_600_000
+    assert q.group_tags == ["event_type"]
+    assert q.order_desc and q.limit == 10
+
+
+def test_influxql_plan(spark, sf_dir):
+    # ts is TIMESTAMP(NANOS) in testdata parquet — must go through the
+    # registry loader, which reads nanos-as-long and converts exactly.
+    from incubator_horaedb_spark.querybank.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    df = influxql_to_df(
+        "SELECT mean(value) FROM events WHERE event_type = 'click' GROUP BY time(1d)",
+        {"events": ev},
+    )
+    rows = df.collect()
+    assert rows and set(df.columns) == {"time", "mean_value"}
+
+
+def test_line_protocol():
+    rows = parse_line_protocol(
+        'cpu,host=web01,region=us usage=0.5,idle=99i 1700000000000000000\n'
+        'cpu,host=web02 usage=0.7 1700000001000000000\n'
+        'mem,host=web01 used="high" 1700000002000000000\n'
+    )
+    assert set(rows) == {"cpu", "mem"}
+    assert rows["cpu"][0] == {
+        "host": "web01",
+        "region": "us",
+        "usage": 0.5,
+        "idle": 99,
+        "ts": 1700000000000,
+    }
+    assert rows["mem"][0]["used"] == "high"
+
+
+def test_opentsdb_put_and_query():
+    put = parse_put(
+        '[{"metric": "sys.cpu", "timestamp": 1700000000, "value": 1.5, '
+        '"tags": {"host": "a"}}]'
+    )
+    assert put["sys.cpu"][0] == {"ts": 1700000000000, "value": 1.5, "host": "a"}
+
+    req = parse_query_request(
+        {
+            "start": 0,
+            "end": 10,
+            "queries": [
+                {
+                    "metric": "sys.cpu",
+                    "aggregator": "avg",
+                    "downsample": "15m-avg",
+                    "filters": [
+                        {"type": "literal_or", "tagk": "host", "filter": "a|b", "groupBy": True}
+                    ],
+                }
+            ],
+        }
+    )
+    sub = req.queries[0]
+    assert sub.downsample_ms == 900_000
+    assert sub.group_by_tags == ["host"]
