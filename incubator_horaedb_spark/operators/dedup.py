@@ -15,18 +15,31 @@ the DuckDB oracle share every arithmetic step:
 - ngram_jaccard    — exact all-pairs token-3-gram Jaccard (the small-scale
                      baseline the LSH variants approximate).
 
-Scale notes: minhash_lsh shuffles (doc → band keys) once and joins on
-band keys — at 1000 executors the band key space keeps the join balanced;
-hot bands (boilerplate docs) can be salted by appending a shard of
-hash(doc_id).  The exact all-pairs variants are quadratic and exist as
-correctness baselines, marked as such.
+Performance shape (matters at 100 TB and on the bench):
+- each token is char-hashed ONCE (the only interpreted higher-order-function
+  work, O(chars)); shingle hashes are O(1) polynomial combinations of their
+  token hashes;
+- MinHash signatures and SimHash bit-weights are computed by EXPLODING the
+  hash lists and running plain min()/sum() aggregations grouped by doc_id —
+  whole-stage-codegen'd partial/final aggregates with map-side combine, not
+  per-element interpreted lambdas;
+- Spark pipelines are STAGED (querybank/llm_ops.py): shingle/signature
+  stages are cached temp views, because Spark both inlines CTEs and (in 4.1)
+  degrades badly when an expensive higher-order projection sits under a
+  WITH clause — see Dialect.cte_query;
+- candidate generation is an equi-join on band keys; hot bands (boilerplate
+  docs) can be salted by sharding the band key.
+
+The portable polynomial hash exists so the DuckDB oracle can reproduce the
+Spark result bit-for-bit; a single-engine production deployment would swap
+in xxhash64 with zero structural change.
 """
 
 from __future__ import annotations
 
 import random
 
-from incubator_horaedb_spark.operators.dialect import DUCK, P, SPARK, Dialect
+from incubator_horaedb_spark.operators.dialect import BASE, P, Dialect
 
 NUM_PERM = 16
 BANDS = 4
@@ -36,11 +49,6 @@ assert NUM_PERM == BANDS * ROWS_PER_BAND
 _rng = random.Random(42)
 PERM_A = [(_rng.randrange(1, P - 1) | 1) for _ in range(NUM_PERM)]
 PERM_B = [_rng.randrange(0, P - 1) for _ in range(NUM_PERM)]
-
-
-def _int_array(d: Dialect, values: list[int]) -> str:
-    items = ", ".join(f"CAST({v} AS BIGINT)" for v in values)
-    return f"array({items})" if d.engine == "spark" else f"[{items}]"
 
 
 def _to_str(d: Dialect, x: str) -> str:
@@ -59,18 +67,21 @@ def exact_dedup_sql(d: Dialect, table: str = "documents") -> str:
     """
 
 
-def _shingle_cte(d: Dialect, table: str) -> str:
-    shingles = d.distinct(d.shingles(d.tokens("text"), k=3))
-    return f"""
-    sh AS (
-      SELECT doc_id, {shingles} AS shingles
-      FROM {table}
-    ),
-    hs AS (
-      SELECT doc_id, shingles, {d.hash_list("shingles")} AS hashes
-      FROM sh
-      WHERE {d.size("shingles")} > 0
-    )"""
+def _shingle_ctes(d: Dialect, table: str, k: int = 3) -> list[tuple[str, str]]:
+    """Stages tokh (per-token hashes, one char-fold per token) and hs
+    (distinct shingle hashes = polynomial combo of k token hashes)."""
+    combo = "CAST(0 AS BIGINT)"
+    for i in range(k):
+        combo = f"(({combo}) * {BASE} + {d.at('th', f'i + {i}')}) % {P}"
+    shingle_hashes = d.transform(d.range1(f"{d.size('th')} - {k - 1}"), "i", combo)
+    return [
+        ("tokh", f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"),
+        (
+            "hs",
+            f"SELECT doc_id, {d.distinct(shingle_hashes)} AS shs FROM tokh "
+            f"WHERE {d.size('th')} >= {k}",
+        ),
+    ]
 
 
 def _jaccard(d: Dialect, a: str, b: str) -> str:
@@ -78,49 +89,80 @@ def _jaccard(d: Dialect, a: str, b: str) -> str:
     return f"CAST({inter} AS DOUBLE) / ({d.size(a)} + {d.size(b)} - {inter})"
 
 
-def minhash_lsh_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
-    """MinHash + banded LSH + exact verification."""
-    # signature: for each permutation i, min over shingle hashes of (a_i*h + b_i) mod P
-    perm = (
-        f"({d.at(_int_array(d, PERM_A), 'i')} * h + {d.at(_int_array(d, PERM_B), 'i')}) % {P}"
+def shingle_hash_select(d: Dialect, table: str = "documents") -> str:
+    """Standalone SELECT producing (doc_id, shs) — for staged execution."""
+    return d.cte_query(_shingle_ctes(d, table), "SELECT doc_id, shs FROM hs")
+
+
+def _sig_cols() -> str:
+    return ",\n           ".join(
+        f"min((CAST({PERM_A[i]} AS BIGINT) * h + {PERM_B[i]}) % {P}) AS s{i + 1}"
+        for i in range(NUM_PERM)
     )
-    sig = d.transform(d.range1(str(NUM_PERM)), "i", d.arr_min(d.transform("hashes", "h", perm)))
-    # band key: the ROWS_PER_BAND signature slots of band b, stringified
-    key_parts = " || '_' || ".join(
-        _to_str(d, d.at("sig", f"({ROWS_PER_BAND} * (b - 1) + {r + 1})"))
-        for r in range(ROWS_PER_BAND)
+
+
+def minhash_sig_select(d: Dialect, hs_src: str) -> str:
+    """Standalone SELECT producing the 16-column signature from ``hs_src``."""
+    return d.cte_query(
+        [("ex", d.unnest_select("doc_id", "shs", "h", hs_src))],
+        f"SELECT doc_id,\n           {_sig_cols()}\n    FROM ex\n    GROUP BY doc_id",
     )
-    band_range = (
-        f"(SELECT explode(sequence(1, {BANDS})) AS b)"
-        if d.engine == "spark"
-        else f"(SELECT unnest(range(1, {BANDS + 1})) AS b)"
+
+
+def _pairs_ctes(d: Dialect, hs_src: str, sig_src: str) -> list[tuple[str, str]]:
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM {src}".format(
+            b=b + 1,
+            src=sig_src,
+            key=" || '_' || ".join(
+                _to_str(d, f"s{b * ROWS_PER_BAND + r + 1}") for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
     )
-    return f"""
-    WITH {_shingle_cte(d, table)},
-    sig AS (
-      SELECT doc_id, shingles, {sig} AS sig FROM hs
-    ),
-    bands AS (
-      SELECT doc_id, b AS band_idx, {key_parts} AS band_key
-      FROM sig CROSS JOIN {band_range}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    return [
+        ("bands", band_selects),
+        (
+            "cand",
+            """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
       JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-      SELECT c.doc_a, c.doc_b,
-             round({_jaccard(d, "x.shingles", "y.shingles")}, 6) AS jaccard
+                  AND a.doc_id < b.doc_id""",
+        ),
+        (
+            "verified",
+            f"""SELECT c.doc_a, c.doc_b,
+             round({_jaccard(d, "x.shs", "y.shs")}, 6) AS jaccard
       FROM cand c
-      JOIN hs x ON x.doc_id = c.doc_a
-      JOIN hs y ON y.doc_id = c.doc_b
+      JOIN {hs_src} x ON x.doc_id = c.doc_a
+      JOIN {hs_src} y ON y.doc_id = c.doc_b""",
+        ),
+    ]
+
+
+def minhash_pairs_select(d: Dialect, hs_src: str, sig_src: str, threshold: float) -> str:
+    """Bands → candidates → exact-Jaccard verification from materialized
+    ``hs_src``/``sig_src``."""
+    return d.cte_query(
+        _pairs_ctes(d, hs_src, sig_src),
+        f"SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}",
     )
-    SELECT doc_a, doc_b, jaccard
-    FROM verified
-    WHERE jaccard >= {threshold}
-    """
+
+
+def minhash_lsh_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
+    """One-shot rendering (oracle side: DuckDB materializes CTEs, so the
+    multi-referenced hs/sig stages are computed once)."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {_sig_cols()}\n      FROM ex GROUP BY doc_id"),
+        ]
+        + _pairs_ctes(d, "hs", "sig")
+    )
+    return d.cte_query(
+        ctes, f"SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}"
+    )
 
 
 SIMHASH_BITS = 16
@@ -128,75 +170,91 @@ SIMHASH_BANDS = 4
 MAX_HAMMING = 3  # banding over 4 chunks is lossless for hamming <= 3
 
 
-def _simhash_cte(d: Dialect, table: str) -> str:
-    # weight of bit j = sum over token hashes of +/-1 by bit value
-    weight = d.fold("hashes", "h", "acc", f"acc + ((({d.shr('h', '(j - 1)')}) & 1) * 2 - 1)")
-    bit_contrib = f"CASE WHEN ({weight}) > 0 THEN {d.shl('1', '(j - 1)')} ELSE CAST(0 AS BIGINT) END"
-    simhash = d.fold(d.transform(d.range1(str(SIMHASH_BITS)), "j", bit_contrib), "x", "acc", "acc + x")
-    return f"""
-    tok AS (
-      SELECT doc_id, {d.hash_list(d.tokens("text"))} AS hashes
-      FROM {table}
-    ),
-    sh AS (
-      SELECT doc_id, {simhash} AS simhash FROM tok WHERE {d.size("hashes")} > 0
-    )"""
+def _simhash_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
+    """Stages to (doc_id, simhash): exploded token hashes → 16 codegen'd
+    sum() bit-weights → assembled 16-bit SimHash."""
+    weight_cols = ",\n             ".join(
+        f"sum(((({d.shr('h', str(j))}) & 1) * 2 - 1)) AS w{j}" for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN {d.shl('1', str(j))} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return [
+        ("tokh", f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"),
+        ("ex", d.unnest_select("doc_id", "th", "h", "tokh")),
+        ("w", f"SELECT doc_id,\n             {weight_cols}\n      FROM ex GROUP BY doc_id"),
+        ("sh", f"SELECT doc_id, {assemble} AS simhash FROM w"),
+    ]
+
+
+def simhash_select(d: Dialect, table: str = "documents") -> str:
+    """Standalone SELECT producing (doc_id, simhash) — for staged execution."""
+    return d.cte_query(_simhash_ctes(d, table), "SELECT doc_id, simhash FROM sh")
+
+
+def simhash_pairs_from(d: Dialect, sh_src: str) -> str:
+    """Banded-LSH pair generation from a materialized simhash table."""
+    chunk = f"(({d.shr('simhash', '(4 * (b - 1))')}) & 15)"
+    band_range = (
+        f"(SELECT explode(sequence(1, {SIMHASH_BANDS})) AS b)"
+        if d.engine == "spark"
+        else f"(SELECT unnest(range(1, {SIMHASH_BANDS + 1})) AS b)"
+    )
+    ctes = [
+        (
+            "bands",
+            f"""SELECT doc_id, simhash, b AS band_idx, {chunk} AS band_key
+      FROM {sh_src} CROSS JOIN {band_range} _b""",
+        ),
+        (
+            "cand",
+            """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id""",
+        ),
+    ]
+    return d.cte_query(
+        ctes,
+        f"""SELECT doc_a, doc_b, CAST(bit_count({d.xor('sim_a', 'sim_b')}) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {MAX_HAMMING}""",
+    )
 
 
 def simhash_pairs_sql(d: Dialect, table: str = "documents") -> str:
-    """SimHash near-dup pairs with hamming <= MAX_HAMMING.
-
-    Spark side uses banded LSH (equi-join on 4-bit chunks — the scale
-    path); the DuckDB oracle is the all-pairs definition.  They agree
-    exactly because 4 bands of a 16-bit hash cannot all differ when the
-    hamming distance is <= 3.
-    """
-    if d.engine == "spark":
-        chunk = f"(({d.shr('simhash', f'(4 * (b - 1))')}) & 15)"
-        band_range = f"(SELECT explode(sequence(1, {SIMHASH_BANDS})) AS b)"
-        return f"""
-        WITH {_simhash_cte(d, table)},
-        bands AS (
-          SELECT doc_id, simhash, b AS band_idx, {chunk} AS band_key
-          FROM sh CROSS JOIN {band_range}
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS sim_a, b.simhash AS sim_b
-          FROM bands a
-          JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b, bit_count{_wrap_xor(d)} AS hamming
-        FROM cand
-        WHERE bit_count{_wrap_xor(d)} <= {MAX_HAMMING}
-        """
-    return f"""
-    WITH {_simhash_cte(d, table)}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    """One-shot all-pairs definition (oracle side): hamming <= MAX_HAMMING.
+    Agrees exactly with the banded Spark path because 4 bands of a 16-bit
+    hash cannot all differ when the hamming distance is <= 3."""
+    return d.cte_query(
+        _simhash_ctes(d, table),
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sh a, sh b
     WHERE a.doc_id < b.doc_id
-      AND bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+      AND bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}""",
+    )
+
+
+def ngram_pairs_from(d: Dialect, hs_src: str, threshold: float) -> str:
+    """All-pairs Jaccard from a materialized shingle table."""
+    jac = _jaccard(d, "a.shs", "b.shs")
+    return f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
+    FROM {hs_src} a JOIN {hs_src} b ON a.doc_id < b.doc_id
+    WHERE round({jac}, 6) >= {threshold}
     """
-
-
-def _wrap_xor(d: Dialect) -> str:
-    return f"({d.xor('sim_a', 'sim_b')})"
 
 
 def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
-    """Exact all-pairs token-3-gram Jaccard — the quadratic baseline that
-    minhash_lsh approximates (correctness anchor, not the 100 TB path)."""
-    jac = _jaccard(d, "a.shingles", "b.shingles")
-    return f"""
-    WITH {_shingle_cte(d, table)}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
-    FROM hs a, hs b
-    WHERE a.doc_id < b.doc_id AND round({jac}, 6) >= {threshold}
-    """
-
-
-def render(template_fn, **kw) -> tuple[str, str]:
-    """(spark_sql, duckdb_sql) renderings of one operator template."""
-    return template_fn(SPARK, **kw), template_fn(DUCK, **kw)
+    """One-shot all-pairs token-3-gram Jaccard (oracle side; the quadratic
+    baseline that minhash_lsh approximates — not the 100 TB path)."""
+    jac = _jaccard(d, "a.shs", "b.shs")
+    return d.cte_query(
+        _shingle_ctes(d, table),
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE round({jac}, 6) >= {threshold}""",
+    )

@@ -15,8 +15,14 @@ whose every intermediate fits in int64 in both engines (max acc*131 + c
 
 from __future__ import annotations
 
+import re
+
 P = 2147483647  # 2^31 - 1 (Mersenne prime)
 BASE = 131
+
+_SQL_KEYWORDS = (
+    "ON|WHERE|GROUP|ORDER|LIMIT|UNION|CROSS|JOIN|LEFT|RIGHT|INNER|FULL|HAVING|AND|OR|AS"
+)
 
 
 class Dialect:
@@ -93,12 +99,78 @@ class Dialect:
             return f"regexp_replace({s}, '{pat}', '{rep}')"
         return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
 
+    def cte_query(self, ctes: list[tuple[str, str]], final: str) -> str:
+        """Compose a query from named stages.
+
+        DuckDB: a plain WITH chain (DuckDB materializes CTEs, so a
+        multi-referenced stage is computed once).
+
+        Spark: WITH is rendered as *inlined subqueries* instead.  Empirical
+        finding (Spark 4.1, local): wrapping an expensive higher-order-
+        function projection in a CTE defeats both cache reuse and projection
+        collapse — a one-CTE query over a cached view ran ~20× slower than
+        the identical inline-subquery form.  Hot multi-referenced stages
+        must additionally be staged as cached temp views by the caller
+        (see querybank/llm_ops.py) since inlining duplicates computation.
+        """
+        if self.engine == "duckdb":
+            chain = ",\n    ".join(f"{n} AS (\n{b}\n    )" for n, b in ctes)
+            return f"WITH {chain}\n    {final}"
+        resolved: dict[str, str] = {}
+
+        def inline(text: str) -> str:
+            for n, b in resolved.items():
+                pat = re.compile(
+                    rf"\b(FROM|JOIN)\s+{n}\b(?!\s*\()"
+                    rf"(\s+(?!(?:{_SQL_KEYWORDS})\b)(?:AS\s+)?([A-Za-z_]\w*))?",
+                    re.IGNORECASE,
+                )
+                text = pat.sub(lambda m: f"{m.group(1)} (\n{b}\n) {m.group(3) or n}", text)
+            return text
+
+        for name, body in ctes:
+            resolved[name] = inline(body)
+        return inline(final)
+
+    def unnest_select(self, cols: str, lst: str, alias: str, src: str) -> str:
+        """SELECT cols, <each element of lst> AS alias FROM src."""
+        fn = "explode" if self.engine == "spark" else "unnest"
+        return f"SELECT {cols}, {fn}({lst}) AS {alias} FROM {src}"
+
+    def idiv(self, a: str, b: str) -> str:
+        return f"(({a}) div ({b}))" if self.engine == "spark" else f"(({a}) // ({b}))"
+
     # ---- shared building blocks ----
 
     def char_fold_hash(self, s: str) -> str:
         """Portable polynomial hash of a string expression."""
         codes = self.transform(self.range1(f"length({s})"), "j", self.char_code(s, "j"))
         return self.fold(codes, "c", "acc", f"(acc * {BASE} + c) % {P}")
+
+    def chunked_hash(self, s: str, chunk: int = 4) -> str:
+        """Same polynomial family evaluated ``chunk`` chars per lambda step —
+        ~chunk× fewer interpreted higher-order-function invocations than
+        char_fold_hash for long strings.  The string is space-padded to a
+        chunk multiple (part of the hash definition, identical on both
+        engines).  Intermediates: unrolled 4-char horner < 2^31·131³ < 2^53;
+        acc·(131⁴ mod P) + chunk_val < 2^31·2^29 + 2^53 < 2^63."""
+        assert chunk == 4, "bounds analysis done for chunk=4"
+        # NB: `s` must be a CHEAP column reference (pre-project normalization
+        # into a CTE first) — it is referenced once per char position.
+        mult = pow(BASE, chunk, P)
+        horner = "CAST(0 AS BIGINT)"
+        for d in range(chunk):
+            horner = f"({horner} * {BASE} + {self.char_code(s, f'(j - 1) * {chunk} + {d + 1}')})"
+        chunks = self.transform(
+            self.range1(self.idiv(f"length({s})", str(chunk))), "j", f"{horner} % {P}"
+        )
+        return self.fold(chunks, "c", "acc", f"(acc * {mult} + c) % {P}")
+
+    def pad_chunk(self, s: str, chunk: int = 4) -> str:
+        """Space-pad ``s`` to a multiple of ``chunk`` chars (pre-projection
+        helper for chunked_hash)."""
+        n = f"CAST({self.idiv(f'length({s}) + {chunk - 1}', str(chunk))} * {chunk} AS INT)"
+        return f"rpad({s}, {n}, ' ')"
 
     def tokens(self, text: str) -> str:
         """Whitespace tokens; both engines treat ' ' as a literal separator."""

@@ -38,16 +38,12 @@ def langid_sql(d: Dialect, table: str = "documents") -> str:
     for lang in _LANG_PRIORITY:
         pred += f"WHEN hits_{lang} = {best} THEN '{lang}' "
     pred += "END"
-    return f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             {hit_cols}
-      FROM {table}
-    )
-    SELECT doc_id, lang AS actual_lang, {pred} AS pred_lang,
+    return d.cte_query(
+        [("scored", f"SELECT doc_id, lang,\n             {hit_cols}\n      FROM {table}")],
+        f"""SELECT doc_id, lang AS actual_lang, {pred} AS pred_lang,
            CAST({best} AS BIGINT) AS score
-    FROM scored
-    """
+    FROM scored""",
+    )
 
 
 def quality_sql(d: Dialect, table: str = "documents") -> str:
@@ -57,23 +53,26 @@ def quality_sql(d: Dialect, table: str = "documents") -> str:
     n_tokens = d.size(toks)
     no_punct = d.regexp_replace_all("text", "[.!?,;:]", "")
     stop_hits = _stop_hits(d, d.tokens("lower(text)"), "en")
-    return f"""
-    WITH m AS (
-      SELECT doc_id,
+    return d.cte_query(
+        [
+            (
+                "m",
+                f"""SELECT doc_id,
              length(text) AS n_chars,
              CAST({n_tokens} AS BIGINT) AS n_tokens,
              CAST(length(text) - length({no_punct}) AS DOUBLE) / length(text) AS punct_ratio,
              CAST({stop_hits} AS DOUBLE) / {n_tokens} AS stop_ratio
       FROM {table}
-      WHERE length(text) > 0
-    )
-    SELECT doc_id, n_chars, n_tokens,
+      WHERE length(text) > 0""",
+            )
+        ],
+        """SELECT doc_id, n_chars, n_tokens,
            round(punct_ratio, 6) AS punct_ratio,
            round(stop_ratio, 6) AS stop_ratio,
            round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio))), 6)
              AS quality_score
-    FROM m
-    """
+    FROM m""",
+    )
 
 
 def token_count_sql(d: Dialect, table: str = "documents") -> str:
@@ -95,17 +94,17 @@ def token_count_sql(d: Dialect, table: str = "documents") -> str:
 
 def fingerprint_sql(d: Dialect, table: str = "documents") -> str:
     """Rolling-hash document fingerprint over normalized text, plus the
-    exact-dup group size per fingerprint (hash-groupBy dedup at scale)."""
+    exact-dup group size per fingerprint (hash-groupBy dedup at scale).
+
+    Uses the 4-chars-per-step chunked polynomial hash and a window count
+    (hash evaluated once per doc, single shuffle on the fingerprint)."""
     norm = d.regexp_replace_all("lower(text)", " +", " ")
-    fp = d.char_fold_hash(norm)
-    return f"""
-    WITH fps AS (
-      SELECT doc_id, {fp} AS fingerprint
-      FROM {table}
+    return d.cte_query(
+        [
+            ("norm", f"SELECT doc_id, {d.pad_chunk(norm)} AS p FROM {table}"),
+            ("fps", f"SELECT doc_id, {d.chunked_hash('p')} AS fingerprint FROM norm"),
+        ],
+        """SELECT doc_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+    FROM fps""",
     )
-    SELECT f.doc_id, f.fingerprint, g.group_size
-    FROM fps f
-    JOIN (SELECT fingerprint, CAST(count(*) AS BIGINT) AS group_size
-          FROM fps GROUP BY fingerprint) g
-      ON f.fingerprint = g.fingerprint
-    """

@@ -30,10 +30,47 @@ def _sql_query(name: str, template_fn, **kw):
 
 
 # --- dedup family ---------------------------------------------------------
+# The LSH pipelines are STAGED on the Spark side: the shingle/signature
+# subtrees are cached and exposed as temp views because Spark inlines CTEs
+# (a one-shot query recomputes the interpreted hash subtree once per
+# reference, ~7× for minhash).  The DuckDB oracle runs the one-shot SQL —
+# DuckDB materializes CTEs — built from the SAME fragments.
 _sql_query("dedup_exact", dedup.exact_dedup_sql)
-_sql_query("dedup_minhash_lsh", dedup.minhash_lsh_sql, threshold=0.8)
-_sql_query("dedup_simhash", dedup.simhash_pairs_sql)
-_sql_query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql, threshold=0.8)
+
+
+def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    hs = spark.sql(dedup.shingle_hash_select(SPARK, "documents"))
+    hs.cache().createOrReplaceTempView("__minhash_hs")
+    sig = spark.sql(dedup.minhash_sig_select(SPARK, "__minhash_hs"))
+    sig.cache().createOrReplaceTempView("__minhash_sig")
+    return spark.sql(dedup.minhash_pairs_select(SPARK, "__minhash_hs", "__minhash_sig", 0.8))
+
+
+_staged_minhash.__doc__ = dedup.minhash_lsh_sql.__doc__
+register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_sql(DUCK, threshold=0.8))(_staged_minhash)
+
+
+def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sh = spark.sql(dedup.simhash_select(SPARK, "documents"))
+    sh.cache().createOrReplaceTempView("__simhash_sh")
+    return spark.sql(dedup.simhash_pairs_from(SPARK, "__simhash_sh"))
+
+
+_staged_simhash.__doc__ = dedup.simhash_pairs_sql.__doc__
+register("dedup_simhash", oracle=dedup.simhash_pairs_sql(DUCK))(_staged_simhash)
+
+
+def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    hs = spark.sql(dedup.shingle_hash_select(SPARK, "documents"))
+    hs.cache().createOrReplaceTempView("__ngram_hs")
+    return spark.sql(dedup.ngram_pairs_from(SPARK, "__ngram_hs", 0.8))
+
+
+_staged_ngram.__doc__ = dedup.ngram_jaccard_sql.__doc__
+register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0.8))(_staged_ngram)
 
 # --- similarity search ----------------------------------------------------
 _sql_query("ann_cosine_bruteforce", similarity.ann_bruteforce_sql, _tables=("embeddings",))
