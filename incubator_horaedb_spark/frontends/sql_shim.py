@@ -1,0 +1,383 @@
+"""SQL dialect shim + statement interpreters — the Spark rendering of the
+reference's query_frontend (parser.rs:140-870 custom dialect) and
+interpreters (src/interpreters/src/factory.rs:42-100).
+
+Handled statements (grammar per parser.rs and the sqlness corpus):
+
+    CREATE TABLE [IF NOT EXISTS] t (
+        col type [NOT NULL] [TAG] [dictionary] [COMMENT '...'] [DEFAULT lit],
+        ...,
+        [PRIMARY KEY (c1, ..., ts),]
+        timestamp KEY (ts)
+    ) [ENGINE = Analytic] [WITH (k='v', ...)]
+      [PARTITION BY KEY (cols) PARTITIONS n]
+    DROP TABLE [IF EXISTS] t
+    INSERT INTO t [(cols)] VALUES (...), (...)
+    DESCRIBE t           → (name, type, is_primary, is_nullable, is_tag)
+    SHOW TABLES / SHOW CREATE TABLE t / EXISTS TABLE t
+    ALTER TABLE t ADD COLUMN (col type [TAG])
+    SELECT ... / EXPLAIN ...   → delegated to Spark SQL over dedup-read views
+
+TypeConversion parity (logical_optimizer/type_conversion.rs:295-355):
+integer literals inserted into / compared against the timestamp key are
+interpreted as millisecond epochs.
+
+Case sensitivity: backtick-quoted mixed-case identifiers are honored —
+``spark.sql.caseSensitive`` is enabled for the duration of each statement
+(basic.sql:43-54 corpus behaviour).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_horaedb_spark.catalog import Catalog, TableOptions
+from incubator_horaedb_spark.schema import ColumnSchema, TableSchema
+from incubator_horaedb_spark.table import Table
+
+_IDENT = r"`(?:[^`]+)`|[A-Za-z_][\w]*"
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1]
+    return ident
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, in_str = [], 0, [], None
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
+def _extract_parens(s: str, open_idx: int) -> tuple[str, str]:
+    """Given the index of an '(' in s, return (inner_body, tail_after_close),
+    respecting nesting and quoted strings."""
+    depth, in_str = 0, None
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i], s[i + 1 :]
+    raise ValueError("unbalanced parentheses")
+
+
+_COLDEF_RE = re.compile(
+    rf"^({_IDENT})\s+([A-Za-z][\w]*)(.*)$",
+    re.S,
+)
+
+
+def _parse_literal(tok: str) -> Any:
+    tok = tok.strip()
+    up = tok.upper()
+    if up == "NULL":
+        return None
+    if up in ("TRUE", "FALSE"):
+        return up == "TRUE"
+    if tok[:1] in "'\"" and tok[-1:] == tok[:1]:
+        return tok[1:-1]
+    if re.fullmatch(r"[+-]?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+", tok):
+        return float(tok)
+    if up.startswith("X'") and tok.endswith("'"):
+        return bytes.fromhex(tok[2:-1])
+    raise ValueError(f"unsupported literal {tok!r}")
+
+
+class Engine:
+    """The interpreter dispatcher (factory.rs analogue): one engine per
+    (SparkSession, storage root)."""
+
+    def __init__(self, spark: SparkSession, root: str, schema: str = "public"):
+        self.spark = spark
+        self.catalog = Catalog(root, schema)
+
+    def table(self, name: str) -> Table:
+        if not self.catalog.exists(name):
+            raise ValueError(f"no such table {name!r}")
+        return Table(self.spark, self.catalog, name)
+
+    # ----------------------------------------------------------- dispatch --
+    def execute_sql(self, sql: str) -> DataFrame | None:
+        """Parse + interpret one statement.  Returns a DataFrame for
+        queries/DESCRIBE/SHOW, None for DDL/DML."""
+        stmt = sql.strip().rstrip(";").strip()
+        low = stmt.lower()
+        old_cs = self.spark.conf.get("spark.sql.caseSensitive")
+        self.spark.conf.set("spark.sql.caseSensitive", "true")
+        try:
+            if low.startswith("create table"):
+                return self._create_table(stmt)
+            if low.startswith("drop table"):
+                return self._drop_table(stmt)
+            if low.startswith("insert"):
+                return self._insert(stmt)
+            if low.startswith(("describe", "desc ")):
+                return self._describe(stmt)
+            if low.startswith("show tables"):
+                return self._show_tables()
+            if low.startswith("show create table"):
+                return self._show_create(stmt)
+            if low.startswith("exists table"):
+                return self._exists(stmt)
+            if low.startswith("alter table"):
+                return self._alter(stmt)
+            if low.startswith(("select", "with", "explain")):
+                return self._query(stmt)
+            raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+        finally:
+            self.spark.conf.set("spark.sql.caseSensitive", old_cs)
+
+    # --------------------------------------------------------------- DDL --
+    def _create_table(self, stmt: str) -> None:
+        head = re.match(
+            rf"^create\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*\(", stmt, re.I
+        )
+        if not head:
+            raise ValueError(f"cannot parse CREATE TABLE: {stmt[:120]!r}")
+        if_not_exists = bool(head.group(1))
+        name = _unquote(head.group(2))
+        # balanced-paren extraction of the column body (a greedy regex would
+        # swallow the WITH(...) clause and silently drop table options)
+        body, tail = _extract_parens(stmt, head.end() - 1)
+        m = re.match(
+            rf"^\s*(engine\s*=\s*\w+)?\s*(with\s*\(([^)]*)\))?\s*"
+            rf"(partition\s+by\s+key\s*\(([^)]*)\)\s*(partitions\s+(\d+))?)?\s*$",
+            tail,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE tail: {tail[:120]!r}")
+        with_body = m.group(3)
+        part_cols = m.group(5)
+        part_n = m.group(7)
+
+        columns: list[ColumnSchema] = []
+        ts_key: str | None = None
+        primary_key: list[str] = []
+        for item in _split_top_level(body):
+            il = item.lower()
+            if il.startswith("timestamp key"):
+                ts_key = _unquote(re.search(r"\(([^)]*)\)", item).group(1))
+                continue
+            if il.startswith("primary key"):
+                primary_key = [
+                    _unquote(c) for c in re.search(r"\(([^)]*)\)", item).group(1).split(",")
+                ]
+                continue
+            cm = _COLDEF_RE.match(item)
+            if not cm:
+                raise ValueError(f"cannot parse column def {item!r}")
+            cname, ctype, rest = _unquote(cm.group(1)), cm.group(2).lower(), cm.group(3)
+            rl = rest.lower()
+            comment_m = re.search(r"comment\s+'([^']*)'", rest, re.I)
+            default_m = re.search(r"default\s+(\S+)", rest, re.I)
+            columns.append(
+                ColumnSchema(
+                    name=cname,
+                    kind=ctype,
+                    is_tag=bool(re.search(r"\btag\b", rl)),
+                    is_nullable=not re.search(r"\bnot\s+null\b", rl),
+                    is_dictionary=bool(re.search(r"\bdictionary\b", rl)),
+                    comment=comment_m.group(1) if comment_m else "",
+                    default_value=_parse_literal(default_m.group(1)) if default_m else None,
+                )
+            )
+        if ts_key is None:
+            raise ValueError("table must declare `timestamp KEY (col)`")  # schema.rs:628
+
+        opts = {}
+        if with_body:
+            for kv in _split_top_level(with_body):
+                k, v = kv.split("=", 1)
+                opts[k.strip()] = v.strip()
+        options = TableOptions.from_with_options(opts)
+        if part_cols:
+            options.partition_keys = [_unquote(c) for c in part_cols.split(",")]
+            options.num_partitions = int(part_n) if part_n else 4
+
+        schema = TableSchema(columns=columns, timestamp_column=ts_key, primary_key=primary_key)
+        self.catalog.create_table(name, schema, options, if_not_exists=if_not_exists)
+        return None
+
+    def _drop_table(self, stmt: str) -> None:
+        m = re.match(rf"^drop\s+table\s+(if\s+exists\s+)?({_IDENT})\s*$", stmt, re.I)
+        if not m:
+            raise ValueError(f"cannot parse DROP TABLE: {stmt!r}")
+        self.catalog.drop_table(_unquote(m.group(2)), if_exists=bool(m.group(1)))
+        return None
+
+    def _alter(self, stmt: str) -> None:
+        m = re.match(
+            rf"^alter\s+table\s+({_IDENT})\s+add\s+column\s*\((.*)\)\s*$", stmt, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"only ALTER TABLE ... ADD COLUMN (...) supported: {stmt!r}")
+        name = _unquote(m.group(1))
+        meta = self.catalog.get(name)
+        schema = meta.schema
+        for item in _split_top_level(m.group(2)):
+            cm = _COLDEF_RE.match(item)
+            cname, ctype, rest = _unquote(cm.group(1)), cm.group(2).lower(), cm.group(3)
+            if cname in (schema.primary_key or []) or cname == schema.timestamp_column:
+                raise ValueError("cannot alter primary key")  # plan.rs:55-56
+            schema = schema.add_column(
+                ColumnSchema(
+                    name=cname, kind=ctype, is_tag=bool(re.search(r"\btag\b", rest.lower()))
+                )
+            )
+        meta.schema = schema
+        self.catalog.update(meta)
+        return None
+
+    # --------------------------------------------------------------- DML --
+    def _insert(self, stmt: str) -> None:
+        m = re.match(
+            rf"^insert\s+into\s+({_IDENT})\s*(\(([^)]*)\))?\s*values\s*(.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {stmt[:120]!r}")
+        name = _unquote(m.group(1))
+        meta = self.catalog.get(name)
+        schema = meta.schema
+        cols = (
+            [_unquote(c) for c in m.group(3).split(",")]
+            if m.group(3)
+            else [c.name for c in schema.columns]
+        )
+        rows = []
+        for tup in _split_top_level(m.group(4)):
+            if not (tup.startswith("(") and tup.endswith(")")):
+                raise ValueError(f"bad VALUES tuple {tup!r}")
+            vals = [_parse_literal(v) for v in _split_top_level(tup[1:-1])]
+            if len(vals) != len(cols):
+                raise ValueError("VALUES arity mismatch")
+            rows.append(dict(zip(cols, vals)))
+
+        fields = []
+        for c in cols:
+            col_schema = schema.column(c)
+            if col_schema.kind == "timestamp":
+                # ms-integer epoch literals (TypeConversion parity)
+                fields.append(T.StructField(c, T.LongType(), True))
+            elif col_schema.kind in ("double", "float"):
+                fields.append(T.StructField(c, T.DoubleType(), True))
+            elif col_schema.kind == "varbinary":
+                fields.append(T.StructField(c, T.BinaryType(), True))
+            elif col_schema.kind in ("string",):
+                fields.append(T.StructField(c, T.StringType(), True))
+            elif col_schema.kind == "boolean":
+                fields.append(T.StructField(c, T.BooleanType(), True))
+            else:
+                fields.append(T.StructField(c, T.LongType(), True))
+        for r in rows:
+            for c in cols:
+                if schema.column(c).kind in ("double", "float") and isinstance(r[c], int):
+                    r[c] = float(r[c])
+        df = self.spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in rows], T.StructType(fields)
+        )
+        for c in cols:
+            if schema.column(c).kind == "timestamp":
+                df = df.withColumn(c, F.timestamp_millis(F.col(c)))
+        Table(self.spark, self.catalog, name).write(df)
+        return None
+
+    # ------------------------------------------------------------ queries --
+    def register_views(self) -> None:
+        for t in self.catalog.list_tables():
+            Table(self.spark, self.catalog, t).read().createOrReplaceTempView(t)
+
+    def _query(self, stmt: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(stmt)
+
+    # ----------------------------------------------------------- metadata --
+    def _describe(self, stmt: str) -> DataFrame:
+        name = _unquote(stmt.split()[-1])
+        schema = self.catalog.get(name).schema
+        pk = set(schema.effective_primary_key)
+        rows = [
+            (c.name, c.kind, c.name in pk, c.is_nullable, c.is_tag, c.is_dictionary)
+            for c in schema.columns
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, is_primary boolean, is_nullable boolean, "
+            "is_tag boolean, is_dictionary boolean"
+        )
+
+    def _show_tables(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(t,) for t in self.catalog.list_tables()], "table_name string"
+        )
+
+    def _show_create(self, stmt: str) -> DataFrame:
+        name = _unquote(stmt.split()[-1])
+        meta = self.catalog.get(name)
+        cols = []
+        for c in meta.schema.columns:
+            bits = [f"`{c.name}` {c.kind}"]
+            if not c.is_nullable:
+                bits.append("NOT NULL")
+            if c.is_tag:
+                bits.append("TAG")
+            if c.is_dictionary:
+                bits.append("dictionary")
+            cols.append(" ".join(bits))
+        if meta.schema.primary_key:
+            cols.append("PRIMARY KEY(" + ", ".join(f"`{c}`" for c in meta.schema.primary_key) + ")")
+        cols.append(f"timestamp KEY (`{meta.schema.timestamp_column}`)")
+        o = meta.options
+        with_opts = (
+            f"update_mode='{o.update_mode}', enable_ttl='{str(o.enable_ttl).lower()}'"
+        )
+        ddl = (
+            f"CREATE TABLE `{name}` ({', '.join(cols)}) ENGINE=Analytic WITH ({with_opts})"
+        )
+        return self.spark.createDataFrame([(name, ddl)], "table string, create_table string")
+
+    def _exists(self, stmt: str) -> DataFrame:
+        name = _unquote(stmt.split()[-1])
+        return self.spark.createDataFrame(
+            [(1 if self.catalog.exists(name) else 0,)], "result bigint"
+        )

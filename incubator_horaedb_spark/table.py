@@ -1,0 +1,199 @@
+"""Table write/read paths — the Spark rendering of the analytic engine.
+
+Write path (replaces WAL → memtable → flush,
+src/analytic_engine/src/instance/write.rs):
+- every write batch gets one monotonic ``__seq`` from the catalog (the
+  SequenceNumber analogue — dedup order is total per table);
+- tsid-mode tables get the hidden ``tsid`` column = xxhash64 of tag values
+  (TsidBuilder, src/interpreters/src/insert.rs:179-216);
+- rows land in time partitions ``__segment`` = ts DIV segment_duration
+  (segment organization, table_options.rs:54; duration sampled from the
+  first batch via the reference ladder when unset, sampler.rs:42-51);
+- parquet append partitioned by ``__segment`` — at 100 TB the partition
+  column is what makes time-range queries prune (predicate.rs TimeRange →
+  partition pruning).
+
+Read path (replaces MergeIterator/DedupIterator/ChainIterator,
+src/analytic_engine/src/row_iter/):
+- Append tables: plain scan (ChainIterator — concatenation, no merge);
+- Overwrite tables: keep the newest row per primary key —
+  ROW_NUMBER() OVER (PARTITION BY pk ORDER BY __seq DESC) = 1
+  (merge.rs:126 need_dedup + dedup.rs keep-newest-sequence);
+- TTL: rows older than now - ttl are filtered out (and their whole
+  segments pruned) when enable_ttl (table_options.rs:60).
+
+Compaction (compaction/picker.rs): ``compact`` rewrites a time partition's
+many small files into few, applying the dedup so read amplification drops —
+the TimeWindow picker analogue.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.catalog import Catalog, pick_segment_duration_ms
+from incubator_horaedb_spark.functions.hashing import tsid_expr
+from incubator_horaedb_spark.schema import SEGMENT_COLUMN, SEQ_COLUMN, TSID_COLUMN
+
+
+class Table:
+    def __init__(self, spark: SparkSession, catalog: Catalog, name: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.name = name
+
+    @property
+    def meta(self):
+        return self.catalog.get(self.name)
+
+    # ------------------------------------------------------------- write --
+    def write(self, df: DataFrame) -> int:
+        """Append one batch; returns the assigned sequence number."""
+        meta = self.meta
+        schema = meta.schema
+
+        # align to declared schema: missing columns → default value / NULL
+        for col in schema.columns:
+            if col.name not in df.columns:
+                default = F.lit(col.default_value).cast(col.spark_type)
+                df = df.withColumn(col.name, default)
+        df = df.select(
+            *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in schema.columns]
+        )
+
+        if schema.tsid_mode:
+            tags = schema.tag_columns
+            tsid = tsid_expr(tags) if tags else F.lit(0).cast("long")
+            df = df.withColumn(TSID_COLUMN, tsid)
+
+        if meta.options.segment_duration_ms is None:
+            # first-write sampling of the segment duration (sampler.rs).
+            # NB: re-read meta before persisting — a stale write-back here
+            # would clobber the seq counter allocated below (lost update).
+            lo, hi = (
+                df.agg(
+                    F.min(F.unix_millis(F.col(schema.timestamp_column))),
+                    F.max(F.unix_millis(F.col(schema.timestamp_column))),
+                ).first()
+            )
+            span = (hi - lo) if lo is not None else 0
+            meta = self.meta
+            if meta.options.segment_duration_ms is None:
+                meta.options.segment_duration_ms = pick_segment_duration_ms(max(span, 1))
+                self.catalog.update(meta)
+
+        seq = self.catalog.allocate_seq(self.name)
+        df = df.withColumn(SEQ_COLUMN, F.lit(seq).cast("long"))
+
+        seg_ms = meta.options.segment_duration_ms
+        df = df.withColumn(
+            SEGMENT_COLUMN,
+            (F.unix_millis(F.col(schema.timestamp_column)) / seg_ms).cast("long"),
+        )
+        (
+            df.write.mode("append")
+            .option("compression", meta.options.compression.lower())
+            .partitionBy(SEGMENT_COLUMN)
+            .parquet(self.catalog.data_dir(self.name))
+        )
+        return seq
+
+    # -------------------------------------------------------------- read --
+    def read(self, now_ms: int | None = None, with_internal: bool = False) -> DataFrame:
+        """The dedup-view read (SURVEY §7.1): Append → chain, Overwrite →
+        newest-per-primary-key."""
+        meta = self.meta
+        schema = meta.schema
+        import os
+
+        data = self.catalog.data_dir(self.name)
+        has_data = any(
+            name.startswith(f"{SEGMENT_COLUMN}=") for name in os.listdir(data)
+        ) if os.path.isdir(data) else False
+        if not has_data:
+            df = self.spark.createDataFrame([], schema.spark_schema(include_internal=True))
+        else:
+            df = self.spark.read.schema(
+                self._read_schema()
+            ).parquet(data)
+
+        if meta.options.enable_ttl:
+            now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+            cutoff = now_ms - meta.options.ttl_ms
+            df = df.filter(F.unix_millis(F.col(schema.timestamp_column)) >= cutoff)
+
+        if meta.options.update_mode == "OVERWRITE":
+            pk = schema.effective_primary_key
+            w = Window.partitionBy(*pk).orderBy(F.col(SEQ_COLUMN).desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+        keep = [c.name for c in schema.columns]
+        if with_internal:
+            keep = keep + ([TSID_COLUMN] if schema.tsid_mode else []) + [SEQ_COLUMN]
+        return df.select(*keep)
+
+    def _read_schema(self):
+        """Explicit read schema = current table schema (+ internals) so old
+        segments written before an ALTER ADD COLUMN read the new column as
+        NULL — schema evolution without mergeSchema scans."""
+        from pyspark.sql import types as T
+
+        s = self.meta.schema.spark_schema(include_internal=True)
+        return T.StructType(s.fields + [T.StructField(SEGMENT_COLUMN, T.LongType(), True)])
+
+    # -------------------------------------------------------- maintenance --
+    def compact(self) -> int:
+        """Rewrite each time partition into compacted files, applying
+        Overwrite dedup — the TimeWindow compaction analogue.  Returns the
+        number of rewritten partitions."""
+        import os
+        import shutil
+
+        meta = self.meta
+        data = self.catalog.data_dir(self.name)
+        if not os.path.isdir(data):
+            return 0
+        segs = [d for d in os.listdir(data) if d.startswith(f"{SEGMENT_COLUMN}=")]
+        rewritten = 0
+        for seg in segs:
+            src = os.path.join(data, seg)
+            df = self.spark.read.parquet(src)
+            if meta.options.update_mode == "OVERWRITE":
+                pk = [
+                    c for c in meta.schema.effective_primary_key if c in df.columns
+                ] or meta.schema.effective_primary_key
+                w = Window.partitionBy(*pk).orderBy(F.col(SEQ_COLUMN).desc())
+                df = df.withColumn("__rn", F.row_number().over(w)).filter(
+                    F.col("__rn") == 1
+                ).drop("__rn")
+            tmp = src + ".compact"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(src)
+            os.replace(tmp, src)
+            rewritten += 1
+        return rewritten
+
+    def ttl_expire(self, now_ms: int | None = None) -> int:
+        """Drop whole segments beyond TTL (segment-level TTL purge —
+        src/analytic_engine retention).  Returns segments dropped."""
+        import os
+        import shutil
+
+        meta = self.meta
+        if not meta.options.enable_ttl or meta.options.segment_duration_ms is None:
+            return 0
+        now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+        cutoff_seg = (now_ms - meta.options.ttl_ms) // meta.options.segment_duration_ms
+        data = self.catalog.data_dir(self.name)
+        dropped = 0
+        for d in os.listdir(data) if os.path.isdir(data) else []:
+            if d.startswith(f"{SEGMENT_COLUMN}="):
+                seg_val = int(d.split("=", 1)[1])
+                # a segment is expired only when its whole range is expired
+                if seg_val + 1 <= cutoff_seg:
+                    shutil.rmtree(os.path.join(data, d))
+                    dropped += 1
+        return dropped
