@@ -1,0 +1,222 @@
+"""PromQL frontend: text → DataFrame plan.
+
+Port of the reference's PromQL support (src/query_frontend/src/promql/):
+
+- grammar subset = what the reference pushes down (pushdown.rs:33-56):
+  instant/range selectors, the range functions rate / irate / delta /
+  idelta / increase, and the aggregations sum / avg / max / min / count
+  with ``by (...)`` / ``without (...)`` (convert.rs:355-368 aggr_op_expr).
+  Binary expressions are rejected (convert.rs:346-350 NotSupportedFunc
+  behaviour) — parity with the reference, which errors on them too.
+- label matchers =, !=, =~, !~ (regex via regex_match udf.rs:50-96);
+  the special ``__horaedb_field__`` matcher selects the value field
+  (remote.rs / remote-query.py:75-106).
+- plan shape (convert.rs:155-353): selector → scan + tag filters →
+  PromAlign(range fn | instant) → optional aggregate grouped by
+  (timestamp, kept tags) → sort by (series, ts).
+
+Evaluation parameters (start, end, step, lookback default 5 min —
+convert.rs:55 DEFAULT_LOOKBACK) come from the query API, like Prometheus's
+query_range endpoint.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.hashing import regex_match, unique_id
+from incubator_horaedb_spark.operators.prom_align import DEFAULT_LOOKBACK_MS, prom_align
+
+FIELD_LABEL = "__horaedb_field__"  # promql/convert.rs field selector label
+
+_RANGE_FNS = ("rate", "irate", "delta", "idelta", "increase")
+_AGG_OPS = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min, "count": F.count}
+
+_DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
+_DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 604_800_000}
+
+
+def parse_duration_ms(s: str) -> int:
+    m = _DUR_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"bad duration {s!r}")
+    return int(m.group(1)) * _DUR_MS[m.group(2)]
+
+
+@dataclass
+class LabelMatcher:
+    name: str
+    op: str  # = != =~ !~
+    value: str
+
+
+@dataclass
+class Selector:
+    metric: str
+    matchers: list[LabelMatcher] = field(default_factory=list)
+    range_ms: int | None = None  # [5m] range selector
+    field_name: str | None = None  # via __horaedb_field__
+
+
+@dataclass
+class PromQuery:
+    selector: Selector
+    range_fn: str | None = None  # rate/irate/delta/idelta/increase
+    agg_op: str | None = None
+    agg_by: list[str] | None = None  # None → no grouping clause
+    agg_without: list[str] | None = None
+
+
+_SELECTOR_RE = re.compile(
+    r"^\s*([A-Za-z_:][\w:]*)\s*(\{([^}]*)\})?\s*(\[([\w]+)\])?\s*$"
+)
+_MATCHER_RE = re.compile(r'\s*([A-Za-z_][\w]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*')
+
+
+def parse_promql(query: str) -> PromQuery:
+    q = query.strip()
+
+    # aggregation wrapper: op [by/without (labels)] (expr)  |  op (expr) by (labels)
+    agg_m = re.match(
+        r"^(sum|avg|max|min|count)\s*"
+        r"(?:(by|without)\s*\(([^)]*)\)\s*)?"
+        r"\((.*?)\)\s*"
+        r"(?:(by|without)\s*\(([^)]*)\)\s*)?$",
+        q,
+        re.I | re.S,
+    )
+    agg_op = agg_by = agg_without = None
+    if agg_m:
+        agg_op = agg_m.group(1).lower()
+        clause = agg_m.group(2) or agg_m.group(5)
+        labels_raw = agg_m.group(3) if agg_m.group(2) else agg_m.group(6)
+        if clause:
+            labels = [x.strip() for x in labels_raw.split(",") if x.strip()]
+            if clause.lower() == "by":
+                agg_by = labels
+            else:
+                agg_without = labels
+        q = agg_m.group(4).strip()
+
+    range_fn = None
+    fn_m = re.match(r"^(rate|irate|delta|idelta|increase)\s*\((.*)\)\s*$", q, re.I | re.S)
+    if fn_m:
+        range_fn = fn_m.group(1).lower()
+        q = fn_m.group(2).strip()
+    elif re.match(r"^[A-Za-z_:][\w:]*\s*\(", q):
+        fname = q.split("(", 1)[0].strip()
+        if fname.lower() not in _AGG_OPS:
+            # NotSupportedFunc (pushdown.rs:33-56)
+            raise ValueError(f"unsupported PromQL function {fname!r}")
+
+    if re.search(r"[+\-*/]\s*[A-Za-z_(\d]", q.split("{")[0]):
+        raise ValueError("binary expressions are not supported")  # convert.rs:346-350
+
+    sel_m = _SELECTOR_RE.match(q)
+    if not sel_m:
+        raise ValueError(f"cannot parse selector {q!r}")
+    metric = sel_m.group(1)
+    matchers = []
+    field_name = None
+    if sel_m.group(3):
+        for mm in _MATCHER_RE.finditer(sel_m.group(3)):
+            name, op, value = mm.group(1), mm.group(2), mm.group(3).replace('\\"', '"')
+            if name == FIELD_LABEL:
+                field_name = value
+            else:
+                matchers.append(LabelMatcher(name=name, op=op, value=value))
+    range_ms = parse_duration_ms(sel_m.group(5)) if sel_m.group(5) else None
+    if range_fn and range_ms is None:
+        raise ValueError(f"{range_fn}() requires a range selector, e.g. metric[5m]")
+
+    return PromQuery(
+        selector=Selector(
+            metric=metric, matchers=matchers, range_ms=range_ms, field_name=field_name
+        ),
+        range_fn=range_fn,
+        agg_op=agg_op,
+        agg_by=agg_by,
+        agg_without=agg_without,
+    )
+
+
+def matcher_to_column(m: LabelMatcher):
+    col = F.col(m.name)
+    if m.op == "=":
+        return col == m.value
+    if m.op == "!=":
+        return col != m.value
+    # Prometheus regex matchers are fully anchored
+    return regex_match(col, f"^(?:{m.value})$", negate=(m.op == "!~"))
+
+
+def promql_to_df(
+    query: str | PromQuery,
+    tables: dict[str, DataFrame],
+    *,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    ts_col: str = "ts",
+    tag_cols: list[str] | None = None,
+    default_field: str = "value",
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Compile a PromQL query to a DataFrame with columns
+    ``(*tags, ts, value)`` (aggregated: ``(*kept_tags, ts, value, uid)``).
+
+    The metric name is the table (measurement) name; ``tag_cols`` defaults
+    to every string column except the timestamp.
+    """
+    pq = parse_promql(query) if isinstance(query, str) else query
+    sel = pq.selector
+    if sel.metric not in tables:
+        raise KeyError(f"unknown metric {sel.metric!r}")
+    df = tables[sel.metric]
+    tags = tag_cols or [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() == "string" and f.name != ts_col
+    ]
+    value_col = sel.field_name or default_field
+
+    # Selector::into_scan_plan (convert.rs:562): scan + tag filters
+    for m in sel.matchers:
+        if m.name not in tags:
+            raise ValueError(f"unknown label {m.name!r}")
+        df = df.filter(matcher_to_column(m))
+
+    # PromAlign: range function, or Instant alignment for bare selectors
+    func = pq.range_fn or "instant"
+    lookback = sel.range_ms if pq.range_fn else lookback_ms
+    aligned = prom_align(
+        df,
+        func,
+        series_cols=tags,
+        ts_col=ts_col,
+        value_col=value_col,
+        start_ms=start_ms,
+        end_ms=end_ms,
+        step_ms=step_ms,
+        lookback_ms=lookback,
+    )
+
+    if pq.agg_op is None:
+        return aligned.orderBy(*tags, "ts")
+
+    # aggregation grouped by (ts, kept tags) + unique_id projection + sort
+    # (convert.rs:270-345)
+    if pq.agg_by is not None:
+        keep = [t for t in tags if t in pq.agg_by]
+    elif pq.agg_without is not None:
+        keep = [t for t in tags if t not in pq.agg_without]
+    else:
+        keep = []
+    agg_fn = _AGG_OPS[pq.agg_op]
+    out = aligned.groupBy(*keep, "ts").agg(agg_fn("value").alias("value"))
+    uid = unique_id(keep) if keep else F.lit(0).cast("long")
+    return out.withColumn("uid", uid).orderBy("uid", "ts")

@@ -188,7 +188,7 @@ def prom_align_oracle_sql(
     end_ms: int,
     step_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
-    round_digits: int = 6,
+    round_digits: int | None = 6,
     series_filter_sql: str = "TRUE",
 ) -> str:
     """DuckDB SQL computing the identical PromAlign result — generated from
@@ -265,10 +265,13 @@ def prom_align_oracle_sql(
             value_sql = f"({value_sql}) / {lookback_ms / 1000.0}"
         where_sql = "n >= 2 AND last_ts > first_ts"
 
+    value_out = f"CAST({value_sql} AS DOUBLE)"
+    if round_digits is not None:
+        value_out = f"round({value_out}, {round_digits})"
     return f"""{base}
     SELECT {series},
            make_timestamp(t * 1000) AS ts,
-           round(CAST({value_sql} AS DOUBLE), {round_digits}) AS value
+           {value_out} AS value
     FROM agg
     WHERE {where_sql}
     """

@@ -93,6 +93,40 @@ def promql_sum_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_parsed_max_rate",
+    oracle=f"""
+    WITH aligned AS (
+      {prom_align_oracle_sql(
+          "rate",
+          round_digits=None,
+          series_filter_sql="regexp_matches(event_type, '^(?:c.*|error)$')",
+          **_ORACLE_PARAMS,
+      )}
+    )
+    SELECT ts, round(max(value), 6) AS value, CAST(0 AS BIGINT) AS uid
+    FROM aligned
+    GROUP BY ts
+    """,
+)
+def promql_parsed_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PromQL text path: `max(rate(events{...}[2h]))` parsed by the
+    frontend (frontends/promql.py), compiled selector→align→agg→unique_id
+    like convert.rs.  max() is order-independent, so no quantization is
+    needed for cross-engine determinism."""
+    from incubator_horaedb_spark.frontends.promql import promql_to_df
+
+    out = promql_to_df(
+        'max(rate(events{event_type=~"c.*|error"}[2h]))',
+        {"events": load(spark, sf_dir, "events")},
+        start_ms=START_MS,
+        end_ms=END_MS,
+        step_ms=STEP_MS,
+        tag_cols=["event_type"],
+    )
+    return out.select("ts", F.round("value", 6).alias("value"), "uid")
+
+
+@register(
     "promql_regex_selector",
     oracle=prom_align_oracle_sql(
         "instant",

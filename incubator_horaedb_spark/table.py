@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.catalog import Catalog, pick_segment_duration_ms
 from incubator_horaedb_spark.functions.hashing import tsid_expr
+from incubator_horaedb_spark.partition import PARTITION_COLUMN, key_partition_expr, pruned_filter
 from incubator_horaedb_spark.schema import SEGMENT_COLUMN, SEQ_COLUMN, TSID_COLUMN
 
 
@@ -93,10 +94,18 @@ class Table:
             SEGMENT_COLUMN,
             (F.unix_millis(F.col(schema.timestamp_column)) / seg_ms).cast("long"),
         )
+        part_cols = [SEGMENT_COLUMN]
+        if meta.options.partition_keys:
+            # key-partitioned table (partition/rule/key.rs): hash bucket col
+            df = df.withColumn(
+                PARTITION_COLUMN,
+                key_partition_expr(meta.options.partition_keys, meta.options.num_partitions),
+            )
+            part_cols = [PARTITION_COLUMN, SEGMENT_COLUMN]
         (
             df.write.mode("append")
             .option("compression", meta.options.compression.lower())
-            .partitionBy(SEGMENT_COLUMN)
+            .partitionBy(*part_cols)
             .parquet(self.catalog.data_dir(self.name))
         )
         return seq
@@ -111,7 +120,8 @@ class Table:
 
         data = self.catalog.data_dir(self.name)
         has_data = any(
-            name.startswith(f"{SEGMENT_COLUMN}=") for name in os.listdir(data)
+            name.startswith((f"{SEGMENT_COLUMN}=", f"{PARTITION_COLUMN}="))
+            for name in os.listdir(data)
         ) if os.path.isdir(data) else False
         if not has_data:
             df = self.spark.createDataFrame([], schema.spark_schema(include_internal=True))
@@ -141,8 +151,44 @@ class Table:
         NULL — schema evolution without mergeSchema scans."""
         from pyspark.sql import types as T
 
-        s = self.meta.schema.spark_schema(include_internal=True)
-        return T.StructType(s.fields + [T.StructField(SEGMENT_COLUMN, T.LongType(), True)])
+        meta = self.meta
+        s = meta.schema.spark_schema(include_internal=True)
+        extra = [T.StructField(SEGMENT_COLUMN, T.LongType(), True)]
+        if meta.options.partition_keys:
+            extra.insert(0, T.StructField(PARTITION_COLUMN, T.IntegerType(), True))
+        return T.StructType(s.fields + extra)
+
+    def read_pruned(self, filters: dict, now_ms: int | None = None) -> DataFrame:
+        """Key-partition-pruned read: equality/in-list filters over the
+        partition keys become a ``__partition IN (...)`` predicate that
+        Spark turns into partition directory pruning
+        (locate_partitions_for_read, key.rs:192-230)."""
+        meta = self.meta
+        if not meta.options.partition_keys:
+            df = self.read(now_ms=now_ms)
+            for c, v in filters.items():
+                df = df.filter(F.col(c).isin(list(v)) if isinstance(v, (list, tuple, set)) else (F.col(c) == v))
+            return df
+        cond = pruned_filter(
+            self.spark, meta.options.partition_keys, meta.options.num_partitions, filters
+        )
+        # apply the partition filter below the dedup window so pruning
+        # reaches the scan (dedup by pk is per-partition-key-safe: all rows
+        # of a pk share the partition id)
+        schema = meta.schema
+        df = self.spark.read.schema(self._read_schema()).parquet(
+            self.catalog.data_dir(self.name)
+        ).filter(cond)
+        if meta.options.enable_ttl:
+            now = int(__import__("time").time() * 1000) if now_ms is None else now_ms
+            df = df.filter(
+                F.unix_millis(F.col(schema.timestamp_column)) >= now - meta.options.ttl_ms
+            )
+        if meta.options.update_mode == "OVERWRITE":
+            pk = schema.effective_primary_key
+            w = Window.partitionBy(*pk).orderBy(F.col(SEQ_COLUMN).desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        return df.select(*[c.name for c in schema.columns])
 
     # -------------------------------------------------------- maintenance --
     def compact(self) -> int:

@@ -1,0 +1,115 @@
+"""Plan-shape tests (the Spark analogue of optimizer.sql golden EXPLAIN
+tests) + key-partition pruning + serving-layer tests."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.plans.inspect import (
+    has_partial_and_final_agg,
+    pushed_filters,
+    read_schema_columns,
+    uses_top_k,
+)
+from incubator_horaedb_spark.querybank.registry import load
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    # provider.rs:313-345 pushdown analogue: predicates reach the scan and
+    # the read schema is pruned to referenced columns
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf and "l_returnflag" in pf
+    cols = read_schema_columns(df)
+    assert "l_extendedprice" not in cols and "l_orderkey" in cols
+
+
+def test_partial_final_agg(spark, sf_dir):
+    # optimizer.result:31 — AggregateExec mode=Partial → FinalPartitioned
+    df = load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)))
+    assert has_partial_and_final_agg(df)
+
+
+def test_topk_plan(spark, sf_dir):
+    df = load(spark, sf_dir, "orders").orderBy(F.col("o_totalprice").desc()).limit(5)
+    assert uses_top_k(df)
+
+
+def test_key_partition_write_prune(spark, tmp_path):
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.partition import locate_partitions_for_read
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.execute_sql(
+        "CREATE TABLE pt (k string TAG, v double, t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE=Analytic WITH(enable_ttl='false', update_mode='APPEND') "
+        "PARTITION BY KEY(k) PARTITIONS 4"
+    )
+    vals = ", ".join(f"('k{i}', {i}, {1000 + i})" for i in range(20))
+    engine.execute_sql(f"INSERT INTO pt (k, v, t) VALUES {vals}")
+
+    import os
+
+    data = engine.catalog.data_dir("pt")
+    part_dirs = [d for d in os.listdir(data) if d.startswith("__partition=")]
+    assert len(part_dirs) > 1  # rows scattered over hash partitions
+
+    tbl = engine.table("pt")
+    out = tbl.read_pruned({"k": "k3"})
+    assert [r["v"] for r in out.collect()] == [3.0]
+    out2 = tbl.read_pruned({"k": ["k3", "k7"]})
+    assert sorted(r["v"] for r in out2.collect()) == [3.0, 7.0]
+
+    # pruning reaches the scan: candidate set is a strict subset
+    parts = locate_partitions_for_read(spark, ["k"], 4, {"k": "k3"})
+    assert parts is not None and len(parts) == 1
+    # missing key → no pruning
+    assert locate_partitions_for_read(spark, ["k"], 4, {}) is None
+    # full read still sees everything
+    assert tbl.read().count() == 20
+
+
+def test_priority_and_dedup(spark):
+    from incubator_horaedb_spark.serving import (
+        PriorityExecutor,
+        QueryDedup,
+        decide_query_priority,
+    )
+
+    assert decide_query_priority(1000) == "HIGH"
+    assert decide_query_priority(10**12) == "LOW"
+    assert decide_query_priority(None) == "LOW"  # unbounded scan
+
+    ex = PriorityExecutor(spark)
+    out = ex.run(lambda: spark.range(10).count(), time_range_ms=1000)
+    assert out == 10
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+    dedup = QueryDedup()
+    barrier = threading.Barrier(4)
+    results = []
+
+    def compute():
+        import time as _t
+
+        _t.sleep(0.2)
+        return 42
+
+    def worker():
+        barrier.wait()
+        results.append(dedup.run("SELECT 1", compute))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [42, 42, 42, 42]
+    assert dedup.executed == 1  # one execution shared by all
