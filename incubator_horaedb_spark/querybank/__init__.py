@@ -20,5 +20,6 @@ from incubator_horaedb_spark.querybank import timeseries  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import promql  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import protocols  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import llm_ops  # noqa: E402,F401
+from incubator_horaedb_spark.querybank import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "register", "queries", "oracles"]

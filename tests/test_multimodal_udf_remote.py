@@ -1,0 +1,101 @@
+"""Tests: multimodal plumbing, UDF registry, Prometheus remote write/read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _media_df(spark):
+    rows = [
+        (1, b"abcdef", "image"),
+        (2, b"x" * 100, "video"),
+        (3, None, "image"),
+    ]
+    return spark.createDataFrame(rows, "media_id long, media binary, media_type string")
+
+
+def test_decode_media_stub(spark):
+    from incubator_horaedb_spark.operators.multimodal import decode_media
+
+    out = {r["media_id"]: r for r in decode_media(_media_df(spark)).collect()}
+    assert out[1]["n_bytes"] == 6
+    assert out[1]["width"] == 64 + (6 * 7919) % 1216
+    assert out[2]["n_frames"] == 1 + 100 % 30
+    assert out[3]["n_bytes"] is None  # NULL media → NULL meta
+
+
+def test_frame_sample(spark):
+    from incubator_horaedb_spark.operators.multimodal import frame_sample
+
+    out = frame_sample(_media_df(spark), every_nth=5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # media 2: n_frames = 11 → frames 0,5,10
+    assert sorted(by_id[2]) == [0, 5, 10]
+    assert 3 not in by_id  # NULL media skipped
+
+
+def test_udf_registry(spark):
+    import pandas as pd
+
+    from incubator_horaedb_spark.functions.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+
+    @reg.register_pandas_scalar("double_it", "double")
+    def double_it(v: pd.Series) -> pd.Series:
+        return v * 2
+
+    @reg.register_grouped_agg("my_span", "double")
+    def my_span(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    with pytest.warns(UserWarning, match="row-at-a-time"):
+        @reg.register_python_scalar("slow_inc", "bigint")
+        def slow_inc(x):
+            return x + 1
+
+    assert reg.names() == ["double_it", "my_span", "slow_inc"]
+
+    df = spark.createDataFrame([(1.0, "a"), (3.0, "a"), (2.0, "b")], "v double, g string")
+    out = df.select(reg.get("DOUBLE_IT")("v").alias("d")).agg(F.sum("d")).first()[0]
+    assert out == 12.0
+    span = df.groupBy("g").agg(reg.get("my_span")("v").alias("s")).orderBy("g").collect()
+    assert [r["s"] for r in span] == [2.0, 0.0]
+
+    reg.bind_to_session(spark)
+    assert spark.sql("SELECT double_it(21.0) AS x").first()["x"] == 42.0
+
+
+def test_prom_remote_roundtrip(spark):
+    from incubator_horaedb_spark.frontends.prom_remote import (
+        parse_remote_write,
+        remote_read_df,
+        to_remote_read_response,
+    )
+
+    tables = parse_remote_write(
+        [
+            {
+                "labels": {"__name__": "cpu", "host": "a", "dc": "x"},
+                "samples": [(1000, 0.5), (2000, 0.6)],
+            },
+            {
+                "labels": {"__name__": "cpu", "host": "b", "dc": "x"},
+                "samples": [(1500, 0.9)],
+            },
+        ]
+    )
+    assert set(tables) == {"cpu"}
+    df = spark.createDataFrame(tables["cpu"]).select(
+        F.timestamp_millis("ts").alias("ts"), "value", "host", "dc"
+    )
+    # remote read: matchers + time range only, no alignment (remote.rs)
+    out = remote_read_df(df, [("host", "=", "a")], start_ms=0, end_ms=1800)
+    resp = to_remote_read_response(out)
+    assert resp == [{"labels": {"host": "a", "dc": "x"}, "samples": [(1000, 0.5)]}]
+    # regex matcher across series
+    out2 = remote_read_df(df, [("host", "=~", "a|b")], start_ms=0, end_ms=3000)
+    assert out2.count() == 3
