@@ -70,17 +70,9 @@ def exact_dedup_sql(d: Dialect, table: str = "documents") -> str:
 def _shingle_ctes(d: Dialect, table: str, k: int = 3) -> list[tuple[str, str]]:
     """Stages tokh (per-token hashes, one char-fold per token) and hs
     (distinct shingle hashes = polynomial combo of k token hashes)."""
-    combo = "CAST(0 AS BIGINT)"
-    for i in range(k):
-        combo = f"(({combo}) * {BASE} + {d.at('th', f'i + {i}')}) % {P}"
-    shingle_hashes = d.transform(d.range1(f"{d.size('th')} - {k - 1}"), "i", combo)
     return [
-        ("tokh", f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"),
-        (
-            "hs",
-            f"SELECT doc_id, {d.distinct(shingle_hashes)} AS shs FROM tokh "
-            f"WHERE {d.size('th')} >= {k}",
-        ),
+        ("tokh", tokh_select(d, table)),
+        ("hs", hs_from_tokh_select(d, "tokh", k)),
     ]
 
 
@@ -90,8 +82,27 @@ def _jaccard(d: Dialect, a: str, b: str) -> str:
 
 
 def shingle_hash_select(d: Dialect, table: str = "documents") -> str:
-    """Standalone SELECT producing (doc_id, shs) — for staged execution."""
+    """Standalone SELECT producing (doc_id, shs) — one-shot rendering."""
     return d.cte_query(_shingle_ctes(d, table), "SELECT doc_id, shs FROM hs")
+
+
+def tokh_select(d: Dialect, table: str = "documents") -> str:
+    """(doc_id, th): per-token hash list — the only O(chars) stage."""
+    return f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"
+
+
+def hs_from_tokh_select(d: Dialect, tokh_src: str, k: int = 3) -> str:
+    """(doc_id, shs) from a materialized token-hash view.  Staged because
+    CTE inlining substitutes the O(chars) ``th`` expression at each of its
+    4 references here (size + 3×element_at), quadrupling the hash work."""
+    combo = "CAST(0 AS BIGINT)"
+    for i in range(k):
+        combo = f"(({combo}) * {BASE} + {d.at('th', f'i + {i}')}) % {P}"
+    shingle_hashes = d.transform(d.range1(f"{d.size('th')} - {k - 1}"), "i", combo)
+    return (
+        f"SELECT doc_id, {d.distinct(shingle_hashes)} AS shs FROM {tokh_src} "
+        f"WHERE {d.size('th')} >= {k}"
+    )
 
 
 def _sig_cols() -> str:
@@ -165,14 +176,36 @@ def minhash_lsh_sql(d: Dialect, table: str = "documents", threshold: float = 0.8
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 28  # <= 31: bit j of the token hash (mod 2^31-1) is uniform
 SIMHASH_BANDS = 4
+BITS_PER_BAND = SIMHASH_BITS // SIMHASH_BANDS
+BAND_MASK = (1 << BITS_PER_BAND) - 1
 MAX_HAMMING = 3  # banding over 4 chunks is lossless for hamming <= 3
+assert SIMHASH_BANDS * BITS_PER_BAND == SIMHASH_BITS
+assert MAX_HAMMING < SIMHASH_BANDS  # pigeonhole: some band must match exactly
 
 
 def _simhash_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
-    """Stages to (doc_id, simhash): exploded token hashes → 16 codegen'd
-    sum() bit-weights → assembled 16-bit SimHash."""
+    """Stages to (doc_id, simhash): distinct 3-gram shingle hashes →
+    exploded → SIMHASH_BITS codegen'd sum() bit-weights → assembled SimHash.
+
+    Bits come from SHINGLE hashes, not raw token hashes: documents drawn
+    from a shared vocabulary have near-identical token-frequency profiles,
+    which collapses token-level simhashes onto a few values (measured: 193k
+    'near-dup' pairs over 5k synthetic docs).  Shingles are mostly unique
+    per document, so unrelated docs get independent bits (expected hamming
+    ≈ SIMHASH_BITS/2) and only true near-dups land within MAX_HAMMING.
+
+    28 bits (not the classic 64) because the portable hash only has 31
+    uniform bits; 7-bit band keys keep the LSH buckets selective (128 per
+    band), which is what bounds the candidate join."""
+    return _shingle_ctes(d, table) + _simhash_from_hs_ctes(d, "hs")
+
+
+def _simhash_from_hs_ctes(d: Dialect, hs_src: str) -> list[tuple[str, str]]:
+    """Weight/assemble stages from an (optionally materialized) shingle
+    source — the staged Spark path caches ``hs`` first (the higher-order
+    hash projection under an inlined WITH is the known Spark 4.1 cliff)."""
     weight_cols = ",\n             ".join(
         f"sum(((({d.shr('h', str(j))}) & 1) * 2 - 1)) AS w{j}" for j in range(SIMHASH_BITS)
     )
@@ -181,21 +214,25 @@ def _simhash_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
         for j in range(SIMHASH_BITS)
     )
     return [
-        ("tokh", f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"),
-        ("ex", d.unnest_select("doc_id", "th", "h", "tokh")),
+        ("ex", d.unnest_select("doc_id", "shs", "h", hs_src)),
         ("w", f"SELECT doc_id,\n             {weight_cols}\n      FROM ex GROUP BY doc_id"),
         ("sh", f"SELECT doc_id, {assemble} AS simhash FROM w"),
     ]
 
 
 def simhash_select(d: Dialect, table: str = "documents") -> str:
-    """Standalone SELECT producing (doc_id, simhash) — for staged execution."""
+    """Standalone SELECT producing (doc_id, simhash) — one-shot rendering."""
     return d.cte_query(_simhash_ctes(d, table), "SELECT doc_id, simhash FROM sh")
+
+
+def simhash_from_hs_select(d: Dialect, hs_src: str) -> str:
+    """(doc_id, simhash) from a materialized shingle view — staged path."""
+    return d.cte_query(_simhash_from_hs_ctes(d, hs_src), "SELECT doc_id, simhash FROM sh")
 
 
 def simhash_pairs_from(d: Dialect, sh_src: str) -> str:
     """Banded-LSH pair generation from a materialized simhash table."""
-    chunk = f"(({d.shr('simhash', '(4 * (b - 1))')}) & 15)"
+    chunk = f"(({d.shr('simhash', f'({BITS_PER_BAND} * (b - 1))')}) & {BAND_MASK})"
     band_range = (
         f"(SELECT explode(sequence(1, {SIMHASH_BANDS})) AS b)"
         if d.engine == "spark"
@@ -226,8 +263,8 @@ def simhash_pairs_from(d: Dialect, sh_src: str) -> str:
 
 def simhash_pairs_sql(d: Dialect, table: str = "documents") -> str:
     """One-shot all-pairs definition (oracle side): hamming <= MAX_HAMMING.
-    Agrees exactly with the banded Spark path because 4 bands of a 16-bit
-    hash cannot all differ when the hamming distance is <= 3."""
+    Agrees exactly with the banded Spark path because with MAX_HAMMING <
+    SIMHASH_BANDS some band must match exactly (pigeonhole)."""
     return d.cte_query(
         _simhash_ctes(d, table),
         f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -239,13 +276,34 @@ def simhash_pairs_sql(d: Dialect, table: str = "documents") -> str:
 
 
 def ngram_pairs_from(d: Dialect, hs_src: str, threshold: float) -> str:
-    """All-pairs Jaccard from a materialized shingle table."""
-    jac = _jaccard(d, "a.shs", "b.shs")
-    return f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
-    FROM {hs_src} a JOIN {hs_src} b ON a.doc_id < b.doc_id
-    WHERE round({jac}, 6) >= {threshold}
-    """
+    """Exact token-3-gram Jaccard pairs from a materialized shingle table.
+
+    Distributed formulation: explode shingle hashes, equi-join on the hash,
+    count shared shingles per (doc_a, doc_b), then |A∪B| = |A|+|B|-|A∩B|.
+    Identical results to the all-pairs definition (the oracle) because a
+    pair with zero shared shingles has jaccard 0 < threshold — but the work
+    is Σ_h df(h)² over shared shingles instead of n²·|shs| array
+    intersections (measured 184s → seconds at sf0.1; all-pairs is also the
+    piece that could never run at 100 TB)."""
+    inter = "CAST(n_shared AS DOUBLE)"
+    return d.cte_query(
+        [
+            ("ex", d.unnest_select("doc_id", "shs", "h", hs_src)),
+            ("sz", f"SELECT doc_id, {d.size('shs')} AS n FROM {hs_src}"),
+            (
+                "shared",
+                """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id""",
+            ),
+        ],
+        f"""SELECT doc_a, doc_b,
+           round({inter} / (x.n + y.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE round({inter} / (x.n + y.n - n_shared), 6) >= {threshold}""",
+    )
 
 
 def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:

@@ -38,36 +38,43 @@ def _sql_query(name: str, template_fn, **kw):
 _sql_query("dedup_exact", dedup.exact_dedup_sql)
 
 
-def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_shingles(spark: SparkSession, sf_dir: str, view: str) -> None:
+    """Materialize documents → token hashes → distinct shingle hashes as
+    cached view ``view``.  Two stages, because CTE inlining would otherwise
+    re-evaluate the O(chars) token-hash expression at each reference
+    (measured 1.8s → 0.57s for the stage at sf0.1)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    hs = spark.sql(dedup.shingle_hash_select(SPARK, "documents"))
-    hs.cache().createOrReplaceTempView("__minhash_hs")
+    tokh = spark.sql(dedup.tokh_select(SPARK, "documents"))
+    tokh.cache().createOrReplaceTempView(f"{view}_tokh")
+    hs = spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh"))
+    hs.cache().createOrReplaceTempView(view)
+
+
+def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_shingles(spark, sf_dir, "__minhash_hs")
     sig = spark.sql(dedup.minhash_sig_select(SPARK, "__minhash_hs"))
     sig.cache().createOrReplaceTempView("__minhash_sig")
     return spark.sql(dedup.minhash_pairs_select(SPARK, "__minhash_hs", "__minhash_sig", 0.8))
+
+
+def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_shingles(spark, sf_dir, "__simhash_hs")
+    sh = spark.sql(dedup.simhash_from_hs_select(SPARK, "__simhash_hs"))
+    sh.cache().createOrReplaceTempView("__simhash_sh")
+    return spark.sql(dedup.simhash_pairs_from(SPARK, "__simhash_sh"))
+
+
+def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_shingles(spark, sf_dir, "__ngram_hs")
+    return spark.sql(dedup.ngram_pairs_from(SPARK, "__ngram_hs", 0.8))
 
 
 _staged_minhash.__doc__ = dedup.minhash_lsh_sql.__doc__
 register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_sql(DUCK, threshold=0.8))(_staged_minhash)
 
 
-def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    sh = spark.sql(dedup.simhash_select(SPARK, "documents"))
-    sh.cache().createOrReplaceTempView("__simhash_sh")
-    return spark.sql(dedup.simhash_pairs_from(SPARK, "__simhash_sh"))
-
-
 _staged_simhash.__doc__ = dedup.simhash_pairs_sql.__doc__
 register("dedup_simhash", oracle=dedup.simhash_pairs_sql(DUCK))(_staged_simhash)
-
-
-def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    hs = spark.sql(dedup.shingle_hash_select(SPARK, "documents"))
-    hs.cache().createOrReplaceTempView("__ngram_hs")
-    return spark.sql(dedup.ngram_pairs_from(SPARK, "__ngram_hs", 0.8))
-
 
 _staged_ngram.__doc__ = dedup.ngram_jaccard_sql.__doc__
 register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0.8))(_staged_ngram)
