@@ -1,0 +1,281 @@
+"""Extended relational surface — subqueries, remaining join types, CUBE,
+SQL window functions, exact percentiles, and the UDAF framework.
+
+All of these are reachable in the reference through the DataFusion SQL
+planner (src/query_frontend/src/planner.rs:622-650 plants arbitrary SELECT
+into DataFusion's SqlToRel) even though its sqlness corpus never exercises
+them; Spark SQL / Catalyst provides the same semantics (SURVEY §2.3, §2.4,
+§2.5, §2.7).  The UDAF entry exercises our pandas GROUPED_AGG registry
+(functions/registry.py), the Spark rendering of the reference's
+accumulator-based UDAF framework (src/df_operator/src/udaf.rs:61,
+src/df_operator/src/aggregate.rs).
+
+Scale notes: every subquery here is either broadcastable (IN/EXISTS against
+a dimension) or rewritten by Catalyst into a join; window functions shuffle
+once on their partition key; percentile is a single-pass exact aggregate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic
+from incubator_horaedb_spark.querybank.registry import load, register
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- remaining join types (SURVEY §2.3) -----------------------------------
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, '<no customer>') AS segment,
+           count(o.o_orderkey) AS n_orders,
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_without_orders
+    FROM customer c
+    FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY coalesce(c.c_mktsegment, '<no customer>')
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, o.o_custkey == c.c_custkey, "full_outer")
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("<no customer>")).alias("segment")
+    return j.groupBy(seg).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_customers_without_orders"
+        ),
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS same_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("same_region"),
+    )
+
+
+# --- subqueries (Catalyst rewrites to joins; IN-dim side broadcasts) ------
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(round(o_totalprice * 65536) / 65536), 2) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(round(o_totalprice * 65536) / 65536), 2) AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY n.n_name
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "nation", "orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT p_brand, count(*) AS n_above_avg
+    FROM part
+    WHERE p_retailprice > (SELECT avg(round(p_retailprice * 65536) / 65536) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above_avg
+        FROM part
+        WHERE p_retailprice > (SELECT avg(round(p_retailprice * 65536) / 65536) FROM part)
+        GROUP BY p_brand
+        """
+    )
+
+
+# --- SQL window functions (SURVEY §2.5: OVER-clauses, DataFusion-reachable)
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_steps,
+           round(sum(round(delta * 1048576) / 1048576), 4) AS sum_delta
+    FROM (
+        SELECT event_type,
+               value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events
+    ) s
+    WHERE delta IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (F.col("value") - F.lag("value").over(w)).alias("delta")
+    return (
+        ev.select("event_type", delta)
+        .filter(F.col("delta").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.sum(dyadic("delta", BITS_SMALL)), 4).alias("sum_delta"),
+        )
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(round(value * 1048576) / 1048576)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM events
+    WHERE user_id % 30 = 0
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 30 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg(dyadic("value", BITS_SMALL)).over(w), 6).alias("mavg3"),
+    )
+
+
+# --- CUBE (SURVEY §2.4 grouping sets family) ------------------------------
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- UNION DISTINCT (SURVEY §2.7) -----------------------------------------
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# --- exact percentile (single-pass aggregate; linear interpolation) -------
+@register(
+    "percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark `percentile` and DuckDB `quantile_cont` both use linear
+    # interpolation on the sorted values — exact, no dyadic quantization
+    # needed (no accumulation, just order statistics).
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
+    )
+
+
+# --- UDAF framework demo (pandas GROUPED_AGG ≙ reference udaf.rs) ---------
+@register(
+    "udaf_energy_by_type",
+    oracle="""
+    SELECT event_type, sum(CAST(round(value * 1024) AS BIGINT)
+                           * CAST(round(value * 1024) AS BIGINT)) AS energy_q
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (sum of squared quantized values) through the pandas
+    GROUPED_AGG path — the Spark rendering of the reference's
+    accumulator-based UDAF framework (src/df_operator/src/udaf.rs:61).
+    Integer arithmetic end-to-end, so the result is associative/commutative
+    and hash-matches the SQL oracle exactly."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def energy_q(v: pd.Series) -> int:
+        q = (v * 1024).round().astype("int64")
+        return int((q * q).sum())
+
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(energy_q(F.col("value")).alias("energy_q"))
+    )

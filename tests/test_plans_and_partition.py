@@ -113,3 +113,24 @@ def test_priority_and_dedup(spark):
         t.join()
     assert results == [42, 42, 42, 42]
     assert dedup.executed == 1  # one execution shared by all
+
+
+def test_subquery_in_broadcasts(spark, sf_dir):
+    # IN-subquery against a dimension must plan as a broadcast semi join,
+    # not a shuffled sort-merge join (100 TB: the dim side is tiny).
+    from incubator_horaedb_spark.querybank.sql_extended import subquery_in
+
+    plan = subquery_in(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    # A partitioned window function should shuffle exactly once on its
+    # partition key before the final aggregation.
+    import re
+
+    from incubator_horaedb_spark.querybank.sql_extended import window_moving_avg
+
+    plan = window_moving_avg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
