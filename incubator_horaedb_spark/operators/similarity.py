@@ -15,19 +15,28 @@ not three.
 
 from __future__ import annotations
 
+import random
+
 from incubator_horaedb_spark.operators.dialect import Dialect
 
 DIM = 64
 
 
 def _dot(d: Dialect, a: str, b: str) -> str:
+    """Dot product as a sequential left-to-right fold — the addition order
+    is part of the operator definition, rendered identically on both
+    engines.  Spark uses zip_with (iterates both arrays directly); the
+    per-index element_at alternatives are 3-4× slower (bounds/null checks
+    per extracted element), and a fully unrolled 128-term expression falls
+    out of whole-stage codegen entirely."""
+    if d.engine == "spark":
+        prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        return f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     prods = d.transform(
         d.range1(str(DIM)),
         "i",
         f"CAST({d.at(a, 'i')} AS DOUBLE) * CAST({d.at(b, 'i')} AS DOUBLE)",
     )
-    if d.engine == "spark":
-        return f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (acc, x) -> acc + x)"
 
 
@@ -130,4 +139,113 @@ def ann_ivf_sql(
             ),
         ],
         f"SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {k}",
+    )
+
+
+def normed_select(d: Dialect, table: str = "embeddings") -> str:
+    """Standalone (vec_id, embedding, nrm) — for staged execution."""
+    return (
+        f"SELECT vec_id, embedding, sqrt({_dot(d, 'embedding', 'embedding')}) AS nrm "
+        f"FROM {table}"
+    )
+
+
+# --- random-hyperplane LSH (the 100 TB near-dup path) ---------------------
+# Deterministic ±1 hyperplanes, seeded: sign of <v, h_j> is bit j.  For two
+# vectors at angle θ, P(bit agrees) = 1 - θ/π; banding 48 bits into 8 bands
+# of 6 keeps candidate generation an equi-join on (band, 6-bit key) — an
+# unrelated pair collides in a band with probability 2^-6, so candidates
+# are ~12% of all pairs here (and far fewer on a corpus with real
+# clusters), never an all-pairs product.  Banding recall at the verify
+# threshold is part of the operator's definition (the oracle replicates
+# the pipeline): ~0.78 at cosine 0.7, ~0.46 at 0.45 — RHP-LSH is built for
+# near-dup ranges; this corpus's pairs sit unusually low.  At 100 TB: more
+# bits per band (wider keys) + salting hot buckets are the knobs; the
+# signature pass is a single projection over the corpus.
+RHP_BITS = 48
+RHP_BANDS = 8
+RHP_ROWS = RHP_BITS // RHP_BANDS
+_rhp_rng = random.Random(7)
+RHP_SIGNS = [[_rhp_rng.choice((1, -1)) for _ in range(DIM)] for _ in range(RHP_BITS)]
+
+
+def _rhp_dot(d: Dialect, vec: str, j: int) -> str:
+    """<v, h_j> with h_j a literal ±1 array.  Spark: one zip_with fold per
+    plane (a 2048-element_at unrolled projection fell out of codegen and
+    took 4.4s for 2000 rows).  DuckDB: unrolled ± sum (vectorized, no
+    lambda cost).  Addition order is sequential left-to-right in both
+    renderings, and ±x products are exact, so values are bit-identical."""
+    signs = RHP_SIGNS[j]
+    if d.engine == "spark":
+        lit = ", ".join(str(s) for s in signs)
+        return (
+            f"aggregate(zip_with({vec}, array({lit}), (x, s) -> CAST(x AS DOUBLE) * s), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    terms = []
+    for i, s in enumerate(signs):
+        op = "+" if s == 1 else "-"
+        terms.append(f"{op} CAST({d.at(vec, str(i + 1))} AS DOUBLE)")
+    joined = " ".join(terms)
+    return joined[2:] if joined.startswith("+ ") else joined
+
+
+def rhp_sig_select(d: Dialect, normed_src: str) -> str:
+    """(vec_id, b0..b{RHP_BANDS-1}): per-band 6-bit keys packed from the
+    sign bits of the hyperplane dots."""
+    band_cols = []
+    for b in range(RHP_BANDS):
+        parts = " + ".join(
+            f"(CASE WHEN ({_rhp_dot(d, 'embedding', b * RHP_ROWS + r)}) > 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(RHP_ROWS)
+        )
+        band_cols.append(f"{parts} AS b{b}")
+    cols = ",\n           ".join(band_cols)
+    return f"SELECT vec_id,\n           {cols}\n    FROM {normed_src}"
+
+
+def rhp_pairs_ctes(d: Dialect, sig_src: str, normed_src: str, threshold: float) -> list[tuple[str, str]]:
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {b} AS band_idx, b{b} AS band_key FROM {sig_src}"
+        for b in range(RHP_BANDS)
+    )
+    cos = f"({_dot(d, 'x.embedding', 'y.embedding')}) / (x.nrm * y.nrm)"
+    return [
+        ("bands", band_selects),
+        (
+            "cand",
+            """SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.vec_id < b.vec_id""",
+        ),
+        (
+            "verified",
+            f"""SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+      FROM cand c
+      JOIN {normed_src} x ON x.vec_id = c.vec_a
+      JOIN {normed_src} y ON y.vec_id = c.vec_b""",
+        ),
+    ]
+
+
+def rhp_pairs_from(d: Dialect, sig_src: str, normed_src: str, threshold: float = 0.45) -> str:
+    """Bands → candidate pairs → exact-cosine verification, from
+    materialized signature/normed sources (staged Spark path)."""
+    return d.cte_query(
+        rhp_pairs_ctes(d, sig_src, normed_src, threshold),
+        f"SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {threshold}",
+    )
+
+
+def embedding_rhp_lsh_sql(d: Dialect, table: str = "embeddings", threshold: float = 0.45) -> str:
+    """One-shot rendering (oracle side): the oracle replicates the full LSH
+    pipeline, so banding recall is part of the operator's definition —
+    exactly how dedup_minhash_lsh is specified."""
+    ctes = [_normed_cte(d, table), ("sig", rhp_sig_select(d, "normed"))] + rhp_pairs_ctes(
+        d, "sig", "normed", threshold
+    )
+    return d.cte_query(
+        ctes, f"SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {threshold}"
     )

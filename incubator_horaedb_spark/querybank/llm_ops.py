@@ -89,6 +89,20 @@ _sql_query(
     _tables=("embeddings",),
 )
 
+def _staged_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    normed = spark.sql(similarity.normed_select(SPARK, "embeddings"))
+    normed.cache().createOrReplaceTempView("__rhp_normed")
+    sig = spark.sql(similarity.rhp_sig_select(SPARK, "__rhp_normed"))
+    sig.cache().createOrReplaceTempView("__rhp_sig")
+    return spark.sql(similarity.rhp_pairs_from(SPARK, "__rhp_sig", "__rhp_normed", 0.45))
+
+
+_staged_rhp_lsh.__doc__ = similarity.embedding_rhp_lsh_sql.__doc__
+register("embedding_rhp_lsh", oracle=similarity.embedding_rhp_lsh_sql(DUCK, threshold=0.45))(
+    _staged_rhp_lsh
+)
+
 # --- text analysis --------------------------------------------------------
 _sql_query("text_langid", text.langid_sql)
 _sql_query("text_quality", text.quality_sql)
