@@ -154,6 +154,8 @@ class Engine:
                 return self._describe(stmt)
             if low.startswith("show tables"):
                 return self._show_tables()
+            if low.startswith("show databases"):
+                return self._show_databases()
             if low.startswith("show create table"):
                 return self._show_create(stmt)
             if low.startswith("exists table"):
@@ -350,6 +352,10 @@ class Engine:
         return self.spark.createDataFrame(
             [(t,) for t in self.catalog.list_tables()], "table_name string"
         )
+
+    def _show_databases(self) -> DataFrame:
+        # show.rs:284 ShowDatabases — our catalog is single-schema
+        return self.spark.createDataFrame([(self.catalog.schema,)], "schema string")
 
     def _show_create(self, stmt: str) -> DataFrame:
         name = _unquote(stmt.split()[-1])

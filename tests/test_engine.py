@@ -117,6 +117,7 @@ def test_describe_show_exists_drop(engine):
     assert desc["n"]["is_tag"] and not desc["v"]["is_tag"]
     assert desc["t"]["is_primary"]
     assert [r["table_name"] for r in engine.execute_sql("SHOW TABLES").collect()] == ["d1"]
+    assert [r["schema"] for r in engine.execute_sql("SHOW DATABASES").collect()] == ["public"]
     ddl = engine.execute_sql("SHOW CREATE TABLE d1").collect()[0]["create_table"]
     assert "timestamp KEY (`t`)" in ddl and "`n` string TAG" in ddl
     assert engine.execute_sql("EXISTS TABLE d1").collect()[0]["result"] == 1
