@@ -314,8 +314,13 @@ class Engine:
                 fields.append(T.StructField(c, T.LongType(), True))
         for r in rows:
             for c in cols:
-                if schema.column(c).kind in ("double", "float") and isinstance(r[c], int):
+                kind = schema.column(c).kind
+                if kind in ("double", "float") and isinstance(r[c], int):
                     r[c] = float(r[c])
+                elif kind == "varbinary" and isinstance(r[c], str):
+                    # the reference accepts string literals for varbinary
+                    # columns (cases/common/basic.sql varbinary round-trip)
+                    r[c] = r[c].encode("utf-8")
         df = self.spark.createDataFrame(
             [tuple(r[c] for c in cols) for r in rows], T.StructType(fields)
         )

@@ -1,0 +1,140 @@
+"""Ports of the reference's sqlness regression cases through our SQL
+dialect shim (SURVEY §5 port strategy: translate each case, assert the
+semantics the golden .result file pins down).
+
+Cases: issue-59 (GROUP BY expression + DISTINCT agg), issue-302
+(count(distinct tag) over NULL tags), issue-341 (append/overwrite re-read
+with filters), issue-637 (multi-typed TAG columns incl. varbinary),
+select_having, select_order (reference files under
+integration_tests/cases/common/dml/).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_horaedb_spark.frontends.sql_shim import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "store"))
+
+
+def _rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+def test_issue59_group_by_expression(engine):
+    # integration_tests/cases/common/dml/issue-59.sql: grouping by `id+1`
+    # with count(distinct account) must not break column resolution.
+    engine.execute_sql(
+        "CREATE TABLE issue59 (ts timestamp NOT NULL, id int, account string, "
+        "timestamp KEY (ts)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO issue59 (ts, id, account) VALUES "
+        "(1, 1, 'a'), (2, 1, 'b'), (3, 2, 'a'), (4, 2, 'a')"
+    )
+    df = engine.execute_sql(
+        "SELECT id+1 AS id_plus, count(distinct(account)) AS n FROM issue59 GROUP BY id+1"
+    )
+    assert sorted(_rows(df, "id_plus", "n")) == [(2, 2), (3, 1)]
+
+
+def test_issue302_count_distinct_null_tag(engine):
+    # issue-302.sql: count(distinct name) where the tag was never written
+    # (NULL) grouped by the timestamp key must yield 0, not error.
+    engine.execute_sql(
+        "CREATE TABLE issue302 (`name` string TAG, `value` double NOT NULL, "
+        "`t` timestamp NOT NULL, timestamp KEY (t)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql("INSERT INTO issue302 (t, value) VALUES (1651737067000, 100)")
+    df = engine.execute_sql(
+        "SELECT `t`, count(distinct name) AS n FROM issue302 GROUP BY `t`"
+    )
+    rows = _rows(df, "n")
+    assert rows == [(0,)]
+
+
+def test_issue341_append_filters(engine):
+    # issue-341.sql: append-mode table — duplicate-timestamp rows all kept,
+    # value and tag filters return the matching rows.
+    engine.execute_sql(
+        "CREATE TABLE issue341_t1 (`timestamp` timestamp NOT NULL, `value` int, "
+        "`tag1` string TAG, timestamp KEY (`timestamp`)) "
+        "ENGINE=Analytic WITH(enable_ttl='false', update_mode='append')"
+    )
+    engine.execute_sql(
+        "INSERT INTO issue341_t1 (`timestamp`, `value`, `tag1`) "
+        "VALUES (1, 1, 't1'), (2, 2, 't2'), (3, 3, 't3')"
+    )
+    assert len(engine.execute_sql("SELECT * FROM issue341_t1").collect()) == 3
+    df = engine.execute_sql("SELECT `value` FROM issue341_t1 WHERE `value` = 3")
+    assert _rows(df, "value") == [(3,)]
+    df = engine.execute_sql("SELECT `value` FROM issue341_t1 WHERE tag1 = 't3'")
+    assert _rows(df, "value") == [(3,)]
+
+
+def test_issue637_multi_typed_tags(engine):
+    # issue-637.sql: string/int32/varbinary TAG columns round-trip; tsid
+    # derivation over heterogeneous tag types must be deterministic.
+    engine.execute_sql(
+        "CREATE TABLE issue637 (str_tag string TAG, int_tag int32 TAG, "
+        "var_tag varbinary TAG, str_field string, int_field int32, "
+        "t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO issue637 (str_tag, int_tag, var_tag, str_field, int_field, t) "
+        "VALUES ('t1', 1, 'v1', 's1', 1, 1651737067000)"
+    )
+    row = engine.execute_sql("SELECT * FROM issue637").collect()[0]
+    assert row["str_tag"] == "t1" and row["int_tag"] == 1
+    assert bytes(row["var_tag"]) == b"v1"
+    # same tag set twice in overwrite mode would collapse; append default
+    # here: re-insert and expect both rows
+    engine.execute_sql(
+        "INSERT INTO issue637 (str_tag, int_tag, var_tag, str_field, int_field, t) "
+        "VALUES ('t1', 1, 'v1', 's2', 2, 1651737068000)"
+    )
+    assert len(engine.execute_sql("SELECT * FROM issue637").collect()) == 2
+
+
+def test_select_having(engine):
+    # select_having.sql: GROUP BY value % 3 HAVING max > 10000
+    engine.execute_sql(
+        "CREATE TABLE having_t (`timestamp` timestamp NOT NULL, `value` int, "
+        "timestamp KEY (`timestamp`)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO having_t (`timestamp`, `value`) VALUES "
+        "(1, 101), (2, 1002), (3, 203), (4, 30004), (5, 4405), (6, 406)"
+    )
+    df = engine.execute_sql(
+        "SELECT `value` % 3 AS m, MAX(`value`) AS max FROM having_t "
+        "GROUP BY `value` % 3 ORDER BY max ASC"
+    )
+    # golden: select_having.result — (2,203),(0,1002),(1,30004)
+    assert _rows(df, "m", "max") == [(2, 203), (0, 1002), (1, 30004)]
+    df = engine.execute_sql(
+        "SELECT `value` % 3 AS m, MAX(`value`) AS max FROM having_t "
+        "GROUP BY `value` % 3 HAVING max > 10000 ORDER BY max ASC"
+    )
+    assert _rows(df, "m", "max") == [(1, 30004)]
+
+
+def test_select_order(engine):
+    # select_order.sql: ASC / DESC with LIMIT
+    engine.execute_sql(
+        "CREATE TABLE order_t (`timestamp` timestamp NOT NULL, `value` int, "
+        "timestamp KEY (`timestamp`)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO order_t (`timestamp`, `value`) VALUES "
+        "(1, 100), (2, 1000), (3, 200), (4, 30000), (5, 4400), (6, 400)"
+    )
+    df = engine.execute_sql("SELECT `value` FROM order_t ORDER BY `value` DESC LIMIT 3")
+    assert _rows(df, "value") == [(30000,), (4400,), (1000,)]
+    df = engine.execute_sql("SELECT `value` FROM order_t ORDER BY `value` ASC LIMIT 3")
+    assert _rows(df, "value") == [(100,), (200,), (400,)]
