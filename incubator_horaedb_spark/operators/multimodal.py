@@ -120,3 +120,89 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.to_json(F.struct("lang", "source")).alias("meta_json"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("out_w", T.LongType(), True),
+        T.StructField("out_h", T.LongType(), True),
+        T.StructField("est_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Aspect-preserving fit-in-box resize plumbing via mapInPandas.
+
+    With the stub decode, output dimensions come from the fake (width,
+    height); a real kernel would also emit the resized pixel buffer.  The
+    scale math (double multiply + floor, clamped to >= 1) is reproduced by
+    the oracle in SQL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                _, w, h, _ = _fake_decode(bytes(b))
+                scale = min(target_w / w, target_h / h)
+                out_w = max(1, int(w * scale))
+                out_h = max(1, int(h * scale))
+                rows.append((int(mid), w, h, out_w, out_h, out_w * out_h * 3))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "out_w", "out_h", "est_bytes"]
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.LongType(), False),
+        T.StructField("start_byte", T.LongType(), False),
+        T.StructField("win_len", T.LongType(), False),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    win: int = 400,
+    hop: int = 160,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio framing plumbing: one row per (overlapping) analysis window —
+    the STFT/MFCC batch shape.  Windows start at k*hop while start < n;
+    the last windows may be short (win_len = min(win, n-start)).  A real
+    kernel computes features over payload[start:start+len]; the stub emits
+    the framing only, which the oracle reproduces in SQL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                n = len(bytes(b))
+                k = 0
+                while k * hop < n:
+                    start = k * hop
+                    rows.append((int(mid), k, start, min(win, n - start)))
+                    k += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "start_byte", "win_len"]
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_WINDOW_SCHEMA)

@@ -9,9 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from incubator_horaedb_spark.operators.multimodal import (
+    audio_windows,
     decode_media,
     documents_as_media,
     frame_sample,
+    resize_media,
 )
 from incubator_horaedb_spark.querybank.registry import load, register
 
@@ -43,3 +45,42 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return frame_sample(media, every_nth=10)
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(greatest(1, floor(w * least(224.0 / w, 224.0 / h))) AS BIGINT) AS out_w,
+           CAST(greatest(1, floor(h * least(224.0 / w, 224.0 / h))) AS BIGINT) AS out_h,
+           CAST(greatest(1, floor(w * least(224.0 / w, 224.0 / h)))
+                * greatest(1, floor(h * least(224.0 / w, 224.0 / h))) * 3 AS BIGINT) AS est_bytes
+    FROM (
+        SELECT doc_id,
+               64 + (strlen(text) * 7919) % 1216  AS w,
+               64 + (strlen(text) * 104729) % 656 AS h
+        FROM documents
+    ) t
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return resize_media(media, target_w=224, target_h=224)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f.k AS BIGINT)                                  AS window_idx,
+           CAST(f.k * 160 AS BIGINT)                            AS start_byte,
+           CAST(least(400, strlen(text) - f.k * 160) AS BIGINT) AS win_len
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / 160.0) AS BIGINT))) AS k) f
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return audio_windows(media, win=400, hop=160)
