@@ -41,15 +41,18 @@ from incubator_horaedb_spark.querybank.registry import load, register
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    from incubator_horaedb_spark.querybank.registry import load_time_range
+
+    # Ship-date bound filtered on the raw nanos column so it reaches
+    # PushedFilters (row-group pruning at scale) — see load_time_range.
+    li = load_time_range(spark, sf_dir, "lineitem", "l_shipdate", hi="2024-09-01 00:00:00")
     # Addends are dyadic-quantized (functions/detfloat.py) so group sums are
     # exact and order-independent — required for cross-engine hash equality,
     # harmless at the rounded output precision.
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(dyadic("l_quantity", BITS_SMALL)), 2).alias("sum_qty"),
             F.round(F.sum(dyadic("l_extendedprice", BITS_MONEY)), 2).alias("sum_base_price"),

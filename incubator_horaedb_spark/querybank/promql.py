@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.functions.hashing import regex_match
 from incubator_horaedb_spark.operators.prom_align import prom_align, prom_align_oracle_sql
-from incubator_horaedb_spark.querybank.registry import load, register
+from incubator_horaedb_spark.querybank.registry import load, load_time_range, register
 
 # Grid: full January 2024 at 1-hour steps with 2-hour lookback windows
 # (~5-6 samples per series per window in the events table).
@@ -51,9 +51,19 @@ def _rounded(df: DataFrame) -> DataFrame:
     return df.select("event_type", "ts", F.round("value", 6).alias("value"))
 
 
+def _load_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events pruned to the align range [start - lookback, end] on the RAW
+    nanos column (PushedFilters / row-group pruning — the Spark analogue of
+    the reference's TimeRange extraction); prom_align re-applies the same
+    inclusive bounds post-conversion, so results are unchanged."""
+    return load_time_range(
+        spark, sf_dir, "events", "ts", lo=START_MS - LOOKBACK_MS, hi=END_MS
+    )
+
+
 def _make(func: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _rounded(prom_align(load(spark, sf_dir, "events"), func, **_PARAMS))
+        return _rounded(prom_align(_load_range(spark, sf_dir), func, **_PARAMS))
 
     q.__name__ = f"promql_{func}"
     q.__doc__ = (
@@ -83,7 +93,7 @@ def promql_sum_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped by timestamp with tags dropped (convert.rs:270-315 groups by
     ts + kept tags).  Summed addends are dyadic-quantized for cross-engine
     sum determinism (functions/detfloat.py)."""
-    aligned = prom_align(load(spark, sf_dir, "events"), "rate", **_PARAMS)
+    aligned = prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS)
     q = F.round(F.round("value", 6) * (1 << 20)) / (1 << 20)
     return (
         aligned.select("ts", q.alias("value"))

@@ -15,7 +15,7 @@ from incubator_horaedb_spark.frontends.influxql import influxql_to_df
 from incubator_horaedb_spark.frontends.opentsdb import parse_query_request, query_to_dfs
 from incubator_horaedb_spark.functions.detfloat import BITS_SMALL, dyadic
 from incubator_horaedb_spark.functions.time_bucket import date_bin_sql
-from incubator_horaedb_spark.querybank.registry import load, register
+from incubator_horaedb_spark.querybank.registry import load, load_time_range, register
 
 _START = 1704067200000  # 2024-01-01T00:00:00Z
 _END = 1706659200000  # 2024-01-31T00:00:00Z
@@ -57,7 +57,9 @@ def opentsdb_downsample_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    ev = load(spark, sf_dir, "events").withColumn("value", dyadic("value", BITS_SMALL))
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
     (df,) = query_to_dfs(ev, request)
     return df.select("event_type", "ts", F.round("value", 4).alias("value"))
 
@@ -93,7 +95,7 @@ def opentsdb_not_literal_or_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    (df,) = query_to_dfs(load(spark, sf_dir, "events"), request)
+    (df,) = query_to_dfs(load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END), request)
     return df.select("ts", "event_type", F.round("value", 4).alias("value"))
 
 
@@ -112,7 +114,9 @@ def opentsdb_not_literal_or_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def influxql_groupby_time_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL: SELECT mean(value), count(value) ... GROUP BY time(6h), tag
     — parsed by our InfluxQL frontend, compiled to date_bin + groupBy."""
-    ev = load(spark, sf_dir, "events").withColumn("value", dyadic("value", BITS_SMALL))
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
     df = influxql_to_df(
         "SELECT mean(value), count(value) FROM events "
         "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
@@ -140,6 +144,7 @@ def influxql_groupby_time_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def influxql_raw_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL raw field select with ORDER BY time DESC LIMIT — plans as
     Spark TakeOrderedAndProject (top-k, no global sort)."""
+    # no time predicate in this query — full-history scan, so plain load
     df = influxql_to_df(
         "SELECT value FROM events WHERE event_type = 'purchase' ORDER BY time DESC LIMIT 50",
         {"events": load(spark, sf_dir, "events")},

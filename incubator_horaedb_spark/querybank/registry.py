@@ -64,6 +64,63 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    col: str,
+    lo: str | int | None = None,
+    hi: str | int | None = None,
+) -> DataFrame:
+    """Load ``name`` with a time-range predicate applied to the RAW nanos
+    column, then convert to timestamp.
+
+    The reference extracts a TimeRange from WHERE and prunes storage
+    (predicate.rs:180-197).  Filtering the *converted* timestamp cannot
+    reach the parquet scan — Catalyst will not invert the ns→ts expression,
+    so at scale the scan reads every row group.  Filtering the raw LONG
+    first pushes the comparison into PushedFilters (row-group min/max
+    pruning); bounds are inclusive, converted with the same ns semantics
+    as the column conversion (ts ≤/≥ bound ⇔ ns ≤/≥ bound_ns since
+    ns DIV 1000 is monotone and bounds are whole microseconds)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    field = next(f for f in df.schema.fields if f.name == col)
+    if field.dataType.typeName() in ("long", "bigint"):
+        import datetime
+
+        def _ns(s: str | int) -> int:
+            if isinstance(s, int):  # epoch milliseconds
+                return s * 1_000_000
+            dt = datetime.datetime.fromisoformat(s).replace(tzinfo=datetime.timezone.utc)
+            return int(dt.timestamp() * 1_000_000) * 1000
+
+        if lo is not None:
+            df = df.filter(F.col(col) >= _ns(lo))
+        if hi is not None:
+            # ts ≤ bound ⇔ ns DIV 1000 ≤ bound_µs ⇔ ns ≤ bound_ns + 999
+            df = df.filter(F.col(col) <= _ns(hi) + 999)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    else:
+
+        def _ts(v: str | int):
+            return F.timestamp_millis(F.lit(v)) if isinstance(v, int) else F.lit(v).cast(
+                "timestamp"
+            )
+
+        if lo is not None:
+            df = df.filter(F.col(col) >= _ts(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= _ts(hi))
+    for other in _NANOS_TS_COLS.get(name, ()):
+        if other != col:
+            df = df.withColumn(other, F.timestamp_micros(F.expr(f"`{other}` div 1000")))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views (for spark.sql queries)."""
     for t in TABLES:

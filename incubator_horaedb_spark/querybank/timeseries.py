@@ -170,12 +170,16 @@ def ts_literal_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference derives a TimeRange from WHERE and prunes segments
-    (predicate.rs:180-197); on Spark the same predicate prunes time
-    partitions + parquet row groups via min/max stats."""
-    ev = load(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts").between("2024-01-10 00:00:00", "2024-01-11 00:00:00")
-    ).select("event_id", "ts", "user_id", "event_type")
+    (predicate.rs:180-197); on Spark the predicate must hit the RAW nanos
+    column (load_time_range) to reach PushedFilters — a filter on the
+    converted timestamp cannot be inverted by Catalyst and would scan every
+    row group at 100 TB."""
+    from incubator_horaedb_spark.querybank.registry import load_time_range
+
+    ev = load_time_range(
+        spark, sf_dir, "events", "ts", lo="2024-01-10 00:00:00", hi="2024-01-11 00:00:00"
+    )
+    return ev.select("event_id", "ts", "user_id", "event_type")
 
 
 # --- approximate NDV (thetasketch_distinct) -------------------------------

@@ -84,3 +84,31 @@ def test_dyadic_sum_is_order_independent(spark):
     # python fold in different orders over the same quantized values
     qs = [round(v * (1 << 20)) / (1 << 20) for v in vals]
     assert s1 == sum(qs) == sum(reversed(qs))
+
+
+def test_thetasketch_distinct_within_tolerance(spark, sf_dir):
+    # thetasketch_distinct.rs:63-202 — HLL-based approx NDV with error rate
+    # 0.008.  Our rendering (approx_count_distinct, HLL++, rsd=0.008) uses a
+    # different sketch, so golden values differ (SURVEY §2.4) — the contract
+    # we enforce is the error bound: within 5 sigma of exact per group.
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.functions.sketches import thetasketch_distinct
+    from incubator_horaedb_spark.querybank.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["approx"]
+        for r in ev.groupBy("event_type")
+        .agg(thetasketch_distinct("user_id").alias("approx"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 5 * 0.008 * ex), (k, approx[k], ex)

@@ -134,3 +134,13 @@ def test_window_single_shuffle(spark, sf_dir):
 
     plan = window_moving_avg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_time_range_scan_pushdown(spark, sf_dir):
+    # predicate.rs:180-197 time-range extraction analogue: the ts bounds
+    # must reach the parquet scan as PushedFilters, not a post-scan filter.
+    from incubator_horaedb_spark.querybank.timeseries import time_range_scan
+
+    df = time_range_scan(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "ts" in pf and ("GreaterThan" in pf or "LessThan" in pf or ">=" in pf)
