@@ -80,3 +80,16 @@ def test_opentsdb_put_and_query():
     sub = req.queries[0]
     assert sub.downsample_ms == 900_000
     assert sub.group_by_tags == ["host"]
+
+
+def test_show_measurements(spark, sf_dir):
+    # InfluxQL SHOW MEASUREMENTS (influxql/planner.rs: SHOW MEASUREMENTS
+    # supported) — measurement list = registered tables, sorted.
+    from incubator_horaedb_spark.frontends.influxql import show_measurements
+    from incubator_horaedb_spark.querybank.registry import load
+
+    tables = {
+        "events": load(spark, sf_dir, "events"),
+        "cpu": load(spark, sf_dir, "events"),
+    }
+    assert show_measurements(tables) == ["cpu", "events"]
