@@ -88,3 +88,16 @@ def pruned_filter(
     if parts is not None:
         cond = F.col(PARTITION_COLUMN).isin(parts) & cond
     return cond
+
+
+def random_partition_expr(num_partitions: int) -> Column:
+    """RandomRule write scatter (partition/rule/random.rs:40-48): each write
+    batch lands in a random partition.  Spark rendering: uniform per-row
+    rand() — at scale this is the write-balancing rule for tables with no
+    meaningful key; reads always fan out to all partitions."""
+    return (F.rand(seed=None) * num_partitions).cast("int")
+
+
+def locate_partitions_for_read_random(num_partitions: int) -> list[int]:
+    """RandomRule read side (random.rs:50-53): no pruning, scan all."""
+    return list(range(num_partitions))

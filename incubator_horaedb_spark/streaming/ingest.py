@@ -118,3 +118,55 @@ def start_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_line_protocol_ingest(
+    engine: Engine,
+    stream_df: DataFrame,
+    *,
+    checkpoint_dir: str,
+    line_col: str = "value",
+    options: TableOptions | None = None,
+    trigger_available_now: bool = True,
+):
+    """InfluxDB line-protocol write path as a streaming ingest
+    (src/proxy/src/influxdb/types.rs:1-903: measurement → table, tags →
+    TAG columns, fields → values, auto-create on first write).
+
+    Each micro-batch's lines are parsed with
+    :func:`frontends.influxql.parse_line_protocol` and appended to one
+    table per measurement.  Row building happens on the driver — the same
+    topology as the reference, whose proxy node builds rows before handing
+    them to the insert interpreter (proxy/src/write.rs); micro-batches
+    bound the driver memory.  A 100 TB deployment with a fixed measurement
+    registry would move the parse into mapInPandas and keep everything
+    else unchanged."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity with module style)
+
+    from incubator_horaedb_spark.frontends.influxql import parse_line_protocol
+    from incubator_horaedb_spark.table import Table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lines = [r[line_col] for r in batch_df.select(line_col).collect() if r[line_col]]
+        if not lines:
+            return
+        for measurement, rows in parse_line_protocol("\n".join(lines)).items():
+            cols: list[str] = []
+            for r in rows:
+                for k in r:
+                    if k not in cols:
+                        cols.append(k)
+            data = [tuple(r.get(c) for c in cols) for r in rows]
+            mdf = engine.spark.createDataFrame(data, cols)
+            if "ts" in mdf.columns:
+                mdf = mdf.withColumn("ts", F.timestamp_millis(F.col("ts").cast("long")))
+            tag_cols = [c for c in cols if isinstance(rows[0].get(c), str)]
+            ensure_table(engine, measurement, mdf, "ts", tag_cols, options)
+            Table(engine.spark, engine.catalog, measurement).write(mdf)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

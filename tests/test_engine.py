@@ -207,3 +207,31 @@ def test_streaming_ingest_auto_create_and_evolve(engine, spark, tmp_path):
     out = engine.table("metrics").read(now_ms=1704067200000 + 3600_000 + 1000)
     rows = {r["host"]: r["extra"] for r in out.collect()}
     assert rows == {"h1": None, "h2": 7}
+
+
+def test_streaming_line_protocol_ingest(engine, spark, tmp_path):
+    # InfluxDB write path end-to-end: line-protocol text stream → parse →
+    # auto-created per-measurement tables with TAG columns → query.
+    from incubator_horaedb_spark.streaming.ingest import start_line_protocol_ingest
+
+    src = tmp_path / "lp"
+    src.mkdir()
+    (src / "batch1.txt").write_text(
+        "cpu,host=a,region=east usage=0.5,idle=99i 1704067200000000000\n"
+        "cpu,host=b,region=west usage=0.7,idle=42i 1704067201000000000\n"
+        "mem,host=a used=1024i 1704067200000000000\n"
+    )
+    stream = spark.readStream.format("text").load(str(src))
+    q = start_line_protocol_ingest(engine, stream, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(60)
+
+    assert sorted(engine.catalog.list_tables()) == ["cpu", "mem"]
+    cpu_meta = engine.catalog.get("cpu")
+    assert sorted(cpu_meta.schema.tag_columns) == ["host", "region"]
+    now = 1704067300000
+    rows = {
+        r["host"]: (r["usage"], r["idle"])
+        for r in engine.table("cpu").read(now_ms=now).collect()
+    }
+    assert rows == {"a": (0.5, 99), "b": (0.7, 42)}
+    assert engine.table("mem").read(now_ms=now).collect()[0]["used"] == 1024

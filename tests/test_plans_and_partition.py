@@ -144,3 +144,16 @@ def test_time_range_scan_pushdown(spark, sf_dir):
     df = time_range_scan(spark, sf_dir)
     pf = " ".join(pushed_filters(df))
     assert "ts" in pf and ("GreaterThan" in pf or "LessThan" in pf or ">=" in pf)
+
+
+def test_random_partition_scatter(spark):
+    # partition/rule/random.rs: writes scatter, reads fan out to all
+    from incubator_horaedb_spark.partition import (
+        locate_partitions_for_read_random,
+        random_partition_expr,
+    )
+
+    df = spark.range(1000).withColumn("__partition", random_partition_expr(8))
+    parts = [r["__partition"] for r in df.select("__partition").distinct().collect()]
+    assert set(parts) <= set(range(8)) and len(parts) >= 4
+    assert locate_partitions_for_read_random(8) == list(range(8))
