@@ -336,8 +336,14 @@ class Engine:
             Table(self.spark, self.catalog, t).read().createOrReplaceTempView(t)
 
     def _query(self, stmt: str) -> DataFrame:
+        from incubator_horaedb_spark.functions.sql_bindings import (
+            register_sql_functions,
+            rewrite_sql_functions,
+        )
+
         self.register_views()
-        return self.spark.sql(stmt)
+        register_sql_functions(self.spark)
+        return self.spark.sql(rewrite_sql_functions(stmt))
 
     # ----------------------------------------------------------- metadata --
     def _describe(self, stmt: str) -> DataFrame:
