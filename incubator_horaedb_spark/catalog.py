@@ -74,6 +74,14 @@ class TableOptions:
     def from_with_options(cls, opts: dict[str, str]) -> "TableOptions":
         """Parse a WITH(...) option map (string-valued, like the reference)."""
         o = cls()
+        o.apply_with_options(opts)
+        return o
+
+    def apply_with_options(self, opts: dict[str, str]) -> None:
+        """Apply WITH-style options in place — also the ALTER TABLE ...
+        MODIFY SETTING path (ast.rs AlterModifySetting), which updates only
+        the named settings."""
+        o = self
         for key, raw in opts.items():
             k = key.lower()
             v = raw.strip().strip("'\"")
@@ -93,7 +101,6 @@ class TableOptions:
                 o.compression = v.upper()
             else:
                 o.extra[k] = v
-        return o
 
     def to_dict(self) -> dict:
         return {

@@ -248,11 +248,32 @@ class Engine:
         return None
 
     def _alter(self, stmt: str) -> None:
+        # ALTER TABLE x MODIFY SETTING k='v'[, ...]
+        # (ast.rs AlterModifySetting; corpus env/cluster/ddl/alter_table.sql:43-49)
+        ms = re.match(
+            rf"^alter\s+table\s+({_IDENT})\s+modify\s+setting\s+(.*)$", stmt, re.I | re.S
+        )
+        if ms:
+            name = _unquote(ms.group(1))
+            meta = self.catalog.get(name)
+            new_opts: dict[str, str] = {}
+            for kv in _split_top_level(ms.group(2)):
+                km = re.match(r"^\s*(\w+)\s*=\s*'([^']*)'\s*$", kv)
+                if not km:
+                    raise ValueError(f"cannot parse MODIFY SETTING item {kv!r}")
+                new_opts[km.group(1).lower()] = km.group(2)
+            # only the named settings change; unknown keys land in extra,
+            # like the reference's unrecognized options (write_buffer_size)
+            meta.options.apply_with_options(new_opts)
+            self.catalog.update(meta)
+            return None
         m = re.match(
             rf"^alter\s+table\s+({_IDENT})\s+add\s+column\s*\((.*)\)\s*$", stmt, re.I | re.S
         )
         if not m:
-            raise ValueError(f"only ALTER TABLE ... ADD COLUMN (...) supported: {stmt!r}")
+            raise ValueError(
+                f"only ALTER TABLE ... ADD COLUMN (...) / MODIFY SETTING supported: {stmt!r}"
+            )
         name = _unquote(m.group(1))
         meta = self.catalog.get(name)
         schema = meta.schema

@@ -138,3 +138,19 @@ def test_select_order(engine):
     assert _rows(df, "value") == [(30000,), (4400,), (1000,)]
     df = engine.execute_sql("SELECT `value` FROM order_t ORDER BY `value` ASC LIMIT 3")
     assert _rows(df, "value") == [(100,), (200,), (400,)]
+
+
+def test_alter_modify_setting(engine):
+    # env/cluster/ddl/alter_table.sql:43-49: MODIFY SETTING ttl / unknown
+    # options accepted (write_buffer_size lands in extra)
+    engine.execute_sql(
+        "CREATE TABLE ms1 (v double, t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql("ALTER TABLE ms1 MODIFY SETTING ttl='10d', enable_ttl='true'")
+    opts = engine.catalog.get("ms1").options
+    assert opts.enable_ttl is True and opts.ttl_ms == 10 * 86_400_000
+    engine.execute_sql("ALTER TABLE ms1 MODIFY SETTING write_buffer_size='300M'")
+    assert engine.catalog.get("ms1").options.extra["write_buffer_size"] == "300M"
+    # previously-set options survive a partial modify
+    assert engine.catalog.get("ms1").options.ttl_ms == 10 * 86_400_000
