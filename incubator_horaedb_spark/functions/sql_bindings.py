@@ -74,10 +74,18 @@ def date_bin_py(
     return _from_ms((ms - origin_ms) // stride_ms * stride_ms + origin_ms)
 
 
+_REGISTERED: set[int] = set()
+
+
 def register_sql_functions(spark: SparkSession) -> None:
-    """Register time_bucket / date_bin for spark.sql text (idempotent)."""
+    """Register time_bucket / date_bin for spark.sql text (once per
+    session — re-registering spams 'function replaced' warnings)."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return
     spark.udf.register("time_bucket", time_bucket_py, T.TimestampType())
     spark.udf.register("date_bin", date_bin_py, T.TimestampType())
+    _REGISTERED.add(key)
 
 
 _THETA_RE = re.compile(r"\bthetasketch_distinct\s*\(", re.I)

@@ -157,3 +157,34 @@ def test_random_partition_scatter(spark):
     parts = [r["__partition"] for r in df.select("__partition").distinct().collect()]
     assert set(parts) <= set(range(8)) and len(parts) >= 4
     assert locate_partitions_for_read_random(8) == list(range(8))
+
+
+def test_primary_key_sampler(spark):
+    # sampler.rs:278-360 PrimaryKeySampler: lowest-NDV key-capable columns
+    # first, floats excluded, timestamp key appended last.
+    from incubator_horaedb_spark.sampling import (
+        sample_segment_duration_ms,
+        suggest_primary_key,
+    )
+    from incubator_horaedb_spark.schema import ColumnSchema, TableSchema
+
+    schema = TableSchema(
+        columns=[
+            ColumnSchema(name="region", kind="string", is_tag=True),  # NDV 2
+            ColumnSchema(name="host", kind="string", is_tag=True),  # NDV 50
+            ColumnSchema(name="v", kind="double"),  # float: ineligible
+            ColumnSchema(name="t", kind="timestamp"),
+        ],
+        timestamp_column="t",
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        (F.col("id") % 2).cast("string").alias("region"),
+        (F.col("id") % 50).cast("string").alias("host"),
+        F.rand(1).alias("v"),
+        F.timestamp_millis(F.lit(1704067200000) + F.col("id") * 3_600_000).alias("t"),
+    )
+    assert suggest_primary_key(df, schema, max_suggest_num=2) == ["region", "host", "t"]
+    # 199h span fits in ≤24 one-day segments → 1d on the ladder
+    assert sample_segment_duration_ms(df, "t") == 86_400_000
