@@ -364,7 +364,49 @@ class Engine:
 
         self.register_views()
         register_sql_functions(self.spark)
-        return self.spark.sql(rewrite_sql_functions(stmt))
+        return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
+
+    def _coerce_ts_literals(self, stmt: str) -> str:
+        """TypeConversion analyzer parity (type_conversion.rs:48-370):
+        integer literals compared against a timestamp-key column are
+        **millisecond** epochs — Spark's implicit cast would read them as
+        seconds (or refuse), so wrap them in timestamp_millis().  Handles
+        binary comparisons, BETWEEN, and IN lists; string literals need no
+        rewrite (Spark casts string↔timestamp natively)."""
+        ts_cols = set()
+        for t in self.catalog.list_tables():
+            ts_cols.add(self.catalog.get(t).schema.timestamp_column)
+        for name in ts_cols:
+            ident = rf"(?:`{re.escape(name)}`|\b{re.escape(name)}\b)"
+            wrap = lambda n: f"timestamp_millis({n})"
+            stmt = re.sub(
+                rf"({ident})\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)",
+                lambda m: f"{m.group(1)} BETWEEN {wrap(m.group(2))} AND {wrap(m.group(3))}",
+                stmt,
+                flags=re.I,
+            )
+            stmt = re.sub(
+                rf"({ident})\s*(>=|<=|<>|!=|=|>|<)\s*(\d+)(?!\d*\s*[)]?\s*(?:AS|\w*\())",
+                lambda m: f"{m.group(1)} {m.group(2)} {wrap(m.group(3))}",
+                stmt,
+                flags=re.I,
+            )
+            stmt = re.sub(
+                rf"(\b\d+)\s*(>=|<=|<>|!=|=|>|<)\s*({ident})",
+                lambda m: f"{wrap(m.group(1))} {m.group(2)} {m.group(3)}",
+                stmt,
+                flags=re.I,
+            )
+            stmt = re.sub(
+                rf"({ident})\s+IN\s*\(\s*(\d+(?:\s*,\s*\d+)*)\s*\)",
+                lambda m: "{} IN ({})".format(
+                    m.group(1),
+                    ", ".join(wrap(x.strip()) for x in m.group(2).split(",")),
+                ),
+                stmt,
+                flags=re.I,
+            )
+        return stmt
 
     # ----------------------------------------------------------- metadata --
     def _describe(self, stmt: str) -> DataFrame:

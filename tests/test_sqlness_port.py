@@ -154,3 +154,45 @@ def test_alter_modify_setting(engine):
     assert engine.catalog.get("ms1").options.extra["write_buffer_size"] == "300M"
     # previously-set options survive a partial modify
     assert engine.catalog.get("ms1").options.ttl_ms == 10 * 86_400_000
+
+
+def test_function_aggregate_corpus(engine):
+    # cases/common/function/aggregate.sql — sum/count/avg/min/max over
+    # int + uint64, ms-integer literal time filter (TypeConversion),
+    # tsid-mode overwrite on re-insert, DISTINCT.
+    engine.execute_sql(
+        "CREATE TABLE agg1 (`timestamp` timestamp NOT NULL, `arch` string TAG, "
+        "`datacenter` string TAG, `value` int, `uvalue` uint64, "
+        "timestamp KEY (timestamp)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO agg1 (`timestamp`, `arch`, `datacenter`, `value`, `uvalue`) VALUES "
+        "(1658304762, 'x86-64', 'china', 100, 10), (1658304763, 'x86-64', 'china', 200, 10), "
+        "(1658304762, 'arm64', 'china', 110, 0), (1658304763, 'arm64', 'china', 210, 0)"
+    )
+    one = lambda sql: engine.execute_sql(sql).collect()[0][0]
+    assert one("SELECT sum(`value`) FROM agg1") == 620
+    # golden: x86-64 → 200, arm64 → 210 (ms-integer literals in BETWEEN,
+    # type_conversion.rs:295-355 parity)
+    df = engine.execute_sql(
+        "SELECT `arch`, sum(`value`) AS s FROM agg1 "
+        "WHERE `timestamp` BETWEEN 1658304763 AND 1658304763 "
+        "GROUP BY `arch` ORDER BY `arch` DESC"
+    )
+    assert [(r["arch"], r["s"]) for r in df.collect()] == [("x86-64", 200), ("arm64", 210)]
+    assert one("SELECT count(`value`) FROM agg1") == 4
+    assert one("SELECT avg(`value`) FROM agg1") == 155.0
+    assert one("SELECT max(`value`) FROM agg1") == 210
+    assert one("SELECT min(`value`) FROM agg1") == 100
+    # golden: UInt64(18446744073709551606) — u64 maps to Long (SURVEY §7.5),
+    # so the same bit pattern reads as -10 ≡ 2^64 - 10 (mod 2^64)
+    assert one("SELECT min(`uvalue`) - max(`uvalue`) FROM agg1") == -10
+    # tsid-mode overwrite: same tags + ts → newest wins, uvalue nulled
+    engine.execute_sql(
+        "INSERT INTO agg1 (`timestamp`, `arch`, `datacenter`, `value`) "
+        "VALUES (1658304762, 'x86-64', 'china', 100)"
+    )
+    assert one("SELECT count(`arch`) FROM agg1") == 4
+    df = engine.execute_sql("SELECT distinct(`arch`) FROM agg1 ORDER BY `arch` DESC")
+    assert [r["arch"] for r in df.collect()] == ["x86-64", "arm64"]
+    assert one("SELECT count(distinct(`arch`)) FROM agg1") == 2
