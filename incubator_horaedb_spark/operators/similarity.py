@@ -249,3 +249,90 @@ def embedding_rhp_lsh_sql(d: Dialect, table: str = "embeddings", threshold: floa
     return d.cte_query(
         ctes, f"SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {threshold}"
     )
+
+
+# --- blocked-GEMM near-dup (numpy mapInPandas — the dense-math scale path)
+# Embedding elements are quantized to the 2^-20 dyadic grid, which makes
+# every dot-product partial sum exactly representable (|x| <= 0.58 →
+# products are multiples of 2^-40 bounded by 0.34, 64-term sums < 2^5 →
+# 45 bits < 53).  Exactness means ANY summation order — including BLAS
+# matmul — produces the bit-identical double, so a numpy GEMM can be
+# hash-compared against a sequential-fold SQL oracle.  At 100 TB this is
+# the pattern: quantize once, broadcast one block, mapInPandas the other,
+# GEMM per batch; block both sides when neither fits in memory.
+Q_BITS = 20
+Q = 1 << Q_BITS
+
+
+def _quantize_sql(d: Dialect, vec: str) -> str:
+    return d.transform(vec, "x", f"round(CAST(x AS DOUBLE) * {Q}) / {Q}")
+
+
+def blocked_near_dup_oracle_sql(d: Dialect, table: str = "embeddings", threshold: float = 0.45) -> str:
+    """All-pairs oracle over quantized embeddings (sequential-fold dot —
+    equals the GEMM by the exactness argument above)."""
+    dot = _dot(d, "a.q", "b.q")
+    return d.cte_query(
+        [
+            ("qv", f"SELECT vec_id, {_quantize_sql(d, 'embedding')} AS q FROM {table}"),
+            ("normed", f"SELECT vec_id, q, sqrt({_dot(d, 'q', 'q')}) AS nrm FROM qv"),
+            (
+                "pairs",
+                f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id""",
+            ),
+        ],
+        f"SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}",
+    )
+
+
+def blocked_near_dup_pairs(df, threshold: float = 0.45):
+    """Spark side: quantize → collect+broadcast the corpus block → numpy
+    GEMM per mapInPandas batch → emit pairs over the threshold.
+
+    The corpus here fits on the driver (the testdata block); production
+    blocks both sides (outer loop over broadcast blocks).  Quantization
+    uses half-away-from-zero to match SQL round()."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _q(m: "np.ndarray") -> "np.ndarray":
+        return np.sign(m) * np.floor(np.abs(m) * Q + 0.5) / Q
+
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    corpus = _q(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    norms = np.sqrt((corpus * corpus).sum(axis=1))
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_corpus = spark.sparkContext.broadcast(corpus)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType(), False),
+            T.StructField("vec_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_nrm = b_ids.value, b_corpus.value, b_norms.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = _q(np.array(list(pdf["embedding"]), dtype=np.float64))
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            s = a_mat @ c_mat.T / np.outer(a_nrm, c_nrm)
+            s = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6  # round(.,6)
+            ai, ci = np.nonzero((s >= threshold) & (a_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": c_ids[ci], "cosine": s[ai, ci]}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(kernel, schema=schema)

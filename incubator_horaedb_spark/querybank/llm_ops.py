@@ -108,3 +108,15 @@ _sql_query("text_langid", text.langid_sql)
 _sql_query("text_quality", text.quality_sql)
 _sql_query("text_token_count", text.token_count_sql)
 _sql_query("text_fingerprint", text.fingerprint_sql)
+
+
+def _blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.blocked_near_dup_pairs(emb, threshold=0.45)
+
+
+_blocked_near_dup.__doc__ = similarity.blocked_near_dup_pairs.__doc__
+register(
+    "embedding_near_dup_blocked",
+    oracle=similarity.blocked_near_dup_oracle_sql(DUCK, threshold=0.45),
+)(_blocked_near_dup)
