@@ -188,3 +188,43 @@ def test_primary_key_sampler(spark):
     assert suggest_primary_key(df, schema, max_suggest_num=2) == ["region", "host", "t"]
     # 199h span fits in ≤24 one-day segments → 1d on the ladder
     assert sample_segment_duration_ms(df, "t") == 86_400_000
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    # skew utility: two-phase salted aggregation must equal the direct
+    # aggregation, and phase 1 must fan a hot key over multiple sub-keys.
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.operators.salt import SALT_COL, salted_agg
+    from incubator_horaedb_spark.querybank.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["ndv"]
+        for r in salted_agg(
+            ev.select("event_type", "user_id"),
+            ["event_type"],
+            partial_aggs=[F.collect_set("user_id").alias("vs")],
+            combine_aggs=[
+                F.size(F.array_distinct(F.flatten(F.collect_list("vs")))).alias("ndv")
+            ],
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["ndv"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv"))
+        .collect()
+    }
+    assert got == want
+    # the hot key actually scatters
+    n_subkeys = (
+        ev.select("event_type", "user_id")
+        .withColumn(SALT_COL, F.pmod(F.xxhash64("user_id"), F.lit(8)))
+        .where(F.col("event_type") == "click")
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_subkeys > 1

@@ -196,3 +196,17 @@ def test_function_aggregate_corpus(engine):
     df = engine.execute_sql("SELECT distinct(`arch`) FROM agg1 ORDER BY `arch` DESC")
     assert [r["arch"] for r in df.collect()] == ["x86-64", "arm64"]
     assert one("SELECT count(distinct(`arch`)) FROM agg1") == 2
+
+
+def test_case_sensitive_wrong_case_errors(engine):
+    # case_sensitive.sql/.result: SELECT from CASE_SENSITIVE_TABLE1 when the
+    # table is case_SENSITIVE_table1 must fail with table-not-found
+    # (spark.sql.caseSensitive=true in the shim's query path).
+    engine.execute_sql(
+        "CREATE TABLE case_SENSITIVE_t (ts timestamp NOT NULL, VALUE1 double, "
+        "timestamp KEY (ts)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql("INSERT INTO case_SENSITIVE_t (ts, VALUE1) VALUES (1, 10)")
+    assert engine.execute_sql("SELECT * FROM case_SENSITIVE_t").count() == 1
+    with pytest.raises(Exception, match="(?i)table or view|not.*found|cannot be found"):
+        engine.execute_sql("SELECT * FROM CASE_SENSITIVE_T").collect()
