@@ -40,11 +40,22 @@ def _to_ms(dt: datetime.datetime) -> int:
 
 
 def time_bucket_py(
-    ts: datetime.datetime | None, period: str, tz_offset_secs: int = 0
+    ts: datetime.datetime | None,
+    period: str,
+    fmt: str | None = None,
+    tz: str | None = None,
+    outfmt: str | None = None,
 ) -> datetime.datetime | None:
-    """Pure-Python time_bucket with the same branches as the Column impl."""
+    """Pure-Python time_bucket with the same branches as the Column impl.
+
+    Full reference arity (ts, period[, input_fmt[, tz[, out_fmt]]]) —
+    time_bucket.rs:85-342.  The extra arguments don't affect the computed
+    value: golden results return Timestamp for every arity, and the
+    reference truncates at its hardcoded +0800 (time_bucket.rs:83) no
+    matter what tz is passed — ported faithfully."""
     if ts is None:
         return None
+    tz_offset_secs = 8 * 3600
     unit, n = parse_period(period)
     if unit in _SUBDAY_SECONDS:
         stride_ms = n * _SUBDAY_SECONDS[unit] * 1000
@@ -90,13 +101,36 @@ def register_sql_functions(spark: SparkSession) -> None:
 
 _THETA_RE = re.compile(r"\bthetasketch_distinct\s*\(", re.I)
 
+_INTERVAL_MS = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+_DATE_BIN_RE = re.compile(
+    r"\bDATE_BIN\(\s*INTERVAL\s+'(\d+)'\s+(second|minute|hour|day)s?\s*,"
+    r"\s*([^,]+?)\s*,\s*TIMESTAMP\s+'([^']+)'\s*\)",
+    re.I,
+)
+
+
+def _rewrite_date_bin(sql: str) -> str:
+    """DataFusion call shape (date_bin.sql corpus):
+    DATE_BIN(INTERVAL 'n' unit, col, TIMESTAMP 'origin') → our binding's
+    (stride_ms, col, origin_ms) arity."""
+
+    def sub(m: re.Match) -> str:
+        stride_ms = int(m.group(1)) * _INTERVAL_MS[m.group(2).lower()]
+        origin = datetime.datetime.fromisoformat(m.group(4).replace("Z", "+00:00"))
+        origin_ms = int(origin.timestamp() * 1000)
+        return f"date_bin({stride_ms}, {m.group(3)}, {origin_ms})"
+
+    return _DATE_BIN_RE.sub(sub, sql)
+
 
 def rewrite_sql_functions(sql: str) -> str:
     """Rewrite aggregate custom functions to their Spark equivalents.
 
     ``thetasketch_distinct(expr)`` → ``approx_count_distinct(expr, 0.008)``:
     inserts the rsd argument before the closing paren of the matched call
-    (balanced-paren scan, so nested expressions are safe)."""
+    (balanced-paren scan, so nested expressions are safe).  Also rewrites
+    the DataFusion DATE_BIN(INTERVAL ...) call shape."""
+    sql = _rewrite_date_bin(sql)
     out = []
     pos = 0
     for m in _THETA_RE.finditer(sql):

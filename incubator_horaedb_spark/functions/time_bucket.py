@@ -62,13 +62,19 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def time_bucket(ts: ColumnOrName, period: str, tz_offset_secs: int = 0) -> Column:
+DEFAULT_TIMEZONE_OFFSET_SECS = 8 * 3600  # time_bucket.rs:83 — hardcoded +0800
+
+
+def time_bucket(
+    ts: ColumnOrName, period: str, tz_offset_secs: int = DEFAULT_TIMEZONE_OFFSET_SECS
+) -> Column:
     """Truncate ``ts`` to ``period``; returns a timestamp column.
 
     Sub-day periods are epoch-floor (Timestamp::truncate_by in the
-    reference); day is day-of-month grouped by ``day - day % n``; week
-    snaps to Monday; month/year to the 1st — all evaluated at a fixed
-    offset ``tz_offset_secs`` (reference uses +28800).
+    reference — offset-independent); day is day-of-month grouped by
+    ``day - day % n``; week snaps to Monday; month/year to the 1st — all
+    evaluated at ``tz_offset_secs``, defaulting to the reference's
+    hardcoded +0800 (golden time_bucket.result values are +0800-local).
     """
     unit, n = parse_period(period)
     col = _col(ts)

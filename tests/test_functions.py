@@ -39,11 +39,13 @@ def test_time_bucket_subday(spark):
 
 
 def test_time_bucket_calendar(spark):
-    assert _bucket(spark, "2024-03-05 10:47:33", "P1D") == datetime.datetime(2024, 3, 5)
+    # offset 0 isolates the calendar branches from the +0800 default
+    kw = dict(tz_offset_secs=0)
+    assert _bucket(spark, "2024-03-05 10:47:33", "P1D", **kw) == datetime.datetime(2024, 3, 5)
     # 2024-03-05 is a Tuesday → Monday 2024-03-04 (truncate_week snaps to Monday)
-    assert _bucket(spark, "2024-03-05 10:47:33", "P1W") == datetime.datetime(2024, 3, 4)
-    assert _bucket(spark, "2024-03-05 10:47:33", "P1M") == datetime.datetime(2024, 3, 1)
-    assert _bucket(spark, "2024-03-05 10:47:33", "P1Y") == datetime.datetime(2024, 1, 1)
+    assert _bucket(spark, "2024-03-05 10:47:33", "P1W", **kw) == datetime.datetime(2024, 3, 4)
+    assert _bucket(spark, "2024-03-05 10:47:33", "P1M", **kw) == datetime.datetime(2024, 3, 1)
+    assert _bucket(spark, "2024-03-05 10:47:33", "P1Y", **kw) == datetime.datetime(2024, 1, 1)
 
 
 def test_time_bucket_tz_offset(spark):
