@@ -443,6 +443,9 @@ class Engine:
                 bits.append("TAG")
             if c.is_dictionary:
                 bits.append("dictionary")
+            if c.default_value is not None:
+                dv = c.default_value
+                bits.append(f"DEFAULT '{dv}'" if isinstance(dv, str) else f"DEFAULT {dv}")
             cols.append(" ".join(bits))
         if meta.schema.primary_key:
             cols.append("PRIMARY KEY(" + ", ".join(f"`{c}`" for c in meta.schema.primary_key) + ")")

@@ -210,3 +210,31 @@ def test_case_sensitive_wrong_case_errors(engine):
     assert engine.execute_sql("SELECT * FROM case_SENSITIVE_t").count() == 1
     with pytest.raises(Exception, match="(?i)table or view|not.*found|cannot be found"):
         engine.execute_sql("SELECT * FROM CASE_SENSITIVE_T").collect()
+
+
+def test_show_create_defaults(engine):
+    # cases/common/show/show_create_table.sql: DEFAULT column values are
+    # kept in metadata, applied on INSERT for missing columns, and printed
+    # by SHOW CREATE TABLE (planner.rs:908 insert default-value exprs).
+    engine.execute_sql(
+        "CREATE TABLE show_a (a bigint, b int DEFAULT 3, c string DEFAULT 'x', "
+        "d int, t timestamp NOT NULL, timestamp KEY (t)) ENGINE=Analytic "
+        "WITH(enable_ttl='false')"
+    )
+    ddl = engine.execute_sql("SHOW CREATE TABLE show_a").collect()[0]["create_table"]
+    assert "DEFAULT 3" in ddl and "DEFAULT 'x'" in ddl
+    engine.execute_sql("INSERT INTO show_a (a, t) VALUES (1, 1000)")
+    row = engine.execute_sql("SELECT * FROM show_a").collect()[0]
+    assert (row["b"], row["c"], row["d"]) == (3, "x", None)
+
+
+def test_dummy_tableless_selects(engine):
+    # cases/common/dummy/select_1.sql: table-less SELECTs evaluate; invalid
+    # references (SELECT x / SELECT *) error.
+    assert engine.execute_sql("SELECT 1").collect()[0][0] == 1
+    assert engine.execute_sql("SELECT 'a'").collect()[0][0] == "a"
+    assert engine.execute_sql("SELECT NOT(1=1)").collect()[0][0] is False
+    assert engine.execute_sql("SELECT 10 - 2 * 3").collect()[0][0] == 4
+    assert engine.execute_sql("SELECT (10 - 2) * 3").collect()[0][0] == 24
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT x").collect()
