@@ -60,6 +60,7 @@ class Selector:
     matchers: list[LabelMatcher] = field(default_factory=list)
     range_ms: int | None = None  # [5m] range selector
     field_name: str | None = None  # via __horaedb_field__
+    offset_ms: int = 0  # `offset 1h` modifier (convert.rs Selector.offset)
 
 
 @dataclass
@@ -72,7 +73,9 @@ class PromQuery:
 
 
 _SELECTOR_RE = re.compile(
-    r"^\s*([A-Za-z_:][\w:]*)\s*(\{([^}]*)\})?\s*(\[([\w]+)\])?\s*$"
+    r"^\s*([A-Za-z_:][\w:]*)\s*(\{([^}]*)\})?\s*(\[([\w]+)\])?"
+    r"\s*(offset\s+([\w]+))?\s*$",
+    re.I,
 )
 _MATCHER_RE = re.compile(r'\s*([A-Za-z_][\w]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*')
 
@@ -130,12 +133,17 @@ def parse_promql(query: str) -> PromQuery:
             else:
                 matchers.append(LabelMatcher(name=name, op=op, value=value))
     range_ms = parse_duration_ms(sel_m.group(5)) if sel_m.group(5) else None
+    offset_ms = parse_duration_ms(sel_m.group(7)) if sel_m.group(7) else 0
     if range_fn and range_ms is None:
         raise ValueError(f"{range_fn}() requires a range selector, e.g. metric[5m]")
 
     return PromQuery(
         selector=Selector(
-            metric=metric, matchers=matchers, range_ms=range_ms, field_name=field_name
+            metric=metric,
+            matchers=matchers,
+            range_ms=range_ms,
+            field_name=field_name,
+            offset_ms=offset_ms,
         ),
         range_fn=range_fn,
         agg_op=agg_op,
@@ -203,6 +211,7 @@ def promql_to_df(
         end_ms=end_ms,
         step_ms=step_ms,
         lookback_ms=lookback,
+        offset_ms=sel.offset_ms,
     )
 
     if pq.agg_op is None:

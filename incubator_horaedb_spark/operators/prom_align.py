@@ -58,8 +58,14 @@ def prom_align(
     end_ms: int,
     step_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    offset_ms: int = 0,
 ) -> DataFrame:
     """Evaluate ``func`` per series on the aligned grid.
+
+    ``offset_ms`` is the PromQL ``offset`` modifier: the reference shifts
+    every sample timestamp forward by the offset before stepping
+    (PromAlignReader::step_helper, prom_align.rs:273-289), so step ``t``
+    sees samples from ``[t - offset - lookback, t - offset]``.
 
     Returns columns: ``*series_cols, ts (timestamp), value (double)``.
     The grid is ``t = start_ms + k*step_ms`` for ``k in [0, (end-start)/step]``
@@ -72,7 +78,7 @@ def prom_align(
 
     n_steps = (end_ms - start_ms) // step_ms  # k ranges over [0, n_steps]
 
-    ts_ms = F.unix_millis(F.col(ts_col))
+    ts_ms = F.unix_millis(F.col(ts_col)) + F.lit(offset_ms)
     base = df.select(
         *series_cols,
         ts_ms.alias("__ts"),

@@ -98,3 +98,39 @@ def test_empty_steps_skipped(spark):
     samples = [(5_000, 1.0), (95_000, 2.0)]
     out = _run(spark, samples, "instant", start=0, end=100_000, step=10_000, lookback=8_000)
     assert set(out) == {10_000, 100_000}
+
+
+def test_offset_modifier_shifts_samples(spark):
+    # prom_align.rs:273-289: offset shifts sample timestamps forward before
+    # stepping — prom_align(df, offset=O) must equal prom_align over a
+    # pre-shifted copy of the data with offset 0.
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("s", 1_000_000 + i * 15_000, float(i * i)) for i in range(20)],
+        "name string, ts_ms long, value double",
+    ).select("name", F.timestamp_millis("ts_ms").alias("ts"), "value")
+    shifted = base.withColumn(
+        "ts", F.timestamp_millis(F.unix_millis("ts") + F.lit(60_000))
+    )
+    kw = dict(
+        series_cols=["name"], ts_col="ts", value_col="value",
+        start_ms=1_000_000, end_ms=1_400_000, step_ms=30_000, lookback_ms=90_000,
+    )
+    with_offset = {
+        (r["ts"], round(r["value"], 9))
+        for r in prom_align(base, "rate", offset_ms=60_000, **kw).collect()
+    }
+    manual = {
+        (r["ts"], round(r["value"], 9))
+        for r in prom_align(shifted, "rate", **kw).collect()
+    }
+    assert with_offset == manual and with_offset
+
+
+def test_offset_parses_in_frontend(spark):
+    from incubator_horaedb_spark.frontends.promql import parse_promql
+
+    pq = parse_promql('rate(events{event_type="click"}[5m] offset 1h)')
+    assert pq.selector.offset_ms == 3_600_000 and pq.selector.range_ms == 300_000
+    assert parse_promql("events{}").selector.offset_ms == 0
