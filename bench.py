@@ -59,12 +59,21 @@ def main() -> None:
         .count()
     )
 
+    # Two timed runs per query, report the min: the first run of each query
+    # still pays its own codegen compilation; min-of-2 measures steady-state
+    # throughput and damps machine-load noise across rounds.  Cached temp
+    # views are cleared between runs so the second run re-does the work.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -238,3 +238,19 @@ def test_dummy_tableless_selects(engine):
     assert engine.execute_sql("SELECT (10 - 2) * 3").collect()[0][0] == 24
     with pytest.raises(Exception):
         engine.execute_sql("SELECT x").collect()
+
+
+def test_mysql_protocol_statement_shapes(engine):
+    # integration_tests/mysql/basic.sh — the statements the MySQL wire
+    # frontend must accept (the framing is transport; semantics land here):
+    # unquoted WITH option values, select with now(), double-quoted strings.
+    assert [r for r in engine.execute_sql("SHOW TABLES").collect()] == []
+    row = engine.execute_sql("select 1, now()").collect()[0]
+    assert row[0] == 1 and row[1] is not None
+    engine.execute_sql(
+        "CREATE TABLE `demo`(`name` string TAG, `id` int TAG, `value` double NOT NULL, "
+        "`t` timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic with(enable_ttl=false)"
+    )
+    engine.execute_sql('insert into demo (name, value, t) values ("horaedb", 1, 1683280523000)')
+    out = engine.execute_sql("select * from demo").collect()
+    assert len(out) == 1 and out[0]["name"] == "horaedb" and out[0]["value"] == 1.0
