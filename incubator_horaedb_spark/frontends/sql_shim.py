@@ -180,17 +180,27 @@ class Engine:
         # balanced-paren extraction of the column body (a greedy regex would
         # swallow the WITH(...) clause and silently drop table options)
         body, tail = _extract_parens(stmt, head.end() - 1)
-        m = re.match(
-            rf"^\s*(engine\s*=\s*\w+)?\s*(with\s*\(([^)]*)\))?\s*"
-            rf"(partition\s+by\s+key\s*\(([^)]*)\)\s*(partitions\s+(\d+))?)?\s*$",
-            tail,
-            re.I | re.S,
+        # ENGINE / WITH / PARTITION BY appear in either order (the cluster
+        # corpus writes PARTITION BY ... ENGINE ... WITH, the common corpus
+        # the reverse) — extract each independently, then require nothing
+        # unrecognized to remain.
+        with_body = part_cols = part_n = None
+        rest = tail
+        m = re.search(r"engine\s*=\s*\w+", rest, re.I)
+        if m:
+            rest = rest[: m.start()] + rest[m.end() :]
+        m = re.search(r"with\s*\(([^)]*)\)", rest, re.I | re.S)
+        if m:
+            with_body = m.group(1)
+            rest = rest[: m.start()] + rest[m.end() :]
+        m = re.search(
+            r"partition\s+by\s+key\s*\(([^)]*)\)\s*(partitions\s+(\d+))?", rest, re.I
         )
-        if not m:
-            raise ValueError(f"cannot parse CREATE TABLE tail: {tail[:120]!r}")
-        with_body = m.group(3)
-        part_cols = m.group(5)
-        part_n = m.group(7)
+        if m:
+            part_cols, part_n = m.group(1), m.group(3)
+            rest = rest[: m.start()] + rest[m.end() :]
+        if rest.strip():
+            raise ValueError(f"cannot parse CREATE TABLE tail: {rest.strip()[:120]!r}")
 
         columns: list[ColumnSchema] = []
         ts_key: str | None = None
@@ -454,8 +464,13 @@ class Engine:
         with_opts = (
             f"update_mode='{o.update_mode}', enable_ttl='{str(o.enable_ttl).lower()}'"
         )
+        part = ""
+        if meta.options.partition_keys:
+            keys = ", ".join(f"`{k}`" for k in meta.options.partition_keys)
+            part = f" PARTITION BY KEY({keys}) PARTITIONS {meta.options.num_partitions}"
         ddl = (
-            f"CREATE TABLE `{name}` ({', '.join(cols)}) ENGINE=Analytic WITH ({with_opts})"
+            f"CREATE TABLE `{name}` ({', '.join(cols)}) ENGINE=Analytic{part} "
+            f"WITH ({with_opts})"
         )
         return self.spark.createDataFrame([(name, ddl)], "table string, create_table string")
 

@@ -228,3 +228,30 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         .count()
     )
     assert n_subkeys > 1
+
+
+def test_results_invariant_under_partitioning(spark, sf_dir):
+    # integration_tests/dist_query/diff.py analogue: the same query must
+    # produce identical results regardless of physical partitioning — here
+    # shuffle-partition count, which changes aggregation grouping order and
+    # merge topology.  Dyadic quantization (detfloat) is what makes the
+    # float aggregates bit-stable; this test guards that property.
+    from incubator_horaedb_spark.querybank import queries
+
+    qs = queries()
+
+    def run(name):
+        rows = qs[name](spark, sf_dir).collect()
+        cols = sorted(rows[0].asDict().keys()) if rows else []
+        return sorted(tuple(repr(r[c]) for c in cols) for r in rows)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            spark.catalog.clearCache()
+            results[n] = {q: run(q) for q in ("q1_pricing_summary", "promql_rate", "downsample_stddev")}
+        assert results["3"] == results["32"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -254,3 +254,40 @@ def test_mysql_protocol_statement_shapes(engine):
     engine.execute_sql('insert into demo (name, value, t) values ("horaedb", 1, 1683280523000)')
     out = engine.execute_sql("select * from demo").collect()
     assert len(out) == 1 and out[0]["name"] == "horaedb" and out[0]["value"] == 1.0
+
+
+def test_partition_table_corpus(engine):
+    # env/cluster/ddl/partition_table.sql: PARTITION BY before ENGINE/WITH,
+    # SHOW CREATE includes the partition clause, equality and IN filters
+    # return the right rows, ALTER ADD COLUMN works on partitioned tables.
+    engine.execute_sql(
+        "CREATE TABLE `partition_table_t`(`name` string TAG, `id` int TAG, "
+        "`value` double NOT NULL, `t` timestamp NOT NULL, TIMESTAMP KEY(t)) "
+        "PARTITION BY KEY(name) PARTITIONS 4 ENGINE = Analytic with (enable_ttl='false')"
+    )
+    ddl = engine.execute_sql("SHOW CREATE TABLE partition_table_t").collect()[0][
+        "create_table"
+    ]
+    assert "PARTITION BY KEY(`name`) PARTITIONS 4" in ddl
+    vals = ", ".join(f"(1651737067000, 'horaedb{i}', {100 + i})" for i in range(11))
+    engine.execute_sql(f"INSERT INTO partition_table_t (t, name, value) VALUES {vals}")
+    out = engine.execute_sql(
+        "SELECT * from partition_table_t where name = 'horaedb0'"
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 100.0
+    out = engine.execute_sql(
+        "SELECT * from partition_table_t where name in "
+        "('horaedb0','horaedb1','horaedb2','horaedb3','horaedb4') order by name"
+    ).collect()
+    assert [r["name"] for r in out] == [f"horaedb{i}" for i in range(5)]
+    # pruning via the Table API matches the SQL result
+    pruned = engine.table("partition_table_t").read_pruned({"name": "horaedb0"})
+    assert [r["value"] for r in pruned.collect()] == [100.0]
+    engine.execute_sql("ALTER TABLE partition_table_t ADD COLUMN (b string)")
+    engine.execute_sql(
+        "INSERT INTO partition_table_t (t, name, value, b) VALUES (1651737068000, 'x', 1, 'bb')"
+    )
+    out = engine.execute_sql(
+        "SELECT b from partition_table_t where name = 'x'"
+    ).collect()
+    assert out[0]["b"] == "bb"
