@@ -219,9 +219,25 @@ class Engine:
             if not cm:
                 raise ValueError(f"cannot parse column def {item!r}")
             cname, ctype, rest = _unquote(cm.group(1)), cm.group(2).lower(), cm.group(3)
-            rl = rest.lower()
+            # inline `t timestamp NOT NULL TIMESTAMP KEY` (create_tables.sql
+            # corpus; exactly one timestamp key per table — schema.rs:628)
+            ts_inline = re.search(r"\btimestamp\s+key\b(?!\s*\()", rest, re.I)
+            if ts_inline:
+                if ts_key is not None:
+                    raise ValueError("table already has a timestamp key")
+                ts_key = cname
+                rest = rest[: ts_inline.start()] + rest[ts_inline.end() :]
             comment_m = re.search(r"comment\s+'([^']*)'", rest, re.I)
-            default_m = re.search(r"default\s+(\S+)", rest, re.I)
+            if comment_m:
+                rest = rest[: comment_m.start()] + rest[comment_m.end() :]
+            # DEFAULT takes the remainder of the column def: expression
+            # defaults like `default 1 + 1` / `default c3*2 + 1` are kept as
+            # SQL text and evaluated at write time (planner.rs:908
+            # insert_to_plan default-value exprs)
+            default_m = re.search(r"\bdefault\s+(.+)$", rest, re.I | re.S)
+            if default_m:
+                rest = rest[: default_m.start()]
+            rl = rest.lower()
             columns.append(
                 ColumnSchema(
                     name=cname,
@@ -230,7 +246,7 @@ class Engine:
                     is_nullable=not re.search(r"\bnot\s+null\b", rl),
                     is_dictionary=bool(re.search(r"\bdictionary\b", rl)),
                     comment=comment_m.group(1) if comment_m else "",
-                    default_value=_parse_literal(default_m.group(1)) if default_m else None,
+                    default_value=default_m.group(1).strip() if default_m else None,
                 )
             )
         if ts_key is None:
@@ -454,8 +470,8 @@ class Engine:
             if c.is_dictionary:
                 bits.append("dictionary")
             if c.default_value is not None:
-                dv = c.default_value
-                bits.append(f"DEFAULT '{dv}'" if isinstance(dv, str) else f"DEFAULT {dv}")
+                # default_value is raw SQL text (quotes included for strings)
+                bits.append(f"DEFAULT {c.default_value}")
             cols.append(" ".join(bits))
         if meta.schema.primary_key:
             cols.append("PRIMARY KEY(" + ", ".join(f"`{c}`" for c in meta.schema.primary_key) + ")")

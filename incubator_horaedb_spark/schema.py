@@ -77,6 +77,11 @@ class ColumnSchema:
             raise SchemaError(f"unsupported type {self.kind!r} for column {self.name!r}")
         if self.is_tag and self.kind in _INVALID_TAG_TYPES:
             raise SchemaError(f"invalid tag type {self.kind!r} for column {self.name!r}")
+        if self.is_dictionary and self.kind != "string":
+            # column_schema.rs:226-229 is_valid_dictionary_type: String only
+            raise SchemaError(
+                f"invalid dictionary type {self.kind!r} for column {self.name!r}"
+            )
 
     @property
     def spark_type(self) -> T.DataType:

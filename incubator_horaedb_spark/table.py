@@ -59,7 +59,13 @@ class Table:
         # align to declared schema: missing columns → default value / NULL
         for col in schema.columns:
             if col.name not in df.columns:
-                default = F.lit(col.default_value).cast(col.spark_type)
+                # defaults are SQL expression text (may reference earlier
+                # columns, e.g. `c5 uint32 default c3*2 + 1`) — evaluated in
+                # schema order so prior defaults are in scope
+                dv = col.default_value
+                default = (F.expr(dv) if isinstance(dv, str) else F.lit(dv)).cast(
+                    col.spark_type
+                )
                 df = df.withColumn(col.name, default)
         df = df.select(
             *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in schema.columns]

@@ -291,3 +291,48 @@ def test_partition_table_corpus(engine):
         "SELECT b from partition_table_t where name = 'x'"
     ).collect()
     assert out[0]["b"] == "bb"
+
+
+def test_create_tables_corpus(engine):
+    # env/local/ddl/create_tables.sql: inline TIMESTAMP KEY, exactly-one
+    # timestamp key, duplicate-create errors, IF NOT EXISTS, expression
+    # DEFAULTs (incl. cross-column), dictionary type validation.
+    with pytest.raises(ValueError):  # no timestamp key (schema.rs:628)
+        engine.execute_sql("CREATE TABLE ct (c1 int) ENGINE = Analytic")
+    engine.execute_sql(
+        "CREATE TABLE ct (c1 int, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic"
+    )
+    with pytest.raises(Exception):  # duplicate create
+        engine.execute_sql(
+            "CREATE TABLE ct (c1 int, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic"
+        )
+    engine.execute_sql(  # IF NOT EXISTS is fine
+        "CREATE TABLE IF NOT EXISTS ct (c1 int, t timestamp NOT NULL, TIMESTAMP KEY(t)) "
+        "ENGINE = Analytic"
+    )
+    # inline timestamp key
+    engine.execute_sql(
+        "CREATE TABLE ct5 (c1 int, t timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic"
+    )
+    desc = {r["name"]: r for r in engine.execute_sql("DESCRIBE TABLE ct5").collect()}
+    assert desc["t"]["is_primary"]
+    with pytest.raises(ValueError):  # two timestamp keys
+        engine.execute_sql(
+            "CREATE TABLE ct6 (c1 int, t1 timestamp NOT NULL TIMESTAMP KEY, "
+            "t2 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic"
+        )
+    with pytest.raises(Exception):  # dictionary only for string
+        engine.execute_sql(
+            "CREATE TABLE ct9 (c1 int, d double dictionary, "
+            "t1 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic"
+        )
+    # expression defaults, incl. one referencing an earlier default column
+    engine.execute_sql(
+        "CREATE TABLE ct9 (c1 int, c2 bigint default 0, c3 int default 1 + 1, "
+        "c4 string default 'xxx', c5 int default c3*2 + 1, "
+        "t1 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic "
+        "WITH(enable_ttl='false')"  # the epoch-1970 test row must survive TTL
+    )
+    engine.execute_sql("INSERT INTO ct9 (c1, t1) VALUES (7, 1000)")
+    row = engine.execute_sql("SELECT * FROM ct9").collect()[0]
+    assert (row["c2"], row["c3"], row["c4"], row["c5"]) == (0, 2, "xxx", 5)
