@@ -310,7 +310,10 @@ class Engine:
                 raise ValueError("cannot alter primary key")  # plan.rs:55-56
             schema = schema.add_column(
                 ColumnSchema(
-                    name=cname, kind=ctype, is_tag=bool(re.search(r"\btag\b", rest.lower()))
+                    name=cname,
+                    kind=ctype,
+                    is_tag=bool(re.search(r"\btag\b", rest.lower())),
+                    is_dictionary=bool(re.search(r"\bdictionary\b", rest.lower())),
                 )
             )
         meta.schema = schema
@@ -319,8 +322,9 @@ class Engine:
 
     # --------------------------------------------------------------- DML --
     def _insert(self, stmt: str) -> None:
+        # optional TABLE keyword: `INSERT INTO TABLE t ...` (alter_table.sql)
         m = re.match(
-            rf"^insert\s+into\s+({_IDENT})\s*(\(([^)]*)\))?\s*values\s*(.+)$",
+            rf"^insert\s+into\s+(?:table\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*values\s*(.+)$",
             stmt,
             re.I | re.S,
         )

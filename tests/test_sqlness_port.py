@@ -336,3 +336,28 @@ def test_create_tables_corpus(engine):
     engine.execute_sql("INSERT INTO ct9 (c1, t1) VALUES (7, 1000)")
     row = engine.execute_sql("SELECT * FROM ct9").collect()[0]
     assert (row["c2"], row["c3"], row["c4"], row["c5"]) == (0, 2, "xxx", 5)
+
+
+def test_alter_table_corpus(engine):
+    # env/local/ddl/alter_table.sql: INSERT INTO TABLE keyword, ALTER ADD
+    # COLUMN (incl. dictionary), RENAME TO / DROP COLUMN rejected like the
+    # reference ("Unsupported SQL statement").
+    engine.execute_sql(
+        "CREATE TABLE at0 (a int, t timestamp NOT NULL, dic string dictionary, "
+        "TIMESTAMP KEY(t)) ENGINE = Analytic with (enable_ttl='false')"
+    )
+    engine.execute_sql("INSERT INTO TABLE at0 (a, t, dic) values (1, 1, 'd1')")
+    assert engine.execute_sql("SELECT * FROM at0").count() == 1
+    with pytest.raises(ValueError):
+        engine.execute_sql("ALTER TABLE at0 RENAME TO t1")
+    engine.execute_sql("ALTER TABLE at0 add COLUMN (b string)")
+    engine.execute_sql("ALTER TABLE at0 add COLUMN (add_dic string dictionary)")
+    desc = {r["name"]: r for r in engine.execute_sql("DESCRIBE TABLE at0").collect()}
+    assert desc["add_dic"]["is_dictionary"]
+    engine.execute_sql(
+        "INSERT INTO TABLE at0 (a, b, t, dic, add_dic) "
+        "VALUES (2, '2', 2, 'd11', 'd22'), (3, '3', 3, 'd22', 'd33')"
+    )
+    assert engine.execute_sql("SELECT * FROM at0").count() == 3
+    with pytest.raises(ValueError):
+        engine.execute_sql("ALTER TABLE at0 DROP COLUMN b")
