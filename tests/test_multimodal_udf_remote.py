@@ -99,3 +99,63 @@ def test_prom_remote_roundtrip(spark):
     # regex matcher across series
     out2 = remote_read_df(df, [("host", "=~", "a|b")], start_ms=0, end_ms=3000)
     assert out2.count() == 3
+
+
+def test_prom_remote_query_assertions(spark, tmp_path):
+    # Port of integration_tests/prom/remote-query.py:75-106: equality /
+    # regex / negated matchers, the __horaedb_field__ uppercase field
+    # selector, and case-sensitive mixed-case table + column names —
+    # through the dialect shim (write) and the remote-read plan (read).
+    from incubator_horaedb_spark.frontends.prom_remote import remote_read_df
+    from incubator_horaedb_spark.frontends.promql import parse_promql
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    ts = 1700000000000
+    for t in ("prom_remote_query_test", "PROM_REMOTE_QUERY_TEST"):
+        engine.execute_sql(
+            f"CREATE TABLE `{t}` (t timestamp NOT NULL, tag1 string TAG, "
+            f"`TAG2` string TAG, value double, `VALUE2` double, timestamp KEY(t)) "
+            "ENGINE=Analytic WITH(enable_ttl='false')"
+        )
+    engine.execute_sql(
+        "insert into prom_remote_query_test(t, tag1, `TAG2`, value, `VALUE2`) values "
+        f"({ts - 5000}, 'v1', 'v2', 1, 2), ({ts}, 'v1', 'v2', 11, 22)"
+    )
+    engine.execute_sql(
+        "insert into `PROM_REMOTE_QUERY_TEST`(t, tag1, `TAG2`, value, `VALUE2`) values "
+        f"({ts - 5000}, 'v1', 'v2', 10, 20), ({ts}, 'v1', 'v2', 110, 220)"
+    )
+
+    def pql(query):
+        pq = parse_promql(query)
+        sel = pq.selector
+        df = engine.table(sel.metric).read()
+        matchers = [(m.name, m.op, m.value) for m in sel.matchers]
+        out = remote_read_df(
+            df,
+            matchers,
+            start_ms=ts - sel.range_ms,
+            end_ms=ts,
+            ts_col="t",
+            value_col=sel.field_name or "value",
+        )
+        # output layout: (*tags, ts, value)
+        return sorted((r[-2].timestamp(), r[-1]) for r in out.collect())
+
+    base = "prom_remote_query_test"
+    assert pql(base + '{tag1="v1"}[5m]') == [(ts / 1000 - 5, 1.0), (ts / 1000, 11.0)]
+    assert pql(base + '{TAG2="v2"}[5m]') == [(ts / 1000 - 5, 1.0), (ts / 1000, 11.0)]
+    assert pql(base + '{tag1=~"v1"}[5m]') == [(ts / 1000 - 5, 1.0), (ts / 1000, 11.0)]
+    assert pql(base + '{tag1!="v1"}[5m]') == []
+    assert pql(base + '{tag1!~"v1"}[5m]') == []
+    # uppercase field selector
+    assert pql(base + '{tag1="v1",__horaedb_field__="VALUE2"}[5m]') == [
+        (ts / 1000 - 5, 2.0),
+        (ts / 1000, 22.0),
+    ]
+    # uppercase table
+    assert pql('PROM_REMOTE_QUERY_TEST{tag1="v1"}[5m]') == [
+        (ts / 1000 - 5, 10.0),
+        (ts / 1000, 110.0),
+    ]
