@@ -287,6 +287,140 @@ def blocked_near_dup_oracle_sql(d: Dialect, table: str = "embeddings", threshold
     )
 
 
+def blocked_topk_oracle_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10
+) -> str:
+    """All-pairs + row_number oracle for the blocked-GEMM top-k (quantized,
+    so the sequential-fold dot equals the GEMM bit-for-bit)."""
+    dot = _dot(d, "qs.qe", "e.q")
+    return d.cte_query(
+        [
+            ("qv", f"SELECT vec_id, {_quantize_sql(d, 'embedding')} AS q FROM {table}"),
+            ("normed", f"SELECT vec_id, q, sqrt({_dot(d, 'q', 'q')}) AS nrm FROM qv"),
+            (
+                "qs",
+                f"SELECT vec_id AS qid, q AS qe, nrm AS qnrm FROM normed "
+                f"WHERE vec_id < {n_queries}",
+            ),
+            (
+                "scored",
+                f"""SELECT qs.qid, e.vec_id, round(({dot}) / (qs.qnrm * e.nrm), 6) AS cosine
+      FROM qs JOIN normed e ON e.vec_id <> qs.qid""",
+            ),
+            (
+                "ranked",
+                """SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored""",
+            ),
+        ],
+        f"SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {k}",
+    )
+
+
+def blocked_topk(df, k: int = 5, n_queries: int = 10, corpus_df=None):
+    """Blocked-GEMM top-k ANN (the dense-math scale path for
+    ann_cosine_bruteforce).
+
+    Queries stay DISTRIBUTED (mapInPandas over the query rows); the corpus
+    is broadcast as one quantized block.  Each Arrow batch does one numpy
+    GEMM (queries_in_batch × corpus) and emits only its per-query top-k —
+    driver never sees the full score matrix.  At 100 TB the corpus is
+    looped over blocks: the kernel keeps a running (k)-heap per query
+    across blocks (equivalently: emit per-block top-k and re-rank with one
+    tiny window over k × n_blocks candidate rows, which is what this
+    rendering composes to).  Ranking ties break by vec_id ascending, same
+    as the oracle's ROW_NUMBER ordering; dyadic quantization (Q = 2^20)
+    makes GEMM partial sums exact so cosines are bit-identical to the
+    sequential-fold SQL oracle.
+
+    ``corpus_df`` scopes the broadcast block (defaults to ``df``): callers
+    loop blocks and re-rank the unioned per-block top-k — see
+    ``blocked_topk_over_blocks`` for the composed rendering.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _q(m: "np.ndarray") -> "np.ndarray":
+        return np.sign(m) * np.floor(np.abs(m) * Q + 0.5) / Q
+
+    rows = (corpus_df if corpus_df is not None else df).select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    corpus = _q(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    norms = np.sqrt((corpus * corpus).sum(axis=1))
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_corpus = spark.sparkContext.broadcast(corpus)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_nrm = b_ids.value, b_corpus.value, b_norms.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_mat = _q(np.array(list(pdf["embedding"]), dtype=np.float64))
+            q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+            s = q_mat @ c_mat.T / np.outer(q_nrm, c_nrm)
+            s = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6  # round(.,6)
+            out_q, out_v, out_c = [], [], []
+            for i, qid in enumerate(q_ids):
+                row = s[i]
+                keep = c_ids != qid
+                # lexsort: last key is primary → (-cosine, vec_id asc)
+                order = np.lexsort((c_ids[keep], -row[keep]))[:k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_v.append(c_ids[keep][order])
+                out_c.append(row[keep][order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    return (
+        df.select("vec_id", "embedding")
+        .where(df.vec_id < n_queries)
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
+def blocked_topk_over_blocks(df, block_dfs, k: int = 5, n_queries: int = 10):
+    """Top-k composed over corpus blocks: per-block top-k (each a broadcast
+    GEMM pass) unioned, then ONE window over ≤ k × n_blocks candidate rows
+    per query.  Provably equals single-block top-k: the global i-th best is
+    within its own block's top-k for every i ≤ k.  This is the 100 TB
+    execution shape — no block ever holds more than its slice, the re-rank
+    input is tiny (k × n_blocks rows/query), and the final window is a
+    per-query sort of a few dozen rows."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = [blocked_topk(df, k=k, n_queries=n_queries, corpus_df=b) for b in block_dfs]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def blocked_near_dup_pairs(df, threshold: float = 0.45):
     """Spark side: quantize → collect+broadcast the corpus block → numpy
     GEMM per mapInPandas batch → emit pairs over the threshold.

@@ -120,3 +120,15 @@ register(
     "embedding_near_dup_blocked",
     oracle=similarity.blocked_near_dup_oracle_sql(DUCK, threshold=0.45),
 )(_blocked_near_dup)
+
+
+def _blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.blocked_topk(emb, k=5, n_queries=10)
+
+
+_blocked_topk.__doc__ = similarity.blocked_topk.__doc__
+register(
+    "ann_topk_blocked",
+    oracle=similarity.blocked_topk_oracle_sql(DUCK, k=5, n_queries=10),
+)(_blocked_topk)
