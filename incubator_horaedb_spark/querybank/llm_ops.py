@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from incubator_horaedb_spark.operators import dedup, similarity, text
 from incubator_horaedb_spark.operators.dialect import DUCK, SPARK
-from incubator_horaedb_spark.querybank.registry import load, register
+from incubator_horaedb_spark.querybank.registry import load, register, widen_for_compute
 
 
 def _sql_query(name: str, template_fn, **kw):
@@ -38,29 +38,40 @@ def _sql_query(name: str, template_fn, **kw):
 _sql_query("dedup_exact", dedup.exact_dedup_sql)
 
 
+def _stage(df: DataFrame, view: str) -> DataFrame:
+    """Cache ``df`` as ``view`` and materialize it NOW.  The cache is an
+    optimizer barrier (stops projection collapse from re-inlining expensive
+    HOF subtrees) — but a lazy cache is filled during the *final* query's
+    job, where N concurrent scans of the not-yet-filled InMemoryRelation
+    race and each recompute the subtree (measured: minhash 1.9s lazy vs
+    1.2s with eager sequential fills at sf0.1).  One count() per stage
+    makes every downstream scan a cache read."""
+    df.cache().createOrReplaceTempView(view)
+    df.count()
+    return df
+
+
 def _staged_shingles(spark: SparkSession, sf_dir: str, view: str) -> None:
     """Materialize documents → token hashes → distinct shingle hashes as
     cached view ``view``.  Two stages, because CTE inlining would otherwise
     re-evaluate the O(chars) token-hash expression at each reference
-    (measured 1.8s → 0.57s for the stage at sf0.1)."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    tokh = spark.sql(dedup.tokh_select(SPARK, "documents"))
-    tokh.cache().createOrReplaceTempView(f"{view}_tokh")
-    hs = spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh"))
-    hs.cache().createOrReplaceTempView(view)
+    (measured 1.8s → 0.57s for the stage at sf0.1).  The scan is widened
+    first — the token-hash fold is interpreted per-char work that must not
+    run on one input split (widen_for_compute docstring)."""
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), f"{view}_tokh")
+    _stage(spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh")), view)
 
 
 def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_shingles(spark, sf_dir, "__minhash_hs")
-    sig = spark.sql(dedup.minhash_sig_select(SPARK, "__minhash_hs"))
-    sig.cache().createOrReplaceTempView("__minhash_sig")
+    _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__minhash_hs")), "__minhash_sig")
     return spark.sql(dedup.minhash_pairs_select(SPARK, "__minhash_hs", "__minhash_sig", 0.8))
 
 
 def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_shingles(spark, sf_dir, "__simhash_hs")
-    sh = spark.sql(dedup.simhash_from_hs_select(SPARK, "__simhash_hs"))
-    sh.cache().createOrReplaceTempView("__simhash_sh")
+    _stage(spark.sql(dedup.simhash_from_hs_select(SPARK, "__simhash_hs")), "__simhash_sh")
     return spark.sql(dedup.simhash_pairs_from(SPARK, "__simhash_sh"))
 
 
@@ -90,11 +101,9 @@ _sql_query(
 )
 
 def _staged_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    normed = spark.sql(similarity.normed_select(SPARK, "embeddings"))
-    normed.cache().createOrReplaceTempView("__rhp_normed")
-    sig = spark.sql(similarity.rhp_sig_select(SPARK, "__rhp_normed"))
-    sig.cache().createOrReplaceTempView("__rhp_sig")
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView("embeddings")
+    _stage(spark.sql(similarity.normed_select(SPARK, "embeddings")), "__rhp_normed")
+    _stage(spark.sql(similarity.rhp_sig_select(SPARK, "__rhp_normed")), "__rhp_sig")
     return spark.sql(similarity.rhp_pairs_from(SPARK, "__rhp_sig", "__rhp_normed", 0.45))
 
 

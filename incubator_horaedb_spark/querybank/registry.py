@@ -64,6 +64,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_for_compute(df: DataFrame, target_bytes: int = 64 << 10) -> DataFrame:
+    """Widen a scan for interpreted-HOF / UDF-heavy pipelines.
+
+    Spark sizes input splits for parquet SCAN cost (128 MB default), but an
+    interpreted higher-order-function stage (per-token hash folds, per-plane
+    zip_with dots) costs ~100× more per byte — at small corpus sizes the
+    whole stage lands on one split and runs on one core (measured: the sf0.1
+    token-hash stage is a single task, 1.6s of a 1.9s query).  Target ~64 KiB
+    of compressed input per task instead, capped at 2× parallelism; when the
+    natural split count already meets the target (any real-scale dataset),
+    this is a no-op — no shuffle is inserted.
+    """
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+        total = sum(_os.path.getsize(f.removeprefix("file:")) for f in files)
+    except Exception:
+        return df
+    spark = df.sparkSession
+    cap = spark.sparkContext.defaultParallelism * 2
+    want = min(cap, max(1, -(-total // target_bytes)))
+    if want > df.rdd.getNumPartitions():
+        return df.repartition(want)
+    return df
+
+
 def load_time_range(
     spark: SparkSession,
     sf_dir: str,
