@@ -53,6 +53,7 @@ class InfluxQuery:
     group_tags: list[str]
     order_desc: bool
     limit: int | None
+    fill: float | str | None = None  # number | "null" (default grid) | "none"
 
 
 def parse_influxql(q: str) -> InfluxQuery:
@@ -75,10 +76,20 @@ def parse_influxql(q: str) -> InfluxQuery:
             projections.append((agg_m.group(1).lower(), agg_m.group(2)))
         else:
             projections.append((None, item.strip('"')))
-    group_time_ms, group_tags = None, []
+    group_time_ms, group_tags, fill = None, [], None
     if m.group("group"):
-        for g in m.group("group").split(","):
+        group_raw = m.group("group")
+        # fill(<n>|null|none) trails the GROUP BY list
+        # (influxql/basic.sql `group by location, time(5m) fill(666)`)
+        f_m = re.search(r"\bfill\(\s*(-?\d+(?:\.\d+)?|null|none|previous)\s*\)", group_raw, re.I)
+        if f_m:
+            v = f_m.group(1).lower()
+            fill = v if v in ("null", "none", "previous") else float(f_m.group(1))
+            group_raw = group_raw[: f_m.start()] + group_raw[f_m.end() :]
+        for g in group_raw.split(","):
             g = g.strip()
+            if not g:
+                continue
             t_m = _INTERVAL_RE.match(g)
             if t_m:
                 group_time_ms = int(t_m.group(1)) * _UNIT_MS[t_m.group(2).lower()]
@@ -97,21 +108,41 @@ def parse_influxql(q: str) -> InfluxQuery:
         group_tags=group_tags,
         order_desc=bool(m.group("desc")),
         limit=int(m.group("limit")) if m.group("limit") else None,
+        fill=fill,
     )
 
 
 _COND_RE = re.compile(r"^\"?(\w+)\"?\s*(>=|<=|=|!=|>|<)\s*(.+)$")
+# epoch time literal with InfluxQL duration-unit suffix: `1439828400000ms`
+# (influxql/basic.sql `where time < 1439828400000ms`)
+_TIME_EPOCH_RE = re.compile(r"^(\d+)(ns|u|µ|ms|s)?$")
+_EPOCH_TO_MS = {"ns": 1e-6, "u": 1e-3, "µ": 1e-3, "ms": 1, "s": 1000, None: 1}
+
+
+def _time_literal_ms(raw: str) -> int | None:
+    m = _TIME_EPOCH_RE.match(raw)
+    if not m:
+        return None
+    return int(int(m.group(1)) * _EPOCH_TO_MS[m.group(2)])
 
 
 def _condition_to_column(cond: str, ts_col: str):
+    """Returns (filter Column, time_bound) where time_bound is
+    (op, epoch_ms) for numeric time comparisons (drives the fill grid)."""
     m = _COND_RE.match(cond.strip())
     if not m:
         raise ValueError(f"unsupported condition: {cond!r}")
     name, op, raw = m.groups()
     raw = raw.strip()
+    bound = None
     if name == "time":
         name = ts_col
-        value = F.lit(raw.strip("'")).cast("timestamp")
+        epoch_ms = _time_literal_ms(raw)
+        if epoch_ms is not None:
+            value = F.timestamp_millis(F.lit(epoch_ms))
+            bound = (op, epoch_ms)
+        else:
+            value = F.lit(raw.strip("'")).cast("timestamp")
     elif raw.startswith("'"):
         value = F.lit(raw.strip("'"))
     else:
@@ -124,7 +155,7 @@ def _condition_to_column(cond: str, ts_col: str):
         ">=": col >= value,
         "<": col < value,
         "<=": col <= value,
-    }[op]
+    }[op], bound
 
 
 def influxql_to_df(
@@ -138,8 +169,16 @@ def influxql_to_df(
     if iq.measurement not in tables:
         raise KeyError(f"unknown measurement {iq.measurement!r}")
     df = tables[iq.measurement]
+    lo_ms = hi_ms = None
     for cond in iq.conditions:
-        df = df.filter(_condition_to_column(cond, ts_col))
+        col, bound = _condition_to_column(cond, ts_col)
+        df = df.filter(col)
+        if bound:
+            op, ms = bound
+            if op in (">", ">="):
+                lo_ms = ms + (1 if op == ">" else 0)
+            elif op in ("<", "<="):
+                hi_ms = ms + (1 if op == "<=" else 0)  # exclusive upper
 
     if any(agg for agg, _ in iq.projections):
         group_cols = []
@@ -152,16 +191,73 @@ def influxql_to_df(
             if agg
         ]
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        if iq.group_time_ms and iq.fill != "none":
+            out = _fill_time_grid(out, iq, lo_ms, hi_ms)
         order = F.col("time") if iq.group_time_ms else None
     else:
         cols = [F.col(ts_col).alias("time")] + [F.col(c) for _, c in iq.projections]
         out = df.select(*cols)
         order = F.col("time")
     if order is not None:
-        out = out.orderBy(order.desc() if iq.order_desc else order)
+        keys = [F.col(t) for t in iq.group_tags] + [order.desc() if iq.order_desc else order]
+        out = out.orderBy(*keys)
     if iq.limit:
         out = out.limit(iq.limit)
     return out
+
+
+def _fill_time_grid(out: DataFrame, iq: InfluxQuery, lo_ms: int | None, hi_ms: int | None) -> DataFrame:
+    """InfluxDB time-grid semantics (golden influxql/basic.result): a
+    GROUP BY time(..) query emits EVERY bucket of the grid per series —
+    from the WHERE lower bound (else the first bucket with data) to the
+    WHERE upper bound (else the last with data) — with missing buckets
+    NULL, or the fill(<n>) constant / fill(previous) carry-forward.
+
+    Distributed shape: the grid is a per-series sequence() explode sized
+    span/interval (bounded — it's the query's own step count), joined
+    against the aggregated buckets; never a driver-side loop."""
+    step = iq.group_time_ms
+    spark = out.sparkSession
+    # grid bounds: prefer WHERE bounds; fall back to the data's extent
+    # (a 2-value collect over the already-aggregated buckets).
+    if lo_ms is None or hi_ms is None:
+        ext = out.agg(
+            F.min(F.unix_millis("time")).alias("lo"), F.max(F.unix_millis("time")).alias("hi")
+        ).collect()[0]
+        if ext["lo"] is None:
+            return out  # no data, no bounds → empty result stays empty
+        lo_ms = lo_ms if lo_ms is not None else ext["lo"]
+        hi_ms = hi_ms if hi_ms is not None else ext["hi"] + 1
+    start = (lo_ms // step) * step
+    end = ((hi_ms - 1) // step) * step
+    if end < start:
+        return out
+    buckets = spark.range(1).select(
+        F.explode(F.sequence(F.lit(start), F.lit(end), F.lit(step))).alias("__ms")
+    ).select(F.timestamp_millis(F.col("__ms")).alias("time"))
+    grid = (
+        out.select(*iq.group_tags).distinct().crossJoin(buckets)
+        if iq.group_tags
+        else buckets
+    )
+    joined = grid.join(out, on=["time", *iq.group_tags], how="left")
+    if isinstance(iq.fill, float):
+        agg_cols = [c for c in out.columns if c not in ("time", *iq.group_tags)]
+        for c in agg_cols:
+            fill_lit = F.lit(iq.fill).cast(joined.schema[c].dataType)
+            joined = joined.withColumn(c, F.coalesce(F.col(c), fill_lit))
+    elif iq.fill == "previous":
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*iq.group_tags)
+            .orderBy("time")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        agg_cols = [c for c in out.columns if c not in ("time", *iq.group_tags)]
+        for c in agg_cols:
+            joined = joined.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return joined
 
 
 def show_measurements(tables: dict[str, DataFrame]) -> list[str]:

@@ -153,7 +153,7 @@ class Engine:
             if low.startswith(("describe", "desc ")):
                 return self._describe(stmt)
             if low.startswith("show tables"):
-                return self._show_tables()
+                return self._show_tables(stmt)
             if low.startswith("show databases"):
                 return self._show_databases()
             if low.startswith("show create table"):
@@ -394,6 +394,10 @@ class Engine:
 
         self.register_views()
         register_sql_functions(self.spark)
+        # EXPLAIN VERBOSE (DataFusion: show every optimizer pass — corpus
+        # dml/issue-1087.sql) → Spark's EXPLAIN EXTENDED (parsed/analyzed/
+        # optimized/physical), the closest all-stages rendering.
+        stmt = re.sub(r"^explain\s+verbose\b", "EXPLAIN EXTENDED", stmt, flags=re.I)
         return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
 
     def _coerce_ts_literals(self, stmt: str) -> str:
@@ -452,9 +456,19 @@ class Engine:
             "is_tag boolean, is_dictionary boolean"
         )
 
-    def _show_tables(self) -> DataFrame:
+    def _show_tables(self, stmt: str = "show tables") -> DataFrame:
+        # SHOW TABLES [LIKE 'pat'] — SQL-LIKE pattern, '_'→'.' '%'→'.*',
+        # anchored (show.rs:208-216 to_pattern_re; corpus
+        # env/local/system/system_tables.sql `SHOW TABLES LIKE '01%'`)
+        names = self.catalog.list_tables()
+        m = re.match(r"^show\s+tables(?:\s+like\s+'([^']*)')?\s*$", stmt, re.I)
+        if not m:
+            raise ValueError(f"cannot parse SHOW TABLES: {stmt!r}")
+        if m.group(1) is not None:
+            pat = re.compile("^" + m.group(1).replace("_", ".").replace("%", ".*") + "$")
+            names = [t for t in names if pat.match(t)]
         return self.spark.createDataFrame(
-            [(t,) for t in self.catalog.list_tables()], "table_name string"
+            [(t,) for t in names], "table_name string"
         )
 
     def _show_databases(self) -> DataFrame:

@@ -93,3 +93,67 @@ def test_show_measurements(spark, sf_dir):
         "cpu": load(spark, sf_dir, "events"),
     }
     assert show_measurements(tables) == ["cpu", "events"]
+
+
+def test_influxql_fill_grid_golden(spark):
+    # Golden port of influxql/basic.sql group-by-time cases: the bucket grid
+    # spans data-min bucket → WHERE upper bound; missing buckets are NULL
+    # without fill, the constant with fill(666); `ms`-suffixed epoch time
+    # literals parse (basic.result golden values).
+    rows = [
+        (1439827200000, "between 6 and 9 feet", "coyote_creek", 8.12),
+        (1439827200000, "below 3 feet", "santa_monica", 2.064),
+        (1439827560000, "between 6 and 9 feet", "coyote_creek", 8.005),
+        (1439827560000, "below 3 feet", "santa_monica", 2.116),
+        (1439827620000, "between 6 and 9 feet", "coyote_creek", 7.887),
+        (1439827620000, "below 3 feet", "santa_monica", 2.028),
+    ]
+    from pyspark.sql import functions as F
+
+    h2o = spark.createDataFrame(
+        rows, "ms long, level_description string, location string, water_level double"
+    ).withColumn("ts", F.timestamp_millis("ms"))
+
+    def run(q):
+        df = influxql_to_df(q, {"h2o_feet": h2o})
+        return [
+            (int(r["time"].timestamp() * 1000), r["location"], r["count_water_level"])
+            for r in df.collect()
+        ]
+
+    golden_null = [
+        (1439827200000, "coyote_creek", 1),
+        (1439827500000, "coyote_creek", 2),
+        (1439827800000, "coyote_creek", None),
+        (1439828100000, "coyote_creek", None),
+        (1439827200000, "santa_monica", 1),
+        (1439827500000, "santa_monica", 2),
+        (1439827800000, "santa_monica", None),
+        (1439828100000, "santa_monica", None),
+    ]
+    got = run(
+        "SELECT count(water_level) FROM h2o_feet where time < 1439828400000ms "
+        "group by location, time(5m)"
+    )
+    assert got == golden_null
+
+    got = run(
+        "SELECT count(water_level) FROM h2o_feet where time < 1439828400000ms "
+        "group by location, time(5m) fill(666)"
+    )
+    golden_fill = [(t, loc, 666 if c is None else c) for t, loc, c in golden_null]
+    assert got == golden_fill
+
+    # fill(none) suppresses the grid: only buckets with data
+    got = run(
+        "SELECT count(water_level) FROM h2o_feet where time < 1439828400000ms "
+        "group by location, time(5m) fill(none)"
+    )
+    assert got == [r for r in golden_null if r[2] is not None]
+
+    # fill(previous) carries the last seen value forward
+    got = run(
+        "SELECT count(water_level) FROM h2o_feet where time < 1439828400000ms "
+        "group by location, time(5m) fill(previous)"
+    )
+    assert got == [(t, loc, 2 if c is None else c) for t, loc, c in golden_null]

@@ -361,3 +361,40 @@ def test_alter_table_corpus(engine):
     assert engine.execute_sql("SELECT * FROM at0").count() == 3
     with pytest.raises(ValueError):
         engine.execute_sql("ALTER TABLE at0 DROP COLUMN b")
+
+
+def test_system_tables_show_like(engine):
+    # env/local/system/system_tables.sql: SHOW TABLES LIKE '01%' — SQL-LIKE
+    # pattern filtering of the table list (show.rs:208-216 to_pattern_re).
+    engine.execute_sql(
+        "CREATE TABLE `01_system_table1` (`timestamp` timestamp NOT NULL, "
+        "`arch` string TAG, `value` double, timestamp KEY (timestamp)) ENGINE=Analytic"
+    )
+    engine.execute_sql(
+        "CREATE TABLE other_table (`t` timestamp NOT NULL, `v` double, "
+        "timestamp KEY (t)) ENGINE=Analytic"
+    )
+    like = [r["table_name"] for r in engine.execute_sql("SHOW TABLES LIKE '01%'").collect()]
+    assert like == ["01_system_table1"]
+    # '_' is a single-char wildcard, pattern is anchored (show.rs:214-215)
+    assert engine.execute_sql("SHOW TABLES LIKE '01_system_table_'").count() == 1
+    assert engine.execute_sql("SHOW TABLES LIKE '01'").count() == 0
+    both = [r["table_name"] for r in engine.execute_sql("SHOW TABLES").collect()]
+    assert set(both) >= {"01_system_table1", "other_table"}
+
+
+def test_explain_corpus(engine):
+    # common/explain/explain.sql: EXPLAIN SELECT returns a plan; dml/
+    # issue-1087.sql: `explain verbose` (DataFusion all-passes rendering) is
+    # accepted and maps to Spark's EXPLAIN EXTENDED.
+    engine.execute_sql(
+        "CREATE TABLE `04_explain_t` (t timestamp NOT NULL, TIMESTAMP KEY(t)) "
+        "ENGINE=Analytic"
+    )
+    plan = engine.execute_sql("EXPLAIN SELECT t FROM `04_explain_t`").collect()[0][0]
+    assert "Scan" in plan or "Physical" in plan
+    verbose = engine.execute_sql(
+        "explain verbose select * from `04_explain_t`"
+    ).collect()[0][0]
+    assert "Parsed Logical Plan" in verbose  # all optimizer stages shown
+    engine.execute_sql("DROP TABLE `04_explain_t`")
