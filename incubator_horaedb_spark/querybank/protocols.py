@@ -132,6 +132,48 @@ def influxql_groupby_time_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "influxql_fill_grid",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             count(value) AS count_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        AND value > 300
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.time
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                      TIMESTAMP '2024-01-19 18:00:00',
+                                      INTERVAL 6 HOUR)) AS time
+      ) g
+    )
+    SELECT g.time, g.event_type, coalesce(a.count_value, 666) AS count_value
+    FROM grid g
+    LEFT JOIN agg a ON a.time = g.time AND a.event_type = g.event_type
+    """,
+)
+def influxql_fill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL GROUP BY time(..) fill(<n>): the full bucket grid per series
+    with missing buckets filled — golden semantics from influxql/
+    basic.result (grid spans WHERE bounds; count of an empty generated
+    bucket is the fill constant, not 0).  Also exercises `ms`-suffixed
+    epoch time literals.  The sparse filter (value > 300) makes ~2/3 of
+    the 6h buckets empty, so the grid join is actually exercised."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END)
+    return influxql_to_df(
+        "SELECT count(value) FROM events "
+        "WHERE time >= 1704412800000ms AND time < 1705708800000ms AND value > 300 "
+        "GROUP BY time(6h), event_type fill(666)",
+        {"events": ev},
+    )
+
+
+@register(
     "influxql_raw_topn",
     oracle="""
     SELECT ts AS time, round(value, 4) AS value
