@@ -123,6 +123,13 @@ def parse_query_request(payload: dict[str, Any]) -> OpenTsdbQueryRequest:
                 filters=[
                     OpenTsdbFilter(type=f["type"], tagk=f["tagk"], filter=f["filter"])
                     for f in q.get("filters", [])
+                ]
+                # legacy exact-match tag map (`"tags": {"location": "x"}`,
+                # corpus env/local/opentsdb/basic.sql) — each entry is a
+                # single-value literal_or filter (opentsdb/types.rs tags)
+                + [
+                    OpenTsdbFilter(type="literal_or", tagk=k, filter=str(v))
+                    for k, v in q.get("tags", {}).items()
                 ],
                 group_by_tags=[f["tagk"] for f in q.get("filters", []) if f.get("groupBy")],
             )

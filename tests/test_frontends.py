@@ -157,3 +157,40 @@ def test_influxql_fill_grid_golden(spark):
         "group by location, time(5m) fill(previous)"
     )
     assert got == [(t, loc, 2 if c is None else c) for t, loc, c in golden_null]
+
+
+def test_opentsdb_basic_golden(spark):
+    # Golden port of env/local/opentsdb/basic.sql: aggregator "none"
+    # returns raw time-ordered samples; the legacy "tags" map filters
+    # exactly; aggregator "sum" (no downsample) sums ACROSS SERIES PER
+    # TIMESTAMP (basic.result dps: 1439827200000 → 8.12+2.064 = 10.184).
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.frontends.opentsdb import query_to_dfs
+
+    rows = [
+        (1439827200000, "between 6 and 9 feet", "coyote_creek", 8.12),
+        (1439827200000, "below 3 feet", "santa_monica", 2.064),
+        (1439827560000, "between 6 and 9 feet", "coyote_creek", 8.005),
+        (1439827560000, "below 3 feet", "santa_monica", 2.116),
+        (1439827620000, "between 6 and 9 feet", "coyote_creek", 7.887),
+        (1439827620000, "below 3 feet", "santa_monica", 2.028),
+    ]
+    t = spark.createDataFrame(
+        rows, "ms long, level_description string, location string, value double"
+    ).withColumn("ts", F.timestamp_millis("ms"))
+
+    def run(q):
+        (df,) = query_to_dfs(t, {"start": 1439827200000, "end": 1439827620000, "queries": [q]})
+        return df
+
+    assert run({"aggregator": "none", "metric": "t", "tags": {}}).count() == 6
+
+    tagged = run(
+        {"aggregator": "none", "metric": "t", "tags": {"location": "coyote_creek"}}
+    ).collect()
+    assert [r["value"] for r in tagged] == [8.12, 8.005, 7.887]
+
+    summed = run({"aggregator": "sum", "metric": "t", "tags": {}}).collect()
+    dps = {int(r["ts"].timestamp() * 1000): round(r["value"], 6) for r in summed}
+    assert dps == {1439827200000: 10.184, 1439827560000: 10.121, 1439827620000: 9.915}
