@@ -1,0 +1,91 @@
+"""Streaming window operators: watermarked windowed agg + stateful
+sessionizer (streaming/windows.py).  Driven by a file source with
+Trigger.AvailableNow and a memory sink for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.streaming.windows import sessionize, windowed_agg
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ms long, value double").withColumn(
+        "ts", F.timestamp_millis("ms")
+    ).drop("ms").write.mode("overwrite").parquet(path)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_agg_stream(spark, tmp_path):
+    path = str(tmp_path / "stream_src")
+    base = 1_700_000_000_000
+    rows = [
+        (1, base + 1_000, 1.0),
+        (1, base + 30_000, 2.0),
+        (2, base + 61_000, 4.0),
+        (1, base + 125_000, 8.0),
+    ]
+    _write_events(spark, path, rows)
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(path)
+    agg = windowed_agg(stream, "ts", window="1 minute", keys=("user_id",))
+    # append-mode windowed agg only emits finalized windows; availableNow
+    # finalizes nothing (watermark advances at NEXT batch) — use complete
+    # via update? append emits after watermark passes. For a bounded test,
+    # run in update mode through foreachBatch-free memory sink:
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].timestamp(), r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    t0 = base / 1000 // 60 * 60
+    assert got[(t0, 1)] == (2, 3.0)
+    assert got[(t0 + 60, 2)] == (1, 4.0)
+    assert got[(t0 + 120, 1)] == (1, 8.0)
+
+
+def test_sessionize_stream(spark, tmp_path):
+    path = str(tmp_path / "sess_src")
+    base = 1_700_000_000_000
+    gap = 60_000  # 1 minute inactivity gap
+    rows = [
+        # user 1: two events 10s apart (one session), then a 2nd session
+        # 10 minutes later — the first session closes when event 3 arrives
+        (1, base, 1.0),
+        (1, base + 10_000, 1.0),
+        (1, base + 600_000, 1.0),
+        # user 2: single event; its inactivity timeout (base+5s+gap) falls
+        # behind the watermark (base+600s), so the state EVICTS and the
+        # session closes in the finalizing batch — bounded state store
+        (2, base + 5_000, 1.0),
+    ]
+    _write_events(spark, path, rows)
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(path)
+    sess = sessionize(stream, "user_id", "ts", gap_ms=gap, watermark="0 seconds")
+    out = _run_stream(spark, sess, "sessions")
+    closed = {(r["key"]): (r["session_start_ms"], r["session_end_ms"], r["n_events"]) for r in out.collect()}
+    assert closed == {
+        1: (base, base + 10_000, 2),  # closed by the gap-exceeding 3rd event
+        2: (base + 5_000, base + 5_000, 1),  # closed by event-time timeout
+    }
+    # user 1's second session (the base+600s event) is still open — only
+    # closed sessions are emitted
+    assert all(r["n_events"] >= 1 for r in out.collect())
