@@ -305,6 +305,79 @@ def ngram_pairs_from(d: Dialect, hs_src: str, threshold: float) -> str:
     )
 
 
+# --- connected-component cluster representatives --------------------------
+# After pair generation, a dedup pipeline must CHOOSE one representative per
+# near-dup cluster (pairs alone over-remove: a~b, b~c must keep exactly one
+# of {a,b,c}).  Min-label propagation with a FIXED iteration count: label =
+# own id, then k rounds of label = min(label, neighbors' labels).  The fixed
+# k is part of the operator definition — both engines run identical rounds,
+# so results hash-match even if a pathological chain hasn't converged
+# (near-dup clusters are short-diameter in practice; k=8 covers diameter-8
+# chains).  At 100 TB each round is one edge equi-join + min-groupBy — the
+# standard large-graph CC shape (no driver-side union-find); rounds are
+# O(log diameter) with doubling variants if ever needed.
+CC_ITERS = 8
+
+
+def cc_edges_select(d: Dialect, pairs_src: str, threshold: float) -> str:
+    return f"SELECT doc_a, doc_b FROM {pairs_src} WHERE jaccard >= {threshold}"
+
+
+def cc_label_ctes(d: Dialect, edges_src: str) -> list[tuple[str, str]]:
+    """l0..l{CC_ITERS}: label tables (doc_id, lbl)."""
+    ctes = [
+        (
+            "l0",
+            f"""SELECT doc_id, doc_id AS lbl FROM (
+        SELECT doc_a AS doc_id FROM {edges_src}
+        UNION
+        SELECT doc_b AS doc_id FROM {edges_src}
+      ) m""",
+        )
+    ]
+    for i in range(1, CC_ITERS + 1):
+        ctes.append((f"l{i}", cc_iter_select(d, f"l{i - 1}", edges_src)))
+    return ctes
+
+
+def cc_iter_select(d: Dialect, prev: str, edges_src: str) -> str:
+    """One propagation round: every doc takes the min label over itself and
+    both edge directions."""
+    return f"""SELECT doc_id, min(lbl) AS lbl FROM (
+        SELECT doc_id, lbl FROM {prev}
+        UNION ALL
+        SELECT e.doc_b AS doc_id, l.lbl FROM {edges_src} e JOIN {prev} l ON l.doc_id = e.doc_a
+        UNION ALL
+        SELECT e.doc_a AS doc_id, l.lbl FROM {edges_src} e JOIN {prev} l ON l.doc_id = e.doc_b
+      ) u GROUP BY doc_id"""
+
+
+def cc_summary_select(d: Dialect, labels_src: str) -> str:
+    """(cluster_rep, n_members): representative = min doc_id = the
+    converged label; only multi-member clusters appear (every labeled doc
+    sits on at least one edge)."""
+    return (
+        f"SELECT lbl AS cluster_rep, count(*) AS n_members "
+        f"FROM {labels_src} GROUP BY lbl"
+    )
+
+
+def dedup_cluster_reps_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
+    """One-shot rendering (oracle side): full minhash-LSH pipeline →
+    verified pairs → fixed-k min-label propagation → cluster summary."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {_sig_cols()}\n      FROM ex GROUP BY doc_id"),
+        ]
+        + _pairs_ctes(d, "hs", "sig")
+        + [("edges", cc_edges_select(d, "verified", threshold))]
+        + cc_label_ctes(d, "edges")
+    )
+    return d.cte_query(ctes, cc_summary_select(d, f"l{CC_ITERS}"))
+
+
 def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
     """One-shot all-pairs token-3-gram Jaccard (oracle side; the quadratic
     baseline that minhash_lsh approximates — not the 100 TB path)."""

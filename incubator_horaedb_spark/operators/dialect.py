@@ -114,7 +114,12 @@ class Dialect:
         (see querybank/llm_ops.py) since inlining duplicates computation.
         """
         if self.engine == "duckdb":
-            chain = ",\n    ".join(f"{n} AS (\n{b}\n    )" for n, b in ctes)
+            # AS MATERIALIZED: DuckDB 1.0 still INLINES multi-referenced
+            # CTEs by default — an iterative chain (connected components)
+            # re-expands the whole prefix 3^k times ("Too many open files"
+            # on the parquet scan).  Forcing materialization computes each
+            # stage once, matching the staged Spark execution.
+            chain = ",\n    ".join(f"{n} AS MATERIALIZED (\n{b}\n    )" for n, b in ctes)
             return f"WITH {chain}\n    {final}"
         resolved: dict[str, str] = {}
 
