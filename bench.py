@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_bruteforce",
+    "ann_topk_blocked",
     "text_fingerprint",
 ]
 
