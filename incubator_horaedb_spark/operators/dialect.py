@@ -74,6 +74,23 @@ class Dialect:
         fn = "array_contains" if self.engine == "spark" else "list_contains"
         return f"{fn}({lst}, {x})"
 
+    def ordered_list(self, val: str, order: str) -> str:
+        """Aggregate ``val`` into an array ordered by ``order`` — Spark's
+        collect_list order is nondeterministic, so sort structs and strip;
+        DuckDB has ORDER BY inside list()."""
+        if self.engine == "spark":
+            return (
+                f"transform(array_sort(collect_list(struct({order} AS o, {val} AS v))), "
+                f"s -> s.v)"
+            )
+        return f"list({val} ORDER BY {order})"
+
+    def explode_range1(self, n: str, alias: str) -> str:
+        """A FROM-clause table of 1..n named ``alias`` (one column, same name)."""
+        if self.engine == "spark":
+            return f"(SELECT explode(sequence(1, {n})) AS {alias})"
+        return f"(SELECT unnest(range(1, {n} + 1)) AS {alias})"
+
     def str_array(self, items: list[str]) -> str:
         quoted = ", ".join(f"'{i}'" for i in items)
         return f"array({quoted})" if self.engine == "spark" else f"[{quoted}]"

@@ -287,6 +287,85 @@ def blocked_near_dup_oracle_sql(d: Dialect, table: str = "embeddings", threshold
     )
 
 
+# --- trained IVF: k-means (Lloyd) over quantized embeddings ---------------
+# The untrained IVF above probes buckets around arbitrary seed centroids;
+# a REAL IVF index trains centroids first.  Fixed-round Lloyd iterations,
+# deterministic cross-engine: vectors sit on the 2^-20 dyadic grid (sums
+# exact in any order), centroid updates are round(mean * 2^20)/2^20 (IEEE
+# division + half-away-rounding of identical doubles → identical), and
+# assignment ranks by round(cosine, 6) with cid tie-break.  The fixed
+# round count is part of the operator definition — both engines run the
+# same rounds, so results hash-match even before convergence.
+# At 100 TB each round is: one broadcast of K centroids, one cross join
+# (N×K scored rows, the standard k-means shape), one (cid, dim) partial
+# aggregation — no driver-side math; dims explode via an equi-free CROSS
+# JOIN with a 64-row dim table, K stays broadcast-small.
+KM_K = 8
+KM_ROUNDS = 3
+
+
+def km_quant_select(d: Dialect, table: str = "embeddings") -> str:
+    return f"SELECT vec_id, {_quantize_sql(d, 'embedding')} AS q FROM {table}"
+
+
+def km_qv_select(d: Dialect, quant_src: str) -> str:
+    return f"SELECT vec_id, q, sqrt({_dot(d, 'q', 'q')}) AS nrm FROM {quant_src}"
+
+
+def km_init_select(d: Dialect, qv_src: str) -> str:
+    """Deterministic seeding: the first K vectors (k-means++ at scale;
+    seeding strategy is orthogonal to the iteration machinery)."""
+    return f"SELECT vec_id AS cid, q AS ce, nrm AS cnrm FROM {qv_src} WHERE vec_id < {KM_K}"
+
+
+def km_assign_select(d: Dialect, qv_src: str, cent_src: str) -> str:
+    cos = f"({_dot(d, 'v.q', 'c.ce')}) / (v.nrm * c.cnrm)"
+    return f"""SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos}, 6) DESC, c.cid) AS rn
+        FROM {qv_src} v CROSS JOIN {cent_src} c
+      ) t WHERE rn = 1"""
+
+
+def km_update_select(d: Dialect, assign_src: str) -> str:
+    """New centroids: per-(cid, dim) mean over the cluster, re-quantized,
+    reassembled into an ordered array with its norm."""
+    val = d.at("a.q", "dims.dim")
+    mean_q = f"round((sum({val}) / count(*)) * {Q}) / {Q}"
+    arr = d.ordered_list("cv", "dim")
+    return f"""SELECT cid, ce, sqrt({_dot(d, 'ce', 'ce')}) AS cnrm FROM (
+        SELECT cid, {arr} AS ce FROM (
+          SELECT a.cid, dims.dim, {mean_q} AS cv
+          FROM {assign_src} a CROSS JOIN {d.explode_range1(str(DIM), 'dim')} dims
+          GROUP BY a.cid, dims.dim
+        ) per_dim GROUP BY cid
+      ) asm"""
+
+
+def km_summary_select(d: Dialect, assign_src: str) -> str:
+    """(cid, n_members, sum_vec_ids): pins the full assignment without
+    emitting N rows."""
+    return (
+        f"SELECT cid, count(*) AS n_members, sum(vec_id) AS sum_vec_ids "
+        f"FROM {assign_src} GROUP BY cid"
+    )
+
+
+def ivf_kmeans_sql(d: Dialect, table: str = "embeddings") -> str:
+    """One-shot rendering (oracle side)."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", km_qv_select(d, "qraw")),
+        ("cent1", km_init_select(d, "qv")),
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        ctes.append((f"a{r}", km_assign_select(d, "qv", f"cent{r}")))
+        if r < KM_ROUNDS:
+            ctes.append((f"cent{r + 1}", km_update_select(d, f"a{r}")))
+    return d.cte_query(ctes, km_summary_select(d, f"a{KM_ROUNDS}"))
+
+
 def blocked_topk_oracle_sql(
     d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10
 ) -> str:

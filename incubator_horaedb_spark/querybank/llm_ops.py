@@ -160,6 +160,33 @@ register(
 )(_blocked_near_dup)
 
 
+def _staged_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView(
+        "embeddings"
+    )
+    _stage(spark.sql(similarity.km_quant_select(SPARK, "embeddings")), "__km_qraw")
+    _stage(spark.sql(similarity.km_qv_select(SPARK, "__km_qraw")), "__km_qv")
+    cent = spark.sql(similarity.km_init_select(SPARK, "__km_qv")).localCheckpoint()
+    cent.createOrReplaceTempView("__km_cent1")
+    for r in range(1, similarity.KM_ROUNDS + 1):
+        # localCheckpoint per round: the assign→update chain would otherwise
+        # grow the logical plan multiplicatively (same cliff as the CC loop)
+        a = spark.sql(
+            similarity.km_assign_select(SPARK, "__km_qv", f"__km_cent{r}")
+        ).localCheckpoint()
+        a.createOrReplaceTempView(f"__km_a{r}")
+        if r < similarity.KM_ROUNDS:
+            cent = spark.sql(similarity.km_update_select(SPARK, f"__km_a{r}")).localCheckpoint()
+            cent.createOrReplaceTempView(f"__km_cent{r + 1}")
+    return spark.sql(
+        similarity.km_summary_select(SPARK, f"__km_a{similarity.KM_ROUNDS}")
+    )
+
+
+_staged_ivf_kmeans.__doc__ = similarity.ivf_kmeans_sql.__doc__
+register("ivf_kmeans_train", oracle=similarity.ivf_kmeans_sql(DUCK))(_staged_ivf_kmeans)
+
+
 def _blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.blocked_topk(emb, k=5, n_queries=10)
