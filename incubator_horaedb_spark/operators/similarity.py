@@ -366,6 +366,66 @@ def ivf_kmeans_sql(d: Dialect, table: str = "embeddings") -> str:
     return d.cte_query(ctes, km_summary_select(d, f"a{KM_ROUNDS}"))
 
 
+def km_probe_select(d: Dialect, qv_src: str, cent_src: str, n_probe: int, n_queries: int) -> str:
+    """Multi-probe bucket selection: each query keeps its ``n_probe``
+    nearest TRAINED centroids (recall knob — single-probe misses
+    neighbors that straddle a Voronoi boundary)."""
+    cos = f"({_dot(d, 'v.q', 'c.ce')}) / (v.nrm * c.cnrm)"
+    return f"""SELECT vec_id AS qid, q AS qe, nrm AS qnrm, cid AS pcid FROM (
+        SELECT v.vec_id, v.q, v.nrm, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos}, 6) DESC, c.cid) AS rn
+        FROM {qv_src} v CROSS JOIN {cent_src} c
+        WHERE v.vec_id < {n_queries}
+      ) t WHERE rn <= {n_probe}"""
+
+
+def km_search_ctes(
+    d: Dialect, qv_src: str, assign_src: str, cent_src: str, k: int, n_probe: int, n_queries: int
+) -> list[tuple[str, str]]:
+    return [
+        ("probe", km_probe_select(d, qv_src, cent_src, n_probe, n_queries)),
+        (
+            "hits",
+            f"""SELECT p.qid, a.vec_id,
+             round(({_dot(d, 'p.qe', 'a.q')}) / (p.qnrm * v.nrm), 6) AS cosine
+      FROM probe p
+      JOIN {assign_src} a ON a.cid = p.pcid AND a.vec_id <> p.qid
+      JOIN {qv_src} v ON v.vec_id = a.vec_id""",
+        ),
+        (
+            "ranked",
+            """SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM hits""",
+        ),
+    ]
+
+
+def ann_ivf_trained_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """End-to-end trained IVF: Lloyd rounds (ivf_kmeans_sql) then
+    multi-probe search of the trained index.  One-shot oracle rendering;
+    the Spark side stages training rounds with localCheckpoint."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", km_qv_select(d, "qraw")),
+        ("cent1", km_init_select(d, "qv")),
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        ctes.append((f"a{r}", km_assign_select(d, "qv", f"cent{r}")))
+        if r < KM_ROUNDS:
+            ctes.append((f"cent{r + 1}", km_update_select(d, f"a{r}")))
+    # the index is the (centroids, assignment) PAIR from the final round —
+    # probing must rank against the same centroids the buckets were built
+    # with, or boundary vectors land in unprobed buckets
+    ctes += km_search_ctes(
+        d, "qv", f"a{KM_ROUNDS}", f"cent{KM_ROUNDS}", k, n_probe, n_queries
+    )
+    return d.cte_query(ctes, f"SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {k}")
+
+
 def blocked_topk_oracle_sql(
     d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10
 ) -> str:

@@ -187,6 +187,29 @@ _staged_ivf_kmeans.__doc__ = similarity.ivf_kmeans_sql.__doc__
 register("ivf_kmeans_train", oracle=similarity.ivf_kmeans_sql(DUCK))(_staged_ivf_kmeans)
 
 
+def _staged_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_ivf_kmeans(spark, sf_dir)  # builds __km_qv, __km_cent{R}, __km_a{R}
+    r = similarity.KM_ROUNDS
+    # the search CTEs chain linearly (probe → hits → ranked, each
+    # referenced once) over the staged/checkpointed training views, so
+    # Spark's CTE inlining is harmless here — one query suffices
+    return spark.sql(
+        SPARK.cte_query(
+            similarity.km_search_ctes(
+                SPARK, "__km_qv", f"__km_a{r}", f"__km_cent{r}", k=5, n_probe=2, n_queries=10
+            ),
+            "SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 5",
+        )
+    )
+
+
+_staged_ann_ivf_trained.__doc__ = similarity.ann_ivf_trained_sql.__doc__
+register(
+    "ann_ivf_trained",
+    oracle=similarity.ann_ivf_trained_sql(DUCK, k=5, n_probe=2, n_queries=10),
+)(_staged_ann_ivf_trained)
+
+
 def _blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.blocked_topk(emb, k=5, n_queries=10)
