@@ -136,9 +136,10 @@ class Engine:
         return Table(self.spark, self.catalog, name)
 
     # ----------------------------------------------------------- dispatch --
-    def execute_sql(self, sql: str) -> DataFrame | None:
+    def execute_sql(self, sql: str) -> DataFrame | int | None:
         """Parse + interpret one statement.  Returns a DataFrame for
-        queries/DESCRIBE/SHOW, None for DDL/DML."""
+        queries/DESCRIBE/SHOW, an affected-row count for INSERT, None for
+        other DDL/DML."""
         stmt = sql.strip().rstrip(";").strip()
         low = stmt.lower()
         old_cs = self.spark.conf.get("spark.sql.caseSensitive")
@@ -321,7 +322,7 @@ class Engine:
         return None
 
     # --------------------------------------------------------------- DML --
-    def _insert(self, stmt: str) -> None:
+    def _insert(self, stmt: str) -> int:
         # optional TABLE keyword: `INSERT INTO TABLE t ...` (alter_table.sql)
         m = re.match(
             rf"^insert\s+into\s+(?:table\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*values\s*(.+)$",
@@ -379,12 +380,22 @@ class Engine:
             if schema.column(c).kind == "timestamp":
                 df = df.withColumn(c, F.timestamp_millis(F.col(c)))
         Table(self.spark, self.catalog, name).write(df)
-        return None
+        return len(rows)  # affected_rows (golden basic.result: INSERT → n)
 
     # ------------------------------------------------------------ queries --
+    # Spark temp-view names cannot contain '.', but the reference accepts
+    # dotted table names (OpenTSDB metrics like `sys.load` become tables,
+    # queried with backticks).  Views for such tables are registered under
+    # a mangled name and backtick-quoted references are rewritten.
+    @staticmethod
+    def _view_name(table: str) -> str:
+        return table.replace(".", "__dot__")
+
     def register_views(self) -> None:
         for t in self.catalog.list_tables():
-            Table(self.spark, self.catalog, t).read().createOrReplaceTempView(t)
+            Table(self.spark, self.catalog, t).read().createOrReplaceTempView(
+                self._view_name(t)
+            )
 
     def _query(self, stmt: str) -> DataFrame:
         from incubator_horaedb_spark.functions.sql_bindings import (
@@ -398,6 +409,9 @@ class Engine:
         # dml/issue-1087.sql) → Spark's EXPLAIN EXTENDED (parsed/analyzed/
         # optimized/physical), the closest all-stages rendering.
         stmt = re.sub(r"^explain\s+verbose\b", "EXPLAIN EXTENDED", stmt, flags=re.I)
+        for t in self.catalog.list_tables():
+            if "." in t:
+                stmt = stmt.replace(f"`{t}`", f"`{self._view_name(t)}`")
         return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
 
     def _coerce_ts_literals(self, stmt: str) -> str:

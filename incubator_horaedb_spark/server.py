@@ -1,0 +1,140 @@
+"""HTTP serving layer — the reference's primary entry points as a thin
+stdlib HTTP server over the engine.
+
+Routes (src/server/src/http.rs):
+- ``POST /sql``              (http.rs:303-318) body ``{"query": "..."}`` →
+  ``{"rows": [{col: val, ...}]}`` for queries or ``{"affected_rows": n}``
+  for DDL/DML — the exact serde shape of proxy/src/http/sql.rs:84-140
+  (snake_case enum → one-key object; rows as column-name→value maps;
+  timestamps as epoch milliseconds).
+- ``POST /influxdb/v1/write`` (http.rs:377-399): line-protocol body,
+  auto-creates/evolves per-measurement tables (proxy auto-create,
+  write.rs:176-260).
+- ``POST /opentsdb/api/put``  (http.rs:426-461): JSON datapoints, same
+  auto-create path.
+- ``GET /health``.
+
+Query handling composes the serving-layer concerns from serving.py:
+concurrent identical-query dedup (read.rs:89-165) and priority pools
+(plan.rs:212-237).  The server is threaded — Spark's driver is
+thread-safe for concurrent job submission; heavy lifting happens on the
+executors either way.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+from incubator_horaedb_spark.frontends.influxql import parse_line_protocol
+from incubator_horaedb_spark.frontends.opentsdb import parse_put
+from incubator_horaedb_spark.serving import QueryDedup
+
+
+def _json_cell(v):
+    if isinstance(v, datetime.datetime):
+        # Datum::Timestamp serializes as ms epoch (http/sql.rs via datum.rs)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def sql_response(result: DataFrame | int | None) -> dict:
+    """convert_output (proxy/src/http/sql.rs:143-176)."""
+    if result is None:
+        return {"affected_rows": 0}
+    if isinstance(result, int):
+        return {"affected_rows": result}
+    cols = result.columns
+    return {
+        "rows": [
+            {c: _json_cell(v) for c, v in zip(cols, row)} for row in result.collect()
+        ]
+    }
+
+
+class EngineServer:
+    """Wraps an Engine (frontends/sql_shim.py) with the HTTP surface."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.dedup = QueryDedup()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("content-type", "application/json")
+                self.send_header("content-length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._reply(200, {"status": "ok"})
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                n = int(self.headers.get("content-length", 0))
+                raw = self.rfile.read(n)
+                try:
+                    if self.path == "/sql":
+                        req = json.loads(raw)
+                        out = outer.handle_sql(req["query"])
+                        self._reply(200, out)
+                    elif self.path == "/influxdb/v1/write":
+                        outer.handle_line_protocol(raw.decode())
+                        self._reply(204, {})
+                    elif self.path == "/opentsdb/api/put":
+                        outer.handle_opentsdb_put(json.loads(raw))
+                        self._reply(204, {})
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as e:  # noqa: BLE001 — HTTP boundary
+                    self._reply(400, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ handlers
+    def handle_sql(self, query: str) -> dict:
+        # identical concurrent queries share one execution (read.rs:89-165);
+        # results are serialized before sharing so followers never touch
+        # the leader's DataFrame mid-collect
+        return self.dedup.run(query, lambda: sql_response(self.engine.execute_sql(query)))
+
+    def handle_line_protocol(self, text: str) -> None:
+        from incubator_horaedb_spark.streaming.ingest import ingest_rows
+
+        for measurement, rows in parse_line_protocol(text).items():
+            ingest_rows(self.engine, measurement, rows)
+
+    def handle_opentsdb_put(self, payload) -> None:
+        from incubator_horaedb_spark.streaming.ingest import ingest_rows
+
+        for metric, rows in parse_put(payload).items():
+            ingest_rows(self.engine, metric, rows)
+
+    # ----------------------------------------------------------- lifecycle
+    def start(self) -> "EngineServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)

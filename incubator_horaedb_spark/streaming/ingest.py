@@ -91,6 +91,37 @@ def ensure_table(
         engine.catalog.update(meta)
 
 
+def ingest_rows(
+    engine: Engine,
+    table_name: str,
+    rows: list[dict],
+    *,
+    ts_col: str = "ts",
+    options: TableOptions | None = None,
+) -> int:
+    """Write parsed protocol rows (ms-epoch ``ts``, tag strings, value
+    fields) into ``table_name``, auto-creating/evolving first — the shared
+    tail of every protocol write path (line protocol, OpenTSDB put, gRPC):
+    proxy/src/write.rs:176-260.  Returns the row count."""
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.table import Table
+
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    mdf = engine.spark.createDataFrame(data, cols)
+    if ts_col in mdf.columns:
+        mdf = mdf.withColumn(ts_col, F.timestamp_millis(F.col(ts_col).cast("long")))
+    tag_cols = [c for c in cols if isinstance(rows[0].get(c), str)]
+    ensure_table(engine, table_name, mdf, ts_col, tag_cols, options)
+    Table(engine.spark, engine.catalog, table_name).write(mdf)
+    return len(rows)
+
+
 def start_ingest(
     engine: Engine,
     stream_df: DataFrame,
@@ -151,18 +182,7 @@ def start_line_protocol_ingest(
         if not lines:
             return
         for measurement, rows in parse_line_protocol("\n".join(lines)).items():
-            cols: list[str] = []
-            for r in rows:
-                for k in r:
-                    if k not in cols:
-                        cols.append(k)
-            data = [tuple(r.get(c) for c in cols) for r in rows]
-            mdf = engine.spark.createDataFrame(data, cols)
-            if "ts" in mdf.columns:
-                mdf = mdf.withColumn("ts", F.timestamp_millis(F.col("ts").cast("long")))
-            tag_cols = [c for c in cols if isinstance(rows[0].get(c), str)]
-            ensure_table(engine, measurement, mdf, "ts", tag_cols, options)
-            Table(engine.spark, engine.catalog, measurement).write(mdf)
+            ingest_rows(engine, measurement, rows, options=options)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
