@@ -12,6 +12,12 @@ Routes (src/server/src/http.rs):
   write.rs:176-260).
 - ``POST /opentsdb/api/put``  (http.rs:426-461): JSON datapoints, same
   auto-create path.
+- ``POST /prom/v1/write`` and ``POST /prom/v1/read`` (http.rs:274-291):
+  Prometheus remote write/read.  The reference speaks snappy-compressed
+  protobuf on these routes; this server accepts the JSON rendering of the
+  same WriteRequest/ReadRequest messages (frontends/prom_remote.py) — the
+  protobuf codec is transport plumbing, the query semantics
+  (selector-only read, no alignment, remote.rs:60-160) are preserved.
 - ``GET /health``.
 
 Query handling composes the serving-layer concerns from serving.py:
@@ -100,6 +106,11 @@ class EngineServer:
                     elif self.path == "/opentsdb/api/put":
                         outer.handle_opentsdb_put(json.loads(raw))
                         self._reply(204, {})
+                    elif self.path == "/prom/v1/write":
+                        outer.handle_prom_write(json.loads(raw))
+                        self._reply(204, {})
+                    elif self.path == "/prom/v1/read":
+                        self._reply(200, outer.handle_prom_read(json.loads(raw)))
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as e:  # noqa: BLE001 — HTTP boundary
@@ -127,6 +138,42 @@ class EngineServer:
 
         for metric, rows in parse_put(payload).items():
             ingest_rows(self.engine, metric, rows)
+
+    def handle_prom_write(self, payload) -> None:
+        from incubator_horaedb_spark.frontends.prom_remote import parse_remote_write
+        from incubator_horaedb_spark.streaming.ingest import ingest_rows
+
+        for metric, rows in parse_remote_write(payload).items():
+            ingest_rows(self.engine, metric, rows)
+
+    def handle_prom_read(self, payload) -> dict:
+        """ReadRequest JSON: {"queries": [{"metric": ..., "matchers":
+        [[name, op, value], ...], "start_ms": ..., "end_ms": ...}]} →
+        {"results": [[series...]]} — one result list per query, each
+        series {"labels": {...}, "samples": [[ts_ms, v], ...]}."""
+        from incubator_horaedb_spark.frontends.prom_remote import (
+            remote_read_df,
+            to_remote_read_response,
+        )
+        from incubator_horaedb_spark.table import Table
+
+        results = []
+        for q in payload.get("queries", []):
+            table = Table(self.engine.spark, self.engine.catalog, q["metric"]).read()
+            df = remote_read_df(
+                table,
+                [tuple(m) for m in q.get("matchers", [])],
+                q["start_ms"],
+                q["end_ms"],
+            )
+            series = to_remote_read_response(df)
+            results.append(
+                [
+                    {"labels": s["labels"], "samples": [list(p) for p in s["samples"]]}
+                    for s in series
+                ]
+            )
+        return {"results": results}
 
     # ----------------------------------------------------------- lifecycle
     def start(self) -> "EngineServer":

@@ -116,3 +116,39 @@ def test_concurrent_identical_query_dedup(server):
     assert all(r == {"rows": [{"n": 2}]} for r in results)
     # read.rs:89-165 parity: concurrent identical SQL shares executions
     assert server.dedup.executed < 6
+
+
+def test_prom_remote_write_read_roundtrip(server):
+    # JSON rendering of the remote WriteRequest/ReadRequest messages
+    # (prom/remote-query.py behavior: label match + time range, raw samples)
+    import time
+
+    t0 = int(time.time() * 1000) - 120_000
+    write = [
+        {
+            "labels": {"__name__": "http_requests", "job": "api", "inst": "a"},
+            "samples": [[t0, 1.0], [t0 + 60_000, 2.0]],
+        },
+        {
+            "labels": {"__name__": "http_requests", "job": "web", "inst": "b"},
+            "samples": [[t0, 5.0]],
+        },
+    ]
+    status, _ = _post(server, "/prom/v1/write", write)
+    assert status == 204
+
+    read = {
+        "queries": [
+            {
+                "metric": "http_requests",
+                "matchers": [["job", "=", "api"]],
+                "start_ms": t0,
+                "end_ms": t0 + 120_000,
+            }
+        ]
+    }
+    _, out = _post(server, "/prom/v1/read", read)
+    assert len(out["results"]) == 1
+    (series,) = out["results"][0]
+    assert series["labels"] == {"job": "api", "inst": "a"}
+    assert series["samples"] == [[t0, 1.0], [t0 + 60_000, 2.0]]
