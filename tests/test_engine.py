@@ -235,3 +235,33 @@ def test_streaming_line_protocol_ingest(engine, spark, tmp_path):
     }
     assert rows == {"a": (0.5, 99), "b": (0.7, 42)}
     assert engine.table("mem").read(now_ms=now).collect()[0]["used"] == 1024
+
+
+def test_catalog_maintenance_sweep(engine):
+    # maintenance.py: one sweep compacts fragmented tables and purges
+    # expired segments across the whole catalog (compaction/scheduler.rs
+    # analogue as a batch job)
+    from incubator_horaedb_spark.maintenance import run_maintenance
+
+    day_ms = 86_400_000
+    now = 10 * day_ms
+    engine.execute_sql(
+        "CREATE TABLE m1 (k string TAG, v double, t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE=Analytic WITH(enable_ttl='false', update_mode='OVERWRITE', segment_duration='2h')"
+    )
+    for i in range(3):
+        engine.execute_sql(f"INSERT INTO m1 (k, v, t) VALUES ('a', {i}, 1000)")
+    engine.execute_sql(
+        "CREATE TABLE m2 (v double, t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE=Analytic WITH(ttl='1d', segment_duration='2h')"
+    )
+    engine.execute_sql(
+        f"INSERT INTO m2 (v, t) VALUES (1, {now - 2 * day_ms}), (2, {now - 1000})"
+    )
+    report = run_maintenance(engine, now_ms=now)
+    assert report.compacted_partitions.get("m1", 0) >= 1
+    assert report.expired_segments.get("m2", 0) >= 1
+    assert report.total_compacted >= 1 and report.total_expired >= 1
+    # semantics preserved after the sweep
+    assert [r["v"] for r in engine.execute_sql("SELECT v FROM m1").collect()] == [2.0]
+    assert [r["v"] for r in engine.table("m2").read(now_ms=now).collect()] == [2.0]
