@@ -117,10 +117,13 @@ def influxql_groupby_time_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
         "value", dyadic("value", BITS_SMALL)
     )
+    # fill(none) = only buckets with data (the oracle has no grid); the
+    # default null-grid path is gated separately by influxql_fill_grid —
+    # at sparse SFs the two differ (sf0.001: 231 vs 300 rows)
     df = influxql_to_df(
         "SELECT mean(value), count(value) FROM events "
         "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
-        "GROUP BY time(6h), event_type",
+        "GROUP BY time(6h), event_type fill(none)",
         {"events": ev},
     )
     return df.select(
