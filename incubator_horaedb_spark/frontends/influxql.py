@@ -23,7 +23,7 @@ TAG columns, fields → value columns, timestamp ns → ms.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -268,14 +268,29 @@ def show_measurements(tables: dict[str, DataFrame]) -> list[str]:
 _ESC_RE = re.compile(r"\\(.)")
 
 
-def parse_line_protocol(text: str) -> dict[str, list[dict[str, Any]]]:
-    """InfluxDB line protocol → measurement → rows.
+@dataclass
+class ProtocolBatch:
+    """Parsed protocol rows with the tag/field split preserved.
+
+    The reference's write path keeps tags and fields distinct all the way
+    into schema building (proxy/src/influxdb/types.rs WriteTable: tag_names
+    vs field_names) — tags define the series key (tsid) so inferring them
+    from value types loses information (a quoted string FIELD is not a
+    TAG).  ``tag_keys`` is the union over the whole batch, so a tag absent
+    from the first row still classifies correctly."""
+
+    rows: list[dict[str, Any]] = field(default_factory=list)
+    tag_keys: set[str] = field(default_factory=set)
+
+
+def parse_line_protocol_typed(text: str) -> dict[str, ProtocolBatch]:
+    """InfluxDB line protocol → measurement → ProtocolBatch.
 
     ``cpu,host=a,region=r usage=0.5,idle=99i 1700000000000000000``
     Timestamps are nanoseconds (default precision) → stored as ms.
     Integer fields use the ``i`` suffix; strings are double-quoted.
     """
-    out: dict[str, list[dict[str, Any]]] = {}
+    out: dict[str, ProtocolBatch] = {}
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
@@ -289,9 +304,12 @@ def parse_line_protocol(text: str) -> dict[str, list[dict[str, Any]]]:
         head_parts = re.split(r"(?<!\\),", head)
         measurement = _ESC_RE.sub(r"\1", head_parts[0])
         row: dict[str, Any] = {}
+        tag_keys: set[str] = set()
         for tag in head_parts[1:]:
             k, v = tag.split("=", 1)
-            row[_ESC_RE.sub(r"\1", k)] = _ESC_RE.sub(r"\1", v)
+            k = _ESC_RE.sub(r"\1", k)
+            row[k] = _ESC_RE.sub(r"\1", v)
+            tag_keys.add(k)
         for fld in re.split(r"(?<!\\),", fields_raw):
             k, v = fld.split("=", 1)
             k = _ESC_RE.sub(r"\1", k)
@@ -307,5 +325,13 @@ def parse_line_protocol(text: str) -> dict[str, list[dict[str, Any]]]:
                 row[k] = float(v)
         if ts_ms is not None:
             row["ts"] = ts_ms
-        out.setdefault(measurement, []).append(row)
+        batch = out.setdefault(measurement, ProtocolBatch())
+        batch.rows.append(row)
+        batch.tag_keys |= tag_keys
     return out
+
+
+def parse_line_protocol(text: str) -> dict[str, list[dict[str, Any]]]:
+    """Flat rendering of :func:`parse_line_protocol_typed` (measurement →
+    row dicts) for callers that don't need the tag/field split."""
+    return {m: b.rows for m, b in parse_line_protocol_typed(text).items()}

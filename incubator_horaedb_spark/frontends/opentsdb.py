@@ -137,24 +137,37 @@ def parse_query_request(payload: dict[str, Any]) -> OpenTsdbQueryRequest:
     return OpenTsdbQueryRequest(start_ms=payload["start"], end_ms=payload["end"], queries=subs)
 
 
-def parse_put(lines: str | list[dict[str, Any]]):
-    """/api/put JSON datapoints → row dicts (proxy/src/opentsdb/types.rs:1-573).
+def parse_put_typed(lines: str | list[dict[str, Any]]):
+    """/api/put JSON datapoints → metric → ProtocolBatch
+    (proxy/src/opentsdb/types.rs:1-573).
 
-    Returns (metric → list of rows) where each row has ``ts`` (ms), ``value``
-    and one key per tag.  Timestamps in seconds (≤ 10 digits) are upscaled
-    to ms, matching OpenTSDB convention.
+    Each row has ``ts`` (ms), ``value`` and one key per tag; tag keys are
+    collected separately (unioned over the batch) because the datapoint
+    format declares them explicitly — value-type inference would misread
+    string fields as tags.  Timestamps in seconds (≤ 10 digits) are
+    upscaled to ms, matching OpenTSDB convention.
     """
+    from incubator_horaedb_spark.frontends.influxql import ProtocolBatch
+
     if isinstance(lines, str):
         payload = json.loads(lines)
         if isinstance(payload, dict):
             payload = [payload]
     else:
         payload = lines
-    out: dict[str, list[dict[str, Any]]] = {}
+    out: dict[str, ProtocolBatch] = {}
     for dp in payload:
         ts = int(dp["timestamp"])
         if ts < 10_000_000_000:  # seconds → ms
             ts *= 1000
-        row = {"ts": ts, "value": float(dp["value"]), **dp.get("tags", {})}
-        out.setdefault(dp["metric"], []).append(row)
+        tags = dp.get("tags", {})
+        row = {"ts": ts, "value": float(dp["value"]), **tags}
+        batch = out.setdefault(dp["metric"], ProtocolBatch())
+        batch.rows.append(row)
+        batch.tag_keys |= set(tags)
     return out
+
+
+def parse_put(lines: str | list[dict[str, Any]]):
+    """Flat rendering of :func:`parse_put_typed` (metric → row dicts)."""
+    return {m: b.rows for m, b in parse_put_typed(lines).items()}

@@ -24,17 +24,27 @@ from incubator_horaedb_spark.frontends.promql import LabelMatcher, matcher_to_co
 NAME_LABEL = "__name__"
 
 
-def parse_remote_write(payload: list[dict[str, Any]]) -> dict[str, list[dict[str, Any]]]:
-    """Timeseries list → table → rows (ts ms + value + tag columns)."""
-    out: dict[str, list[dict[str, Any]]] = {}
+def parse_remote_write_typed(payload: list[dict[str, Any]]):
+    """Timeseries list → metric → ProtocolBatch (ts ms + value + tag
+    columns).  Every non-``__name__`` label is a tag by the protocol's own
+    definition, tracked explicitly so heterogeneous batches (a label absent
+    from the first series) still classify correctly."""
+    from incubator_horaedb_spark.frontends.influxql import ProtocolBatch
+
+    out: dict[str, ProtocolBatch] = {}
     for series in payload:
         labels = dict(series["labels"])
         metric = labels.pop(NAME_LABEL)
+        batch = out.setdefault(metric, ProtocolBatch())
+        batch.tag_keys |= set(labels)
         for ts_ms, value in series["samples"]:
-            out.setdefault(metric, []).append(
-                {"ts": int(ts_ms), "value": float(value), **labels}
-            )
+            batch.rows.append({"ts": int(ts_ms), "value": float(value), **labels})
     return out
+
+
+def parse_remote_write(payload: list[dict[str, Any]]) -> dict[str, list[dict[str, Any]]]:
+    """Flat rendering of :func:`parse_remote_write_typed`."""
+    return {m: b.rows for m, b in parse_remote_write_typed(payload).items()}
 
 
 def remote_read_df(

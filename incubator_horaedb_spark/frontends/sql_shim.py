@@ -30,6 +30,7 @@ Case sensitivity: backtick-quoted mixed-case identifiers are honored —
 from __future__ import annotations
 
 import re
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,11 @@ from pyspark.sql import types as T
 
 from incubator_horaedb_spark.catalog import Catalog, TableOptions
 from incubator_horaedb_spark.schema import ColumnSchema, TableSchema
+from incubator_horaedb_spark.serving import (
+    Limiter,
+    StatementInfo,
+    validate_partition_table_access,
+)
 from incubator_horaedb_spark.table import Table
 
 _IDENT = r"`(?:[^`]+)`|[A-Za-z_][\w]*"
@@ -122,6 +128,32 @@ def _parse_literal(tok: str) -> Any:
     raise ValueError(f"unsupported literal {tok!r}")
 
 
+def _extract_query_range_ms(stmt: str, ts_cols: set[str]) -> int | None:
+    """Extracted scan time range for the limiter's QueryRange rule
+    (limiter.rs should_limit → QueryPlan::query_range): the span between
+    the statement's integer-epoch lower and upper bounds on a timestamp
+    key.  None when either bound is missing — unbounded/unknown ranges are
+    NOT blocked, matching the reference (query_range() None → no block)."""
+    lo = hi = None
+    for name in ts_cols:
+        ident = rf"(?:`{re.escape(name)}`|\b{re.escape(name)}\b)"
+        for m in re.finditer(
+            rf"{ident}\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", stmt, re.I
+        ):
+            a, b = int(m.group(1)), int(m.group(2))
+            lo = a if lo is None else max(lo, a)
+            hi = b if hi is None else min(hi, b)
+        for m in re.finditer(rf"{ident}\s*(>=|>)\s*(\d+)", stmt, re.I):
+            v = int(m.group(2))
+            lo = v if lo is None else max(lo, v)
+        for m in re.finditer(rf"{ident}\s*(<=|<)\s*(\d+)", stmt, re.I):
+            v = int(m.group(2))
+            hi = v if hi is None else min(hi, v)
+    if lo is None or hi is None:
+        return None
+    return max(hi - lo, 0)
+
+
 class Engine:
     """The interpreter dispatcher (factory.rs analogue): one engine per
     (SparkSession, storage root)."""
@@ -129,6 +161,16 @@ class Engine:
     def __init__(self, spark: SparkSession, root: str, schema: str = "public"):
         self.spark = spark
         self.catalog = Catalog(root, schema)
+        # execute_sql toggles session-global conf (caseSensitive) around
+        # each statement; concurrent HTTP threads interleaving save/restore
+        # could strand the conf or run a statement under the wrong
+        # sensitivity, so statement setup is serialized.  Heavy work
+        # (collect/write jobs) happens on the returned DataFrame outside
+        # the lock.
+        self._lock = threading.RLock()
+        # request blocking (proxy limiter.rs + interpreters validator.rs)
+        self.limiter = Limiter()
+        self.enable_partition_table_access = False
 
     def table(self, name: str) -> Table:
         if not self.catalog.exists(name):
@@ -140,8 +182,18 @@ class Engine:
         """Parse + interpret one statement.  Returns a DataFrame for
         queries/DESCRIBE/SHOW, an affected-row count for INSERT, None for
         other DDL/DML."""
+        with self._lock:
+            return self._execute_sql_locked(sql)
+
+    def _execute_sql_locked(self, sql: str) -> DataFrame | int | None:
         stmt = sql.strip().rstrip(";").strip()
         low = stmt.lower()
+        info = self._statement_info(stmt, low)
+        # pre-execution gate (validator.rs validate + limiter.rs try_limit)
+        validate_partition_table_access(
+            info, enable_partition_table_access=self.enable_partition_table_access
+        )
+        self.limiter.try_limit(info)
         old_cs = self.spark.conf.get("spark.sql.caseSensitive")
         self.spark.conf.set("spark.sql.caseSensitive", "true")
         try:
@@ -414,16 +466,85 @@ class Engine:
                 stmt = stmt.replace(f"`{t}`", f"`{self._view_name(t)}`")
         return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
 
+    _FROM_JOIN_RE = re.compile(rf"\b(?:from|join)\s+({_IDENT})", re.I)
+    _SQL_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+    def _referenced_tables(self, stmt: str) -> set[str]:
+        """Catalog tables named as FROM/JOIN targets in the statement
+        (derived tables / subquery parens don't match the identifier)."""
+        refs = set()
+        for m in self._FROM_JOIN_RE.finditer(stmt):
+            name = _unquote(m.group(1)).replace("__dot__", ".")
+            if self.catalog.exists(name):
+                refs.add(name)
+        return refs
+
+    def _statement_info(self, stmt: str, low: str) -> StatementInfo:
+        """Build the limiter/validator's view of the statement
+        (the text-frontend analogue of Plan inspection in limiter.rs
+        should_limit / validator.rs contains_sub_tables)."""
+        if low.startswith(("select", "with", "explain")):
+            tables = {
+                _unquote(m.group(1)).replace("__dot__", ".")
+                for m in self._FROM_JOIN_RE.finditer(stmt)
+            }
+            ts_cols = {
+                self.catalog.get(t).schema.timestamp_column
+                for t in tables
+                if self.catalog.exists(t)
+            }
+            return StatementInfo(
+                kind="query",
+                tables=tables,
+                has_predicate=bool(re.search(r"\bwhere\b", low)),
+                query_range_ms=_extract_query_range_ms(stmt, ts_cols),
+            )
+        if low.startswith("insert"):
+            m = re.match(rf"^insert\s+into\s+(?:table\s+)?({_IDENT})", stmt, re.I)
+            return StatementInfo(
+                kind="insert", tables={_unquote(m.group(1))} if m else set()
+            )
+        for kw, pat in (
+            ("create", rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?({_IDENT})"),
+            ("drop", rf"^drop\s+table\s+(?:if\s+exists\s+)?({_IDENT})"),
+            ("alter", rf"^alter\s+table\s+({_IDENT})"),
+            ("describe", rf"^(?:describe|desc)\s+({_IDENT})\s*$"),
+            ("show_create", rf"^show\s+create\s+table\s+({_IDENT})\s*$"),
+        ):
+            m = re.match(pat, stmt, re.I)
+            if m:
+                return StatementInfo(kind=kw, tables={_unquote(m.group(1))})
+        return StatementInfo(kind="other")
+
     def _coerce_ts_literals(self, stmt: str) -> str:
         """TypeConversion analyzer parity (type_conversion.rs:48-370):
         integer literals compared against a timestamp-key column are
         **millisecond** epochs — Spark's implicit cast would read them as
         seconds (or refuse), so wrap them in timestamp_millis().  Handles
         binary comparisons, BETWEEN, and IN lists; string literals need no
-        rewrite (Spark casts string↔timestamp natively)."""
-        ts_cols = set()
-        for t in self.catalog.list_tables():
-            ts_cols.add(self.catalog.get(t).schema.timestamp_column)
+        rewrite (Spark casts string↔timestamp natively).
+
+        The reference runs this in the analyzer with *resolved* column
+        types; a text rewrite must approximate that scope, so it only
+        considers the timestamp keys of tables actually referenced in this
+        statement's FROM/JOIN list (a same-named bigint column in an
+        unrelated catalog table must not trigger it) and never rewrites
+        inside string literals."""
+        ts_cols = {
+            self.catalog.get(t).schema.timestamp_column
+            for t in self._referenced_tables(stmt)
+        }
+        if not ts_cols:
+            return stmt
+        parts, last = [], 0
+        for m in self._SQL_STRING_RE.finditer(stmt):
+            parts.append(self._coerce_segment(stmt[last : m.start()], ts_cols))
+            parts.append(m.group(0))
+            last = m.end()
+        parts.append(self._coerce_segment(stmt[last:], ts_cols))
+        return "".join(parts)
+
+    def _coerce_segment(self, stmt: str, ts_cols: set[str]) -> str:
         for name in ts_cols:
             ident = rf"(?:`{re.escape(name)}`|\b{re.escape(name)}\b)"
             wrap = lambda n: f"timestamp_millis({n})"

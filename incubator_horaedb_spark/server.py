@@ -36,8 +36,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 
-from incubator_horaedb_spark.frontends.influxql import parse_line_protocol
-from incubator_horaedb_spark.frontends.opentsdb import parse_put
+from incubator_horaedb_spark.frontends.influxql import parse_line_protocol_typed
+from incubator_horaedb_spark.frontends.opentsdb import parse_put_typed
 from incubator_horaedb_spark.serving import QueryDedup
 
 
@@ -58,6 +58,19 @@ def sql_response(result: DataFrame | int | None) -> dict:
         return {"affected_rows": 0}
     if isinstance(result, int):
         return {"affected_rows": result}
+    # Serialize timestamps to ms epochs JVM-side: non-Arrow collect() hands
+    # back *naive* datetimes in the OS-local zone, so doing the epoch math
+    # on the driver would shift every value by the host's UTC offset on a
+    # non-UTC host.  unix_millis() is zone-independent.
+    from pyspark.sql import functions as F
+
+    exprs = [
+        F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name)
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+        else F.col(f"`{f.name}`")
+        for f in result.schema.fields
+    ]
+    result = result.select(*exprs)
     cols = result.columns
     return {
         "rows": [
@@ -121,30 +134,39 @@ class EngineServer:
         self._thread: threading.Thread | None = None
 
     # ------------------------------------------------------------ handlers
+    _READ_PREFIXES = ("select", "with", "explain", "show", "describe", "desc ", "exists")
+
     def handle_sql(self, query: str) -> dict:
-        # identical concurrent queries share one execution (read.rs:89-165);
-        # results are serialized before sharing so followers never touch
-        # the leader's DataFrame mid-collect
-        return self.dedup.run(query, lambda: sql_response(self.engine.execute_sql(query)))
+        # identical concurrent READ queries share one execution — the
+        # reference dedups only the read path (proxy/src/read.rs
+        # dedup_handle_sql); deduping writes would silently drop one of two
+        # concurrent identical INSERTs, so writes/DDL execute directly.
+        if query.strip().lower().startswith(self._READ_PREFIXES):
+            return self.dedup.run(
+                query, lambda: sql_response(self.engine.execute_sql(query))
+            )
+        return sql_response(self.engine.execute_sql(query))
 
     def handle_line_protocol(self, text: str) -> None:
         from incubator_horaedb_spark.streaming.ingest import ingest_rows
 
-        for measurement, rows in parse_line_protocol(text).items():
-            ingest_rows(self.engine, measurement, rows)
+        for measurement, batch in parse_line_protocol_typed(text).items():
+            ingest_rows(
+                self.engine, measurement, batch.rows, tag_cols=sorted(batch.tag_keys)
+            )
 
     def handle_opentsdb_put(self, payload) -> None:
         from incubator_horaedb_spark.streaming.ingest import ingest_rows
 
-        for metric, rows in parse_put(payload).items():
-            ingest_rows(self.engine, metric, rows)
+        for metric, batch in parse_put_typed(payload).items():
+            ingest_rows(self.engine, metric, batch.rows, tag_cols=sorted(batch.tag_keys))
 
     def handle_prom_write(self, payload) -> None:
-        from incubator_horaedb_spark.frontends.prom_remote import parse_remote_write
+        from incubator_horaedb_spark.frontends.prom_remote import parse_remote_write_typed
         from incubator_horaedb_spark.streaming.ingest import ingest_rows
 
-        for metric, rows in parse_remote_write(payload).items():
-            ingest_rows(self.engine, metric, rows)
+        for metric, batch in parse_remote_write_typed(payload).items():
+            ingest_rows(self.engine, metric, batch.rows, tag_cols=sorted(batch.tag_keys))
 
     def handle_prom_read(self, payload) -> dict:
         """ReadRequest JSON: {"queries": [{"metric": ..., "matchers":

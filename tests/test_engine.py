@@ -237,6 +237,32 @@ def test_streaming_line_protocol_ingest(engine, spark, tmp_path):
     assert engine.table("mem").read(now_ms=now).collect()[0]["used"] == 1024
 
 
+def test_streaming_line_protocol_heterogeneous(engine, spark, tmp_path):
+    # Distributed-parse path corner cases: a quoted string FIELD must not
+    # become a TAG, a tag absent from the first line still classifies as a
+    # TAG (batch-union tag keys), and a field seen as int then float widens
+    # to double.  The parse itself runs in mapInPandas on executors.
+    from incubator_horaedb_spark.streaming.ingest import start_line_protocol_ingest
+
+    src = tmp_path / "lp"
+    src.mkdir()
+    (src / "b1.txt").write_text(
+        'app,host=a status="ok",hits=3i 1704067200000000000\n'
+        "app,host=b,tier=web status=\"down\",hits=4.5 1704067201000000000\n"
+    )
+    stream = spark.readStream.format("text").load(str(src))
+    q = start_line_protocol_ingest(engine, stream, checkpoint_dir=str(tmp_path / "ck2"))
+    q.awaitTermination(60)
+
+    meta = engine.catalog.get("app")
+    assert sorted(meta.schema.tag_columns) == ["host", "tier"]
+    by_host = {
+        r["host"]: (r["status"], r["hits"], r["tier"])
+        for r in engine.table("app").read(now_ms=1704067300000).collect()
+    }
+    assert by_host == {"a": ("ok", 3.0, None), "b": ("down", 4.5, "web")}
+
+
 def test_catalog_maintenance_sweep(engine):
     # maintenance.py: one sweep compacts fragmented tables and purges
     # expired segments across the whole catalog (compaction/scheduler.rs
