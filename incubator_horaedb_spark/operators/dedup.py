@@ -50,6 +50,18 @@ _rng = random.Random(42)
 PERM_A = [(_rng.randrange(1, P - 1) | 1) for _ in range(NUM_PERM)]
 PERM_B = [_rng.randrange(0, P - 1) for _ in range(NUM_PERM)]
 
+# Skew guards for the candidate-generation equi-joins.  A shingle (or LSH
+# bucket) shared by f documents contributes f² candidate pairs; one
+# boilerplate shingle with df=10⁵ creates a 10¹⁰-pair hotspot no executor
+# can absorb.  Standard dedup practice drops such over-shared keys from
+# candidate generation — they carry no discriminative signal (appearing in
+# everything ≈ appearing in nothing).  The caps are part of the operator
+# definition and sit far above any real document-frequency in the test
+# corpora, so small-scale results are unchanged; pairs supported ONLY by
+# boilerplate keys are exactly the ones that should not match.
+HOT_SHINGLE_DF_CAP = 10_000  # max docs sharing a shingle hash (ngram join)
+BAND_BUCKET_CAP = 10_000  # max docs in one (band, key) LSH bucket
+
 
 def exact_dedup_sql(d: Dialect, table: str = "documents") -> str:
     """Exact dedup: group rows by normalized text, keep the smallest id."""
@@ -125,19 +137,58 @@ def _band_key(b: int) -> str:
     return key
 
 
-def _pairs_ctes(d: Dialect, hs_src: str, sig_src: str) -> list[tuple[str, str]]:
-    band_selects = "\n      UNION ALL\n      ".join(
+def bands_select(d: Dialect, sig_src: str) -> str:
+    """(doc_id, band_idx, band_key): one row per doc per band — the LSH
+    bucket assignment.  Staged separately on the Spark side because the
+    downstream gate + self-join reference it three times and Spark inlines
+    CTEs (each reference would recompute the union)."""
+    return "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b + 1} AS band_idx, {_band_key(b)} AS band_key FROM {sig_src}"
         for b in range(BANDS)
     )
-    return [
-        ("bands", band_selects),
+
+
+def pairs_from_bands_ctes(
+    d: Dialect, hs_src: str, bands_src: str, bucket_cap: int | None = BAND_BUCKET_CAP
+) -> list[tuple[str, str]]:
+    """Gate → candidates → verification, from a (possibly materialized)
+    bands source.
+
+    ``bucket_cap=None`` skips the in-SQL gate — for callers that already
+    gated the materialized bands (the staged Spark path applies the gate
+    adaptively at staging time, see llm_ops._stage_gated_bands; the
+    one-shot oracle rendering keeps the SQL gate so both engines compute
+    the same definition)."""
+    if bucket_cap is None:
+        gate: list[tuple[str, str]] = []
+        src = bands_src
+    else:
+        # bucket-size gate for the self-join: a degenerate bucket of f docs
+        # would emit f² candidates (see BAND_BUCKET_CAP).  The over-cap set
+        # is a partial/final hash agg (map-side combine, tiny shuffle) and
+        # is almost always EMPTY, so the NOT EXISTS plans as an anti-join
+        # against a near-empty side.
+        gate = [
+            (
+                "hot",
+                f"SELECT band_idx, band_key FROM {bands_src} "
+                f"GROUP BY band_idx, band_key HAVING count(*) > {bucket_cap}",
+            ),
+            (
+                "fbands",
+                f"""SELECT doc_id, band_idx, band_key FROM {bands_src} t
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = t.band_idx AND h.band_key = t.band_key)""",
+            ),
+        ]
+        src = "fbands"
+    return gate + [
         (
             "cand",
-            """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id""",
+            f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {src} a
+      JOIN {src} b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id""",
         ),
         (
             "verified",
@@ -150,11 +201,41 @@ def _pairs_ctes(d: Dialect, hs_src: str, sig_src: str) -> list[tuple[str, str]]:
     ]
 
 
-def minhash_pairs_select(d: Dialect, hs_src: str, sig_src: str, threshold: float) -> str:
+def _pairs_ctes(
+    d: Dialect, hs_src: str, sig_src: str, bucket_cap: int = BAND_BUCKET_CAP
+) -> list[tuple[str, str]]:
+    return [("bands", bands_select(d, sig_src))] + pairs_from_bands_ctes(
+        d, hs_src, "bands", bucket_cap
+    )
+
+
+def minhash_pairs_select(
+    d: Dialect,
+    hs_src: str,
+    sig_src: str,
+    threshold: float,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+) -> str:
     """Bands → candidates → exact-Jaccard verification from materialized
     ``hs_src``/``sig_src``."""
     return d.cte_query(
-        _pairs_ctes(d, hs_src, sig_src),
+        _pairs_ctes(d, hs_src, sig_src, bucket_cap),
+        f"SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}",
+    )
+
+
+def minhash_pairs_from_bands_select(
+    d: Dialect,
+    hs_src: str,
+    bands_src: str,
+    threshold: float,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+) -> str:
+    """Pair generation from a MATERIALIZED bands view (staged Spark path:
+    the gate + self-join reference the bands three times, so the caller
+    caches them once instead of letting CTE inlining recompute the union)."""
+    return d.cte_query(
+        pairs_from_bands_ctes(d, hs_src, bands_src, bucket_cap),
         f"SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}",
     )
 
@@ -229,35 +310,78 @@ def simhash_from_hs_select(d: Dialect, hs_src: str) -> str:
     return d.cte_query(_simhash_from_hs_ctes(d, hs_src), "SELECT doc_id, simhash FROM sh")
 
 
-def simhash_pairs_from(d: Dialect, sh_src: str) -> str:
-    """Banded-LSH pair generation from a materialized simhash table."""
+def simhash_bands_select(d: Dialect, sh_src: str) -> str:
+    """(doc_id, simhash, band_idx, band_key): band chunks of the simhash —
+    staged on the Spark side for the same 3-reference reason as
+    :func:`bands_select`."""
     chunk = f"(({d.shr('simhash', f'({BITS_PER_BAND} * (b - 1))')}) & {BAND_MASK})"
     band_range = (
         f"(SELECT explode(sequence(1, {SIMHASH_BANDS})) AS b)"
         if d.engine == "spark"
         else f"(SELECT unnest(range(1, {SIMHASH_BANDS + 1})) AS b)"
     )
-    ctes = [
-        (
-            "bands",
-            f"""SELECT doc_id, simhash, b AS band_idx, {chunk} AS band_key
-      FROM {sh_src} CROSS JOIN {band_range} _b""",
-        ),
+    return f"""SELECT doc_id, simhash, b AS band_idx, {chunk} AS band_key
+      FROM {sh_src} CROSS JOIN {band_range} _b"""
+
+
+def _simhash_pairs_ctes(
+    d: Dialect, bands_src: str, bucket_cap: int | None
+) -> list[tuple[str, str]]:
+    if bucket_cap is None:
+        gate: list[tuple[str, str]] = []
+        src = bands_src
+    else:
+        gate = [
+            (
+                "hot",
+                f"SELECT band_idx, band_key FROM {bands_src} "
+                f"GROUP BY band_idx, band_key HAVING count(*) > {bucket_cap}",
+            ),
+            (
+                "fbands",
+                f"""SELECT doc_id, simhash, band_idx, band_key FROM {bands_src} t
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = t.band_idx AND h.band_key = t.band_key)""",
+            ),
+        ]
+        src = "fbands"
+    return gate + [
         (
             "cand",
-            """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sim_a, b.simhash AS sim_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id""",
+      FROM {src} a
+      JOIN {src} b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id""",
         ),
     ]
-    return d.cte_query(
-        ctes,
-        f"""SELECT doc_a, doc_b, CAST(bit_count({d.xor('sim_a', 'sim_b')}) AS INT) AS hamming
-    FROM cand
-    WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {MAX_HAMMING}""",
+
+
+def _simhash_pairs_final(d: Dialect) -> str:
+    return (
+        f"SELECT doc_a, doc_b, CAST(bit_count({d.xor('sim_a', 'sim_b')}) AS INT) AS hamming\n"
+        f"    FROM cand\n"
+        f"    WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {MAX_HAMMING}"
     )
+
+
+def simhash_pairs_from_bands(
+    d: Dialect, bands_src: str, bucket_cap: int | None = BAND_BUCKET_CAP
+) -> str:
+    """Gated pair generation from a MATERIALIZED bands view (staged Spark
+    path); bucket gate as in :func:`pairs_from_bands_ctes`."""
+    return d.cte_query(
+        _simhash_pairs_ctes(d, bands_src, bucket_cap), _simhash_pairs_final(d)
+    )
+
+
+def simhash_pairs_from(d: Dialect, sh_src: str, bucket_cap: int = BAND_BUCKET_CAP) -> str:
+    """Banded-LSH pair generation from a materialized simhash table
+    (one-shot rendering: bands as an inline CTE)."""
+    ctes = [("bands", simhash_bands_select(d, sh_src))] + _simhash_pairs_ctes(
+        d, "bands", bucket_cap
+    )
+    return d.cte_query(ctes, _simhash_pairs_final(d))
 
 
 def simhash_pairs_sql(d: Dialect, table: str = "documents") -> str:
@@ -274,7 +398,13 @@ def simhash_pairs_sql(d: Dialect, table: str = "documents") -> str:
     )
 
 
-def ngram_pairs_from(d: Dialect, hs_src: str, threshold: float) -> str:
+def ngram_pairs_from(
+    d: Dialect,
+    hs_src: str,
+    threshold: float,
+    df_cap: int | None = HOT_SHINGLE_DF_CAP,
+    ex_src: str | None = None,
+) -> str:
     """Exact token-3-gram Jaccard pairs from a materialized shingle table.
 
     Distributed formulation: explode shingle hashes, equi-join on the hash,
@@ -283,19 +413,45 @@ def ngram_pairs_from(d: Dialect, hs_src: str, threshold: float) -> str:
     pair with zero shared shingles has jaccard 0 < threshold — but the work
     is Σ_h df(h)² over shared shingles instead of n²·|shs| array
     intersections (measured 184s → seconds at sf0.1; all-pairs is also the
-    piece that could never run at 100 TB)."""
+    piece that could never run at 100 TB).
+
+    Shingles with document frequency above ``df_cap`` are excluded from the
+    join (HOT_SHINGLE_DF_CAP): one boilerplate shingle shared by 10⁵ docs
+    would alone emit 10¹⁰ join rows.  Sizes (``sz``) still count every
+    shingle, so when the cap binds, jaccard is under- never over-estimated.
+    ``df_cap=None`` skips the in-SQL gate for callers that pre-gated a
+    materialized ``ex_src`` (llm_ops._stage_gated)."""
     inter = "CAST(n_shared AS DOUBLE)"
-    return d.cte_query(
-        [
-            ("ex", d.unnest_select("doc_id", "shs", "h", hs_src)),
-            ("sz", f"SELECT doc_id, {d.size('shs')} AS n FROM {hs_src}"),
+    ctes: list[tuple[str, str]] = []
+    if ex_src is None:
+        ctes.append(("ex", d.unnest_select("doc_id", "shs", "h", hs_src)))
+        ex_src = "ex"
+    ctes.append(("sz", f"SELECT doc_id, {d.size('shs')} AS n FROM {hs_src}"))
+    if df_cap is None:
+        fex = ex_src
+    else:
+        # over-cap shingles (almost always empty → anti-join vs a
+        # near-empty side; see HOT_SHINGLE_DF_CAP)
+        ctes += [
+            ("hoth", f"SELECT h FROM {ex_src} GROUP BY h HAVING count(*) > {df_cap}"),
             (
-                "shared",
-                """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id""",
+                "fex",
+                f"SELECT doc_id, h FROM {ex_src} t "
+                "WHERE NOT EXISTS (SELECT 1 FROM hoth x WHERE x.h = t.h)",
             ),
-        ],
+        ]
+        fex = "fex"
+    ctes.append(
+        (
+            "shared",
+            f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM {fex} a
+      JOIN {fex} b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id""",
+        )
+    )
+    return d.cte_query(
+        ctes,
         f"""SELECT doc_a, doc_b,
            round({inter} / (x.n + y.n - n_shared), 6) AS jaccard
     FROM shared

@@ -457,6 +457,28 @@ def blocked_topk_oracle_sql(
     )
 
 
+# Guard rail for the broadcast-block collect: blocks are collected to the
+# driver before broadcast, so an unsized block is a driver OOM waiting to
+# happen.  256k rows × 64 float64 dims ≈ 128 MB — comfortably broadcastable;
+# bigger corpora must scale the NUMBER of blocks (blocked_topk_over_blocks
+# composes them exactly), never the block size.
+MAX_BLOCK_ROWS = 1 << 18
+
+
+def _collect_block(df, context: str):
+    """Collect one corpus block, failing fast if it exceeds MAX_BLOCK_ROWS
+    (limit+1 probe — no extra count job, no unbounded collect)."""
+    rows = df.select("vec_id", "embedding").limit(MAX_BLOCK_ROWS + 1).collect()
+    if len(rows) > MAX_BLOCK_ROWS:
+        raise ValueError(
+            f"{context}: corpus block exceeds MAX_BLOCK_ROWS={MAX_BLOCK_ROWS} rows; "
+            "split the corpus into <=256k-row blocks and compose with "
+            "blocked_topk_over_blocks (per-block top-k union + one re-rank window) "
+            "instead of growing the broadcast block"
+        )
+    return rows
+
+
 def blocked_topk(df, k: int = 5, n_queries: int = 10, corpus_df=None):
     """Blocked-GEMM top-k ANN (the dense-math scale path for
     ann_cosine_bruteforce).
@@ -486,7 +508,7 @@ def blocked_topk(df, k: int = 5, n_queries: int = 10, corpus_df=None):
     def _q(m: "np.ndarray") -> "np.ndarray":
         return np.sign(m) * np.floor(np.abs(m) * Q + 0.5) / Q
 
-    rows = (corpus_df if corpus_df is not None else df).select("vec_id", "embedding").collect()
+    rows = _collect_block(corpus_df if corpus_df is not None else df, "blocked_topk")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     corpus = _q(np.array([r["embedding"] for r in rows], dtype=np.float64))
     norms = np.sqrt((corpus * corpus).sum(axis=1))
@@ -576,7 +598,7 @@ def blocked_near_dup_pairs(df, threshold: float = 0.45):
     def _q(m: "np.ndarray") -> "np.ndarray":
         return np.sign(m) * np.floor(np.abs(m) * Q + 0.5) / Q
 
-    rows = df.select("vec_id", "embedding").collect()
+    rows = _collect_block(df, "blocked_near_dup_pairs")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     corpus = _q(np.array([r["embedding"] for r in rows], dtype=np.float64))
     norms = np.sqrt((corpus * corpus).sum(axis=1))

@@ -12,7 +12,13 @@ Modules self-register via :func:`register`; importing the package loads all
 banks.
 """
 
-from incubator_horaedb_spark.querybank.registry import QUERIES, oracles, queries, register
+from incubator_horaedb_spark.querybank.registry import (
+    QUERIES,
+    oracles,
+    queries,
+    register,
+    tolerance_oracles,
+)
 
 # Import for side effect: each module registers its queries.
 from incubator_horaedb_spark.querybank import core_sql  # noqa: E402,F401
@@ -23,4 +29,4 @@ from incubator_horaedb_spark.querybank import llm_ops  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import multimodal  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import sql_extended  # noqa: E402,F401
 
-__all__ = ["QUERIES", "register", "queries", "oracles"]
+__all__ = ["QUERIES", "register", "queries", "oracles", "tolerance_oracles"]

@@ -63,21 +63,89 @@ def _staged_shingles(spark: SparkSession, sf_dir: str, view: str) -> None:
     _stage(spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh")), view)
 
 
+def _gated_src(
+    spark: SparkSession, body_sql: str, keys: list[str], view: str, cap: int
+) -> str | None:
+    """Adaptive join-skew gate (AQE-skew-join spirit): ONE cheap partial/
+    final agg detects over-cap hot keys in the candidate-join source.  In
+    the common case the hot set is EMPTY and the caller keeps its original
+    inline plan — the gate costs only the detection agg.  When boilerplate
+    hot keys exist, the source is materialized minus those keys (broadcast
+    anti-join against the metadata-sized hot list — at most n_rows/cap keys
+    can exceed the cap) and the gated view name is returned.  The one-shot
+    oracle rendering keeps the equivalent gate in SQL
+    (pairs_from_bands_ctes / ngram_pairs_from), so both engines compute the
+    same definition."""
+    from pyspark.sql import functions as F
+
+    klist = ", ".join(keys)
+    hot = spark.sql(
+        f"SELECT {klist} FROM ({body_sql}) __g GROUP BY {klist} "
+        f"HAVING count(*) > {cap}"
+    ).collect()
+    if not hot:
+        return None
+    gated = spark.sql(body_sql).join(
+        F.broadcast(spark.createDataFrame(hot)), keys, "left_anti"
+    )
+    _stage(gated, view)
+    return view
+
+
 def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_shingles(spark, sf_dir, "__minhash_hs")
     _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__minhash_hs")), "__minhash_sig")
-    return spark.sql(dedup.minhash_pairs_select(SPARK, "__minhash_hs", "__minhash_sig", 0.8))
+    gated = _gated_src(
+        spark,
+        dedup.bands_select(SPARK, "__minhash_sig"),
+        ["band_idx", "band_key"],
+        "__minhash_bands",
+        dedup.BAND_BUCKET_CAP,
+    )
+    if gated:
+        return spark.sql(
+            dedup.minhash_pairs_from_bands_select(
+                SPARK, "__minhash_hs", gated, 0.8, bucket_cap=None
+            )
+        )
+    return spark.sql(
+        dedup.minhash_pairs_select(
+            SPARK, "__minhash_hs", "__minhash_sig", 0.8, bucket_cap=None
+        )
+    )
 
 
 def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_shingles(spark, sf_dir, "__simhash_hs")
     _stage(spark.sql(dedup.simhash_from_hs_select(SPARK, "__simhash_hs")), "__simhash_sh")
-    return spark.sql(dedup.simhash_pairs_from(SPARK, "__simhash_sh"))
+    gated = _gated_src(
+        spark,
+        dedup.simhash_bands_select(SPARK, "__simhash_sh"),
+        ["band_idx", "band_key"],
+        "__simhash_bands",
+        dedup.BAND_BUCKET_CAP,
+    )
+    if gated:
+        return spark.sql(
+            dedup.simhash_pairs_from_bands(SPARK, gated, bucket_cap=None)
+        )
+    return spark.sql(
+        dedup.simhash_pairs_from(SPARK, "__simhash_sh", bucket_cap=None)
+    )
 
 
 def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_shingles(spark, sf_dir, "__ngram_hs")
-    return spark.sql(dedup.ngram_pairs_from(SPARK, "__ngram_hs", 0.8))
+    gated = _gated_src(
+        spark,
+        SPARK.unnest_select("doc_id", "shs", "h", "__ngram_hs"),
+        ["h"],
+        "__ngram_ex",
+        dedup.HOT_SHINGLE_DF_CAP,
+    )
+    return spark.sql(
+        dedup.ngram_pairs_from(SPARK, "__ngram_hs", 0.8, df_cap=None, ex_src=gated)
+    )
 
 
 _staged_minhash.__doc__ = dedup.minhash_lsh_sql.__doc__
@@ -93,7 +161,25 @@ register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0
 def _staged_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_shingles(spark, sf_dir, "__cc_hs")
     _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__cc_hs")), "__cc_sig")
-    pairs = spark.sql(dedup.minhash_pairs_select(SPARK, "__cc_hs", "__cc_sig", 0.8))
+    gated = _gated_src(
+        spark,
+        dedup.bands_select(SPARK, "__cc_sig"),
+        ["band_idx", "band_key"],
+        "__cc_bands",
+        dedup.BAND_BUCKET_CAP,
+    )
+    if gated:
+        pairs = spark.sql(
+            dedup.minhash_pairs_from_bands_select(
+                SPARK, "__cc_hs", gated, 0.8, bucket_cap=None
+            )
+        )
+    else:
+        pairs = spark.sql(
+            dedup.minhash_pairs_select(
+                SPARK, "__cc_hs", "__cc_sig", 0.8, bucket_cap=None
+            )
+        )
     pairs.createOrReplaceTempView("__cc_pairs")
     _stage(spark.sql(dedup.cc_edges_select(SPARK, "__cc_pairs", 0.8)), "__cc_edges")
     # Iterative loop with LINEAGE TRUNCATION: caching alone is not enough —

@@ -183,10 +183,24 @@ def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- approximate NDV (thetasketch_distinct) -------------------------------
-# No oracle: the sketch constants differ between HLL impls, exactly like the
-# reference's golden values differ from exact counts (driver records the
-# weaker rows-only check; `distinct_agg` provides the exact-NDV hash gate).
-@register("thetasketch_distinct_users", oracle=None)
+# No hash oracle: the sketch constants differ between HLL impls, exactly
+# like the reference's golden values differ from exact counts (driver
+# records the weaker rows-only check; `distinct_agg` provides the exact-NDV
+# hash gate).  The local harness additionally value-checks each group's
+# estimate against DuckDB's exact NDV within 3·rsd — the standard
+# HLL-error-bound assertion (thetasketch_distinct.rs declares err=0.008).
+@register(
+    "thetasketch_distinct_users",
+    oracle=None,
+    tolerance=(
+        """
+        SELECT event_type, count(DISTINCT user_id) AS approx_ndv_users
+        FROM events GROUP BY event_type
+        """,
+        "approx_ndv_users",
+        3 * 0.008,
+    ),
+)
 def thetasketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(

@@ -1,0 +1,327 @@
+"""MySQL wire-protocol server over the Engine — the Spark rendering of
+src/server/src/mysql/{service.rs,worker.rs,writer.rs} (which wrap
+opensrv-mysql around Proxy::handle_http_sql_query).
+
+Surface parity:
+- protocol 4.1 text protocol: handshake v10, COM_QUERY / COM_PING /
+  COM_INIT_DB / COM_QUIT; COM_STMT_PREPARE answers ER_NOT_SUPPORTED_YET
+  exactly like worker.rs on_prepare ("Prepare is not supported...").
+- column type mapping = writer.rs convert_datum_kind_type: Timestamp →
+  MYSQL_TYPE_LONG (values are epoch *milliseconds*, writer.rs
+  `Datum::Timestamp(t) => write_col(t.as_i64())`), String → VARCHAR,
+  Double/Float → DOUBLE/FLOAT, ints → LONG, Boolean → SHORT,
+  Varbinary → LONG_BLOB.
+- federated/driver-setup statements (server/src/federated.rs): `SELECT
+  @@var`, `SET ...`, `SHOW VARIABLES` get canned single-column answers so
+  stock MySQL clients (which probe @@version_comment etc. on connect)
+  work — the reference forks the same filter from public GreptimeDB code.
+- no authentication, matching the reference's default mysql config.
+
+The integration sequence mirrored in tests/test_wire_mysql.py is
+integration_tests/mysql/basic.sh: show tables / select 1, now() / CREATE
+TABLE demo / INSERT / SELECT * FROM demo.
+"""
+
+from __future__ import annotations
+
+import re
+import socket
+import socketserver
+import struct
+import threading
+
+# --- protocol constants ----------------------------------------------------
+CLIENT_PROTOCOL_41 = 0x0200
+CLIENT_SECURE_CONNECTION = 0x8000
+CLIENT_PLUGIN_AUTH = 0x0008_0000
+CLIENT_CONNECT_WITH_DB = 0x0008
+CLIENT_DEPRECATE_EOF = 0x0100_0000
+
+SERVER_CAPS = (
+    CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB
+)
+
+COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
+COM_STMT_PREPARE = 0x16
+
+# writer.rs convert_datum_kind_type
+TYPE_LONG = 0x03
+TYPE_FLOAT = 0x04
+TYPE_DOUBLE = 0x05
+TYPE_NULL = 0x06
+TYPE_LONGLONG = 0x08
+TYPE_SHORT = 0x02
+TYPE_VARCHAR = 0x0F
+TYPE_VAR_STRING = 0xFD
+TYPE_LONG_BLOB = 0xFB
+
+ER_NOT_SUPPORTED_YET = 1235
+ER_UNKNOWN_ERROR = 1105
+
+
+def _lenenc_int(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 0x10000:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 0x1000000:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_str(s: bytes) -> bytes:
+    return _lenenc_int(len(s)) + s
+
+
+class _Conn:
+    """One client connection: packet framing + sequence tracking."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.seq = 0
+
+    def read_packet(self) -> bytes | None:
+        head = self._read_n(4)
+        if head is None:
+            return None
+        length = head[0] | (head[1] << 8) | (head[2] << 16)
+        self.seq = (head[3] + 1) & 0xFF
+        payload = self._read_n(length)
+        return payload
+
+    def _read_n(self, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def send_packet(self, payload: bytes) -> None:
+        header = struct.pack("<I", len(payload))[:3] + bytes([self.seq])
+        self.seq = (self.seq + 1) & 0xFF
+        self.sock.sendall(header + payload)
+
+    # ---- standard responses ----
+    def send_ok(self, affected_rows: int = 0) -> None:
+        self.send_packet(
+            b"\x00" + _lenenc_int(affected_rows) + _lenenc_int(0) + struct.pack("<HH", 0x0002, 0)
+        )
+
+    def send_eof(self) -> None:
+        self.send_packet(b"\xfe" + struct.pack("<HH", 0, 0x0002))
+
+    def send_err(self, code: int, msg: str, sqlstate: str = "HY000") -> None:
+        self.send_packet(
+            b"\xff" + struct.pack("<H", code) + b"#" + sqlstate.encode() + msg.encode()[:400]
+        )
+
+
+# federated.rs SELECT_VAR_PATTERN and friends (driver setup probes)
+_SELECT_VAR_RE = re.compile(r"^\s*(/\*.*?\*/\s*)?SELECT\s+@@", re.I | re.S)
+_SET_RE = re.compile(r"^\s*SET\s+", re.I)
+_SHOW_VARS_RE = re.compile(r"^\s*SHOW\s+(SESSION\s+|GLOBAL\s+)?VARIABLES", re.I)
+_VAR_VALUES = {
+    "version_comment": "HoraeDB-Spark",
+    "version": "8.0.26",
+    "max_allowed_packet": "67108864",
+    "tx_isolation": "REPEATABLE-READ",
+    "transaction_isolation": "REPEATABLE-READ",
+    "autocommit": "ON",
+    "sql_mode": "",
+}
+
+
+class MySQLServer:
+    """Threaded MySQL-protocol endpoint over an Engine (service.rs
+    analogue; one worker per connection like MysqlService::loop_accept)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                conn = _Conn(self.request)
+                try:
+                    outer._handshake(conn)
+                    while True:
+                        conn.seq = 0
+                        pkt = conn.read_packet()
+                        if pkt is None or not pkt or pkt[0] == COM_QUIT:
+                            return
+                        outer._dispatch(conn, pkt)
+                except (ConnectionError, BrokenPipeError, OSError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ protocol
+    def _handshake(self, conn: _Conn) -> None:
+        auth_data = b"12345678" + b"90abcdefghij"  # 20-byte nonce (unused: no auth)
+        payload = (
+            b"\x0a"  # protocol version 10
+            + b"8.0.26-HoraeDB-Spark\x00"
+            + struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
+            + auth_data[:8]
+            + b"\x00"
+            + struct.pack("<H", SERVER_CAPS & 0xFFFF)
+            + bytes([0x21])  # charset utf8_general_ci
+            + struct.pack("<H", 0x0002)  # status: autocommit
+            + struct.pack("<H", (SERVER_CAPS >> 16) & 0xFFFF)
+            + bytes([21])  # auth data length
+            + b"\x00" * 10
+            + auth_data[8:]
+            + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+        conn.seq = 0
+        conn.send_packet(payload)
+        resp = conn.read_packet()  # HandshakeResponse41 — accepted unconditionally
+        if resp is None:
+            raise ConnectionError("client hung up during handshake")
+        conn.send_ok()
+
+    def _dispatch(self, conn: _Conn, pkt: bytes) -> None:
+        cmd, body = pkt[0], pkt[1:]
+        if cmd in (COM_PING, COM_INIT_DB):
+            conn.send_ok()
+        elif cmd == COM_STMT_PREPARE:
+            # worker.rs on_prepare: ER_NOT_SUPPORTED_YET
+            conn.send_err(ER_NOT_SUPPORTED_YET, "Prepare is not supported in HoraeDB")
+        elif cmd == COM_QUERY:
+            self._query(conn, body.decode("utf-8", errors="replace"))
+        else:
+            conn.send_err(ER_NOT_SUPPORTED_YET, f"command {cmd:#x} not supported")
+
+    def _query(self, conn: _Conn, sql: str) -> None:
+        try:
+            fed = self._federated(sql)
+            if fed is not None:
+                cols, rows = fed
+                if cols is None:
+                    conn.send_ok()
+                else:
+                    self._send_resultset(conn, cols, rows)
+                return
+            result = self.engine.execute_sql(sql)
+            if result is None:
+                conn.send_ok()
+            elif isinstance(result, int):
+                conn.send_ok(affected_rows=result)
+            else:
+                cols, rows = _render_dataframe(result)
+                self._send_resultset(conn, cols, rows)
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            conn.send_err(ER_UNKNOWN_ERROR, str(e))
+
+    def _federated(self, sql: str):
+        """federated.rs check(): canned answers for driver setup probes.
+        Returns None (not federated), (None, None) for OK-only, or
+        (columns, rows)."""
+        if _SET_RE.match(sql):
+            return (None, None)
+        if _SHOW_VARS_RE.match(sql):
+            cols = [("Variable_name", TYPE_VAR_STRING), ("Value", TYPE_VAR_STRING)]
+            rows = [(k, v) for k, v in sorted(_VAR_VALUES.items())]
+            return (cols, rows)
+        if _SELECT_VAR_RE.match(sql):
+            # SELECT @@aa, @@bb AS cc ... → one column per var (federated.rs:171)
+            out_cols, out_vals = [], []
+            for m in re.finditer(r"@@(\w+(?:\.\w+)?)(?:\s+AS\s+(\w+))?", sql, re.I):
+                var = m.group(1).split(".")[-1].lower()
+                out_cols.append((m.group(2) or f"@@{var}", TYPE_VAR_STRING))
+                out_vals.append(_VAR_VALUES.get(var, ""))
+            if not out_cols:
+                out_cols, out_vals = [("@@", TYPE_VAR_STRING)], [""]
+            return (out_cols, [tuple(out_vals)])
+        return None
+
+    def _send_resultset(self, conn: _Conn, cols, rows) -> None:
+        conn.send_packet(_lenenc_int(len(cols)))
+        for name, ctype in cols:
+            conn.send_packet(_column_def(name, ctype))
+        conn.send_eof()
+        for row in rows:
+            payload = b""
+            for v in row:
+                payload += b"\xfb" if v is None else _lenenc_str(str(v).encode())
+            conn.send_packet(payload)
+        conn.send_eof()
+
+    # ----------------------------------------------------------- lifecycle
+    def start(self) -> "MySQLServer":
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def _column_def(name: str, ctype: int) -> bytes:
+    n = name.encode()
+    return (
+        _lenenc_str(b"def")
+        + _lenenc_str(b"")  # schema
+        + _lenenc_str(b"")  # table (writer.rs make_column_by_field: empty)
+        + _lenenc_str(b"")  # org_table
+        + _lenenc_str(n)
+        + _lenenc_str(n)
+        + bytes([0x0C])
+        + struct.pack("<H", 0x21)  # charset
+        + struct.pack("<I", 255)  # display length
+        + bytes([ctype])
+        + struct.pack("<H", 0)  # flags (ColumnFlags::empty())
+        + bytes([0])  # decimals
+        + b"\x00\x00"
+    )
+
+
+_SPARK_TO_MYSQL = {
+    "timestamp": TYPE_LONG,  # values are epoch ms (writer.rs t.as_i64())
+    "timestamp_ntz": TYPE_LONG,
+    "double": TYPE_DOUBLE,
+    "float": TYPE_FLOAT,
+    "binary": TYPE_LONG_BLOB,
+    "string": TYPE_VAR_STRING,
+    "long": TYPE_LONG,
+    "integer": TYPE_LONG,
+    "short": TYPE_LONG,
+    "byte": TYPE_LONG,
+    "boolean": TYPE_SHORT,
+    "void": TYPE_NULL,
+}
+
+
+def _render_dataframe(df):
+    """DataFrame → (columns, text rows) per writer.rs write_rows: timestamps
+    as epoch-ms ints (converted JVM-side — host-timezone-proof), booleans as
+    0/1 smallints, everything else as its text rendering."""
+    from pyspark.sql import functions as F
+
+    exprs, cols = [], []
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        mysql_t = _SPARK_TO_MYSQL.get(tn, TYPE_VAR_STRING)
+        cols.append((f.name, mysql_t))
+        if tn in ("timestamp", "timestamp_ntz"):
+            exprs.append(F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name))
+        elif tn == "boolean":
+            exprs.append(F.col(f"`{f.name}`").cast("int").alias(f.name))
+        elif tn == "binary":
+            exprs.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+        else:
+            exprs.append(F.col(f"`{f.name}`"))
+    rows = [tuple(r) for r in df.select(*exprs).collect()]
+    return cols, rows

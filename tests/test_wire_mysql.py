@@ -1,0 +1,187 @@
+"""MySQL wire-protocol server driven by a from-scratch protocol-4.1 text
+client (no mysql client lib in the container) — the sequence mirrors
+integration_tests/mysql/basic.sh: show tables / select 1, now() / CREATE
+TABLE demo / INSERT / SELECT * FROM demo, plus the driver-setup federated
+probes a stock client issues on connect.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from incubator_horaedb_spark.frontends.sql_shim import Engine
+from incubator_horaedb_spark.wire.mysql import MySQLServer
+
+
+class MiniMySQLClient:
+    """Just enough of the client side: handshake response 41 + COM_QUERY."""
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.seq = 0
+        greeting = self._read_packet()
+        assert greeting[0] == 0x0A  # protocol version 10
+        self.server_version = greeting[1 : greeting.index(b"\x00", 1)].decode()
+        # HandshakeResponse41: caps, max packet, charset, 23 zeros, user, auth
+        caps = 0x0200 | 0x8000  # PROTOCOL_41 | SECURE_CONNECTION
+        payload = (
+            struct.pack("<IIB", caps, 1 << 24, 0x21)
+            + b"\x00" * 23
+            + b"root\x00"
+            + b"\x00"  # empty auth response (1-byte length)
+        )
+        self._send_packet(payload)
+        ok = self._read_packet()
+        assert ok[0] == 0x00, f"handshake not OK: {ok!r}"
+
+    # ---- framing ----
+    def _read_packet(self) -> bytes:
+        head = self._read_n(4)
+        length = head[0] | (head[1] << 8) | (head[2] << 16)
+        self.seq = (head[3] + 1) & 0xFF
+        return self._read_n(length)
+
+    def _read_n(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed")
+            buf += chunk
+        return buf
+
+    def _send_packet(self, payload: bytes) -> None:
+        self.sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([self.seq]) + payload)
+        self.seq = (self.seq + 1) & 0xFF
+
+    @staticmethod
+    def _lenenc(data: bytes, pos: int) -> tuple[int | None, int]:
+        first = data[pos]
+        if first == 0xFB:
+            return None, pos + 1  # NULL
+        if first < 0xFB:
+            return first, pos + 1
+        if first == 0xFC:
+            return struct.unpack_from("<H", data, pos + 1)[0], pos + 3
+        if first == 0xFD:
+            v = data[pos + 1] | (data[pos + 2] << 8) | (data[pos + 3] << 16)
+            return v, pos + 4
+        return struct.unpack_from("<Q", data, pos + 1)[0], pos + 9
+
+    # ---- commands ----
+    def query(self, sql: str):
+        """Returns ("ok", affected_rows) or (columns, rows) or raises."""
+        self.seq = 0
+        self._send_packet(b"\x03" + sql.encode())
+        first = self._read_packet()
+        if first[0] == 0x00:
+            affected, _ = self._lenenc(first, 1)
+            return ("ok", affected)
+        if first[0] == 0xFF:
+            code = struct.unpack_from("<H", first, 1)[0]
+            raise RuntimeError(f"mysql error {code}: {first[10:].decode()}")
+        ncols, _ = self._lenenc(first, 0)
+        columns = []
+        for _ in range(ncols):
+            cdef = self._read_packet()
+            pos = 0
+            parts = []
+            for _ in range(6):  # catalog, schema, table, org_table, name, org_name
+                ln, pos = self._lenenc(cdef, pos)
+                parts.append(cdef[pos : pos + ln].decode())
+                pos += ln
+            pos += 1 + 2 + 4  # fixed-len marker, charset, length
+            ctype = cdef[pos]
+            columns.append((parts[4], ctype))
+        eof = self._read_packet()
+        assert eof[0] == 0xFE
+        rows = []
+        while True:
+            pkt = self._read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            pos, row = 0, []
+            for _ in range(ncols):
+                ln, pos = self._lenenc(pkt, pos)
+                if ln is None:
+                    row.append(None)
+                else:
+                    row.append(pkt[pos : pos + ln].decode())
+                    pos += ln
+            rows.append(tuple(row))
+        return (columns, rows)
+
+    def close(self) -> None:
+        try:
+            self.seq = 0
+            self._send_packet(b"\x01")  # COM_QUIT
+        finally:
+            self.sock.close()
+
+
+@pytest.fixture()
+def mysql_server(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "store"))
+    srv = MySQLServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def test_mysql_basic_sh_sequence(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    assert "HoraeDB" in c.server_version
+
+    # driver setup probe a stock mysql client sends on connect
+    cols, rows = c.query("SELECT @@version_comment LIMIT 1")
+    assert rows and "HoraeDB" in rows[0][0]
+
+    cols, rows = c.query("show tables")
+    assert [n for n, _ in cols] == ["table_name"] and rows == []
+
+    cols, rows = c.query("select 1 as one, now() as t")
+    assert rows[0][0] == "1" and int(rows[0][1]) > 1_000_000_000_000  # epoch ms
+
+    assert c.query(
+        "CREATE TABLE `demo`(`name` string TAG, `value` double NOT NULL, "
+        "`t` timestamp NOT NULL, timestamp KEY(t)) ENGINE = Analytic "
+        "WITH (enable_ttl='false')"
+    ) == ("ok", 0)
+    assert c.query(
+        "insert into demo (name, value, t) values ('horaedb', 1, 1683280523000)"
+    ) == ("ok", 1)
+
+    cols, rows = c.query("select name, value, t from demo")
+    types = dict(cols)
+    assert types["name"] == 0xFD  # VAR_STRING (writer.rs String → VARCHAR family)
+    assert types["value"] == 0x05  # DOUBLE
+    assert types["t"] == 0x03  # LONG — timestamps are epoch ms ints
+    assert rows == [("horaedb", "1.0", "1683280523000")]
+    c.close()
+
+
+def test_mysql_error_and_prepare(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    with pytest.raises(RuntimeError, match="no such table|not found|TABLE_NOT_FOUND|error"):
+        c.query("select * from missing_table")
+    # COM_STMT_PREPARE → ER_NOT_SUPPORTED_YET (worker.rs on_prepare)
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select ?")
+    err = c._read_packet()
+    assert err[0] == 0xFF
+    assert struct.unpack_from("<H", err, 1)[0] == 1235
+    c.close()
+
+
+def test_mysql_null_rendering(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE n (tag1 string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    c.query("insert into n (t, v) values (1683280523000, 2.5)")
+    cols, rows = c.query("select tag1, v from n")
+    assert rows == [(None, "2.5")]
+    c.close()

@@ -48,6 +48,29 @@ def table_digest(cols, rows):
     return h.hexdigest()[:16]
 
 
+def tolerance_problems(scols, srows, ocols, orows, vcol, rtol) -> list[str]:
+    """Compare approx (spark) vs exact (oracle) per group key."""
+    if sorted(scols) != sorted(ocols):
+        return [f"cols spark={sorted(scols)} oracle={sorted(ocols)}"]
+    if len(srows) != len(orows):
+        return [f"rows spark={len(srows)} oracle={len(orows)}"]
+    key_idx_s = [i for i, c in enumerate(scols) if c != vcol]
+    v_s = scols.index(vcol)
+    key_idx_o = [ocols.index(scols[i]) for i in key_idx_s]
+    v_o = ocols.index(vcol)
+    exact = {tuple(r[i] for i in key_idx_o): r[v_o] for r in orows}
+    problems = []
+    for r in srows:
+        k = tuple(r[i] for i in key_idx_s)
+        if k not in exact:
+            problems.append(f"group {k} missing from oracle")
+            continue
+        e, a = exact[k], r[v_s]
+        if abs(a - e) > max(rtol * e, 1):
+            problems.append(f"group {k}: approx={a} exact={e} beyond tol")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,6 +84,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, os_ = querybank.queries(), querybank.oracles()
+    tols = querybank.tolerance_oracles()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -75,7 +99,30 @@ def main() -> int:
             failures += 1
             continue
         if name not in os_:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            tol = tols.get(name)
+            if tol is None:
+                print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+                continue
+            # tolerance oracle: exact values from DuckDB, approx within
+            # max(rel_tol·exact, 1) per group (HLL error-bound check)
+            sql, vcol, rtol = tol
+            try:
+                res = con.execute(sql)
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+            except Exception:
+                print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+                failures += 1
+                continue
+            problems = tolerance_problems(scols, srows, ocols, orows, vcol, rtol)
+            if problems:
+                print(f"FAIL  {name}: {'; '.join(problems)}")
+                failures += 1
+            else:
+                print(
+                    f"OK~   {name}: within {rtol:.3f} rel tol "
+                    f"({len(srows)} groups, {time.time()-t0:.1f}s)"
+                )
             continue
         try:
             res = con.execute(os_[name])
