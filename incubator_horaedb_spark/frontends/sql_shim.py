@@ -215,6 +215,8 @@ class Engine:
                 return self._exists(stmt)
             if low.startswith("alter table"):
                 return self._alter(stmt)
+            if low.startswith("explain analyze"):
+                return self._explain_analyze(stmt)
             if low.startswith(("select", "with", "explain")):
                 return self._query(stmt)
             raise ValueError(f"unsupported statement: {stmt[:80]!r}")
@@ -465,6 +467,16 @@ class Engine:
             if "." in t:
                 stmt = stmt.replace(f"`{t}`", f"`{self._view_name(t)}`")
         return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
+
+    def _explain_analyze(self, stmt: str) -> DataFrame:
+        """EXPLAIN ANALYZE: run the query and return the executed plan with
+        runtime metrics (query-plan.sql:38-66 asserts scan/prune counters
+        from this surface; Spark's SQLMetrics are the counter source)."""
+        from incubator_horaedb_spark.plans.metrics import render_analyze
+
+        inner = re.sub(r"^explain\s+analyze\s+", "", stmt, flags=re.I)
+        text = render_analyze(self._query(inner))
+        return self.spark.createDataFrame([(line,) for line in text.splitlines()], "plan string")
 
     _FROM_JOIN_RE = re.compile(rf"\b(?:from|join)\s+({_IDENT})", re.I)
     _SQL_STRING_RE = re.compile(r"'(?:[^']|'')*'")

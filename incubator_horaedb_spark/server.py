@@ -99,6 +99,22 @@ class EngineServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _is_protobuf(self) -> bool:
+                return (
+                    "protobuf" in self.headers.get("content-type", "")
+                    or self.headers.get("content-encoding", "") == "snappy"
+                )
+
+            def _reply_proto(self, body: bytes) -> None:
+                # snappy-compressed protobuf, the remote-read response
+                # framing a real Prometheus expects (http.rs:274-291)
+                self.send_response(200)
+                self.send_header("content-type", "application/x-protobuf")
+                self.send_header("content-encoding", "snappy")
+                self.send_header("content-length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 if self.path == "/health":
                     self._reply(200, {"status": "ok"})
@@ -120,10 +136,20 @@ class EngineServer:
                         outer.handle_opentsdb_put(json.loads(raw))
                         self._reply(204, {})
                     elif self.path == "/prom/v1/write":
-                        outer.handle_prom_write(json.loads(raw))
+                        # a real Prometheus sends snappy-compressed protobuf
+                        # (content-type application/x-protobuf, content-
+                        # encoding snappy); the JSON rendering of the same
+                        # messages stays for untyped callers
+                        if self._is_protobuf():
+                            outer.handle_prom_write_protobuf(raw)
+                        else:
+                            outer.handle_prom_write(json.loads(raw))
                         self._reply(204, {})
                     elif self.path == "/prom/v1/read":
-                        self._reply(200, outer.handle_prom_read(json.loads(raw)))
+                        if self._is_protobuf():
+                            self._reply_proto(outer.handle_prom_read_protobuf(raw))
+                        else:
+                            self._reply(200, outer.handle_prom_read(json.loads(raw)))
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as e:  # noqa: BLE001 — HTTP boundary
@@ -168,6 +194,60 @@ class EngineServer:
         for metric, batch in parse_remote_write_typed(payload).items():
             ingest_rows(self.engine, metric, batch.rows, tag_cols=sorted(batch.tag_keys))
 
+    def handle_prom_write_protobuf(self, raw: bytes) -> None:
+        """Remote-write protobuf body (snappy + prompb WriteRequest) → the
+        same ingest tail as the JSON rendering."""
+        from incubator_horaedb_spark.frontends.prompb import (
+            decode_write_request,
+            snappy_decompress,
+        )
+
+        self.handle_prom_write(decode_write_request(snappy_decompress(raw)))
+
+    def handle_prom_read_protobuf(self, raw: bytes) -> bytes:
+        """Remote-read protobuf body → snappy(prompb ReadResponse).  The
+        metric is the ``__name__`` EQ matcher (remote.rs pulls the table
+        from it); response series carry ``__name__`` back like a remote
+        storage should."""
+        from incubator_horaedb_spark.frontends.prompb import (
+            decode_read_request,
+            encode_read_response,
+            snappy_compress,
+            snappy_decompress,
+        )
+
+        queries = decode_read_request(snappy_decompress(raw))
+        payload = {"queries": []}
+        metrics = []
+        for q in queries:
+            metric = next(
+                v for (n, op, v) in q["matchers"] if n == "__name__" and op == "="
+            )
+            metrics.append(metric)
+            payload["queries"].append(
+                {
+                    "metric": metric,
+                    "matchers": [
+                        [n, op, v] for (n, op, v) in q["matchers"] if n != "__name__"
+                    ],
+                    "start_ms": q["start_ms"],
+                    "end_ms": q["end_ms"],
+                }
+            )
+        resp = self.handle_prom_read(payload)
+        results = []
+        for metric, series_list in zip(metrics, resp["results"]):
+            results.append(
+                [
+                    {
+                        "labels": {"__name__": metric, **s["labels"]},
+                        "samples": s["samples"],
+                    }
+                    for s in series_list
+                ]
+            )
+        return snappy_compress(encode_read_response(results))
+
     def handle_prom_read(self, payload) -> dict:
         """ReadRequest JSON: {"queries": [{"metric": ..., "matchers":
         [[name, op, value], ...], "start_ms": ..., "end_ms": ...}]} →
@@ -181,7 +261,11 @@ class EngineServer:
 
         results = []
         for q in payload.get("queries", []):
-            table = Table(self.engine.spark, self.engine.catalog, q["metric"]).read()
+            # segment-pruned time-range scan (read_time_range derives the
+            # __segment bounds; remote_read_df re-applies the exact range)
+            table = Table(
+                self.engine.spark, self.engine.catalog, q["metric"]
+            ).read_time_range(q["start_ms"], q["end_ms"] + 1)
             df = remote_read_df(
                 table,
                 [tuple(m) for m in q.get("matchers", [])],

@@ -164,6 +164,56 @@ class Table:
             extra.insert(0, T.StructField(PARTITION_COLUMN, T.IntegerType(), True))
         return T.StructType(s.fields + extra)
 
+    def read_time_range(
+        self,
+        lo_ms: int | None = None,
+        hi_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> DataFrame:
+        """Time-range read with SEGMENT pruning (predicate.rs:180-197
+        TimeRange → storage pruning; asserted by query-plan.sql's
+        'should not include SST' cases).
+
+        A plain ``read().filter(t >= lo)`` cannot prune: the partition
+        column is ``__segment = ts DIV segment_duration`` and Catalyst will
+        not invert that relationship.  This read derives the segment bounds
+        from the time bounds (DIV is monotone, so t ∈ [lo, hi) ⇒ __segment
+        ∈ [lo DIV d, (hi-1) DIV d]) and filters BOTH columns BELOW the
+        dedup window — the segment predicate prunes partition directories
+        at file listing, the timestamp predicate trims the edge segments
+        row-exactly.  Below-window filtering is dedup-safe because the
+        timestamp column is part of the effective primary key
+        (schema.rs:628): every version of a key shares its timestamp, hence
+        its segment."""
+        import os
+
+        meta = self.meta
+        schema = meta.schema
+        seg_ms = meta.options.segment_duration_ms
+        data = self.catalog.data_dir(self.name)
+        if not os.path.isdir(data) or not os.listdir(data):
+            return self.read(now_ms=now_ms)
+        df = self.spark.read.schema(self._read_schema()).parquet(data)
+        if seg_ms:
+            seg = F.col(SEGMENT_COLUMN)
+            if lo_ms is not None:
+                df = df.filter(seg >= lo_ms // seg_ms)
+            if hi_ms is not None:
+                df = df.filter(seg <= (hi_ms - 1) // seg_ms)
+        ts_ms = F.unix_millis(F.col(schema.timestamp_column))
+        if lo_ms is not None:
+            df = df.filter(ts_ms >= lo_ms)
+        if hi_ms is not None:
+            df = df.filter(ts_ms < hi_ms)
+        if meta.options.enable_ttl:
+            now = int(time.time() * 1000) if now_ms is None else now_ms
+            df = df.filter(ts_ms >= now - meta.options.ttl_ms)
+        if meta.options.update_mode == "OVERWRITE":
+            pk = schema.effective_primary_key
+            w = Window.partitionBy(*pk).orderBy(F.col(SEQ_COLUMN).desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        return df.select(*[c.name for c in schema.columns])
+
     def read_pruned(self, filters: dict, now_ms: int | None = None) -> DataFrame:
         """Key-partition-pruned read: equality/in-list filters over the
         partition keys become a ``__partition IN (...)`` predicate that
