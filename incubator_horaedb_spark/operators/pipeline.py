@@ -1,0 +1,175 @@
+"""Training-data pipeline compositions (beyond-reference, LLM-pipeline
+grade): end-to-end near-dup removal, benchmark decontamination,
+deterministic stratified sampling, and a corpus mix report.  Dual-dialect
+templates (operators/dialect.py) — each Spark query and its DuckDB oracle
+render from the same fragments.
+
+These are the operators a 100 TB pretraining pipeline composes from the
+primitives in operators/{dedup,text}.py:
+
+- ``survivors``      — dedup APPLIED: which documents remain after near-dup
+                       cluster collapse (keep exactly one representative per
+                       cluster + all unclustered docs).  Pairs alone
+                       over-remove; this is the actionable output.
+- ``decontaminate``  — benchmark contamination: corpus documents whose
+                       shingle sets overlap a held-out benchmark slice
+                       above a threshold.  Candidate generation is a
+                       bucketed equi-join on the shingle hash (never
+                       all-pairs), the standard n-gram-overlap decontam
+                       from public LLM-data literature.
+- ``stratified sample`` — deterministic multiplicative-hash Bernoulli
+                       sampling per stratum: reproducible across engines
+                       and runs (no RNG), the data-mixing primitive.
+- ``mix report``     — per-language corpus audit: doc counts, token totals,
+                       mean quality — the composition of text ops that
+                       drives mixture weights.
+"""
+
+from __future__ import annotations
+
+from incubator_horaedb_spark.operators import dedup
+from incubator_horaedb_spark.operators.dialect import Dialect
+from incubator_horaedb_spark.operators.text import langid_sql, quality_sql, token_count_sql
+
+# ---------------------------------------------------- near-dup survivors --
+
+
+def survivors_final_select(d: Dialect, table: str, labels_src: str) -> str:
+    """Survivors = docs not in any cluster, plus each cluster's min-id
+    representative (label == own id after convergence)."""
+    return f"""SELECT d.doc_id
+    FROM {table} d
+    LEFT JOIN {labels_src} l ON l.doc_id = d.doc_id
+    WHERE l.doc_id IS NULL OR l.lbl = d.doc_id"""
+
+
+def dedup_survivors_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
+    """One-shot rendering (oracle side): minhash-LSH pairs → fixed-k CC
+    labels → survivor selection."""
+    ctes = (
+        dedup._shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {dedup._sig_cols()}\n      FROM ex GROUP BY doc_id"),
+        ]
+        + dedup._pairs_ctes(d, "hs", "sig")
+        + [("edges", dedup.cc_edges_select(d, "verified", threshold))]
+        + dedup.cc_label_ctes(d, "edges")
+    )
+    return d.cte_query(ctes, survivors_final_select(d, table, f"l{dedup.CC_ITERS}"))
+
+
+# ----------------------------------------------------- decontamination --
+
+BENCH_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" slice
+# Flag docs sharing >= 5% of their shingles with the benchmark vocabulary —
+# aggressive, as decontamination should be (false positives only cost a
+# little data; false negatives leak eval answers into training).
+DECONTAM_THRESHOLD = 0.05
+
+
+def decontaminate_ctes(d: Dialect, hs_src: str) -> list[tuple[str, str]]:
+    """Shared-shingle overlap between the corpus slice and the benchmark
+    slice.  ``bench_h`` is the distinct benchmark shingle vocabulary; the
+    equi-join on the hash makes the work Σ_h df_corpus(h)·df_bench(h) —
+    bucketed, never |corpus|×|bench| pairs."""
+    return [
+        (
+            "bench_h",
+            f"""SELECT DISTINCT h FROM (
+        {d.unnest_select("doc_id", "shs", "h", hs_src)}
+      ) b WHERE doc_id % {BENCH_MOD} = 0""",
+        ),
+        (
+            "corp_ex",
+            f"""SELECT doc_id, h FROM (
+        {d.unnest_select("doc_id", "shs", "h", hs_src)}
+      ) c WHERE doc_id % {BENCH_MOD} <> 0""",
+        ),
+        (
+            "hits",
+            """SELECT c.doc_id, count(*) AS n_shared
+      FROM corp_ex c JOIN bench_h b ON b.h = c.h
+      GROUP BY c.doc_id""",
+        ),
+        (
+            "sized",
+            f"""SELECT t.doc_id, hits.n_shared,
+             round(CAST(hits.n_shared AS DOUBLE) / {d.size('t.shs')}, 6) AS overlap
+      FROM hits JOIN {hs_src} t ON t.doc_id = hits.doc_id""",
+        ),
+    ]
+
+
+def decontaminate_sql(d: Dialect, table: str = "documents") -> str:
+    """One-shot rendering (oracle side)."""
+    ctes = dedup._shingle_ctes(d, table) + decontaminate_ctes(d, "hs")
+    return d.cte_query(
+        ctes,
+        f"SELECT doc_id, n_shared, overlap FROM sized WHERE overlap >= {DECONTAM_THRESHOLD}",
+    )
+
+
+def decontaminate_from_hs_select(d: Dialect, hs_src: str) -> str:
+    """From a materialized shingle view (staged Spark path)."""
+    return d.cte_query(
+        decontaminate_ctes(d, hs_src),
+        f"SELECT doc_id, n_shared, overlap FROM sized WHERE overlap >= {DECONTAM_THRESHOLD}",
+    )
+
+
+# ----------------------------------------------- stratified sampling --
+
+# Knuth multiplicative hash constants: deterministic, engine-portable
+# BIGINT arithmetic (event_id·A fits int64 for any realistic id), no RNG.
+_SAMPLE_A = 2654435761
+_SAMPLE_P = 2147483647
+
+
+def sample_hash_expr(id_expr: str) -> str:
+    return f"(({id_expr}) * {_SAMPLE_A}) % {_SAMPLE_P}"
+
+
+def stratified_sample_sql(
+    d: Dialect, table: str = "events", pct: int = 10
+) -> str:
+    """Deterministic ~pct% Bernoulli sample per row, audited per stratum:
+    (event_type, n_total, n_sampled, sum of sampled values).  The hash
+    gate is a pure projection — at 100 TB the sample is taken at scan
+    speed with no shuffle before the final small agg; reproducibility
+    (same rows every run/engine) is what makes the sample auditable."""
+    gate = f"{sample_hash_expr('event_id')} % 100 < {pct}"
+    return f"""
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {gate} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(sum(CASE WHEN {gate} THEN round(value * 1048576) / 1048576 ELSE 0 END), 6)
+             AS sampled_value_sum
+    FROM {table}
+    GROUP BY event_type
+    """
+
+
+# ------------------------------------------------------- mix report --
+
+
+def mix_report_sql(d: Dialect, table: str = "documents") -> str:
+    """Per-predicted-language corpus audit: docs, BPE-token total, mean
+    quality score (all inputs from the text-op templates, so the report is
+    consistent with the standalone gated ops)."""
+    return d.cte_query(
+        [
+            ("lid", langid_sql(d, table)),
+            ("q", quality_sql(d, table)),
+            ("tok", token_count_sql(d, table)),
+        ],
+        """SELECT lid.pred_lang,
+           count(*) AS n_docs,
+           CAST(sum(tok.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(sum(round(q.quality_score * 1048576) / 1048576) / count(*), 6)
+             AS mean_quality
+    FROM lid
+    JOIN q ON q.doc_id = lid.doc_id
+    JOIN tok ON tok.doc_id = lid.doc_id
+    GROUP BY lid.pred_lang""",
+    )

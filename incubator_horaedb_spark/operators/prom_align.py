@@ -44,7 +44,24 @@ from pyspark.sql import functions as F
 EXTRAPOLATION_COEFF = 1.1  # prom_align.rs:59
 DEFAULT_LOOKBACK_MS = 300_000  # promql/convert.rs:55
 
+# Reference surface (prom_align.rs PromFunc): the extrapolation family +
+# instant-value family + instant selector.
 ALIGN_FUNCS = ("rate", "increase", "delta", "irate", "idelta", "instant")
+# Beyond-reference extension: the Prometheus `*_over_time` window
+# aggregates, same window definition ([t - lookback, t], empty windows
+# skipped), no extrapolation — pure window aggregation on the same
+# explode-to-grid plan.  Float sums are dyadic-quantized per addend
+# (functions/detfloat.py) so the result is order-independent and
+# bit-reproducible against the SQL oracle.
+OVER_TIME_FUNCS = (
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "sum_over_time",
+    "count_over_time",
+    "last_over_time",
+)
+_Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
 
 
 def prom_align(
@@ -71,8 +88,10 @@ def prom_align(
     The grid is ``t = start_ms + k*step_ms`` for ``k in [0, (end-start)/step]``
     (FixedStepper starts at the align-range start and advances by ``step``).
     """
-    if func not in ALIGN_FUNCS:
-        raise ValueError(f"unknown align func {func!r}; expected one of {ALIGN_FUNCS}")
+    if func not in ALIGN_FUNCS + OVER_TIME_FUNCS:
+        raise ValueError(
+            f"unknown align func {func!r}; expected one of {ALIGN_FUNCS + OVER_TIME_FUNCS}"
+        )
     is_counter = func in ("rate", "increase")
     is_rate = func == "rate"
 
@@ -132,12 +151,27 @@ def prom_align(
         # second-last in-window sample = the series-predecessor of the last sample
         F.max_by("__prev_ts", "__ts").alias("second_last_ts"),
         F.max_by("__prev_val", "__ts").alias("second_last_val"),
+        # *_over_time inputs: min/max exact; sum over dyadic-quantized
+        # addends so the aggregation order cannot change the result
+        F.min("__val").alias("val_min"),
+        F.max("__val").alias("val_max"),
+        F.sum(F.round(F.col("__val") * _Q) / _Q).alias("val_sum_q"),
     )
 
     t = F.col("__t")
     mint = t - F.lit(lookback_ms)
 
-    if func == "instant":
+    if func in OVER_TIME_FUNCS:
+        out_val = {
+            "avg_over_time": F.col("val_sum_q") / F.col("n"),
+            "min_over_time": F.col("val_min"),
+            "max_over_time": F.col("val_max"),
+            "sum_over_time": F.col("val_sum_q"),
+            "count_over_time": F.col("n").cast("double"),
+            "last_over_time": F.col("last_val"),
+        }[func]
+        result = agg.withColumn("value", out_val)
+    elif func == "instant":
         out_val = F.col("last_val")
         result = agg.withColumn("value", out_val)
     elif func in ("irate", "idelta"):
@@ -200,7 +234,7 @@ def prom_align_oracle_sql(
     """DuckDB SQL computing the identical PromAlign result — generated from
     the same parameters so the Spark pipeline and the oracle cannot drift.
     Used by the correctness gate."""
-    if func not in ALIGN_FUNCS:
+    if func not in ALIGN_FUNCS + OVER_TIME_FUNCS:
         raise ValueError(func)
     is_counter = func in ("rate", "increase")
     n_steps = (end_ms - start_ms) // step_ms
@@ -233,12 +267,25 @@ def prom_align_oracle_sql(
                        AND val < prev_val
                       THEN round(prev_val * 1048576) / 1048576 ELSE 0.0 END) AS reset_corr,
              arg_max(prev_ts, sts) AS second_last_ts,
-             arg_max(prev_val, sts) AS second_last_val
+             arg_max(prev_val, sts) AS second_last_val,
+             min(val) AS val_min,
+             max(val) AS val_max,
+             sum(round(val * {_Q}) / {_Q}) AS val_sum_q
       FROM exploded
       GROUP BY {series}, t
     )"""
 
-    if func == "instant":
+    if func in OVER_TIME_FUNCS:
+        value_sql = {
+            "avg_over_time": "val_sum_q / n",
+            "min_over_time": "val_min",
+            "max_over_time": "val_max",
+            "sum_over_time": "val_sum_q",
+            "count_over_time": "CAST(n AS DOUBLE)",
+            "last_over_time": "last_val",
+        }[func]
+        where_sql = "TRUE"
+    elif func == "instant":
         value_sql = "last_val"
         where_sql = "TRUE"
     elif func in ("irate", "idelta"):

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from incubator_horaedb_spark.operators import dedup, similarity, text
+from incubator_horaedb_spark.operators import dedup, pipeline, similarity, text
 from incubator_horaedb_spark.operators.dialect import DUCK, SPARK
 from incubator_horaedb_spark.querybank.registry import load, register, widen_for_compute
 
@@ -158,7 +158,10 @@ register("dedup_simhash", oracle=dedup.simhash_pairs_sql(DUCK))(_staged_simhash)
 _staged_ngram.__doc__ = dedup.ngram_jaccard_sql.__doc__
 register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0.8))(_staged_ngram)
 
-def _staged_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> str:
+    """Build the staged minhash-LSH → verified pairs → fixed-k CC label
+    views; returns the converged label view name.  Shared by the cluster
+    summary and the survivor-selection (dedup APPLY) queries."""
     _staged_shingles(spark, sf_dir, "__cc_hs")
     _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__cc_hs")), "__cc_sig")
     gated = _gated_src(
@@ -196,13 +199,44 @@ def _staged_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.cc_iter_select(SPARK, f"__cc_l{i - 1}", "__cc_edges")
         ).localCheckpoint()
         l.createOrReplaceTempView(f"__cc_l{i}")
-    return spark.sql(dedup.cc_summary_select(SPARK, f"__cc_l{dedup.CC_ITERS}"))
+    return f"__cc_l{dedup.CC_ITERS}"
+
+
+def _staged_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _staged_cc_labels(spark, sf_dir)
+    return spark.sql(dedup.cc_summary_select(SPARK, labels))
 
 
 _staged_cluster_reps.__doc__ = dedup.dedup_cluster_reps_sql.__doc__
 register(
     "dedup_cluster_reps", oracle=dedup.dedup_cluster_reps_sql(DUCK, threshold=0.8)
 )(_staged_cluster_reps)
+
+
+# --- training-pipeline compositions (operators/pipeline.py) ---------------
+def _staged_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _staged_cc_labels(spark, sf_dir)
+    return spark.sql(pipeline.survivors_final_select(SPARK, "documents", labels))
+
+
+_staged_survivors.__doc__ = pipeline.dedup_survivors_sql.__doc__
+register("dedup_apply_survivors", oracle=pipeline.dedup_survivors_sql(DUCK, threshold=0.8))(
+    _staged_survivors
+)
+
+
+def _staged_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_shingles(spark, sf_dir, "__decon_hs")
+    return spark.sql(pipeline.decontaminate_from_hs_select(SPARK, "__decon_hs"))
+
+
+_staged_decontaminate.__doc__ = pipeline.decontaminate_sql.__doc__
+register("decontaminate_ngram", oracle=pipeline.decontaminate_sql(DUCK))(
+    _staged_decontaminate
+)
+
+_sql_query("sample_stratified", pipeline.stratified_sample_sql, _tables=("events",))
+_sql_query("corpus_mix_report", pipeline.mix_report_sql)
 
 
 # --- similarity search ----------------------------------------------------

@@ -76,6 +76,19 @@ def _make(func: str):
 for _func in ("rate", "increase", "delta", "irate", "idelta", "instant"):
     register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
 
+# Beyond-reference: the Prometheus `*_over_time` window aggregates on the
+# same aligned grid (same window definition, no extrapolation) — see
+# operators/prom_align.py OVER_TIME_FUNCS.
+for _func in (
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "sum_over_time",
+    "count_over_time",
+    "last_over_time",
+):
+    register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
+
 
 @register(
     "promql_sum_by_ts",

@@ -166,23 +166,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # family, set_intersect the set-op family, ...) follow.  The local harness
 # (tools/check_correctness.py) still checks all of them.
 DRIVER_ORDER = [
-    # core SQL — one per family
-    "q1_pricing_summary", "scan_filter_project", "filter_constant_fold",
-    "topk_order_limit", "group_having", "join_inner_3way", "join_left_outer",
-    "join_semi", "join_anti", "subquery_in", "set_union_all", "distinct_agg",
-    "in_list_filter", "case_when_bucketing", "window_rownum_top2",
-    "rollup_agg", "percentile_exact", "udaf_energy_by_type", "scalar_functions",
+    # core SQL — one per family (same-row variants like constant folding /
+    # anti-join / IN-list ride behind their family representative)
+    "q1_pricing_summary", "scan_filter_project", "topk_order_limit",
+    "join_inner_3way", "join_left_outer", "join_semi", "subquery_in",
+    "set_union_all", "distinct_agg", "window_rownum_top2", "rollup_agg",
+    "percentile_exact", "udaf_energy_by_type", "scalar_functions",
     # TSDB storage semantics
     "time_bucket_minute", "date_bin_15m", "dedup_latest_by_key",
     "chain_append_read", "ts_literal_coercion", "time_range_scan",
     "downsample_stddev",
     # protocol frontends
     "promql_rate", "promql_irate", "promql_instant", "promql_sum_by_ts",
-    "promql_regex_selector", "opentsdb_downsample_groupby",
-    "influxql_groupby_time_tag",
+    "promql_avg_over_time", "promql_regex_selector",
+    "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_cluster_reps", "ann_cosine_bruteforce", "ann_cosine_ivf",
+    "dedup_cluster_reps", "dedup_apply_survivors", "decontaminate_ngram",
+    "sample_stratified", "corpus_mix_report",
+    "ann_cosine_bruteforce", "ann_cosine_ivf",
     "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
     "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
     "text_fingerprint", "multimodal_decode_meta", "multimodal_frame_sample",
