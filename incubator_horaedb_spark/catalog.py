@@ -126,6 +126,7 @@ class TableMeta:
     schema: TableSchema
     options: TableOptions
     next_seq: int = 1
+    created_at_ms: int = 0  # system.public.tables `timestamp` column
 
     def to_dict(self) -> dict:
         return {
@@ -133,6 +134,7 @@ class TableMeta:
             "schema": self.schema.to_dict(),
             "options": self.options.to_dict(),
             "next_seq": self.next_seq,
+            "created_at_ms": self.created_at_ms,
         }
 
     @classmethod
@@ -142,6 +144,7 @@ class TableMeta:
             schema=TableSchema.from_dict(d["schema"]),
             options=TableOptions.from_dict(d["options"]),
             next_seq=d.get("next_seq", 1),
+            created_at_ms=d.get("created_at_ms", 0),
         )
 
 
@@ -178,7 +181,14 @@ class Catalog:
                 if if_not_exists:
                     return self.get(name)
                 raise ValueError(f"table {name!r} already exists")
-            meta = TableMeta(name=name, schema=schema, options=options or TableOptions())
+            import time as _time
+
+            meta = TableMeta(
+                name=name,
+                schema=schema,
+                options=options or TableOptions(),
+                created_at_ms=int(_time.time() * 1000),
+            )
             os.makedirs(self.data_dir(name), exist_ok=True)
             self._write_meta(meta)
             return meta

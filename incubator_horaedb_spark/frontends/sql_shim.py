@@ -445,11 +445,35 @@ class Engine:
     def _view_name(table: str) -> str:
         return table.replace(".", "__dot__")
 
+    DEFAULT_CATALOG = "horaedb"  # catalog/src/consts.rs:24 DEFAULT_CATALOG
+
     def register_views(self) -> None:
         for t in self.catalog.list_tables():
             Table(self.spark, self.catalog, t).read().createOrReplaceTempView(
                 self._view_name(t)
             )
+        # system.public.tables (system_catalog/src/tables.rs:51-91: timestamp,
+        # catalog, schema, table_name, table_id, engine).  The reference's
+        # own integration case is disabled with a TODO ("Couldn't find table
+        # in table container", system_tables.sql:30); here it works.
+        metas = [self.catalog.get(t) for t in self.catalog.list_tables()]
+        sys_rows = [
+            (
+                m.created_at_ms,
+                self.DEFAULT_CATALOG,
+                self.catalog.schema,
+                m.name,
+                i + 1,
+                "Analytic",
+            )
+            for i, m in enumerate(metas)
+        ]
+        sdf = self.spark.createDataFrame(
+            sys_rows,
+            "timestamp long, catalog string, schema string, table_name string, "
+            "table_id long, engine string",
+        ).withColumn("timestamp", F.timestamp_millis(F.col("timestamp")))
+        sdf.createOrReplaceTempView("__system_tables")
 
     def _query(self, stmt: str) -> DataFrame:
         from incubator_horaedb_spark.functions.sql_bindings import (
@@ -466,6 +490,13 @@ class Engine:
         for t in self.catalog.list_tables():
             if "." in t:
                 stmt = stmt.replace(f"`{t}`", f"`{self._view_name(t)}`")
+        # system catalog table reference → registered view
+        stmt = re.sub(
+            r"\bsystem\s*\.\s*public\s*\.\s*tables\b",
+            "__system_tables",
+            stmt,
+            flags=re.I,
+        )
         return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
 
     def _explain_analyze(self, stmt: str) -> DataFrame:

@@ -173,6 +173,23 @@ def test_ingest_rows_all_none_column(engine):
     assert engine.table("hetero").read().count() == 2
 
 
+# ----------------------------------------------- system catalog table --
+def test_system_public_tables(engine):
+    # system_tables.sql:30 — the reference's own case is disabled with a
+    # TODO ("Couldn't find table in table container"); here it answers
+    out = engine.execute_sql(
+        "SELECT `timestamp`, `catalog`, `schema`, table_name, engine "
+        "FROM system.public.tables WHERE table_name = 'demo'"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["catalog"], r["schema"], r["table_name"], r["engine"]) == (
+        "horaedb", "public", "demo", "Analytic"
+    )
+    assert r["timestamp"] is not None  # creation time recorded
+
+
 # --------------------------------------------------- read-only dedup --
 def test_server_dedups_only_reads(engine):
     from incubator_horaedb_spark.server import EngineServer
