@@ -139,12 +139,23 @@ def _band_key(b: int) -> str:
 
 def bands_select(d: Dialect, sig_src: str) -> str:
     """(doc_id, band_idx, band_key): one row per doc per band — the LSH
-    bucket assignment.  Staged separately on the Spark side because the
-    downstream gate + self-join reference it three times and Spark inlines
-    CTEs (each reference would recompute the union)."""
-    return "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b + 1} AS band_idx, {_band_key(b)} AS band_key FROM {sig_src}"
+    bucket assignment.  Rendered as ONE scan exploding a 4-struct array
+    (Spark ``inline``, DuckDB recursive ``unnest``) instead of a 4-way
+    UNION ALL: at any scale that is 4× less signature reading, and on the
+    Spark side it keeps the whole bands projection in a single
+    whole-stage-codegen pass."""
+    structs_spark = ", ".join(
+        f"named_struct('band_idx', {b + 1}, 'band_key', CAST({_band_key(b)} AS BIGINT))"
         for b in range(BANDS)
+    )
+    structs_duck = ", ".join(
+        f"{{'band_idx': {b + 1}, 'band_key': CAST({_band_key(b)} AS BIGINT)}}"
+        for b in range(BANDS)
+    )
+    if d.engine == "spark":
+        return f"SELECT doc_id, inline(array({structs_spark})) FROM {sig_src}"
+    return (
+        f"SELECT doc_id, unnest([{structs_duck}], recursive := true) FROM {sig_src}"
     )
 
 

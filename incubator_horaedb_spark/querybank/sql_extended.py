@@ -251,6 +251,36 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approximate percentile (DataFusion approx_percentile_cont family) ----
+# Different sketch (Spark GK vs DuckDB t-digest), so no hash oracle; the
+# local harness value-checks each group within 5% of the exact quantile
+# (registry tolerance oracle, same mechanism as thetasketch).
+@register(
+    "approx_percentile_price",
+    oracle=None,
+    tolerance=(
+        """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.95) AS p95_approx
+        FROM orders GROUP BY o_orderstatus
+        """,
+        "p95_approx",
+        0.05,
+    ),
+)
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile — the scale path for quantiles (GK sketch:
+    mergeable partials, map-side combine; one small state per group
+    crosses the shuffle instead of the raw values)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("p95_approx")
+        )
+    )
+
+
 # --- UDAF framework demo (pandas GROUPED_AGG ≙ reference udaf.rs) ---------
 @register(
     "udaf_energy_by_type",

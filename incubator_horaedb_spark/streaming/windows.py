@@ -62,6 +62,28 @@ def windowed_agg(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Iterable[str],
+    ts_col: str = "ts",
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup: keep the first occurrence of each key set,
+    with state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    a key's dedup state is evicted once the watermark passes it).
+
+    This is the streaming face of the training-pipeline `dedup_exact`
+    operator: at ingest time, duplicate documents/events inside the
+    lateness horizon are dropped before they ever hit storage, while the
+    batch dedup operators handle the full-corpus pass.  State is one entry
+    per distinct in-horizon key — bounded, unlike an unwatermarked
+    dropDuplicates whose state grows with stream length."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def sessionize(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -7,7 +7,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from incubator_horaedb_spark.streaming.windows import sessionize, windowed_agg
+from incubator_horaedb_spark.streaming.windows import (
+    sessionize,
+    streaming_dedup,
+    windowed_agg,
+)
 
 
 def _write_events(spark, path, rows):
@@ -60,6 +64,25 @@ def test_windowed_agg_stream(spark, tmp_path):
     assert got[(t0, 1)] == (2, 3.0)
     assert got[(t0 + 60, 2)] == (1, 4.0)
     assert got[(t0 + 120, 1)] == (1, 8.0)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    path = str(tmp_path / "dedup_src")
+    base = 1_700_000_000_000
+    rows = [
+        (1, base, 1.0),
+        (1, base, 1.0),  # exact duplicate inside the horizon → dropped
+        (1, base + 5_000, 2.0),  # same key, different ts → kept
+        (2, base + 1_000, 3.0),
+    ]
+    _write_events(spark, path, rows)
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(path)
+    deduped = streaming_dedup(stream, ["user_id", "ts"], "ts", watermark="1 minute")
+    out = _run_stream(spark, deduped, "dedup_out")
+    got = sorted(
+        (r["user_id"], int(r["ts"].timestamp() * 1000)) for r in out.collect()
+    )
+    assert got == [(1, base), (1, base + 5_000), (2, base + 1_000)]
 
 
 def test_sessionize_stream(spark, tmp_path):
