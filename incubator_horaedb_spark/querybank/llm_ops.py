@@ -51,16 +51,35 @@ def _stage(df: DataFrame, view: str) -> DataFrame:
     return df
 
 
-def _staged_shingles(spark: SparkSession, sf_dir: str, view: str) -> None:
+def _staged_shingles(
+    spark: SparkSession, sf_dir: str, view: str, materialize: bool = True
+) -> None:
     """Materialize documents → token hashes → distinct shingle hashes as
     cached view ``view``.  Two stages, because CTE inlining would otherwise
     re-evaluate the O(chars) token-hash expression at each reference
     (measured 1.8s → 0.57s for the stage at sf0.1).  The scan is widened
     first — the token-hash fold is interpreted per-char work that must not
-    run on one input split (widen_for_compute docstring)."""
+    run on one input split (widen_for_compute docstring).
+
+    ``materialize=False`` skips the eager count on the FINAL stage only:
+    callers whose next action scans the shingle view exactly once (the
+    skew-detection agg) let that action fill the cache instead — one fewer
+    job.  The tokh stage always materializes eagerly (hs references it 4×;
+    concurrent scans of an unfilled cache race and recompute)."""
     widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), f"{view}_tokh")
-    _stage(spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh")), view)
+    df = spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh")).cache()
+    df.createOrReplaceTempView(view)
+    if materialize:
+        df.count()
+
+
+def _stage_lazy(spark: SparkSession, sql: str, view: str) -> DataFrame:
+    """Cache + register WITHOUT an eager fill — for stages whose next
+    action is a single sequential scan (which fills the cache race-free)."""
+    df = spark.sql(sql).cache()
+    df.createOrReplaceTempView(view)
+    return df
 
 
 def _gated_src(
@@ -93,8 +112,12 @@ def _gated_src(
 
 
 def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_shingles(spark, sf_dir, "__minhash_hs")
-    _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__minhash_hs")), "__minhash_sig")
+    # hs and sig stay LAZY: the skew-detection agg below scans
+    # bands → sig → hs in one sequential chain (bands_select is a single
+    # inline() scan), filling both caches as a side effect — the detection
+    # pass replaces the two count() jobs instead of adding one.
+    _staged_shingles(spark, sf_dir, "__minhash_hs", materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__minhash_hs"), "__minhash_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__minhash_sig"),
@@ -116,8 +139,10 @@ def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_shingles(spark, sf_dir, "__simhash_hs")
-    _stage(spark.sql(dedup.simhash_from_hs_select(SPARK, "__simhash_hs")), "__simhash_sh")
+    # same lazy-fill pattern as _staged_minhash: detection scans
+    # bands → sh → hs once and fills both caches
+    _staged_shingles(spark, sf_dir, "__simhash_hs", materialize=False)
+    _stage_lazy(spark, dedup.simhash_from_hs_select(SPARK, "__simhash_hs"), "__simhash_sh")
     gated = _gated_src(
         spark,
         dedup.simhash_bands_select(SPARK, "__simhash_sh"),
@@ -135,7 +160,8 @@ def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_shingles(spark, sf_dir, "__ngram_hs")
+    # detection explodes hs once → fills the hs cache (lazy-fill pattern)
+    _staged_shingles(spark, sf_dir, "__ngram_hs", materialize=False)
     gated = _gated_src(
         spark,
         SPARK.unnest_select("doc_id", "shs", "h", "__ngram_hs"),
@@ -162,8 +188,8 @@ def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> str:
     """Build the staged minhash-LSH → verified pairs → fixed-k CC label
     views; returns the converged label view name.  Shared by the cluster
     summary and the survivor-selection (dedup APPLY) queries."""
-    _staged_shingles(spark, sf_dir, "__cc_hs")
-    _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__cc_hs")), "__cc_sig")
+    _staged_shingles(spark, sf_dir, "__cc_hs", materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__cc_hs"), "__cc_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__cc_sig"),
