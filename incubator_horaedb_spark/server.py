@@ -116,10 +116,24 @@ class EngineServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/health":
-                    self._reply(200, {"status": "ok"})
-                else:
-                    self._reply(404, {"error": f"no route {self.path}"})
+                import urllib.parse
+
+                parsed = urllib.parse.urlparse(self.path)
+                try:
+                    if parsed.path == "/health":
+                        self._reply(200, {"status": "ok"})
+                    elif parsed.path.startswith("/route/"):
+                        # GET /route/{table} (http.rs:350-358)
+                        table = urllib.parse.unquote(parsed.path[len("/route/") :])
+                        self._reply(200, outer.handle_route(table))
+                    elif parsed.path == "/influxdb/v1/query":
+                        qs = urllib.parse.parse_qs(parsed.query)
+                        q = (qs.get("q") or [""])[0]
+                        self._reply(200, outer.handle_influxql_query(q))
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as e:  # noqa: BLE001 — HTTP boundary
+                    self._reply(400, {"error": str(e)})
 
             def do_POST(self):
                 n = int(self.headers.get("content-length", 0))
@@ -135,6 +149,16 @@ class EngineServer:
                     elif self.path == "/opentsdb/api/put":
                         outer.handle_opentsdb_put(json.loads(raw))
                         self._reply(204, {})
+                    elif self.path == "/opentsdb/api/query":
+                        # http.rs:463-477 (POST JSON OpenTSDB query)
+                        self._reply(200, outer.handle_opentsdb_query(json.loads(raw)))
+                    elif self.path.startswith("/influxdb/v1/query"):
+                        # http.rs:401-421: POST form body `q=...`
+                        import urllib.parse
+
+                        form = urllib.parse.parse_qs(raw.decode())
+                        q = (form.get("q") or [""])[0]
+                        self._reply(200, outer.handle_influxql_query(q))
                     elif self.path == "/prom/v1/write":
                         # a real Prometheus sends snappy-compressed protobuf
                         # (content-type application/x-protobuf, content-
@@ -193,6 +217,124 @@ class EngineServer:
 
         for metric, batch in parse_remote_write_typed(payload).items():
             ingest_rows(self.engine, metric, batch.rows, tag_cols=sorted(batch.tag_keys))
+
+    def handle_route(self, table: str) -> dict:
+        """GET /route/{table} (proxy/src/http/route.rs RouteResponse):
+        standalone deployment answers with its own endpoint for existing
+        tables; empty table → empty routes, like the reference."""
+        if not table or not self.engine.catalog.exists(table):
+            return {"routes": []}
+        host, port = self.httpd.server_address[0], self.port
+        return {"routes": [{"table": table, "endpoint": {"addr": host, "port": port}}]}
+
+    def handle_influxql_query(self, q: str) -> dict:
+        """GET/POST /influxdb/v1/query (http.rs:401-421): InfluxQL text →
+        the InfluxDB v1 response shape (proxy/src/influxdb/types.rs:233-258
+        InfluxqlResponse: results → statement_id/series → name, optional
+        tags, columns, values; timestamps as ms epochs like Datum)."""
+        from incubator_horaedb_spark.frontends.influxql import (
+            influxql_to_df,
+            parse_influxql,
+        )
+        from incubator_horaedb_spark.table import Table
+
+        if not q.strip():
+            raise ValueError("missing query parameter q")
+        if q.strip().lower().startswith("show measurements"):
+            names = self.engine.catalog.list_tables()
+            series = [
+                {
+                    "name": "measurements",
+                    "columns": ["name"],
+                    "values": [[n] for n in names],
+                }
+            ]
+            return {"results": [{"statement_id": 0, "series": series}]}
+        iq = parse_influxql(q)
+        table = Table(self.engine.spark, self.engine.catalog, iq.measurement).read()
+        df = influxql_to_df(iq, {iq.measurement: table})
+        from pyspark.sql import functions as F
+
+        exprs = [
+            F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name)
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+            else F.col(f"`{f.name}`")
+            for f in df.schema.fields
+        ]
+        cols = df.columns
+        rows = [dict(zip(cols, r)) for r in df.select(*exprs).collect()]
+        tag_set = [t for t in iq.group_tags if t in cols]
+        value_cols = [c for c in cols if c not in tag_set]
+        if not tag_set:
+            series = [
+                {
+                    "name": iq.measurement,
+                    "columns": value_cols,
+                    "values": [[r[c] for c in value_cols] for r in rows],
+                }
+            ]
+        else:
+            # one series per group-by tag combination (QueryConverter's
+            # measurement + tag-values group key, types.rs:282-288)
+            groups: dict[tuple, list] = {}
+            for r in rows:
+                groups.setdefault(tuple(r[t] for t in tag_set), []).append(
+                    [r[c] for c in value_cols]
+                )
+            series = [
+                {
+                    "name": iq.measurement,
+                    "tags": dict(zip(tag_set, key)),
+                    "columns": value_cols,
+                    "values": vals,
+                }
+                for key, vals in sorted(groups.items())
+            ]
+        return {"results": [{"statement_id": 0, "series": series}]}
+
+    def handle_opentsdb_query(self, payload) -> list:
+        """POST /opentsdb/api/query (http.rs:463-477): sub-queries →
+        the OpenTSDB response shape (proxy/src/opentsdb/types.rs:218-232
+        QueryResponse: metric, per-series tags, aggregatedTags, dps keyed
+        by ms-epoch strings — the converter stringifies Datum::Timestamp)."""
+        from incubator_horaedb_spark.frontends.opentsdb import (
+            parse_query_request,
+            subquery_to_df,
+        )
+        from incubator_horaedb_spark.table import Table
+
+        req = parse_query_request(payload)
+        out = []
+        for sub in req.queries:
+            # segment-pruned time-range scan, then the sub-query plan
+            table = Table(
+                self.engine.spark, self.engine.catalog, sub.metric
+            ).read_time_range(req.start_ms, req.end_ms + 1)
+            df = subquery_to_df(table, req, sub)
+            group_tags = sub.group_by_tags
+            # aggregatedTags: filter tag keys collapsed by the aggregation
+            agg_tags = sorted(
+                {f.tagk for f in sub.filters} - set(group_tags)
+            ) if sub.aggregator != "none" else []
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("__ms", F.unix_millis(F.col("ts")))
+            rows = df.collect()
+            series: dict[tuple, dict] = {}
+            for r in rows:
+                key = tuple(r[t] for t in group_tags)
+                s = series.setdefault(
+                    key,
+                    {
+                        "metric": sub.metric,
+                        "tags": dict(zip(group_tags, key)),
+                        "aggregatedTags": agg_tags,
+                        "dps": {},
+                    },
+                )
+                s["dps"][str(r["__ms"])] = float(r["value"])
+            out.extend(series[k] for k in sorted(series))
+        return out
 
     def handle_prom_write_protobuf(self, raw: bytes) -> None:
         """Remote-write protobuf body (snappy + prompb WriteRequest) → the
