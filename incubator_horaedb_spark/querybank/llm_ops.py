@@ -366,3 +366,22 @@ register(
     "ann_topk_blocked",
     oracle=similarity.blocked_topk_oracle_sql(DUCK, k=5, n_queries=10),
 )(_blocked_topk)
+
+
+def _blocked_topk_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB execution shape GATED: corpus split into two blocks (by
+    vec_id parity), per-block broadcast-GEMM top-k, union, ONE re-rank
+    window — provably equal to the single-block result (the global i-th
+    best is inside its own block's top-k), so it shares the single-block
+    oracle.  This is the query a multi-block deployment actually runs."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    blocks = [emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1)]
+    return similarity.blocked_topk_over_blocks(emb, blocks, k=5, n_queries=10)
+
+
+register(
+    "ann_topk_multiblock",
+    oracle=similarity.blocked_topk_oracle_sql(DUCK, k=5, n_queries=10),
+)(_blocked_topk_multiblock)

@@ -78,6 +78,16 @@ def _model(func, samples, t, lookback_ms):
         return w[-1][1]
     if func in ("irate", "idelta"):
         return _model_instant_value(w, func == "irate")
+    if func.endswith("_over_time"):
+        vals = [v for _, v in w]
+        return {
+            "avg_over_time": sum(vals) / len(vals),
+            "min_over_time": min(vals),
+            "max_over_time": max(vals),
+            "sum_over_time": sum(vals),
+            "count_over_time": float(len(vals)),
+            "last_over_time": vals[-1],
+        }[func]
     return _model_extrapolate(
         w, t, lookback_ms, is_counter=func in ("rate", "increase"), is_rate=func == "rate"
     )
@@ -99,7 +109,17 @@ series_strategy = st.lists(
 )
 
 
-@pytest.mark.parametrize("func", ["rate", "increase", "delta", "irate", "idelta", "instant"])
+@pytest.mark.parametrize(
+    "func",
+    [
+        "rate", "increase", "delta", "irate", "idelta", "instant",
+        # *_over_time: plain window aggregates on the same grid.  Dyadic
+        # inputs (2^-10 grid) make the implementation's 2^-20 sum
+        # quantization the identity, so sums compare exactly.
+        "avg_over_time", "min_over_time", "max_over_time",
+        "sum_over_time", "count_over_time", "last_over_time",
+    ],
+)
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(points=series_strategy, step_s=st.integers(5, 30), lookback_s=st.integers(10, 60))
 def test_prom_align_matches_reference_model(spark, func, points, step_s, lookback_s):
