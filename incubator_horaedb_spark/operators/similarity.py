@@ -402,6 +402,52 @@ def km_search_ctes(
     ]
 
 
+def km_search_index_ctes(
+    d: Dialect, qv_src: str, index_src: str, cent_src: str, k: int, n_probe: int, n_queries: int
+) -> list[tuple[str, str]]:
+    """Search against a PERSISTED index: ``index_src`` rows are the
+    inverted lists (vec_id, cid, q, nrm) so no join back to the corpus is
+    needed — the probe reads only its buckets."""
+    return [
+        ("probe", km_probe_select(d, qv_src, cent_src, n_probe, n_queries)),
+        (
+            "hits",
+            f"""SELECT p.qid, a.vec_id,
+             round(({_dot(d, 'p.qe', 'a.q')}) / (p.qnrm * a.nrm), 6) AS cosine
+      FROM probe p
+      JOIN {index_src} a ON a.cid = p.pcid AND a.vec_id <> p.qid""",
+        ),
+        (
+            "ranked",
+            """SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM hits""",
+        ),
+    ]
+
+
+def save_ivf_index(centroids_df, buckets_df, path: str) -> None:
+    """Persist a trained IVF index: centroids (cid, ce, cnrm) plus the
+    inverted lists (vec_id, cid, q, nrm), parquet-partitioned by ``cid`` so
+    a probe's scan prunes to exactly its buckets' directories — the
+    train-once / search-many index-management shape for a 100 TB corpus
+    (re-embedding or re-training is the expensive step, not search)."""
+    centroids_df.select("cid", "ce", "cnrm").write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    buckets_df.select("vec_id", "cid", "q", "nrm").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/buckets")
+
+
+def load_ivf_index(spark, path: str):
+    """(centroids_df, buckets_df) from :func:`save_ivf_index` output."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/buckets"),
+    )
+
+
 def ann_ivf_trained_sql(
     d: Dialect, table: str = "embeddings", k: int = 5, n_probe: int = 2, n_queries: int = 10
 ) -> str:
