@@ -208,6 +208,34 @@ def thetasketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- salted two-phase aggregation (skew utility, gated) -------------------
+@register(
+    "salted_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS ndv_users
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key NDV under a hot key via operators/salt.py: phase 1
+    collects distinct sets per (key, salt), phase 2 merges the ≤ n_salts
+    partials per key — the heavy collect state never lands on one reducer.
+    Hash-matches the direct COUNT(DISTINCT) oracle."""
+    from incubator_horaedb_spark.operators.salt import salted_agg
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        partial_aggs=[F.collect_set("user_id").alias("us")],
+        combine_aggs=[
+            F.size(F.array_distinct(F.flatten(F.collect_list("us"))))
+            .cast("bigint")
+            .alias("ndv_users")
+        ],
+    )
+
+
 # --- OpenTSDB-style downsample (opentsdb/mod.rs:137-200) ------------------
 @register(
     "downsample_stddev",
