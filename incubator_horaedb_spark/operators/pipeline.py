@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from incubator_horaedb_spark.operators import dedup
 from incubator_horaedb_spark.operators.dialect import Dialect
-from incubator_horaedb_spark.operators.text import langid_sql, quality_sql, token_count_sql
 
 # ---------------------------------------------------- near-dup survivors --
 
@@ -155,21 +154,59 @@ def stratified_sample_sql(
 
 def mix_report_sql(d: Dialect, table: str = "documents") -> str:
     """Per-predicted-language corpus audit: docs, BPE-token total, mean
-    quality score (all inputs from the text-op templates, so the report is
-    consistent with the standalone gated ops)."""
+    quality score.
+
+    ONE scan, no joins: every input (language hits, quality ratios, token
+    counts) is a per-row expression, so the whole report is a projection
+    chain + one aggregation — at 100 TB that's scan speed, vs. the naive
+    3-subquery self-join that reads the corpus three times and shuffles
+    twice.  The formulas are exactly the standalone text-op definitions
+    (operators/text.py), so the report agrees with the gated
+    text_langid/text_quality/text_token_count queries."""
+    from incubator_horaedb_spark.operators.text import _LANG_PRIORITY, _stop_hits
+
+    toks_lower = d.tokens("lower(text)")
+    hit_cols = ",\n             ".join(
+        f"{_stop_hits(d, toks_lower, lang)} AS hits_{lang}" for lang in _LANG_PRIORITY
+    )
+    toks = d.tokens("text")
+    n_tokens = d.size(toks)
+    no_punct = d.regexp_replace_all("text", "[.!?,;:]", "")
+    if d.engine == "spark":
+        bpe = "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+    else:
+        bpe = "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANG_PRIORITY) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in _LANG_PRIORITY:
+        pred += f"WHEN hits_{lang} = {best} THEN '{lang}' "
+    pred += "END"
     return d.cte_query(
         [
-            ("lid", langid_sql(d, table)),
-            ("q", quality_sql(d, table)),
-            ("tok", token_count_sql(d, table)),
+            (
+                "m",
+                f"""SELECT doc_id,
+             {hit_cols},
+             length(text) AS n_chars,
+             CAST({bpe} AS BIGINT) AS bpe_tokens,
+             CAST(length(text) - length({no_punct}) AS DOUBLE) / length(text) AS punct_ratio,
+             CAST({_stop_hits(d, toks_lower, 'en')} AS DOUBLE) / {n_tokens} AS stop_ratio
+      FROM {table}
+      WHERE length(text) > 0""",
+            ),
+            (
+                "p",
+                f"""SELECT doc_id, {pred} AS pred_lang, bpe_tokens,
+             round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio))), 6)
+               AS quality_score
+      FROM m""",
+            ),
         ],
-        """SELECT lid.pred_lang,
+        """SELECT pred_lang,
            count(*) AS n_docs,
-           CAST(sum(tok.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-           round(sum(round(q.quality_score * 1048576) / 1048576) / count(*), 6)
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(sum(round(quality_score * 1048576) / 1048576) / count(*), 6)
              AS mean_quality
-    FROM lid
-    JOIN q ON q.doc_id = lid.doc_id
-    JOIN tok ON tok.doc_id = lid.doc_id
-    GROUP BY lid.pred_lang""",
+    FROM p
+    GROUP BY pred_lang""",
     )
