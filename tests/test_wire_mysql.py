@@ -175,6 +175,22 @@ def test_mysql_error_and_prepare(mysql_server):
     c.close()
 
 
+def test_mysql_respects_limiter(mysql_server):
+    # the limiter guards every entry point — a read-blocked table errors
+    # over the wire protocol too (same Engine.execute_sql gate)
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE lim (v double, t timestamp NOT NULL, timestamp KEY(t)) "
+        "WITH (enable_ttl='false')"
+    )
+    mysql_server.engine.limiter.block_read("lim")
+    with pytest.raises(RuntimeError, match="blocked, table:lim"):
+        c.query("select * from lim")
+    mysql_server.engine.limiter.unblock_read("lim")
+    assert c.query("select * from lim")[1] == []
+    c.close()
+
+
 def test_mysql_null_rendering(mysql_server):
     c = MiniMySQLClient(mysql_server.port)
     c.query(
