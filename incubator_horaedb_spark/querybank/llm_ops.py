@@ -289,6 +289,7 @@ register("embedding_rhp_lsh", oracle=similarity.embedding_rhp_lsh_sql(DUCK, thre
 
 # --- text analysis --------------------------------------------------------
 _sql_query("text_langid", text.langid_sql)
+_sql_query("text_bm25_topk", text.bm25_sql)
 _sql_query("text_quality", text.quality_sql)
 _sql_query("text_token_count", text.token_count_sql)
 _sql_query("text_fingerprint", text.fingerprint_sql)
