@@ -60,6 +60,11 @@ OVER_TIME_FUNCS = (
     "sum_over_time",
     "count_over_time",
     "last_over_time",
+    # counter/series hygiene (Prometheus changes()/resets()): counts over
+    # consecutive in-window sample pairs — the predecessor columns the
+    # reset-correction already computes make these free
+    "changes",
+    "resets",
 )
 _Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
 
@@ -156,6 +161,17 @@ def prom_align(
         F.min("__val").alias("val_min"),
         F.max("__val").alias("val_max"),
         F.sum(F.round(F.col("__val") * _Q) / _Q).alias("val_sum_q"),
+        # changes()/resets(): consecutive-pair counters (exact integers)
+        F.sum(
+            F.when(
+                prev_in_window & (F.col("__val") != F.col("__prev_val")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_changes"),
+        F.sum(
+            F.when(
+                prev_in_window & (F.col("__val") < F.col("__prev_val")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_resets"),
     )
 
     t = F.col("__t")
@@ -169,6 +185,8 @@ def prom_align(
             "sum_over_time": F.col("val_sum_q"),
             "count_over_time": F.col("n").cast("double"),
             "last_over_time": F.col("last_val"),
+            "changes": F.col("n_changes").cast("double"),
+            "resets": F.col("n_resets").cast("double"),
         }[func]
         result = agg.withColumn("value", out_val)
     elif func == "instant":
@@ -270,7 +288,11 @@ def prom_align_oracle_sql(
              arg_max(prev_val, sts) AS second_last_val,
              min(val) AS val_min,
              max(val) AS val_max,
-             sum(round(val * {_Q}) / {_Q}) AS val_sum_q
+             sum(round(val * {_Q}) / {_Q}) AS val_sum_q,
+             sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
+                       AND val <> prev_val THEN 1 ELSE 0 END) AS n_changes,
+             sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
+                       AND val < prev_val THEN 1 ELSE 0 END) AS n_resets
       FROM exploded
       GROUP BY {series}, t
     )"""
@@ -283,6 +305,8 @@ def prom_align_oracle_sql(
             "sum_over_time": "val_sum_q",
             "count_over_time": "CAST(n AS DOUBLE)",
             "last_over_time": "last_val",
+            "changes": "CAST(n_changes AS DOUBLE)",
+            "resets": "CAST(n_resets AS DOUBLE)",
         }[func]
         where_sql = "TRUE"
     elif func == "instant":

@@ -86,6 +86,8 @@ for _func in (
     "sum_over_time",
     "count_over_time",
     "last_over_time",
+    "changes",
+    "resets",
 ):
     register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
 

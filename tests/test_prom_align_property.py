@@ -78,8 +78,9 @@ def _model(func, samples, t, lookback_ms):
         return w[-1][1]
     if func in ("irate", "idelta"):
         return _model_instant_value(w, func == "irate")
-    if func.endswith("_over_time"):
+    if func.endswith("_over_time") or func in ("changes", "resets"):
         vals = [v for _, v in w]
+        pairs = list(zip(vals, vals[1:]))
         return {
             "avg_over_time": sum(vals) / len(vals),
             "min_over_time": min(vals),
@@ -87,6 +88,8 @@ def _model(func, samples, t, lookback_ms):
             "sum_over_time": sum(vals),
             "count_over_time": float(len(vals)),
             "last_over_time": vals[-1],
+            "changes": float(sum(1 for a, b in pairs if a != b)),
+            "resets": float(sum(1 for a, b in pairs if b < a)),
         }[func]
     return _model_extrapolate(
         w, t, lookback_ms, is_counter=func in ("rate", "increase"), is_rate=func == "rate"
@@ -118,6 +121,7 @@ series_strategy = st.lists(
         # quantization the identity, so sums compare exactly.
         "avg_over_time", "min_over_time", "max_over_time",
         "sum_over_time", "count_over_time", "last_over_time",
+        "changes", "resets",
     ],
 )
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
