@@ -29,7 +29,7 @@ def test_driver_order_covers_families_in_first_50():
         "ann_cosine_bruteforce", "ann_cosine_ivf", "ivf_kmeans_train",
         "ann_ivf_trained", "ann_topk_blocked", "embedding_rhp_lsh",
         "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-        "multimodal_decode_meta", "multimodal_frame_sample",
+        "text_bm25_topk", "multimodal_decode_meta",
     ]:
         assert rep in first50, rep
 
