@@ -44,11 +44,16 @@ def register(name: str, oracle: str | None = None, tolerance: tuple[str, str, fl
     return deco
 
 
-# The driver testdata stores timestamps as parquet TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects outright.  We read nanos as LONG
-# (runtime-settable legacy conf) and convert with exact integer division —
-# ns DIV 1000 — matching DuckDB's nanos→micros truncation.  A double-based
-# division would corrupt values (1.7e18 ns exceeds 2^53).
+# Driver testdata timestamp encodings seen across rounds:
+#   * parquet TIMESTAMP(NANOS)  — Spark's vectorized reader rejects it, so we
+#     read nanos as LONG (runtime-settable legacy conf) and convert with exact
+#     integer division (ns DIV 1000, matching DuckDB's nanos→micros
+#     truncation; double division would corrupt values, 1.7e18 ns > 2^53).
+#   * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 infers
+#     TIMESTAMP_NTZ by default, which breaks unix_millis()/date arithmetic
+#     downstream; we disable NTZ inference so the column reads as TIMESTAMP
+#     interpreted in the UTC session zone — identical values to DuckDB's
+#     naive read, and predicates on it still reach PushedFilters.
 _NANOS_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -56,11 +61,19 @@ _NANOS_TS_COLS = {
 }
 
 
+def _ts_read_confs(spark: SparkSession) -> None:
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    _ts_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         field = next(f for f in df.schema.fields if f.name == col)
@@ -114,11 +127,11 @@ def load_time_range(
     first pushes the comparison into PushedFilters (row-group min/max
     pruning); bounds are inclusive, converted with the same ns semantics
     as the column conversion (ts ≤/≥ bound ⇔ ns ≤/≥ bound_ns since
-    ns DIV 1000 is monotone and bounds are whole microseconds)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    ns DIV 1000 is monotone and bounds are whole microseconds).  When the
+    testdata stores plain TIMESTAMP (micros), the predicate is applied to
+    the timestamp column directly — Spark pushes timestamp comparisons to
+    the parquet scan natively (asserted by test_time_range_scan_pushdown)."""
+    _ts_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     field = next(f for f in df.schema.fields if f.name == col)
     if field.dataType.typeName() in ("long", "bigint"):

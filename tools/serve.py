@@ -27,8 +27,10 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=5440)
     ap.add_argument("--mysql-port", type=int, default=3307)  # mysql/basic.sh port
     ap.add_argument("--pg-port", type=int, default=5433)  # postgresql/basic.sh port
+    ap.add_argument("--grpc-port", type=int, default=8831)  # reference default grpc port
     ap.add_argument("--no-mysql", action="store_true")
     ap.add_argument("--no-pg", action="store_true")
+    ap.add_argument("--no-grpc", action="store_true")
     ap.add_argument("--store", default="./horaedb-store")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -49,6 +51,19 @@ def main() -> None:
     if not args.no_pg:
         pg = PostgresServer(engine, host=args.host, port=args.pg_port).start()
         print(f"postgresql protocol on {args.host}:{pg.port}", flush=True)
+    if not args.no_grpc:
+        # real gRPC when grpcio is installed; framed-TCP stand-in otherwise
+        try:
+            from incubator_horaedb_spark.wire.storage_grpc import build_grpc_server
+
+            gs, port = build_grpc_server(engine, args.grpc_port)
+            gs.start()
+            print(f"grpc storage service on {args.host}:{port}", flush=True)
+        except NotImplementedError:
+            from incubator_horaedb_spark.wire.storage_grpc import FramedStorageServer
+
+            fs = FramedStorageServer(engine, host=args.host, port=args.grpc_port).start()
+            print(f"framed storage service (grpc codec) on {args.host}:{fs.port}", flush=True)
     try:
         srv.httpd.serve_forever()
     except KeyboardInterrupt:
