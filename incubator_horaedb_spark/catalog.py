@@ -68,6 +68,10 @@ class TableOptions:
     compression: str = "ZSTD"
     partition_keys: list[str] = field(default_factory=list)  # PARTITION BY KEY
     num_partitions: int = 0
+    # NDV-sampled SST sort key, set on first flush of APPEND tables
+    # (PrimaryKeySampler, sampler.rs:271-362): low-cardinality columns
+    # first, then tsid/timestamp — physical layout only, never the dedup key
+    sampled_sort_key: list[str] | None = None
     extra: dict = field(default_factory=dict)
 
     @classmethod
@@ -112,6 +116,7 @@ class TableOptions:
             "compression": self.compression,
             "partition_keys": self.partition_keys,
             "num_partitions": self.num_partitions,
+            "sampled_sort_key": self.sampled_sort_key,
             "extra": self.extra,
         }
 

@@ -671,6 +671,13 @@ class Engine:
             cols.append(" ".join(bits))
         if meta.schema.primary_key:
             cols.append("PRIMARY KEY(" + ", ".join(f"`{c}`" for c in meta.schema.primary_key) + ")")
+        elif meta.options.sampled_sort_key:
+            # post-flush sampled key surfaces in SHOW CREATE exactly like
+            # the reference (sampling-primary-key.result: PRIMARY
+            # KEY(myVALUE,name,tsid,t) appears after the first flush)
+            cols.append(
+                "PRIMARY KEY(" + ", ".join(f"`{c}`" for c in meta.options.sampled_sort_key) + ")"
+            )
         cols.append(f"timestamp KEY (`{meta.schema.timestamp_column}`)")
         o = meta.options
         with_opts = (

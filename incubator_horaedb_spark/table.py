@@ -80,16 +80,44 @@ class Table:
             # first-write sampling of the segment duration (sampler.rs).
             # NB: re-read meta before persisting — a stale write-back here
             # would clobber the seq counter allocated below (lost update).
-            lo, hi = (
-                df.agg(
-                    F.min(F.unix_millis(F.col(schema.timestamp_column))),
-                    F.max(F.unix_millis(F.col(schema.timestamp_column))),
-                ).first()
+            #
+            # APPEND tables also sample an SST sort key in the same pass
+            # (PrimaryKeySampler, sampler.rs:271-362): the 2 lowest-NDV
+            # key-kind columns (MAX_SUGGEST_PRIMARY_KEY_NUM, sampler.rs:62;
+            # floats/timestamps ineligible, datum.rs is_key_kind) ordered
+            # ascending, then tsid + timestamp.  Low-cardinality-first sort
+            # keys make row-group min/max stats selective — the "beneficial
+            # for sst prune" rationale — and Overwrite tables are excluded
+            # exactly like support_sample_pk (table_options.rs:521-526).
+            sample_pk = (
+                meta.options.update_mode == "APPEND"
+                and meta.options.sampled_sort_key is None
+                and not schema.primary_key
             )
+            elig = [
+                c.name
+                for c in schema.columns
+                if sample_pk
+                and c.kind not in ("double", "float", "timestamp")
+                and c.name != schema.timestamp_column
+            ]
+            aggs = [
+                F.min(F.unix_millis(F.col(schema.timestamp_column))),
+                F.max(F.unix_millis(F.col(schema.timestamp_column))),
+            ] + [F.approx_count_distinct(c).alias(f"__ndv_{c}") for c in elig]
+            sampled = df.agg(*aggs).first()
+            lo, hi = sampled[0], sampled[1]
             span = (hi - lo) if lo is not None else 0
             meta = self.meta
             if meta.options.segment_duration_ms is None:
                 meta.options.segment_duration_ms = pick_segment_duration_ms(max(span, 1))
+                if sample_pk and elig:
+                    ndv = list(zip(elig, sampled[2:]))
+                    picked = [c for c, _ in sorted(ndv, key=lambda kv: kv[1])[:2]]
+                    tail = [TSID_COLUMN] if schema.tsid_mode else []
+                    meta.options.sampled_sort_key = (
+                        picked + tail + [schema.timestamp_column]
+                    )
                 self.catalog.update(meta)
 
         seq = self.catalog.allocate_seq(self.name)
@@ -108,6 +136,13 @@ class Table:
                 key_partition_expr(meta.options.partition_keys, meta.options.num_partitions),
             )
             part_cols = [PARTITION_COLUMN, SEGMENT_COLUMN]
+        if meta.options.sampled_sort_key:
+            # cluster rows for the sampled key inside each task's output
+            # files: no shuffle, but every row group's min/max stats on the
+            # low-NDV lead columns become selective (SST prune analogue)
+            df = df.sortWithinPartitions(
+                *part_cols, *[c for c in meta.options.sampled_sort_key if c in df.columns]
+            )
         (
             df.write.mode("append")
             .option("compression", meta.options.compression.lower())
@@ -271,8 +306,16 @@ class Table:
                 df = df.withColumn("__rn", F.row_number().over(w)).filter(
                     F.col("__rn") == 1
                 ).drop("__rn")
+            out = df.coalesce(1)
+            if meta.options.sampled_sort_key:
+                # compaction re-sorts merged batches by the sampled key, so
+                # the rewritten file's row groups regain selective stats
+                # (sort after coalesce — a later merge would destroy order)
+                out = out.sortWithinPartitions(
+                    *[c for c in meta.options.sampled_sort_key if c in df.columns]
+                )
             tmp = src + ".compact"
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            out.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(src)
             os.replace(tmp, src)
             rewritten += 1

@@ -398,3 +398,85 @@ def test_explain_corpus(engine):
     ).collect()[0][0]
     assert "Parsed Logical Plan" in verbose  # all optimizer stages shown
     engine.execute_sql("DROP TABLE `04_explain_t`")
+
+
+def test_select_filter_arithmetic_predicates(engine):
+    # integration_tests/cases/common/dml/select_filter.sql: WHERE with a
+    # constant-folded arithmetic bound (value > 50+50) and a conjunctive
+    # range, ordered ascending.
+    engine.execute_sql(
+        "CREATE TABLE `03_dml_select_filter_table1` (`timestamp` timestamp NOT NULL, "
+        "`value` int, timestamp KEY (timestamp)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO `03_dml_select_filter_table1` (`timestamp`, `value`) VALUES "
+        "(1, 100), (2, 1000), (3, 200), (4, 30000), (5, 4400), (6, 400)"
+    )
+    df = engine.execute_sql(
+        "SELECT `value` FROM `03_dml_select_filter_table1` "
+        "where `value` > 50+50 ORDER BY `value` ASC"
+    )
+    assert [r["value"] for r in df.collect()] == [200, 400, 1000, 4400, 30000]
+    df = engine.execute_sql(
+        "SELECT `value` FROM `03_dml_select_filter_table1` "
+        "where `value` > 50+50 and `value` <= 4400 ORDER BY `value` ASC"
+    )
+    assert [r["value"] for r in df.collect()] == [200, 400, 1000, 4400]
+
+
+def test_sampling_primary_key(engine):
+    # integration_tests/cases/env/local/ddl/sampling-primary-key.sql: an
+    # APPEND table's first flush samples per-column NDV and rewrites the
+    # SST sort key to (lowest-NDV key-kind cols..., tsid, t); SHOW CREATE
+    # surfaces it as the PRIMARY KEY afterwards (.result:68 shows PRIMARY
+    # KEY(myVALUE,name,tsid,t)).  Float columns are never eligible
+    # (datum.rs is_key_kind).
+    engine.execute_sql(
+        "CREATE TABLE `sampling_primary_key_table` (v1 double, v2 double, v3 double, "
+        "v5 double, name string TAG, myVALUE int64 NOT NULL, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (update_mode='append', enable_ttl='false')"
+    )
+    pre = engine.execute_sql("show create table `sampling_primary_key_table`").collect()[0]
+    assert "PRIMARY KEY" not in pre["create_table"]  # not sampled yet
+
+    engine.execute_sql(
+        "INSERT INTO `sampling_primary_key_table` (t, name, myVALUE) VALUES "
+        "(1695348000000, 'horaedb2', 200), (1695348000005, 'horaedb2', 100), "
+        "(1695348000001, 'horaedb1', 100), (1695348000003, 'horaedb3', 200)"
+    )
+    meta = engine.catalog.get("sampling_primary_key_table")
+    # myVALUE (ndv 2) before name (ndv 3); doubles excluded; tsid + ts tail
+    assert meta.options.sampled_sort_key == ["myVALUE", "name", "tsid", "t"]
+    post = engine.execute_sql("show create table `sampling_primary_key_table`").collect()[0]
+    assert "PRIMARY KEY(`myVALUE`, `name`, `tsid`, `t`)" in post["create_table"]
+
+    # all four rows still read back (sort is physical layout only)
+    df = engine.execute_sql("select name, myVALUE from `sampling_primary_key_table`")
+    assert sorted(_rows(df, "name", "myVALUE")) == [
+        ("horaedb1", 100), ("horaedb2", 100), ("horaedb2", 200), ("horaedb3", 200),
+    ]
+
+    # second write + compaction keep using the sampled key without resampling
+    engine.execute_sql(
+        "INSERT INTO `sampling_primary_key_table` (t, name, myVALUE) VALUES "
+        "(1695348000007, 'horaedb4', 300)"
+    )
+    from incubator_horaedb_spark.table import Table
+
+    Table(engine.spark, engine.catalog, "sampling_primary_key_table").compact()
+    assert engine.catalog.get("sampling_primary_key_table").options.sampled_sort_key == [
+        "myVALUE", "name", "tsid", "t",
+    ]
+    df = engine.execute_sql("select count(*) as n from `sampling_primary_key_table`")
+    assert df.collect()[0]["n"] == 5
+
+
+def test_sampling_primary_key_skips_overwrite_tables(engine):
+    # support_sample_pk (table_options.rs:521-526): OVERWRITE tables keep
+    # their dedup key untouched — no sampled sort key.
+    engine.execute_sql(
+        "CREATE TABLE ow_tbl (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (update_mode='overwrite', enable_ttl='false')"
+    )
+    engine.execute_sql("INSERT INTO ow_tbl (t, name, v) VALUES (1695348000000, 'a', 1.0)")
+    assert engine.catalog.get("ow_tbl").options.sampled_sort_key is None
