@@ -213,6 +213,41 @@ class Dialect:
         """Portable hash of every string in a list."""
         return self.transform(str_list, "s", self.char_fold_hash("s"))
 
+    # ---- regex / slicing / rendering helpers (text-pipeline ops) ----
+
+    def rx(self, pat: str) -> str:
+        """Regex pattern literal.  Spark SQL string literals process
+        C-style escapes (``'\\d'`` → ``d``), so backslashes must be
+        doubled; DuckDB strings are raw.  Patterns must stay within the
+        Java-regex ∩ RE2 common subset (no lookarounds, no backrefs)."""
+        esc = pat.replace("\\", "\\\\") if self.engine == "spark" else pat
+        return f"'{esc}'"
+
+    def regexp_extract_all(self, s: str, pat: str) -> str:
+        if self.engine == "spark":
+            return f"regexp_extract_all({s}, {self.rx(pat)}, 0)"
+        return f"regexp_extract_all({s}, {self.rx(pat)})"
+
+    def regexp_scrub(self, s: str, pat: str, rep: str) -> str:
+        """Replace ALL matches (escape-safe variant of regexp_replace_all)."""
+        if self.engine == "spark":
+            return f"regexp_replace({s}, {self.rx(pat)}, '{rep}')"
+        return f"regexp_replace({s}, {self.rx(pat)}, '{rep}', 'g')"
+
+    def slice(self, lst: str, start: str, length: str) -> str:
+        """1-based, length-bounded sublist (clamped at the end like Spark)."""
+        if self.engine == "spark":
+            return f"slice({lst}, {start}, {length})"
+        return f"({lst})[({start}) : ({start}) + ({length}) - 1]"
+
+    def join_arr(self, lst: str, sep: str) -> str:
+        fn = "array_join" if self.engine == "spark" else "array_to_string"
+        return f"{fn}({lst}, '{sep}')"
+
+    def cast_str(self, x: str) -> str:
+        t = "STRING" if self.engine == "spark" else "VARCHAR"
+        return f"CAST({x} AS {t})"
+
 
 SPARK = Dialect("spark")
 DUCK = Dialect("duckdb")

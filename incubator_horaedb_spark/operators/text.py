@@ -168,3 +168,104 @@ def fingerprint_sql(d: Dialect, table: str = "documents") -> str:
            CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
     FROM fps""",
     )
+
+
+def repetition_sql(d: Dialect, table: str = "documents") -> str:
+    """Repetition-based quality filter (the Gopher/MassiveText repetition
+    rules, public: Rae et al. 2021 §A1.1): per-document fraction of
+    duplicated token bigrams and the share of the single most frequent
+    bigram; documents where the top bigram covers ≥20% of all bigrams are
+    flagged.  All-integer outputs so the oracle hash is drift-free.
+
+    Scale shape: explode to (doc, bigram) → partial/final hash agg keyed
+    (doc_id, bg), then one agg per doc — two map-side-combinable shuffles,
+    both keyed by doc so skew is bounded by document length."""
+    toks = d.tokens("text")
+    bigram = f"{d.at('toks', 'i')} || '_' || {d.at('toks', 'i + 1')}"
+    bigrams = d.transform(d.range1(f"{d.size('toks')} - 1"), "i", bigram)
+    return d.cte_query(
+        [
+            ("t", f"SELECT doc_id, {toks} AS toks FROM {table}"),
+            ("b", d.unnest_select("doc_id", bigrams, "bg", "t")),
+            ("c", "SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg"),
+        ],
+        """SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS top_bigram_n,
+           CAST(sum(n) AS BIGINT) AS total_bigrams,
+           CAST(count(*) AS BIGINT) AS distinct_bigrams,
+           (max(n) * 5 >= sum(n)) AS flag_repetitive
+    FROM c GROUP BY doc_id""",
+    )
+
+
+# Java-regex ∩ RE2 common-subset patterns (no \b, no lookarounds)
+_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RX = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+_PHONE_RX = "\\+[0-9]{7,15}"
+
+
+def pii_scrub_sql(d: Dialect, table: str = "documents") -> str:
+    """PII detection + redaction (emails, IPv4, E.164-ish phones) as pure
+    regex expressions — map-side, codegen'd, no shuffle.
+
+    The synthetic corpus contains no organic PII, so the query first
+    injects deterministic PII derived from doc_id (identical expression in
+    both dialects); the scrub then demonstrably finds and redacts it.
+    Redaction order matters only across overlapping classes — none here."""
+    inj = (
+        "substr(text, 1, 80) || CASE"
+        " WHEN doc_id % 3 = 0 THEN ' reach me at user"
+        f"' || {d.cast_str('doc_id')} || '@mail.example.com'"
+        f" WHEN doc_id % 3 = 1 THEN ' server 10.' || {d.cast_str('doc_id % 256')}"
+        " || '.0.1 or call +14155552671'"
+        " ELSE '' END"
+    )
+    red = d.regexp_scrub(
+        d.regexp_scrub(d.regexp_scrub("body", _EMAIL_RX, "<EMAIL>"), _IPV4_RX, "<IP>"),
+        _PHONE_RX,
+        "<PHONE>",
+    )
+    return d.cte_query(
+        [("p", f"SELECT doc_id, {inj} AS body FROM {table}")],
+        f"""SELECT doc_id,
+           CAST({d.size(d.regexp_extract_all('body', _EMAIL_RX))} AS BIGINT) AS n_emails,
+           CAST({d.size(d.regexp_extract_all('body', _IPV4_RX))} AS BIGINT) AS n_ips,
+           CAST({d.size(d.regexp_extract_all('body', _PHONE_RX))} AS BIGINT) AS n_phones,
+           {red} AS redacted
+    FROM p""",
+    )
+
+
+def chunk_sql(d: Dialect, table: str = "documents", chunk: int = 32, stride: int = 24) -> str:
+    """Overlapping token-window chunking for training-data prep: each doc
+    becomes ceil-strided windows of ``chunk`` tokens every ``stride``
+    (chunk−stride tokens of overlap).  Explode-per-chunk keeps the op
+    fully distributed — no per-doc collect, output rows ≈ n_tokens/stride.
+    """
+    n = d.size("toks")
+    n_chunks = f"1 + {d.idiv(f'greatest({n} - {chunk}, 0) + {stride} - 1', str(stride))}"
+    window = d.slice("toks", f"(i - 1) * {stride} + 1", str(chunk))
+    return d.cte_query(
+        [
+            ("t", f"SELECT doc_id, {d.tokens('text')} AS toks FROM {table}"),
+            ("x", d.unnest_select("doc_id, toks", d.range1(n_chunks), "i", "t")),
+        ],
+        f"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           {d.join_arr(window, ' ')} AS chunk_text,
+           CAST({d.size(window)} AS BIGINT) AS n_tokens
+    FROM x""",
+    )
+
+
+def shuffle_sql(d: Dialect, table: str = "documents", limit: int = 200) -> str:
+    """Deterministic global shuffle (training-order randomization): rank by
+    a seeded LCG permutation of doc_id.  At scale Spark executes the ORDER
+    BY as a range-partitioned sort (sampled boundaries), or TakeOrdered
+    when a LIMIT bounds it — either way no driver materialization."""
+    from incubator_horaedb_spark.operators.dialect import P
+
+    key = f"((doc_id % {P}) * 1103515245 + 12345) % {P}"
+    return (
+        f"SELECT doc_id, CAST({key} AS BIGINT) AS shuffle_key FROM {table} "
+        f"ORDER BY shuffle_key, doc_id LIMIT {limit}"
+    )

@@ -293,6 +293,10 @@ _sql_query("text_bm25_topk", text.bm25_sql)
 _sql_query("text_quality", text.quality_sql)
 _sql_query("text_token_count", text.token_count_sql)
 _sql_query("text_fingerprint", text.fingerprint_sql)
+_sql_query("text_repetition", text.repetition_sql)
+_sql_query("pii_scrub", text.pii_scrub_sql)
+_sql_query("doc_chunking", text.chunk_sql)
+_sql_query("corpus_shuffle", text.shuffle_sql)
 
 
 def _blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

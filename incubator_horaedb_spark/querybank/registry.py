@@ -200,7 +200,8 @@ DRIVER_ORDER = [
     "ann_cosine_bruteforce", "ann_cosine_ivf",
     "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
     "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
-    "text_fingerprint", "text_bm25_topk", "multimodal_decode_meta",
+    "text_fingerprint", "text_bm25_topk", "text_repetition", "pii_scrub",
+    "doc_chunking", "corpus_shuffle", "multimodal_decode_meta",
 ]
 
 
