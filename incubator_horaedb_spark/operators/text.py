@@ -170,23 +170,25 @@ def fingerprint_sql(d: Dialect, table: str = "documents") -> str:
     )
 
 
-def repetition_sql(d: Dialect, table: str = "documents") -> str:
-    """Repetition-based quality filter (the Gopher/MassiveText repetition
-    rules, public: Rae et al. 2021 §A1.1): per-document fraction of
-    duplicated token bigrams and the share of the single most frequent
-    bigram; documents where the top bigram covers ≥20% of all bigrams are
-    flagged.  All-integer outputs so the oracle hash is drift-free.
+def repetition_tokens_select(d: Dialect, table: str = "documents") -> str:
+    """Stage 1 of the repetition filter: the token-array projection.  On
+    Spark this MUST be materialized as a cached view by the caller —
+    projection collapse otherwise re-expands the split() into every
+    downstream reference (the CTE-inlining cliff, dialect.cte_query)."""
+    return f"SELECT doc_id, {d.tokens('text')} AS toks FROM {table}"
 
-    Scale shape: explode to (doc, bigram) → partial/final hash agg keyed
-    (doc_id, bg), then one agg per doc — two map-side-combinable shuffles,
-    both keyed by doc so skew is bounded by document length."""
-    toks = d.tokens("text")
+
+def repetition_from(d: Dialect, src: str, lead_ctes: list | None = None) -> str:
+    """Repetition metrics from a token view ``src`` (doc_id, toks).
+    ``lead_ctes`` prepends stages (the one-shot oracle rendering passes the
+    token projection; the Spark caller stages it as a cached view instead).
+    """
     bigram = f"{d.at('toks', 'i')} || '_' || {d.at('toks', 'i + 1')}"
     bigrams = d.transform(d.range1(f"{d.size('toks')} - 1"), "i", bigram)
     return d.cte_query(
-        [
-            ("t", f"SELECT doc_id, {toks} AS toks FROM {table}"),
-            ("b", d.unnest_select("doc_id", bigrams, "bg", "t")),
+        list(lead_ctes or [])
+        + [
+            ("b", d.unnest_select("doc_id", bigrams, "bg", src)),
             ("c", "SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg"),
         ],
         """SELECT doc_id,
@@ -196,6 +198,21 @@ def repetition_sql(d: Dialect, table: str = "documents") -> str:
            (max(n) * 5 >= sum(n)) AS flag_repetitive
     FROM c GROUP BY doc_id""",
     )
+
+
+def repetition_sql(d: Dialect, table: str = "documents") -> str:
+    """Repetition-based quality filter (the Gopher/MassiveText repetition
+    rules, public: Rae et al. 2021 §A1.1): per-document fraction of
+    duplicated token bigrams and the share of the single most frequent
+    bigram; documents where the top bigram covers ≥20% of all bigrams are
+    flagged.  All-integer outputs so the oracle hash is drift-free.
+
+    Scale shape: explode to (doc, bigram) → partial/final hash agg keyed
+    (doc_id, bg), then one agg per doc — two map-side-combinable shuffles,
+    both keyed by doc so skew is bounded by document length.  One-shot
+    rendering (this function) is the DuckDB oracle; the Spark side stages
+    the token projection as a cached view first (querybank/llm_ops.py)."""
+    return repetition_from(d, "t", lead_ctes=[("t", repetition_tokens_select(d, table))])
 
 
 # Java-regex ∩ RE2 common-subset patterns (no \b, no lookarounds)
@@ -269,3 +286,68 @@ def shuffle_sql(d: Dialect, table: str = "documents", limit: int = 200) -> str:
         f"SELECT doc_id, CAST({key} AS BIGINT) AS shuffle_key FROM {table} "
         f"ORDER BY shuffle_key, doc_id LIMIT {limit}"
     )
+
+
+def qf_tokens_select(d: Dialect, table: str = "documents") -> str:
+    """Stage 1 of the corpus quality filter: lowercased token arrays.
+    Spark callers must materialize this as a cached view (CTE-inlining
+    cliff — see dialect.cte_query)."""
+    return f"SELECT doc_id, source, {d.tokens('lower(text)')} AS toks FROM {table}"
+
+
+def quality_filter_from(d: Dialect, src: str, lead_ctes: list | None = None) -> str:
+    """Survivorship report from a staged token view ``src``."""
+    hits = "greatest(" + ", ".join(
+        _stop_hits(d, "toks", lang) for lang in _LANG_PRIORITY
+    ) + ")"
+    bigram = f"{d.at('toks', 'i')} || '_' || {d.at('toks', 'i + 1')}"
+    bigrams = d.transform(d.range1(f"{d.size('toks')} - 1"), "i", bigram)
+    keep = (
+        "(stop_hits > 0 AND n_tokens >= 10 AND n_tokens <= 5000 "
+        "AND NOT COALESCE(repetitive, FALSE))"
+    )
+    return d.cte_query(
+        list(lead_ctes or [])
+        + [
+            (
+                "m",
+                f"SELECT doc_id, source, {d.size('toks')} AS n_tokens, "
+                f"{hits} AS stop_hits FROM {src}",
+            ),
+            ("b", d.unnest_select("doc_id", bigrams, "bg", src)),
+            ("cb", "SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg"),
+            (
+                "rep",
+                "SELECT doc_id, (max(n) * 5 >= sum(n)) AS repetitive "
+                "FROM cb GROUP BY doc_id",
+            ),
+            (
+                "flagged",
+                "SELECT m.doc_id, m.source, m.n_tokens, m.stop_hits, rep.repetitive "
+                "FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id",
+            ),
+        ],
+        f"""SELECT source,
+           CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN stop_hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_langid,
+           CAST(sum(CASE WHEN n_tokens < 10 OR n_tokens > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_length,
+           CAST(sum(CASE WHEN COALESCE(repetitive, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged_repetitive
+    FROM flagged GROUP BY source""",
+    )
+
+
+def quality_filter_sql(d: Dialect, table: str = "documents") -> str:
+    """End-to-end corpus quality survivorship: combines the language-ID
+    gate (any stopword hit), token-count bounds, and the repetition flag
+    into per-source keep/drop counts — the report a training-data curation
+    run emits before materializing the filtered corpus.
+
+    Scale shape: one scan feeds both the per-doc metrics and the bigram
+    explode; the join back is doc_id-keyed (no broadcast needed — both
+    sides are doc-partitioned); the final agg is a few rows per source.
+    All-integer outputs.  One-shot rendering = the DuckDB oracle; Spark
+    stages the token view (querybank/llm_ops.py)."""
+    return quality_filter_from(d, "t", lead_ctes=[("t", qf_tokens_select(d, table))])

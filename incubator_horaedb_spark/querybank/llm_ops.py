@@ -293,10 +293,33 @@ _sql_query("text_bm25_topk", text.bm25_sql)
 _sql_query("text_quality", text.quality_sql)
 _sql_query("text_token_count", text.token_count_sql)
 _sql_query("text_fingerprint", text.fingerprint_sql)
-_sql_query("text_repetition", text.repetition_sql)
 _sql_query("pii_scrub", text.pii_scrub_sql)
 _sql_query("doc_chunking", text.chunk_sql)
 _sql_query("corpus_shuffle", text.shuffle_sql)
+
+
+def _staged_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token projection staged as a cached view: projection collapse would
+    # otherwise re-expand split() into every bigram element reference
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(text.repetition_tokens_select(SPARK, "documents")), "__rep_t")
+    return spark.sql(text.repetition_from(SPARK, "__rep_t"))
+
+
+_staged_repetition.__doc__ = text.repetition_sql.__doc__
+register("text_repetition", oracle=text.repetition_sql(DUCK))(_staged_repetition)
+
+
+def _staged_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same staging: the token array feeds the metrics CTE AND the bigram
+    # explode — cached once instead of re-deriving per reference
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(text.qf_tokens_select(SPARK, "documents")), "__qf_t")
+    return spark.sql(text.quality_filter_from(SPARK, "__qf_t"))
+
+
+_staged_quality_filter.__doc__ = text.quality_filter_sql.__doc__
+register("corpus_quality_filter", oracle=text.quality_filter_sql(DUCK))(_staged_quality_filter)
 
 
 def _blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,16 +182,15 @@ DRIVER_ORDER = [
     # core SQL — one per family (same-row variants like constant folding /
     # anti-join / IN-list ride behind their family representative)
     "q1_pricing_summary", "scan_filter_project", "topk_order_limit",
-    "join_inner_3way", "join_left_outer", "join_semi", "subquery_in",
+    "join_inner_3way", "subquery_in",
     "set_union_all", "distinct_agg", "window_rownum_top2", "rollup_agg",
     "percentile_exact", "udaf_energy_by_type", "scalar_functions",
     # TSDB storage semantics
     "time_bucket_minute", "date_bin_15m", "dedup_latest_by_key",
     "chain_append_read", "ts_literal_coercion", "time_range_scan",
-    "downsample_stddev",
     # protocol frontends
-    "promql_rate", "promql_irate", "promql_instant", "promql_sum_by_ts",
-    "promql_avg_over_time", "promql_regex_selector",
+    "promql_rate", "promql_instant", "promql_sum_by_ts",
+    "promql_avg_over_time",
     "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -201,7 +200,12 @@ DRIVER_ORDER = [
     "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
     "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
     "text_fingerprint", "text_bm25_topk", "text_repetition", "pii_scrub",
-    "doc_chunking", "corpus_shuffle", "multimodal_decode_meta",
+    "doc_chunking", "corpus_shuffle", "corpus_quality_filter",
+    "multimodal_decode_meta",
+    # family variants — covered by a same-family representative above when
+    # the driver caps its check window
+    "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
+    "downsample_stddev",
 ]
 
 
