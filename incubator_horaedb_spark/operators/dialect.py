@@ -248,6 +248,12 @@ class Dialect:
         t = "STRING" if self.engine == "spark" else "VARCHAR"
         return f"CAST({x} AS {t})"
 
+    def epoch_ms(self, ts: str) -> str:
+        """Epoch milliseconds of a timestamp column (UTC session on Spark,
+        naive-as-UTC on DuckDB — identical values for the testdata)."""
+        fn = "unix_millis" if self.engine == "spark" else "epoch_ms"
+        return f"{fn}({ts})"
+
 
 SPARK = Dialect("spark")
 DUCK = Dialect("duckdb")

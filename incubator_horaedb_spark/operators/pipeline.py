@@ -210,3 +210,58 @@ def mix_report_sql(d: Dialect, table: str = "documents") -> str:
     FROM p
     GROUP BY pred_lang""",
     )
+
+
+def sessionize_sql(d: Dialect, table: str = "events", gap_ms: int = 1_800_000) -> str:
+    """Gap-based sessionization over an event stream: a new session starts
+    when a user's inter-event gap exceeds ``gap_ms`` (30 min default —
+    the standard web-analytics cut).  Batch rendering of the streaming
+    sessionizer (streaming/windows.py::sessionize): same session
+    definition, expressible in pure SQL via LAG + running SUM.
+
+    Scale shape: both window passes and the final agg are keyed by
+    user_id, so Spark plans ONE shuffle and reuses the partitioning —
+    per-user state never leaves its partition (the batch analogue of
+    applyInPandasWithState's keyed state).  Tie-safety: equal-timestamp
+    rows have gap 0, so session assignment is order-independent."""
+    t = d.epoch_ms("ts")
+    lag = "LAG(t) OVER (PARTITION BY user_id ORDER BY t)"
+    running = (
+        "SUM(brk) OVER (PARTITION BY user_id ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return d.cte_query(
+        [
+            ("e", f"SELECT user_id, {t} AS t FROM {table}"),
+            (
+                "g",
+                f"SELECT user_id, t, CASE WHEN {lag} IS NULL "
+                f"OR t - {lag} > {gap_ms} THEN 1 ELSE 0 END AS brk FROM e",
+            ),
+            ("s", f"SELECT user_id, t, {running} AS session_id FROM g"),
+        ],
+        """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(t) AS BIGINT) AS session_start,
+           CAST(max(t) - min(t) AS BIGINT) AS duration_ms
+    FROM s GROUP BY user_id, session_id""",
+    )
+
+
+def zorder_sql(d: Dialect, table: str = "part", bits: int = 16) -> str:
+    """Z-order (Morton) interleave of two integer dimensions — the
+    multi-dimensional generalization of the sampled 1-D sort key
+    (table.py): writing files ordered by z-value gives row-group min/max
+    selectivity on BOTH columns at once, the standard multi-dim clustering
+    technique for large scan-pruned tables (public: Delta/Iceberg OPTIMIZE
+    ZORDER).  Pure integer fold — identical arithmetic on both engines;
+    2×``bits`` ≤ 42 keeps the z-value in int64."""
+    x = f"(p_partkey % {1 << bits})"
+    y = f"(p_size % {1 << bits})"
+    bit = lambda v, j, off: d.shl(f"({d.shr(v, j)} & 1)", f"2 * ({j}) + {off}")  # noqa: E731
+    body = f"acc + {bit(x, '(j - 1)', 0)} + {bit(y, '(j - 1)', 1)}"
+    z = d.fold(d.range1(str(bits)), "j", "acc", body)
+    return (
+        f"SELECT p_partkey, p_size, CAST({z} AS BIGINT) AS zvalue "
+        f"FROM {table} ORDER BY zvalue, p_partkey LIMIT 200"
+    )

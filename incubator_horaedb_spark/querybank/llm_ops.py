@@ -296,6 +296,8 @@ _sql_query("text_fingerprint", text.fingerprint_sql)
 _sql_query("pii_scrub", text.pii_scrub_sql)
 _sql_query("doc_chunking", text.chunk_sql)
 _sql_query("corpus_shuffle", text.shuffle_sql)
+_sql_query("sessionize_events", pipeline.sessionize_sql, _tables=("events",))
+_sql_query("zorder_cluster", pipeline.zorder_sql, _tables=("part",))
 
 
 def _staged_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

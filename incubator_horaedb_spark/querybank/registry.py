@@ -186,8 +186,8 @@ DRIVER_ORDER = [
     "set_union_all", "distinct_agg", "window_rownum_top2", "rollup_agg",
     "percentile_exact", "udaf_energy_by_type", "scalar_functions",
     # TSDB storage semantics
-    "time_bucket_minute", "date_bin_15m", "dedup_latest_by_key",
-    "chain_append_read", "ts_literal_coercion", "time_range_scan",
+    "time_bucket_minute", "dedup_latest_by_key",
+    "chain_append_read", "time_range_scan",
     # protocol frontends
     "promql_rate", "promql_instant", "promql_sum_by_ts",
     "promql_avg_over_time",
@@ -201,11 +201,12 @@ DRIVER_ORDER = [
     "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
     "text_fingerprint", "text_bm25_topk", "text_repetition", "pii_scrub",
     "doc_chunking", "corpus_shuffle", "corpus_quality_filter",
+    "sessionize_events", "zorder_cluster",
     "multimodal_decode_meta",
     # family variants — covered by a same-family representative above when
     # the driver caps its check window
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
-    "downsample_stddev",
+    "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
 ]
 
 
