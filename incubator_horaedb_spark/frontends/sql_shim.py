@@ -377,6 +377,37 @@ class Engine:
 
     # --------------------------------------------------------------- DML --
     def _insert(self, stmt: str) -> int:
+        # INSERT INTO t [(cols)] SELECT ... — beyond-reference convenience
+        # (the reference rejects non-VALUES sources, planner.rs:1212
+        # InsertSourceBodyNotSet): materializes a query result through the
+        # normal write path, e.g. persisting a filtered corpus.  Fully
+        # distributed — the SELECT plan streams into the partitioned
+        # parquet write, no driver materialization.
+        ms = re.match(
+            rf"^insert\s+into\s+(?:table\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*"
+            rf"(select\s+.+|with\s+.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if ms:
+            name = _unquote(ms.group(1))
+            meta = self.catalog.get(name)
+            df = self._query(ms.group(4))
+            if ms.group(3):
+                df = df.toDF(*[_unquote(c) for c in ms.group(3).split(",")])
+            else:
+                df = df.toDF(*[c.name for c in meta.schema.columns][: len(df.columns)])
+            # write first, then count the written batch by its sequence
+            # number — a parquet-stats count, so the SELECT evaluates once
+            seq = Table(self.spark, self.catalog, name).write(df)
+            from incubator_horaedb_spark.schema import SEQ_COLUMN
+
+            return (
+                self.spark.read.parquet(self.catalog.data_dir(name))
+                .filter(F.col(SEQ_COLUMN) == seq)
+                .count()
+            )
+
         # optional TABLE keyword: `INSERT INTO TABLE t ...` (alter_table.sql)
         m = re.match(
             rf"^insert\s+into\s+(?:table\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*values\s*(.+)$",

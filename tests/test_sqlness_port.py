@@ -480,3 +480,25 @@ def test_sampling_primary_key_skips_overwrite_tables(engine):
     )
     engine.execute_sql("INSERT INTO ow_tbl (t, name, v) VALUES (1695348000000, 'a', 1.0)")
     assert engine.catalog.get("ow_tbl").options.sampled_sort_key is None
+
+
+def test_insert_select_materialization(engine):
+    # Beyond-reference: INSERT INTO ... SELECT (the reference rejects
+    # non-VALUES insert sources, planner.rs:1212) — materializes a filtered
+    # slice through the normal distributed write path.
+    engine.execute_sql(
+        "CREATE TABLE src_t (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO src_t (t, name, v) VALUES (1695348000000, 'a', 1.0), "
+        "(1695348000001, 'b', 5.0), (1695348000002, 'c', 9.0)"
+    )
+    engine.execute_sql(
+        "CREATE TABLE dst_t (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (enable_ttl='false')"
+    )
+    n = engine.execute_sql("INSERT INTO dst_t (name, v, t) SELECT name, v, t FROM src_t WHERE v > 2")
+    assert n == 2
+    df = engine.execute_sql("SELECT name, v FROM dst_t ORDER BY name")
+    assert _rows(df, "name", "v") == [("b", 5.0), ("c", 9.0)]
