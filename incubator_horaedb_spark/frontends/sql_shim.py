@@ -225,6 +225,45 @@ class Engine:
 
     # --------------------------------------------------------------- DDL --
     def _create_table(self, stmt: str) -> None:
+        # CTAS (beyond-reference, pairs with INSERT..SELECT): CREATE TABLE t
+        # [ENGINE=..] [WITH (...)] AS SELECT ... — schema inferred from the
+        # query result; the single timestamp-typed column becomes the key.
+        cm = re.match(
+            rf"^create\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*"
+            rf"(engine\s*=\s*\w+\s*)?(with\s*\(([^)]*)\)\s*)?as\s+(select\s.+|with\s.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if cm:
+            name = _unquote(cm.group(2))
+            if self.catalog.exists(name):
+                if cm.group(1):
+                    return
+                raise ValueError(f"table {name!r} already exists")
+            df = self._query(cm.group(6))
+            ts_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"]
+            if len(ts_cols) != 1:
+                raise ValueError(
+                    f"CTAS needs exactly one timestamp column for the key, got {ts_cols}"
+                )
+            from incubator_horaedb_spark.streaming.ingest import infer_table_schema
+
+            opts = TableOptions.from_with_options(
+                dict(
+                    kv.split("=", 1)
+                    for kv in (
+                        p.strip().replace("'", "").replace('"', "")
+                        for p in _split_top_level(cm.group(5) or "")
+                    )
+                    if "=" in kv
+                )
+            )
+            schema = infer_table_schema(df.schema, ts_cols[0], tag_cols=[])
+            self.catalog.create_table(name, schema, opts)
+            Table(self.spark, self.catalog, name).write(df)
+            self.register_views()
+            return
+
         head = re.match(
             rf"^create\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*\(", stmt, re.I
         )

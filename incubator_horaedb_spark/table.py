@@ -321,6 +321,50 @@ class Table:
             rewritten += 1
         return rewritten
 
+    @staticmethod
+    def zorder_column(cols: list[str], bits: int = 16):
+        """Morton (Z-order) interleave of up to 3 integer columns — the
+        multi-dimensional clustering key (public technique: Delta/Iceberg
+        OPTIMIZE ZORDER).  Static bit expansion stays inside whole-stage
+        codegen; len(cols)*bits ≤ 48 keeps the value in int64."""
+        assert 1 <= len(cols) <= 3 and len(cols) * bits <= 48
+        z = F.lit(0).cast("long")
+        for j in range(bits):
+            for k, c in enumerate(cols):
+                bit = F.shiftright(F.col(c).cast("long"), j).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, j * len(cols) + k)
+        return z
+
+    def optimize_zorder(self, cols: list[str], bits: int = 16) -> int:
+        """Rewrite every time partition clustered by the Z-order key of
+        ``cols`` — after this, row-group min/max stats prune scans on ALL
+        the z-ordered columns, not just the lead sort column.  The rewrite
+        is per-segment (same shape as compact), so at scale it runs as
+        bounded parallel jobs, never a global sort.  Returns partitions
+        rewritten."""
+        import os
+        import shutil
+
+        meta = self.meta
+        for c in cols:
+            kind = meta.schema.column(c).kind
+            if kind in ("double", "float", "string", "timestamp", "varbinary"):
+                raise ValueError(f"zorder column {c!r} must be integer-kind, got {kind}")
+        data = self.catalog.data_dir(self.name)
+        if not os.path.isdir(data):
+            return 0
+        rewritten = 0
+        for seg in [d for d in os.listdir(data) if d.startswith(f"{SEGMENT_COLUMN}=")]:
+            src = os.path.join(data, seg)
+            df = self.spark.read.parquet(src)
+            out = df.coalesce(1).sortWithinPartitions(self.zorder_column(cols, bits))
+            tmp = src + ".zorder"
+            out.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(src)
+            os.replace(tmp, src)
+            rewritten += 1
+        return rewritten
+
     def ttl_expire(self, now_ms: int | None = None) -> int:
         """Drop whole segments beyond TTL (segment-level TTL purge —
         src/analytic_engine retention).  Returns segments dropped."""

@@ -502,3 +502,62 @@ def test_insert_select_materialization(engine):
     assert n == 2
     df = engine.execute_sql("SELECT name, v FROM dst_t ORDER BY name")
     assert _rows(df, "name", "v") == [("b", 5.0), ("c", 9.0)]
+
+
+def test_create_table_as_select(engine):
+    # CTAS (beyond-reference): schema inferred from the query, the single
+    # timestamp column becomes the key; options pass through WITH(...).
+    engine.execute_sql(
+        "CREATE TABLE ctas_src (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (enable_ttl='false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO ctas_src (t, name, v) VALUES (1695348000000, 'a', 1.0), "
+        "(1695348000001, 'b', 5.0)"
+    )
+    engine.execute_sql(
+        "CREATE TABLE ctas_dst WITH (enable_ttl='false', update_mode='append') "
+        "AS SELECT name, v * 2 AS v2, t FROM ctas_src WHERE v > 2"
+    )
+    df = engine.execute_sql("SELECT name, v2 FROM ctas_dst")
+    assert _rows(df, "name", "v2") == [("b", 10.0)]
+    meta = engine.catalog.get("ctas_dst")
+    assert meta.schema.timestamp_column == "t"
+    assert meta.options.update_mode == "APPEND"
+    # IF NOT EXISTS short-circuits
+    engine.execute_sql(
+        "CREATE TABLE IF NOT EXISTS ctas_dst AS SELECT name, v * 2 AS v2, t "
+        "FROM ctas_src"
+    )
+    assert engine.execute_sql("SELECT count(*) AS n FROM ctas_dst").collect()[0]["n"] == 1
+
+
+def test_optimize_zorder_rewrite(engine):
+    from incubator_horaedb_spark.table import Table
+
+    engine.execute_sql(
+        "CREATE TABLE zt (a int64, b int64, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (enable_ttl='false', update_mode='append')"
+    )
+    vals = ", ".join(
+        f"(169534800000{i % 10}, {i % 7}, {(i * 3) % 5}, {float(i)})" for i in range(40)
+    )
+    engine.execute_sql(f"INSERT INTO zt (t, a, b, v) VALUES {vals}")
+    tbl = Table(engine.spark, engine.catalog, "zt")
+    n = tbl.optimize_zorder(["a", "b"], bits=8)
+    assert n >= 1
+    # all rows survive, values intact
+    df = engine.execute_sql("SELECT count(*) AS n, sum(v) AS s FROM zt").collect()[0]
+    assert df["n"] == 40 and abs(df["s"] - sum(float(i) for i in range(40))) < 1e-9
+    # rows inside the rewritten file are z-ordered: read preserves file order
+    import pyspark.sql.functions as F
+
+    raw = engine.spark.read.parquet(engine.catalog.data_dir("zt"))
+    z = raw.select(Table.zorder_column(["a", "b"], 8).alias("z")).collect()
+    zs = [r["z"] for r in z]
+    assert zs == sorted(zs)
+    # non-integer columns rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integer-kind"):
+        tbl.optimize_zorder(["v"])
