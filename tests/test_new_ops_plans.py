@@ -1,0 +1,59 @@
+"""Plan-shape assertions for the round-2 pipeline operators: the scale
+claims in their docstrings (shuffle counts, codegen, top-k) hold in the
+actual physical plans, not just in prose (SURVEY §7.5 property-testing
+strategy)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from incubator_horaedb_spark.plans.inspect import explain_str, uses_top_k
+from incubator_horaedb_spark.querybank import registry
+from incubator_horaedb_spark.querybank.llm_ops import *  # noqa: F401,F403 - registers queries
+
+
+def _exchanges(df) -> int:
+    # count distinct Exchange operators; AQE may label them AQEShuffleRead
+    text = explain_str(df, "simple")
+    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", text))
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return {n: e.fn for n, e in registry.QUERIES.items()}
+
+
+def test_sessionize_single_shuffle(spark, sf_dir, qs):
+    # both window passes and the final agg are user-keyed: ONE hash exchange
+    df = qs["sessionize_events"](spark, sf_dir)
+    assert _exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_corpus_shuffle_is_top_k(spark, sf_dir, qs):
+    # ORDER BY + LIMIT plans as TakeOrderedAndProject, not a global sort
+    df = qs["corpus_shuffle"](spark, sf_dir)
+    assert uses_top_k(df)
+
+
+def test_pii_scrub_no_shuffle(spark, sf_dir, qs):
+    # pure map-side regex expressions — zero exchanges
+    df = qs["pii_scrub"](spark, sf_dir)
+    assert _exchanges(df) == 0
+
+
+def test_doc_chunking_no_shuffle(spark, sf_dir, qs):
+    # explode-per-chunk stays map-side — zero exchanges
+    df = qs["doc_chunking"](spark, sf_dir)
+    assert _exchanges(df) == 0
+
+
+def test_repetition_shuffles_are_doc_keyed(spark, sf_dir, qs):
+    # (doc, bigram) agg then per-doc agg — both keyed by doc_id; at most
+    # two exchanges and no broadcast-nested-loop anywhere
+    df = qs["text_repetition"](spark, sf_dir)
+    text = explain_str(df, "simple")
+    assert _exchanges(df) <= 2, text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
