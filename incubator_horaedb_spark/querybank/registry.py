@@ -190,23 +190,24 @@ DRIVER_ORDER = [
     "chain_append_read", "time_range_scan",
     # protocol frontends
     "promql_rate", "promql_instant", "promql_sum_by_ts",
-    "promql_avg_over_time",
     "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_cluster_reps", "dedup_apply_survivors", "decontaminate_ngram",
-    "sample_stratified", "corpus_mix_report",
+    "sample_stratified",
     "ann_cosine_bruteforce", "ann_cosine_ivf",
     "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
     "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
     "text_fingerprint", "text_bm25_topk", "text_repetition", "pii_scrub",
     "doc_chunking", "corpus_shuffle", "corpus_quality_filter",
-    "sessionize_events", "zorder_cluster",
+    "sessionize_events", "zorder_cluster", "asof_join_events",
+    "interval_join_sessions",
     "multimodal_decode_meta",
     # family variants — covered by a same-family representative above when
     # the driver caps its check window
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
+    "promql_avg_over_time", "corpus_mix_report",
 ]
 
 

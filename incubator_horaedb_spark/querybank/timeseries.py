@@ -257,3 +257,78 @@ def downsample_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stddev_samp_det("value"), 4).alias("dev_value"),
         F.round(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
     )
+
+
+# --- temporal joins (operators/temporal.py) -------------------------------
+# As-of join: purchases pick up the user's newest signup at-or-before the
+# purchase.  The DuckDB oracle is the engine-NATIVE ASOF LEFT JOIN, so the
+# gate proves the union-marker window composition (one shuffle on the key)
+# computes the textbook semantics.
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_type, value FROM events),
+         l AS (SELECT user_id, t AS purchase_t, value AS purchase_value
+               FROM ev WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, t AS signup_t, max(value) AS signup_value
+               FROM ev WHERE event_type = 'signup' GROUP BY user_id, t)
+    SELECT l.user_id, l.purchase_t, l.purchase_value, r.signup_t, r.signup_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.purchase_t >= r.signup_t
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_horaedb_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("t"), "event_type", "value"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("purchase_t"), F.col("value").alias("purchase_value")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("t").alias("signup_t"))
+        .agg(F.max("value").alias("signup_value"))
+    )
+    return asof_join(left, right, on=["user_id"], left_ts="purchase_t",
+                     right_ts="signup_t", suffix="")
+
+
+# Interval join: error events matched to the enclosing activity session
+# (sessions derived by the gap sessionizer).  Key-bounded candidates —
+# the user_id equi-join IS the candidate generation; no cartesian.
+def _interval_join_oracle() -> str:
+    from incubator_horaedb_spark.operators.dialect import DUCK
+    from incubator_horaedb_spark.operators.pipeline import sessionize_sql
+
+    return f"""
+    WITH sess AS ({sessionize_sql(DUCK)}),
+         iv AS (SELECT user_id, session_start AS s_start,
+                       session_start + duration_ms AS s_end FROM sess),
+         p AS (SELECT user_id, epoch_ms(ts) AS t FROM events WHERE event_type = 'error')
+    SELECT p.user_id, p.t AS point_t, iv.s_start, iv.s_end
+    FROM p JOIN iv ON p.user_id = iv.user_id
+    WHERE p.t >= iv.s_start AND p.t <= iv.s_end
+    """
+
+
+@register("interval_join_sessions", oracle=_interval_join_oracle())
+def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_horaedb_spark.operators.dialect import SPARK
+    from incubator_horaedb_spark.operators.pipeline import sessionize_sql
+    from incubator_horaedb_spark.operators.temporal import interval_join
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sess = spark.sql(sessionize_sql(SPARK)).select(
+        "user_id",
+        F.col("session_start").alias("s_start"),
+        (F.col("session_start") + F.col("duration_ms")).alias("s_end"),
+    )
+    points = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_millis("ts").alias("point_t"))
+    )
+    return interval_join(
+        points, sess, point_ts="point_t", start="s_start", end="s_end", on=["user_id"]
+    )
