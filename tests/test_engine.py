@@ -291,3 +291,43 @@ def test_catalog_maintenance_sweep(engine):
     # semantics preserved after the sweep
     assert [r["v"] for r in engine.execute_sql("SELECT v FROM m1").collect()] == [2.0]
     assert [r["v"] for r in engine.table("m2").read(now_ms=now).collect()] == [2.0]
+
+
+def test_continuous_rollup_incremental(spark, tmp_path):
+    """Hypertable-rollup analogue (maintenance.rollup_refresh/rollup_read):
+    partial-aggregate materialization refreshed incrementally by sequence
+    watermark; the merged read equals a direct aggregation of the raw
+    table even when a bucket spans multiple refreshes."""
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.maintenance import rollup_refresh, rollup_read
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.execute_sql(
+        "CREATE TABLE metrics (host string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (enable_ttl='false', update_mode='append')"
+    )
+    t0 = 1695348000000
+    engine.execute_sql(
+        f"INSERT INTO metrics (t, host, v) VALUES ({t0}, 'a', 1.0), "
+        f"({t0 + 1000}, 'a', 3.0), ({t0 + 61_000}, 'b', 10.0)"
+    )
+    n1 = rollup_refresh(engine, "metrics", bucket_ms=60_000, value_col="v")
+    assert n1 == 2  # (bucket0, a) and (bucket1, b)
+
+    # second batch lands in an ALREADY-ROLLED bucket → new partial row
+    engine.execute_sql(f"INSERT INTO metrics (t, host, v) VALUES ({t0 + 2000}, 'a', 5.0)")
+    n2 = rollup_refresh(engine, "metrics", bucket_ms=60_000, value_col="v")
+    assert n2 == 1  # only the new batch was scanned (watermark)
+
+    merged = {
+        (r["bucket_ts"].isoformat(), r["host"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in rollup_read(engine, "metrics_rollup_60000").collect()
+    }
+    assert len(merged) == 2
+    b0 = [v for k, v in merged.items() if k[1] == "a"][0]
+    assert b0 == (3, 9.0, 1.0, 5.0, 3.0)  # bucket split across refreshes merges exactly
+    b1 = [v for k, v in merged.items() if k[1] == "b"][0]
+    assert b1 == (1, 10.0, 10.0, 10.0, 10.0)
+
+    # idempotent when no new data
+    assert rollup_refresh(engine, "metrics", bucket_ms=60_000, value_col="v") == 0
