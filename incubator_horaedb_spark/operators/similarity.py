@@ -22,6 +22,22 @@ from incubator_horaedb_spark.operators.dialect import Dialect
 DIM = 64
 
 
+def _r6(expr: str) -> str:
+    """Tie-proof 6-digit rounding: floor(x·1e6 + 0.5)/1e6 (half-up).
+
+    ``round(x, 6)`` is tie-UNSAFE across engines — Spark rounds the
+    shortest decimal repr via BigDecimal HALF_UP while DuckDB rounds the
+    scaled double, so a value within one ulp of a 6th-digit boundary can
+    flip between them (observed: ivf_kmeans_train driver hash-FAIL,
+    VERDICT r02).  One IEEE multiply + add + floor of the same double is
+    bit-deterministic everywhere; the matching numpy kernels use the
+    identical floor form.  The CASTs pin every intermediate to DOUBLE:
+    Spark's floor(double) returns LONG and `1000000.0` parses as DECIMAL,
+    so the naive rendering silently produces a DECIMAL(20,9) column on
+    Spark but DOUBLE on DuckDB."""
+    return f"(CAST(floor(({expr}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+
+
 def _dot(d: Dialect, a: str, b: str) -> str:
     """Dot product as a sequential left-to-right fold — the addition order
     is part of the operator definition, rendered identically on both
@@ -61,7 +77,7 @@ def ann_bruteforce_sql(d: Dialect, table: str = "embeddings", k: int = 5, n_quer
             ),
             (
                 "scored",
-                f"""SELECT q.qid, e.vec_id, round({cos}, 6) AS cosine
+                f"""SELECT q.qid, e.vec_id, {_r6(cos)} AS cosine
       FROM q JOIN normed e ON e.vec_id <> q.qid""",
             ),
             (
@@ -83,7 +99,7 @@ def embedding_cosine_pairs_sql(d: Dialect, table: str = "embeddings", threshold:
             _normed_cte(d, table),
             (
                 "pairs",
-                f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
+                f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_r6(cos)} AS cosine
       FROM normed a JOIN normed b ON a.vec_id < b.vec_id""",
             ),
         ],
@@ -116,7 +132,7 @@ def ann_ivf_sql(
                 f"""SELECT vec_id, embedding, nrm, cid FROM (
         SELECT e.vec_id, e.embedding, e.nrm, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({assign_cos}, 6) DESC, c.cid) AS crn
+                                  ORDER BY {_r6(assign_cos)} DESC, c.cid) AS crn
         FROM normed e CROSS JOIN cent c
       ) t WHERE crn = 1""",
             ),
@@ -128,7 +144,7 @@ def ann_ivf_sql(
             (
                 "scored",
                 f"""SELECT q.qid, a.vec_id,
-             round({score_cos}, 6) AS cosine
+             {_r6(score_cos)} AS cosine
       FROM q JOIN assigned a ON a.cid = q.qcid AND a.vec_id <> q.qid""",
             ),
             (
@@ -222,7 +238,7 @@ def rhp_pairs_ctes(d: Dialect, sig_src: str, normed_src: str, threshold: float) 
         ),
         (
             "verified",
-            f"""SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+            f"""SELECT c.vec_a, c.vec_b, {_r6(cos)} AS cosine
       FROM cand c
       JOIN {normed_src} x ON x.vec_id = c.vec_a
       JOIN {normed_src} y ON y.vec_id = c.vec_b""",
@@ -265,7 +281,7 @@ Q = 1 << Q_BITS
 
 
 def _quantize_sql(d: Dialect, vec: str) -> str:
-    return d.transform(vec, "x", f"round(CAST(x AS DOUBLE) * {Q}) / {Q}")
+    return d.transform(vec, "x", f"floor(CAST(x AS DOUBLE) * {Q} + 0.5) / {Q}")
 
 
 def blocked_near_dup_oracle_sql(d: Dialect, table: str = "embeddings", threshold: float = 0.45) -> str:
@@ -279,7 +295,7 @@ def blocked_near_dup_oracle_sql(d: Dialect, table: str = "embeddings", threshold
             (
                 "pairs",
                 f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+             {_r6(f'({dot}) / (a.nrm * b.nrm)')} AS cosine
       FROM normed a JOIN normed b ON a.vec_id < b.vec_id""",
             ),
         ],
@@ -323,7 +339,7 @@ def km_assign_select(d: Dialect, qv_src: str, cent_src: str) -> str:
     return f"""SELECT vec_id, q, cid FROM (
         SELECT v.vec_id, v.q, c.cid,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY round({cos}, 6) DESC, c.cid) AS rn
+                                  ORDER BY {_r6(cos)} DESC, c.cid) AS rn
         FROM {qv_src} v CROSS JOIN {cent_src} c
       ) t WHERE rn = 1"""
 
@@ -332,7 +348,7 @@ def km_update_select(d: Dialect, assign_src: str) -> str:
     """New centroids: per-(cid, dim) mean over the cluster, re-quantized,
     reassembled into an ordered array with its norm."""
     val = d.at("a.q", "dims.dim")
-    mean_q = f"round((sum({val}) / count(*)) * {Q}) / {Q}"
+    mean_q = f"floor((sum({val}) / count(*)) * {Q} + 0.5) / {Q}"
     arr = d.ordered_list("cv", "dim")
     return f"""SELECT cid, ce, sqrt({_dot(d, 'ce', 'ce')}) AS cnrm FROM (
         SELECT cid, {arr} AS ce FROM (
@@ -374,7 +390,7 @@ def km_probe_select(d: Dialect, qv_src: str, cent_src: str, n_probe: int, n_quer
     return f"""SELECT vec_id AS qid, q AS qe, nrm AS qnrm, cid AS pcid FROM (
         SELECT v.vec_id, v.q, v.nrm, c.cid,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY round({cos}, 6) DESC, c.cid) AS rn
+                                  ORDER BY {_r6(cos)} DESC, c.cid) AS rn
         FROM {qv_src} v CROSS JOIN {cent_src} c
         WHERE v.vec_id < {n_queries}
       ) t WHERE rn <= {n_probe}"""
@@ -388,7 +404,7 @@ def km_search_ctes(
         (
             "hits",
             f"""SELECT p.qid, a.vec_id,
-             round(({_dot(d, 'p.qe', 'a.q')}) / (p.qnrm * v.nrm), 6) AS cosine
+             {_r6(f"({_dot(d, 'p.qe', 'a.q')}) / (p.qnrm * v.nrm)")} AS cosine
       FROM probe p
       JOIN {assign_src} a ON a.cid = p.pcid AND a.vec_id <> p.qid
       JOIN {qv_src} v ON v.vec_id = a.vec_id""",
@@ -413,7 +429,7 @@ def km_search_index_ctes(
         (
             "hits",
             f"""SELECT p.qid, a.vec_id,
-             round(({_dot(d, 'p.qe', 'a.q')}) / (p.qnrm * a.nrm), 6) AS cosine
+             {_r6(f"({_dot(d, 'p.qe', 'a.q')}) / (p.qnrm * a.nrm)")} AS cosine
       FROM probe p
       JOIN {index_src} a ON a.cid = p.pcid AND a.vec_id <> p.qid""",
         ),
@@ -489,7 +505,7 @@ def blocked_topk_oracle_sql(
             ),
             (
                 "scored",
-                f"""SELECT qs.qid, e.vec_id, round(({dot}) / (qs.qnrm * e.nrm), 6) AS cosine
+                f"""SELECT qs.qid, e.vec_id, {_r6(f'({dot}) / (qs.qnrm * e.nrm)')} AS cosine
       FROM qs JOIN normed e ON e.vec_id <> qs.qid""",
             ),
             (
@@ -552,7 +568,7 @@ def blocked_topk(df, k: int = 5, n_queries: int = 10, corpus_df=None):
     from pyspark.sql import types as T
 
     def _q(m: "np.ndarray") -> "np.ndarray":
-        return np.sign(m) * np.floor(np.abs(m) * Q + 0.5) / Q
+        return np.floor(m * Q + 0.5) / Q
 
     rows = _collect_block(corpus_df if corpus_df is not None else df, "blocked_topk")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -580,7 +596,7 @@ def blocked_topk(df, k: int = 5, n_queries: int = 10, corpus_df=None):
             q_mat = _q(np.array(list(pdf["embedding"]), dtype=np.float64))
             q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
             s = q_mat @ c_mat.T / np.outer(q_nrm, c_nrm)
-            s = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6  # round(.,6)
+            s = np.floor(s * 1e6 + 0.5) / 1e6  # _r6: floor half-up, matches SQL
             out_q, out_v, out_c = [], [], []
             for i, qid in enumerate(q_ids):
                 row = s[i]
@@ -642,7 +658,7 @@ def blocked_near_dup_pairs(df, threshold: float = 0.45):
     from pyspark.sql import types as T
 
     def _q(m: "np.ndarray") -> "np.ndarray":
-        return np.sign(m) * np.floor(np.abs(m) * Q + 0.5) / Q
+        return np.floor(m * Q + 0.5) / Q
 
     rows = _collect_block(df, "blocked_near_dup_pairs")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -670,7 +686,7 @@ def blocked_near_dup_pairs(df, threshold: float = 0.45):
             a_mat = _q(np.array(list(pdf["embedding"]), dtype=np.float64))
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
             s = a_mat @ c_mat.T / np.outer(a_nrm, c_nrm)
-            s = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6  # round(.,6)
+            s = np.floor(s * 1e6 + 0.5) / 1e6  # _r6: floor half-up, matches SQL
             ai, ci = np.nonzero((s >= threshold) & (a_ids[:, None] < c_ids[None, :]))
             yield pd.DataFrame(
                 {"vec_a": a_ids[ai], "vec_b": c_ids[ci], "cosine": s[ai, ci]}

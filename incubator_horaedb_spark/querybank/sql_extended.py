@@ -17,6 +17,7 @@ once on their partition key; percentile is a single-pass exact aggregate.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -285,8 +286,10 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udaf_energy_by_type",
     oracle="""
-    SELECT event_type, sum(CAST(round(value * 1024) AS BIGINT)
-                           * CAST(round(value * 1024) AS BIGINT)) AS energy_q
+    SELECT event_type,
+           sum(CAST(sign(value) * floor(abs(value * 1024) + 0.5) AS BIGINT)
+               * CAST(sign(value) * floor(abs(value * 1024) + 0.5) AS BIGINT))
+               AS energy_q
     FROM events
     GROUP BY event_type
     """,
@@ -295,13 +298,17 @@ def udaf_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate (sum of squared quantized values) through the pandas
     GROUPED_AGG path — the Spark rendering of the reference's
     accumulator-based UDAF framework (src/df_operator/src/udaf.rs:61).
-    Integer arithmetic end-to-end, so the result is associative/commutative
-    and hash-matches the SQL oracle exactly."""
+    Integer arithmetic end-to-end. Quantization is tie-proof
+    half-away-from-zero via sign·floor(|x·1024|+0.5) — numpy's .round()
+    is half-to-even while DuckDB's round() is half-away, so a raw .5 tie
+    would hash-mismatch; this floor form is bit-identical in both engines
+    (same IEEE multiply/abs/add/floor sequence)."""
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
     def energy_q(v: pd.Series) -> int:
-        q = (v * 1024).round().astype("int64")
+        x = (v * 1024.0).to_numpy(dtype="float64")
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
         return int((q * q).sum())
 
     return (
