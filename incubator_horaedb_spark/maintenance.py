@@ -111,8 +111,16 @@ def rollup_refresh(
     dmeta = engine.catalog.get(dst)
     watermark = int(dmeta.options.extra.get("rollup_seq", 0))
 
+    # Snapshot the high bound BEFORE building the (lazy) scan: the count
+    # and the write each re-execute the read, so a batch ingested between
+    # them and an after-the-fact `next_seq - 1` watermark would be
+    # permanently skipped (lost-update window, ADVICE r02).  Bounding the
+    # filter to (watermark, hi] and advancing exactly to hi makes the
+    # refresh immune to concurrent ingest.
+    hi = engine.catalog.get(src).next_seq - 1
+
     raw = Table(engine.spark, engine.catalog, src).read(with_internal=True)
-    new = raw.filter(F.col(SEQ_COLUMN) > watermark)
+    new = raw.filter((F.col(SEQ_COLUMN) > watermark) & (F.col(SEQ_COLUMN) <= hi))
     part = (
         new.groupBy(
             F.timestamp_millis(
@@ -132,9 +140,9 @@ def rollup_refresh(
         # bucket_ts stays TIMESTAMP — Table.write's schema-align cast is a
         # no-op for it (a LONG would be misread as epoch-seconds by cast)
         Table(engine.spark, engine.catalog, dst).write(part)
-    # advance the watermark to the source's latest allocated sequence
+    # advance the watermark exactly to the snapshotted bound
     dmeta = engine.catalog.get(dst)
-    dmeta.options.extra["rollup_seq"] = engine.catalog.get(src).next_seq - 1
+    dmeta.options.extra["rollup_seq"] = hi
     engine.catalog.update(dmeta)
     return n
 

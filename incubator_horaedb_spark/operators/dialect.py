@@ -39,9 +39,15 @@ class Dialect:
         return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}), ({acc}, {var}) -> {body})"
 
     def range1(self, n: str) -> str:
-        """[1..n] inclusive."""
+        """[1..n] inclusive; EMPTY for n <= 0 on both engines.
+
+        DuckDB's range(1, n+1) is naturally empty for n <= 0, but Spark's
+        sequence(1, 0) yields the DESCENDING list [1, 0] — downstream
+        element_at(lst, 0) then throws at runtime (1-token documents hit
+        this in the bigram/ratio pipelines).  The CASE guard makes the
+        two renderings agree."""
         if self.engine == "spark":
-            return f"sequence(1, {n})"
+            return f"(CASE WHEN ({n}) >= 1 THEN sequence(1, {n}) ELSE array() END)"
         return f"range(1, ({n}) + 1)"
 
     def transform(self, lst: str, var: str, body: str) -> str:

@@ -112,7 +112,24 @@ def interval_join(
     keys ``bucket_ms`` is REQUIRED — intervals explode to covered time
     buckets and points join their bucket, so candidate pairs stay bounded
     at any scale (a keyless containment join without bucketing is a
-    cartesian product and is refused)."""
+    cartesian product and is refused).
+
+    ``how``: ``inner`` or ``left`` (points without an enclosing interval
+    kept with null interval columns).  The containment predicate is part
+    of the JOIN CONDITION, not a post-filter — a post-filter would drop
+    outer-side null rows and silently degenerate every join type to inner
+    (ADVICE r02).  Point-centric semantics only: right/full outer would
+    need interval-side preservation, which this operator does not define.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left' (point-centric); got {how!r}"
+        )
+    pt = points.alias("__p")
+    iv = intervals.alias("__i")
+    contain = (F.col(f"__p.{point_ts}") >= F.col(f"__i.{start}")) & (
+        F.col(f"__p.{point_ts}") <= F.col(f"__i.{end}")
+    )
     if not on:
         if bucket_ms is None:
             raise ValueError("keyless interval_join requires bucket_ms (anti-cartesian guard)")
@@ -120,11 +137,19 @@ def interval_join(
         iv = intervals.withColumn(
             "__bucket",
             F.explode(F.sequence((F.col(start) / b).cast("long"), (F.col(end) / b).cast("long"))),
-        )
-        pt = points.withColumn("__bucket", (F.col(point_ts) / b).cast("long"))
-        joined = pt.join(iv, on="__bucket", how=how)
+        ).alias("__i")
+        pt = points.withColumn("__bucket", (F.col(point_ts) / b).cast("long")).alias("__p")
+        cond = (F.col("__p.__bucket") == F.col("__i.__bucket")) & contain
+        dup = ["__bucket"]
     else:
-        joined = points.join(intervals, on=on, how=how)
-    return joined.filter(
-        (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end))
-    ).drop("__bucket")
+        cond = contain
+        for k in on:
+            cond = (F.col(f"__p.{k}") == F.col(f"__i.{k}")) & cond
+        dup = list(on)
+    joined = pt.join(iv, cond, how)
+    # one copy of the equi-keys (the point side's — non-null for kept rows)
+    keep_iv = [c for c in intervals.columns if c not in dup]
+    return joined.select(
+        *[F.col(f"__p.{c}") for c in points.columns],
+        *[F.col(f"__i.{c}") for c in keep_iv],
+    )

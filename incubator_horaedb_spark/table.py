@@ -76,31 +76,38 @@ class Table:
             tsid = tsid_expr(tags) if tags else F.lit(0).cast("long")
             df = df.withColumn(TSID_COLUMN, tsid)
 
-        if meta.options.segment_duration_ms is None:
-            # first-write sampling of the segment duration (sampler.rs).
-            # NB: re-read meta before persisting — a stale write-back here
-            # would clobber the seq counter allocated below (lost update).
-            #
-            # APPEND tables also sample an SST sort key in the same pass
-            # (PrimaryKeySampler, sampler.rs:271-362): the 2 lowest-NDV
-            # key-kind columns (MAX_SUGGEST_PRIMARY_KEY_NUM, sampler.rs:62;
-            # floats/timestamps ineligible, datum.rs is_key_kind) ordered
-            # ascending, then tsid + timestamp.  Low-cardinality-first sort
-            # keys make row-group min/max stats selective — the "beneficial
-            # for sst prune" rationale — and Overwrite tables are excluded
-            # exactly like support_sample_pk (table_options.rs:521-526).
-            sample_pk = (
-                meta.options.update_mode == "APPEND"
-                and meta.options.sampled_sort_key is None
-                and not schema.primary_key
-            )
-            elig = [
-                c.name
-                for c in schema.columns
-                if sample_pk
-                and c.kind not in ("double", "float", "timestamp")
-                and c.name != schema.timestamp_column
-            ]
+        # First-flush sampling (sampler.rs).  Two independent decisions:
+        #   - segment duration, when not declared in DDL;
+        #   - the APPEND-table SST sort key (PrimaryKeySampler,
+        #     sampler.rs:271-362): the 2 lowest-NDV key-kind columns
+        #     (MAX_SUGGEST_PRIMARY_KEY_NUM, sampler.rs:62; floats/
+        #     timestamps ineligible, datum.rs is_key_kind) ascending, then
+        #     tsid + timestamp.  Low-cardinality-first sort keys make
+        #     row-group min/max stats selective ("beneficial for sst
+        #     prune"); Overwrite tables are excluded exactly like
+        #     support_sample_pk (table_options.rs:521-526).
+        # The sort-key sampling runs on the FIRST FLUSH regardless of an
+        # explicit segment_duration (sampler.rs parity — previously it was
+        # nested under the duration branch and explicit-duration tables
+        # never got a key, ADVICE r02), and ONLY on the first flush, so
+        # later writes never pay the NDV aggregates.
+        # NB: re-read meta before persisting — a stale write-back here
+        # would clobber the seq counter allocated below (lost update).
+        need_duration = meta.options.segment_duration_ms is None
+        sample_pk = (
+            meta.next_seq == 1
+            and meta.options.update_mode == "APPEND"
+            and meta.options.sampled_sort_key is None
+            and not schema.primary_key
+        )
+        elig = [
+            c.name
+            for c in schema.columns
+            if sample_pk
+            and c.kind not in ("double", "float", "timestamp")
+            and c.name != schema.timestamp_column
+        ]
+        if need_duration or (sample_pk and elig):
             aggs = [
                 F.min(F.unix_millis(F.col(schema.timestamp_column))),
                 F.max(F.unix_millis(F.col(schema.timestamp_column))),
@@ -109,15 +116,17 @@ class Table:
             lo, hi = sampled[0], sampled[1]
             span = (hi - lo) if lo is not None else 0
             meta = self.meta
-            if meta.options.segment_duration_ms is None:
+            changed = False
+            if need_duration and meta.options.segment_duration_ms is None:
                 meta.options.segment_duration_ms = pick_segment_duration_ms(max(span, 1))
-                if sample_pk and elig:
-                    ndv = list(zip(elig, sampled[2:]))
-                    picked = [c for c, _ in sorted(ndv, key=lambda kv: kv[1])[:2]]
-                    tail = [TSID_COLUMN] if schema.tsid_mode else []
-                    meta.options.sampled_sort_key = (
-                        picked + tail + [schema.timestamp_column]
-                    )
+                changed = True
+            if sample_pk and elig and meta.options.sampled_sort_key is None:
+                ndv = list(zip(elig, sampled[2:]))
+                picked = [c for c, _ in sorted(ndv, key=lambda kv: kv[1])[:2]]
+                tail = [TSID_COLUMN] if schema.tsid_mode else []
+                meta.options.sampled_sort_key = picked + tail + [schema.timestamp_column]
+                changed = True
+            if changed:
                 self.catalog.update(meta)
 
         seq = self.catalog.allocate_seq(self.name)

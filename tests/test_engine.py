@@ -331,3 +331,45 @@ def test_continuous_rollup_incremental(spark, tmp_path):
 
     # idempotent when no new data
     assert rollup_refresh(engine, "metrics", bucket_ms=60_000, value_col="v") == 0
+
+
+def test_rollup_refresh_concurrent_ingest_not_lost(spark, tmp_path, monkeypatch):
+    """ADVICE r02 lost-update window: a batch ingested into the source
+    WHILE a refresh is running (after its scan is built, before its
+    watermark write) must be picked up by the NEXT refresh, not skipped.
+    The fix snapshots hi = next_seq-1 before the scan and advances the
+    watermark exactly to hi."""
+    from incubator_horaedb_spark import maintenance
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.maintenance import rollup_refresh, rollup_read
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.execute_sql(
+        "CREATE TABLE cmetrics (host string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE = Analytic WITH (enable_ttl='false', update_mode='append')"
+    )
+    t0 = 1695348000000
+    engine.execute_sql(f"INSERT INTO cmetrics (t, host, v) VALUES ({t0}, 'a', 1.0)")
+
+    real_table = maintenance.Table
+    fired = {}
+
+    class RacingTable(real_table):
+        def write(self, df):
+            # concurrent ingest lands mid-refresh, between the source scan
+            # and the destination write / watermark advance
+            if self.name.startswith("cmetrics_rollup") and "x" not in fired:
+                fired["x"] = True
+                engine.execute_sql(
+                    f"INSERT INTO cmetrics (t, host, v) VALUES ({t0 + 1000}, 'a', 9.0)"
+                )
+            return super().write(df)
+
+    monkeypatch.setattr(maintenance, "Table", RacingTable)
+    rollup_refresh(engine, "cmetrics", bucket_ms=60_000, value_col="v")
+    assert fired  # the race actually happened during refresh #1
+    # refresh #2 must see the mid-flight batch
+    assert rollup_refresh(engine, "cmetrics", bucket_ms=60_000, value_col="v") == 1
+    merged = rollup_read(engine, "cmetrics_rollup_60000").collect()
+    assert len(merged) == 1
+    assert (merged[0]["cnt"], merged[0]["sum_v"]) == (2, 10.0)

@@ -471,6 +471,33 @@ def test_sampling_primary_key(engine):
     assert df.collect()[0]["n"] == 5
 
 
+def test_sampling_primary_key_with_explicit_segment_duration(engine):
+    # sampler.rs parity (ADVICE r02): PrimaryKeySampler runs on the first
+    # flush REGARDLESS of an explicit segment_duration — previously the
+    # sampling was nested under the duration-is-unset branch and these
+    # tables never got a sort key (while re-running the NDV aggregates on
+    # every subsequent write).
+    engine.execute_sql(
+        "CREATE TABLE expl_seg_tbl (name string TAG, myVALUE int64 NOT NULL, "
+        "v double, t timestamp NOT NULL, timestamp KEY (t)) ENGINE = Analytic "
+        "WITH (update_mode='append', enable_ttl='false', segment_duration='2h')"
+    )
+    engine.execute_sql(
+        "INSERT INTO expl_seg_tbl (t, name, myVALUE) VALUES "
+        "(1695348000000, 'a', 7), (1695348000001, 'b', 7), (1695348000002, 'c', 7)"
+    )
+    meta = engine.catalog.get("expl_seg_tbl")
+    assert meta.options.segment_duration_ms == 2 * 3600 * 1000  # untouched
+    assert meta.options.sampled_sort_key == ["myVALUE", "name", "tsid", "t"]
+    # second write: first-flush-only sampling leaves the key unchanged
+    engine.execute_sql(
+        "INSERT INTO expl_seg_tbl (t, name, myVALUE) VALUES (1695348000003, 'z', 1)"
+    )
+    assert engine.catalog.get("expl_seg_tbl").options.sampled_sort_key == [
+        "myVALUE", "name", "tsid", "t",
+    ]
+
+
 def test_sampling_primary_key_skips_overwrite_tables(engine):
     # support_sample_pk (table_options.rs:521-526): OVERWRITE tables keep
     # their dedup key untouched — no sampled sort key.

@@ -71,3 +71,29 @@ def test_interval_join_bucketed_boundaries(spark):
     iv = spark.createDataFrame([(0, 10)], "s bigint, e bigint")
     out = interval_join(pts, iv, point_ts="t", start="s", end="e", bucket_ms=3)
     assert sorted(r["t"] for r in out.collect()) == [0, 7, 10]
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    # ADVICE r02: how='left' silently degenerated to inner because the
+    # containment predicate ran as a post-join filter.  Now it is part of
+    # the join condition, so uncovered points survive with null intervals.
+    pts = spark.createDataFrame([(1, 5), (1, 99), (2, 5)], "k int, t bigint")
+    iv = spark.createDataFrame([(1, 0, 10, "w1"), (2, 50, 60, "w2")], "k int, s bigint, e bigint, label string")
+    out = interval_join(pts, iv, point_ts="t", start="s", end="e", on=["k"], how="left")
+    got = {(r["k"], r["t"]): r["label"] for r in out.collect()}
+    assert got == {(1, 5): "w1", (1, 99): None, (2, 5): None}
+    # keyless bucketed variant keeps unmatched points too
+    out2 = interval_join(
+        spark.createDataFrame([(5,), (42,)], "t bigint"),
+        spark.createDataFrame([(0, 10)], "s bigint, e bigint"),
+        point_ts="t", start="s", end="e", bucket_ms=4, how="left",
+    )
+    got2 = {r["t"]: r["s"] for r in out2.collect()}
+    assert got2 == {5: 0, 42: None}
+
+
+def test_interval_join_rejects_interval_side_outer(spark):
+    pts = spark.createDataFrame([(5,)], "t bigint")
+    iv = spark.createDataFrame([(0, 10)], "s bigint, e bigint")
+    with pytest.raises(ValueError, match="point-centric"):
+        interval_join(pts, iv, point_ts="t", start="s", end="e", bucket_ms=4, how="full")
