@@ -14,6 +14,7 @@ from incubator_horaedb_spark.operators.multimodal import (
     documents_as_media,
     frame_sample,
     resize_media,
+    synthesize_image_payloads,
 )
 from incubator_horaedb_spark.querybank.registry import load, register
 
@@ -32,6 +33,28 @@ from incubator_horaedb_spark.querybank.registry import load, register
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+@register(
+    "multimodal_image_header_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 50 END AS BIGINT) AS n_bytes,
+           CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+           CAST(16 + doc_id % 512 AS BIGINT)  AS height,
+           CAST(1 AS BIGINT)                  AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding round-trip (no codec libs needed): synthesize a
+    minimal PNG (even ids) or JPEG (odd ids) payload per document, then
+    recover width/height by parsing the PNG IHDR chunk / walking JPEG
+    markers to SOF0 (operators/multimodal.py parse_image_header).  The
+    oracle states the expected dimensions from the id formulas alone, so a
+    parser bug cannot cancel a writer bug on the hash check."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_media(synthesize_image_payloads(docs))
 
 
 @register(

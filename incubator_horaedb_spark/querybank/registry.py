@@ -207,7 +207,7 @@ DRIVER_ORDER = [
     # the driver caps its check window
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
-    "promql_avg_over_time", "corpus_mix_report",
+    "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
 ]
 
 
