@@ -68,6 +68,12 @@ class TableOptions:
     compression: str = "ZSTD"
     partition_keys: list[str] = field(default_factory=list)  # PARTITION BY KEY
     num_partitions: int = 0
+    # partition strategy (partition/rule/factory.rs:39): "key" | "random";
+    # `linear` is the MySQL-compat LINEAR KEY flag (ast.rs:113-118) —
+    # carried as declared metadata, no computational difference (the
+    # reference's KeyRule ignores it too)
+    partition_method: str = "key"
+    partition_linear: bool = False
     # NDV-sampled SST sort key, set on first flush of APPEND tables
     # (PrimaryKeySampler, sampler.rs:271-362): low-cardinality columns
     # first, then tsid/timestamp — physical layout only, never the dedup key
@@ -116,6 +122,8 @@ class TableOptions:
             "compression": self.compression,
             "partition_keys": self.partition_keys,
             "num_partitions": self.num_partitions,
+            "partition_method": self.partition_method,
+            "partition_linear": self.partition_linear,
             "sampled_sort_key": self.sampled_sort_key,
             "extra": self.extra,
         }

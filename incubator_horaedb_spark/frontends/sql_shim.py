@@ -10,7 +10,7 @@ Handled statements (grammar per parser.rs and the sqlness corpus):
         [PRIMARY KEY (c1, ..., ts),]
         timestamp KEY (ts)
     ) [ENGINE = Analytic] [WITH (k='v', ...)]
-      [PARTITION BY KEY (cols) PARTITIONS n]
+      [PARTITION BY [LINEAR] KEY (tag_cols) PARTITIONS n | PARTITION BY RANDOM PARTITIONS n]
     DROP TABLE [IF EXISTS] t
     INSERT INTO t [(cols)] VALUES (...), (...)
     DESCRIBE t           → (name, type, is_primary, is_nullable, is_tag)
@@ -279,6 +279,7 @@ class Engine:
         # the reverse) — extract each independently, then require nothing
         # unrecognized to remain.
         with_body = part_cols = part_n = None
+        part_method, part_linear = "key", False
         rest = tail
         m = re.search(r"engine\s*=\s*\w+", rest, re.I)
         if m:
@@ -287,12 +288,28 @@ class Engine:
         if m:
             with_body = m.group(1)
             rest = rest[: m.start()] + rest[m.end() :]
+        # PARTITION BY strategies (parser.rs:583-601): RANDOM, [LINEAR] KEY.
+        # [LINEAR] HASH parses in the reference too but the rule factory
+        # rejects it ("unsupported partition strategy", factory.rs:39-45) —
+        # mirrored here at CREATE time.
         m = re.search(
-            r"partition\s+by\s+key\s*\(([^)]*)\)\s*(partitions\s+(\d+))?", rest, re.I
+            r"partition\s+by\s+(linear\s+)?key\s*\(([^)]*)\)\s*(partitions\s+(\d+))?",
+            rest, re.I,
         )
         if m:
-            part_cols, part_n = m.group(1), m.group(3)
+            part_linear, part_cols, part_n = bool(m.group(1)), m.group(2), m.group(4)
             rest = rest[: m.start()] + rest[m.end() :]
+        else:
+            m = re.search(r"partition\s+by\s+random\s*(partitions\s+(\d+))?", rest, re.I)
+            if m:
+                part_method, part_n = "random", m.group(2)
+                rest = rest[: m.start()] + rest[m.end() :]
+            else:
+                m = re.search(r"partition\s+by\s+(linear\s+)?hash\s*\(", rest, re.I)
+                if m:
+                    raise ValueError(
+                        "unsupported partition strategy: HASH (factory.rs:39)"
+                    )
         if rest.strip():
             raise ValueError(f"cannot parse CREATE TABLE tail: {rest.strip()[:120]!r}")
 
@@ -355,6 +372,18 @@ class Engine:
         if part_cols:
             options.partition_keys = [_unquote(c) for c in part_cols.split(",")]
             options.num_partitions = int(part_n) if part_n else 4
+            options.partition_method = "key"
+            options.partition_linear = part_linear
+            # partition keys must exist and be tags (parser.rs:667-684)
+            by_name = {c.name: c for c in columns}
+            for k in options.partition_keys:
+                if k not in by_name:
+                    raise ValueError(f"partition key contains non-existent column:{k}")
+                if not by_name[k].is_tag:
+                    raise ValueError(f"partition key must be tag, key name:{k!r}")
+        elif part_method == "random":
+            options.partition_method = "random"
+            options.num_partitions = int(part_n) if part_n else 1
 
         schema = TableSchema(columns=columns, timestamp_column=ts_key, primary_key=primary_key)
         self.catalog.create_table(name, schema, options, if_not_exists=if_not_exists)
@@ -756,7 +785,10 @@ class Engine:
         part = ""
         if meta.options.partition_keys:
             keys = ", ".join(f"`{k}`" for k in meta.options.partition_keys)
-            part = f" PARTITION BY KEY({keys}) PARTITIONS {meta.options.num_partitions}"
+            linear = "LINEAR " if meta.options.partition_linear else ""
+            part = f" PARTITION BY {linear}KEY({keys}) PARTITIONS {meta.options.num_partitions}"
+        elif meta.options.partition_method == "random" and meta.options.num_partitions > 0:
+            part = f" PARTITION BY RANDOM PARTITIONS {meta.options.num_partitions}"
         ddl = (
             f"CREATE TABLE `{name}` ({', '.join(cols)}) ENGINE=Analytic{part} "
             f"WITH ({with_opts})"

@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.catalog import Catalog, pick_segment_duration_ms
 from incubator_horaedb_spark.functions.hashing import tsid_expr
-from incubator_horaedb_spark.partition import PARTITION_COLUMN, key_partition_expr, pruned_filter
+from incubator_horaedb_spark.partition import (
+    PARTITION_COLUMN,
+    key_partition_expr,
+    pruned_filter,
+    random_partition_expr,
+)
 from incubator_horaedb_spark.schema import SEGMENT_COLUMN, SEQ_COLUMN, TSID_COLUMN
 
 
@@ -143,6 +148,13 @@ class Table:
             df = df.withColumn(
                 PARTITION_COLUMN,
                 key_partition_expr(meta.options.partition_keys, meta.options.num_partitions),
+            )
+            part_cols = [PARTITION_COLUMN, SEGMENT_COLUMN]
+        elif meta.options.partition_method == "random" and meta.options.num_partitions > 1:
+            # random write scatter (partition/rule/random.rs:40-48); reads
+            # always fan out to every partition (random.rs:50-53)
+            df = df.withColumn(
+                PARTITION_COLUMN, random_partition_expr(meta.options.num_partitions)
             )
             part_cols = [PARTITION_COLUMN, SEGMENT_COLUMN]
         if meta.options.sampled_sort_key:

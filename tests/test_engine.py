@@ -171,6 +171,54 @@ def test_compaction_dedups_files(engine):
     assert [r["v"] for r in out.collect()] == [3.0]  # newest seq survives
 
 
+def test_partition_rules_random_and_linear_key(spark, tmp_path):
+    """Random + LINEAR KEY partition rules (partition/rule/random.rs:40-53,
+    ast.rs:113-118, factory.rs:39): random scatters writes across
+    partitions and reads always fan out to all of them; LINEAR KEY parses
+    and round-trips through SHOW CREATE; HASH is rejected like the rule
+    factory does."""
+    import pytest as _pytest
+
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.partition import PARTITION_COLUMN
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.execute_sql(
+        "CREATE TABLE rscatter (v double, t timestamp NOT NULL, timestamp KEY(t)) "
+        "PARTITION BY RANDOM PARTITIONS 8 ENGINE = Analytic "
+        "WITH (enable_ttl='false', update_mode='append')"
+    )
+    vals = ", ".join(f"({1695348000000 + i}, {float(i)})" for i in range(400))
+    engine.execute_sql(f"INSERT INTO rscatter (t, v) VALUES {vals}")
+    import os
+
+    ddir = engine.catalog.data_dir("rscatter")
+    parts = {d for d in os.listdir(ddir) if d.startswith(f"{PARTITION_COLUMN}=")}
+    assert len(parts) >= 4  # 400 uniform rows across 8 partitions: scattered
+    assert engine.execute_sql("SELECT count(*) AS n FROM rscatter").collect()[0]["n"] == 400
+    ddl = engine.execute_sql("SHOW CREATE TABLE rscatter").collect()[0]["create_table"]
+    assert "PARTITION BY RANDOM PARTITIONS 8" in ddl
+
+    engine.execute_sql(
+        "CREATE TABLE lkey (k string TAG, v double, t timestamp NOT NULL, timestamp KEY(t)) "
+        "PARTITION BY LINEAR KEY(k) PARTITIONS 4 ENGINE = Analytic WITH (enable_ttl='false')"
+    )
+    assert engine.catalog.get("lkey").options.partition_linear is True
+    ddl = engine.execute_sql("SHOW CREATE TABLE lkey").collect()[0]["create_table"]
+    assert "PARTITION BY LINEAR KEY(`k`) PARTITIONS 4" in ddl
+
+    with _pytest.raises(ValueError, match="unsupported partition strategy"):
+        engine.execute_sql(
+            "CREATE TABLE h (k string TAG, t timestamp NOT NULL, timestamp KEY(t)) "
+            "PARTITION BY HASH(k) PARTITIONS 4 ENGINE = Analytic"
+        )
+    with _pytest.raises(ValueError, match="must be tag"):
+        engine.execute_sql(
+            "CREATE TABLE nt (k string, v double, t timestamp NOT NULL, timestamp KEY(t)) "
+            "PARTITION BY KEY(k) PARTITIONS 4 ENGINE = Analytic"
+        )
+
+
 def test_partition_by_key_parse(engine):
     engine.execute_sql(
         "CREATE TABLE p1 (k string TAG, v double, t timestamp NOT NULL, timestamp KEY (t)) "
