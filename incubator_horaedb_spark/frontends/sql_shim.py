@@ -767,6 +767,10 @@ class Engine:
             if c.default_value is not None:
                 # default_value is raw SQL text (quotes included for strings)
                 bits.append(f"DEFAULT {c.default_value}")
+            if c.comment:
+                # rendered last, matching the reference column order
+                # (interpreters/src/show_create.rs:117-119)
+                bits.append(f"COMMENT '{c.comment}'")
             cols.append(" ".join(bits))
         if meta.schema.primary_key:
             cols.append("PRIMARY KEY(" + ", ".join(f"`{c}`" for c in meta.schema.primary_key) + ")")

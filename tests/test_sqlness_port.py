@@ -210,6 +210,33 @@ def test_case_sensitive_wrong_case_errors(engine):
     assert engine.execute_sql("SELECT * FROM case_SENSITIVE_t").count() == 1
     with pytest.raises(Exception, match="(?i)table or view|not.*found|cannot be found"):
         engine.execute_sql("SELECT * FROM CASE_SENSITIVE_T").collect()
+    # full case_sensitive.sql sequence: backtick-quoted names follow the
+    # same exact-case rule; SHOW CREATE / DESC with wrong case error too
+    assert engine.execute_sql("SELECT * FROM `case_SENSITIVE_t`").count() == 1
+    with pytest.raises(Exception, match="(?i)table or view|not.*found|cannot be found"):
+        engine.execute_sql("SELECT * FROM `CASE_SENSITIVE_T`").collect()
+    ddl = engine.execute_sql("SHOW CREATE TABLE `case_SENSITIVE_t`").collect()[0]
+    assert "case_SENSITIVE_t" in ddl["create_table"]
+    with pytest.raises(Exception):
+        engine.execute_sql("SHOW CREATE TABLE `CASE_SENSITIVE_T`").collect()
+    assert engine.execute_sql("DESCRIBE `case_SENSITIVE_t`").count() >= 2
+    with pytest.raises(Exception):
+        engine.execute_sql("DESCRIBE `CASE_SENSITIVE_T`").collect()
+
+
+def test_issue_1087_explain_verbose(engine):
+    # common/dml/issue-1087.sql: `explain verbose select *` must run and
+    # surface the optimized plan (the reference case pins its optimizer
+    # rule list; the Spark rendering maps VERBOSE → EXPLAIN EXTENDED and
+    # the analyzed/optimized sections stand in for the rule dump).
+    engine.execute_sql(
+        "CREATE TABLE `issue_1087` (`name` string TAG NULL, `value` double NOT NULL, "
+        "`t` timestamp NOT NULL, timestamp KEY (t)) ENGINE=Analytic with (enable_ttl='false')"
+    )
+    out = engine.execute_sql("explain verbose select * from issue_1087").collect()
+    text = "\n".join(str(r) for r in out)
+    assert "Optimized Logical Plan" in text or "plan" in text.lower()
+    engine.execute_sql("DROP TABLE `issue_1087`")
 
 
 def test_show_create_defaults(engine):
@@ -507,6 +534,31 @@ def test_sampling_primary_key_skips_overwrite_tables(engine):
     )
     engine.execute_sql("INSERT INTO ow_tbl (t, name, v) VALUES (1695348000000, 'a', 1.0)")
     assert engine.catalog.get("ow_tbl").options.sampled_sort_key is None
+
+
+def test_column_metadata_roundtrip_and_schema_version(engine):
+    # column_schema.rs:180-200 + schema.rs:654 parity: COMMENT and
+    # dictionary survive CREATE → catalog → SHOW CREATE/DESCRIBE, and
+    # ALTER ADD COLUMN bumps the schema version.
+    engine.execute_sql(
+        "CREATE TABLE meta_tbl (name string TAG dictionary COMMENT 'host name', "
+        "v double COMMENT 'reading', t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE = Analytic WITH (enable_ttl='false')"
+    )
+    meta = engine.catalog.get("meta_tbl")
+    assert meta.schema.version == 1
+    by_name = {c.name: c for c in meta.schema.columns}
+    assert by_name["name"].is_dictionary and by_name["name"].comment == "host name"
+    assert by_name["v"].comment == "reading"
+
+    ddl = engine.execute_sql("SHOW CREATE TABLE meta_tbl").collect()[0]["create_table"]
+    assert "dictionary" in ddl and "COMMENT 'host name'" in ddl and "COMMENT 'reading'" in ddl
+
+    desc = {r["name"]: r for r in engine.execute_sql("DESCRIBE meta_tbl").collect()}
+    assert desc["name"]["is_dictionary"] is True and desc["v"]["is_dictionary"] is False
+
+    engine.execute_sql("ALTER TABLE meta_tbl ADD COLUMN (region string TAG)")
+    assert engine.catalog.get("meta_tbl").schema.version == 2
 
 
 def test_insert_select_materialization(engine):
