@@ -149,6 +149,40 @@ def stratified_sample_sql(
     """
 
 
+def split_assign_sql(
+    d: Dialect, table: str = "documents", train_pct: int = 90, val_pct: int = 5
+) -> str:
+    """Deterministic train/val/test split assignment + per-(source, split)
+    audit report — the materialization step every pretraining run needs
+    before sharding.  The split is a pure projection over a seeded LCG
+    hash of doc_id (reproducible across runs AND engines: all-integer
+    arithmetic), so at 100 TB assignment happens at scan speed with no
+    shuffle before the small audit aggregation; the same predicate used
+    as a filter materializes each split without a global sort or join.
+    Train/val boundaries are percent thresholds on hash % 100 — a row's
+    split never changes when the corpus grows (stable assignment, unlike
+    row_number striping)."""
+    bucket = f"({sample_hash_expr(f'doc_id % {_SAMPLE_P}')}) % 100"
+    split = (
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' "
+        f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+    return d.cte_query(
+        [
+            (
+                "assigned",
+                f"SELECT doc_id, source, n_chars, {split} AS split FROM {table}",
+            )
+        ],
+        """SELECT source, split,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT)  AS min_doc_id
+    FROM assigned
+    GROUP BY source, split""",
+    )
+
+
 # ------------------------------------------------------- mix report --
 
 

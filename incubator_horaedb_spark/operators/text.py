@@ -215,6 +215,49 @@ def repetition_sql(d: Dialect, table: str = "documents") -> str:
     return repetition_from(d, "t", lead_ctes=[("t", repetition_tokens_select(d, table))])
 
 
+def ttr_sql(d: Dialect, table: str = "documents") -> str:
+    """Type-token ratio per document (lexical diversity — a standard
+    quality signal alongside the Gopher repetition rules): distinct
+    lowercase tokens vs total tokens, flagging docs where fewer than 20%
+    of tokens are distinct.  All-integer outputs (counts + flag) so the
+    cross-engine hash cannot drift.  Single scan, pure projection — no
+    shuffle at any scale."""
+    toks = d.tokens("lower(text)")
+    return d.cte_query(
+        [("t", f"SELECT doc_id, {toks} AS toks FROM {table}")],
+        f"""SELECT doc_id,
+           CAST({d.size('toks')} AS BIGINT) AS n_tokens,
+           CAST({d.size(d.distinct('toks'))} AS BIGINT) AS n_types,
+           ({d.size(d.distinct('toks'))} * 5 < {d.size('toks')}) AS low_diversity
+    FROM t""",
+    )
+
+
+def ngram_topk_from(d: Dialect, src: str, k: int = 20, lead_ctes: list | None = None) -> str:
+    """Corpus-wide top-k token bigrams from a token view ``src`` (doc_id,
+    toks) — the n-gram frequency table a tokenizer/contamination audit
+    starts from.  Scale shape: explode to (bigram) → one map-side-
+    combinable count shuffle keyed by bigram → TakeOrdered(k); ties break
+    lexicographically so the result is total-ordered and engine-stable."""
+    bigram = f"{d.at('toks', 'i')} || '_' || {d.at('toks', 'i + 1')}"
+    bigrams = d.transform(d.range1(f"{d.size('toks')} - 1"), "i", bigram)
+    return d.cte_query(
+        list(lead_ctes or [])
+        + [
+            ("b", d.unnest_select("doc_id", bigrams, "bg", src)),
+            ("c", "SELECT bg, count(*) AS n FROM b GROUP BY bg"),
+        ],
+        f"SELECT bg, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, bg LIMIT {k}",
+    )
+
+
+def ngram_topk_sql(d: Dialect, table: str = "documents", k: int = 20) -> str:
+    """One-shot rendering (oracle side) of :func:`ngram_topk_from`."""
+    return ngram_topk_from(
+        d, "t", k, lead_ctes=[("t", repetition_tokens_select(d, table))]
+    )
+
+
 # Java-regex ∩ RE2 common-subset patterns (no \b, no lookarounds)
 _EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _IPV4_RX = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

@@ -298,6 +298,20 @@ _sql_query("doc_chunking", text.chunk_sql)
 _sql_query("corpus_shuffle", text.shuffle_sql)
 _sql_query("sessionize_events", pipeline.sessionize_sql, _tables=("events",))
 _sql_query("zorder_cluster", pipeline.zorder_sql, _tables=("part",))
+_sql_query("corpus_split_assign", pipeline.split_assign_sql)
+_sql_query("text_ttr", text.ttr_sql)
+
+
+def _staged_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token projection staged as a cached view (CTE-inlining cliff, same
+    # reason as text_repetition)
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(text.repetition_tokens_select(SPARK, "documents")), "__ngt_t")
+    return spark.sql(text.ngram_topk_from(SPARK, "__ngt_t", k=20))
+
+
+_staged_ngram_topk.__doc__ = text.ngram_topk_sql.__doc__
+register("text_ngram_topk", oracle=text.ngram_topk_sql(DUCK, k=20))(_staged_ngram_topk)
 
 
 def _staged_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,9 +62,16 @@ _NANOS_TS_COLS = {
 
 
 def _ts_read_confs(spark: SparkSession) -> None:
+    # Every conf a query RESULT depends on must be (re)set here at load
+    # time — the driver runs a PLAIN SparkSession, not our tuned builder
+    # (VERDICT r02 #2).  session.timeZone pins the naive-micros → TIMESTAMP
+    # interpretation (and the collected datetime rendering) to UTC, which
+    # is what the DuckDB oracle's naive read assumes; without it a non-UTC
+    # driver JVM would shift every time-series result.
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
             spark.conf.set(k, v)
@@ -208,6 +215,7 @@ DRIVER_ORDER = [
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
     "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
+    "corpus_split_assign", "text_ttr", "text_ngram_topk",
 ]
 
 

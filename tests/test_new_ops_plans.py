@@ -49,6 +49,26 @@ def test_doc_chunking_no_shuffle(spark, sf_dir, qs):
     assert _exchanges(df) == 0
 
 
+def test_split_assign_single_shuffle(spark, sf_dir, qs):
+    # hash-split assignment is a pure projection; only the audit agg
+    # shuffles (partial/final on (source, split))
+    df = qs["corpus_split_assign"](spark, sf_dir)
+    assert _exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_ttr_no_shuffle(spark, sf_dir, qs):
+    # per-doc token diversity is a projection — zero exchanges
+    df = qs["text_ttr"](spark, sf_dir)
+    assert _exchanges(df) == 0
+
+
+def test_ngram_topk_is_top_k(spark, sf_dir, qs):
+    # one bigram-keyed count shuffle, then TakeOrdered — never a global sort
+    df = qs["text_ngram_topk"](spark, sf_dir)
+    assert uses_top_k(df)
+    assert _exchanges(df) <= 2, explain_str(df, "simple")
+
+
 def test_repetition_shuffles_are_doc_keyed(spark, sf_dir, qs):
     # (doc, bigram) agg then per-doc agg — both keyed by doc_id; at most
     # two exchanges and no broadcast-nested-loop anywhere

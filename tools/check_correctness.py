@@ -10,6 +10,7 @@ rows sorted).  Usage::
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -76,9 +77,23 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from incubator_horaedb_spark import querybank
-    from incubator_horaedb_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # Driver simulation (VERDICT r02 #2): a PLAIN SparkSession — no
+        # tuned confs, exactly what the grading driver builds.  Queries
+        # must set any result-affecting conf themselves (registry.load).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from incubator_horaedb_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
