@@ -94,7 +94,11 @@ def shingle_hash_select(d: Dialect, table: str = "documents") -> str:
 
 
 def tokh_select(d: Dialect, table: str = "documents") -> str:
-    """(doc_id, th): per-token hash list — the only O(chars) stage."""
+    """(doc_id, th): per-token hash list — the only O(chars) stage.
+    Deliberately per-char (hash_list), NOT chunked: tokens average ~5
+    chars, and the chunked variant's extra pad pass + per-token chunk
+    setup measured SLOWER end-to-end (minhash 1.26→1.52s at sf0.1);
+    chunking only pays on long strings (whole-doc fingerprints)."""
     return f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"
 
 

@@ -219,6 +219,15 @@ class Dialect:
         """Portable hash of every string in a list."""
         return self.transform(str_list, "s", self.char_fold_hash("s"))
 
+    def hash_list_chunked(self, str_list: str) -> str:
+        """Portable hash of every string in a list, 4 chars per lambda step.
+        Only worth it for LONG strings: the extra pad pass + per-string
+        chunk setup made the token-level LSH pipelines ~20% SLOWER
+        (tokens average ~5 chars), so tokh_select stays on hash_list;
+        use this for lists of paragraph/document-sized strings."""
+        padded = self.transform(str_list, "t", self.pad_chunk("t"))
+        return self.transform(padded, "s", self.chunked_hash("s"))
+
     # ---- regex / slicing / rendering helpers (text-pipeline ops) ----
 
     def rx(self, pat: str) -> str:
