@@ -10,15 +10,17 @@ Design for 100 TB:
   ``mapInPandas``** transforms — the only sane shape for Python media codecs
   on Spark: one Python worker per partition, zero-copy Arrow transfer,
   bounded batch memory via ``spark.sql.execution.arrow.maxRecordsPerBatch``;
-- IMAGE dimensions are decoded for REAL: ``parse_image_header`` reads the
-  PNG IHDR chunk and walks JPEG markers to SOF0/SOF2 in pure Python (the
-  public file formats need no codec library for header metadata);
-- full pixel decode and audio/video codecs (PIL/ffmpeg/torchaudio) are NOT
-  in this container, so non-image payloads fall back to ``_fake_decode`` —
-  a clearly marked deterministic stub keyed on the byte length.  The
-  Spark-side plumbing (schema contract, batch iteration, partitioning) is
-  real and tested; a deployment swaps ``_fake_decode`` for the codec and
-  nothing else moves.
+- header-level metadata is decoded for REAL in pure Python (the public
+  file formats need no codec library for headers): PNG IHDR + JPEG
+  SOF0-SOF3 dimensions (``parse_image_header``), MP4/ISO-BMFF tkhd
+  dimensions (``parse_mp4_header``), RIFF/WAVE channels/rate/samples
+  (``parse_wav_header``);
+- full pixel/sample decode (PIL/ffmpeg/torchaudio) is NOT in this
+  container, so payloads with no parseable container header fall back to
+  ``_fake_decode`` — a clearly marked deterministic stub keyed on the
+  byte length.  The Spark-side plumbing (schema contract, batch
+  iteration, partitioning) is real and tested; a deployment swaps
+  ``_fake_decode`` for the codec and nothing else moves.
 """
 
 from __future__ import annotations
@@ -97,6 +99,63 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL audio header decoding: (channels, sample_rate, n_samples) from
+    a RIFF/WAVE payload, pure Python (public spec: RIFF 1991 / RFC 2361).
+    Walks chunks after the 12-byte RIFF header: `fmt ` carries channels
+    (u16 @+2) and sample rate (u32 @+4), `data` length / block-align gives
+    the sample count.  Little-endian throughout, unlike PNG/JPEG."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    channels = rate = block_align = data_len = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        ctype = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if ctype == b"fmt " and i + 8 + 16 <= n:
+            channels, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+            block_align = struct.unpack("<H", payload[i + 20 : i + 22])[0]
+        elif ctype == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if channels is None or rate is None or data_len is None or not block_align:
+        return None
+    return channels, rate, data_len // block_align
+
+
+def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
+    """REAL video header decoding: (width, height) from an ISO BMFF (MP4)
+    payload by walking boxes to moov → trak → tkhd (public spec: ISO/IEC
+    14496-12).  Box = u32 big-endian size + 4cc type; tkhd stores
+    width/height as 16.16 fixed point in its last 8 bytes."""
+    import struct
+
+    def walk(lo: int, hi: int, path: tuple[bytes, ...]):
+        i = lo
+        while i + 8 <= hi:
+            size, btype = struct.unpack(">I4s", payload[i : i + 8])
+            if size < 8 or i + size > hi:
+                return None
+            if btype == path[0]:
+                if len(path) == 1:
+                    return (i + 8, i + size)
+                found = walk(i + 8, i + size, path[1:])
+                if found is not None:
+                    return found
+            i += size
+        return None
+
+    if len(payload) < 12 or payload[4:8] not in (b"ftyp", b"moov"):
+        return None
+    span = walk(0, len(payload), (b"moov", b"trak", b"tkhd"))
+    if span is None or span[1] - span[0] < 8:
+        return None
+    w_fixed, h_fixed = struct.unpack(">II", payload[span[1] - 8 : span[1]])
+    return w_fixed >> 16, h_fixed >> 16
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """STUB decode — deterministic fake dimensions from the byte length,
     for payloads that are not header-parseable images (audio/video: the
@@ -115,11 +174,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def _decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Header parse first (real), stub fallback (labeled fake)."""
+    """Header parse first (real: PNG/JPEG/MP4), stub fallback (labeled
+    fake) for payloads with no parseable container header."""
     parsed = parse_image_header(payload)
     if parsed is not None:
         _, w, h = parsed
         return len(payload), w, h, 1
+    mp4 = parse_mp4_header(payload)
+    if mp4 is not None:
+        return len(payload), mp4[0], mp4[1], 1
     return _fake_decode(payload)
 
 
@@ -204,10 +267,79 @@ def synth_image_payload(media_id: int) -> bytes:
     return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
 
 
-def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(media_id, media) frame of synthesized PNG/JPEG payloads — the
-    fixture generator for environments with no image files (distributed:
-    one builder call per row inside mapInPandas, no driver materialize)."""
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio_meta(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """Audio metadata extraction (REAL for RIFF/WAVE headers; null row
+    values for non-WAV payloads) via Arrow-batched mapInPandas."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                parsed = parse_wav_header(bytes(b)) if b is not None else None
+                rows.append(
+                    (int(mid),) + (parsed if parsed else (None, None, None))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "channels", "sample_rate", "n_samples"]
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)
+
+
+def synth_wav_payload(media_id: int) -> bytes:
+    """Deterministic minimal-but-REAL 16-bit PCM WAV payload: channels =
+    1 + id % 2, sample_rate = 8000 + (id % 5) * 4000, n_samples =
+    100 + id % 400 — formulas an SQL oracle can state without the bytes."""
+    import struct
+
+    channels = 1 + media_id % 2
+    rate = 8000 + (media_id % 5) * 4000
+    n_samples = 100 + media_id % 400
+    block_align = channels * 2
+    data_len = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_mp4_payload(media_id: int) -> bytes:
+    """Deterministic minimal-but-REAL ISO BMFF payload: ftyp + moov/trak/
+    tkhd with width = 16 + id % 640, height = 16 + id % 360 (16.16 fixed
+    point, per ISO/IEC 14496-12)."""
+    import struct
+
+    w = 16 + media_id % 640
+    h = 16 + media_id % 360
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    tkhd = box(b"tkhd", b"\x00" * 76 + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def synthesize_payloads(
+    df: DataFrame, builder: Callable[[int], bytes], id_col: str = "doc_id"
+) -> DataFrame:
+    """(media_id, media) frame of synthesized payloads from a per-id
+    builder — the fixture generator for environments with no media files
+    (distributed: one builder call per row inside mapInPandas, no driver
+    materialize)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -219,10 +351,15 @@ def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
             yield pd.DataFrame(
-                {"media_id": ids, "media": [synth_image_payload(i) for i in ids]}
+                {"media_id": ids, "media": [builder(i) for i in ids]}
             )
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, media) frame of synthesized PNG/JPEG payloads."""
+    return synthesize_payloads(df, synth_image_payload, id_col)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -10,11 +10,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from incubator_horaedb_spark.operators.multimodal import (
     audio_windows,
+    decode_audio_meta,
     decode_media,
     documents_as_media,
     frame_sample,
     resize_media,
+    synth_mp4_payload,
+    synth_wav_payload,
     synthesize_image_payloads,
+    synthesize_payloads,
 )
 from incubator_horaedb_spark.querybank.registry import load, register
 
@@ -55,6 +59,44 @@ def multimodal_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser bug cannot cancel a writer bug on the hash check."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return decode_media(synthesize_image_payloads(docs))
+
+
+@register(
+    "multimodal_audio_header_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS BIGINT)              AS channels,
+           CAST(8000 + (doc_id % 5) * 4000 AS BIGINT)  AS sample_rate,
+           CAST(100 + doc_id % 400 AS BIGINT)          AS n_samples
+    FROM documents
+    """,
+)
+def multimodal_audio_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decoding round-trip: synthesize a 16-bit PCM WAV
+    per document, recover (channels, sample_rate, n_samples) by walking
+    RIFF chunks (operators/multimodal.py parse_wav_header); the oracle
+    states expectations from the id formulas alone."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_meta(synthesize_payloads(docs, synth_wav_payload))
+
+
+@register(
+    "multimodal_video_header_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(132 AS BIGINT)                AS n_bytes,
+           CAST(16 + doc_id % 640 AS BIGINT)  AS width,
+           CAST(16 + doc_id % 360 AS BIGINT)  AS height,
+           CAST(1 AS BIGINT)                  AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_video_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video header decoding round-trip: synthesize a minimal ISO
+    BMFF (MP4) payload per document, recover width/height by walking boxes
+    to moov/trak/tkhd (operators/multimodal.py parse_mp4_header)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_media(synthesize_payloads(docs, synth_mp4_payload))
 
 
 @register(

@@ -216,6 +216,7 @@ DRIVER_ORDER = [
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
     "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
     "corpus_split_assign", "text_ttr", "text_ngram_topk",
+    "multimodal_audio_header_meta", "multimodal_video_header_meta",
 ]
 
 

@@ -69,3 +69,36 @@ def test_synth_payload_roundtrip_and_sizes():
         assert got == (codec, 16 + mid % 1024, 16 + mid % 512), mid
     assert len(synth_image_payload(0)) == 33  # oracle n_bytes contract
     assert len(synth_image_payload(1)) == 50
+
+
+def test_wav_header_roundtrip():
+    from incubator_horaedb_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav_payload,
+    )
+
+    for mid in (0, 1, 4, 5, 399, 401, 12345):
+        got = parse_wav_header(synth_wav_payload(mid))
+        assert got == (1 + mid % 2, 8000 + (mid % 5) * 4000, 100 + mid % 400), mid
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(b"plain text") is None
+    # fmt-only (no data chunk) is incomplete
+    incomplete = synth_wav_payload(0)
+    assert parse_wav_header(incomplete[:40]) is None
+
+
+def test_mp4_header_roundtrip():
+    from incubator_horaedb_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4_payload,
+    )
+
+    for mid in (0, 1, 639, 640, 98765):
+        got = parse_mp4_header(synth_mp4_payload(mid))
+        assert got == (16 + mid % 640, 16 + mid % 360), mid
+    assert len(synth_mp4_payload(7)) == 132  # oracle n_bytes contract
+    assert parse_mp4_header(b"\x00\x00\x00\x08ftyp") is None  # no moov
+    assert parse_mp4_header(b"not a box at all") is None
+    # _decode prefers the real MP4 dims over the stub
+    n, w, h, frames = _decode(synth_mp4_payload(100))
+    assert (w, h, frames) == (116, 116, 1)
