@@ -198,6 +198,102 @@ def test_function_aggregate_corpus(engine):
     assert one("SELECT count(distinct(`arch`)) FROM agg1") == 2
 
 
+def test_basic_corpus_mixed_case_and_varbinary(engine):
+    # common/basic.sql: mixed-case quoted identifiers are preserved
+    # exactly; varbinary columns round-trip hex literals (x'11') and
+    # filter on them.
+    engine.execute_sql(
+        "CREATE TABLE `DeMo` (`nAmE` string TAG, value double NOT NULL, "
+        "t timestamp NOT NULL, timestamp KEY (t)) ENGINE = Analytic "
+        "WITH (enable_ttl = 'false')"
+    )
+    assert engine.execute_sql("SELECT `nAmE` FROM `DeMo`").columns == ["nAmE"]
+    engine.execute_sql(
+        "CREATE TABLE `binary_demo` (`name` string TAG, `value` varbinary NOT NULL, "
+        "`t` timestamp NOT NULL, timestamp KEY (t)) ENGINE=Analytic "
+        "WITH (enable_ttl = 'false')"
+    )
+    engine.execute_sql(
+        "INSERT INTO binary_demo(t, name, value) VALUES(1667374200022, 'horaedb', x'11')"
+    )
+    rows = engine.execute_sql("SELECT * FROM binary_demo WHERE value = x'11'").collect()
+    assert len(rows) == 1 and rows[0]["value"] == b"\x11"
+
+
+def test_optimizer_explain_partial_agg(engine):
+    # common/optimizer/optimizer.sql: EXPLAIN of a grouped agg shows the
+    # two-phase (partial → final) aggregation the reference pins
+    engine.execute_sql(
+        "CREATE TABLE `07_optimizer_t` (name string TAG, value double NOT NULL, "
+        "t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE=Analytic with (enable_ttl='false')"
+    )
+    out = engine.execute_sql(
+        "EXPLAIN SELECT max(value) AS c1, avg(value) AS c2 FROM `07_optimizer_t` GROUP BY name"
+    ).collect()
+    text = "\n".join(str(r) for r in out)
+    assert "HashAggregate" in text and "partial" in text.lower()
+
+
+def test_insert_mode_corpus(engine):
+    # common/dml/insert_mode.sql: OVERWRITE dedups by (tsid, timestamp)
+    # keeping the newest write; APPEND keeps every row; default mode is
+    # OVERWRITE (table_options.rs:157-161).
+    engine.execute_sql(
+        "CREATE TABLE `03_dml_insert_mode_t1` (`timestamp` timestamp NOT NULL, "
+        "`value` double, `dic` string dictionary, timestamp KEY (timestamp)) "
+        "ENGINE=Analytic WITH(enable_ttl='false', update_mode='OVERWRITE')"
+    )
+    engine.execute_sql(
+        "INSERT INTO `03_dml_insert_mode_t1` (`timestamp`, `value`, `dic`) "
+        "VALUES (1, +10, 'd1'), (2, 0, 'd2'), (3, -30, 'd1')"
+    )
+    vals = [
+        r["value"]
+        for r in engine.execute_sql(
+            "SELECT * FROM `03_dml_insert_mode_t1` ORDER BY `value` ASC"
+        ).collect()
+    ]
+    assert vals == [-30.0, 0.0, 10.0]
+    engine.execute_sql(
+        "INSERT INTO `03_dml_insert_mode_t1` (`timestamp`, `value`) "
+        "VALUES (1, 100), (2, 200), (3, 300)"
+    )
+    rows = engine.execute_sql(
+        "SELECT * FROM `03_dml_insert_mode_t1` ORDER BY `value` ASC"
+    ).collect()
+    assert [r["value"] for r in rows] == [100.0, 200.0, 300.0]  # newest write wins
+    assert all(r["dic"] in (None, "") for r in rows)  # dic not carried over
+
+    engine.execute_sql(
+        "CREATE TABLE `03_dml_insert_mode_t2` (`timestamp` timestamp NOT NULL, "
+        "`value` double, `dic` string dictionary, timestamp KEY (timestamp)) "
+        "ENGINE=Analytic WITH(enable_ttl='false', update_mode='APPEND')"
+    )
+    engine.execute_sql(
+        "INSERT INTO `03_dml_insert_mode_t2` (`timestamp`, `value`, `dic`) "
+        "VALUES (1, 10, 'd1'), (2, 20, ''), (3, 30, 'd2')"
+    )
+    engine.execute_sql(
+        "INSERT INTO `03_dml_insert_mode_t2` (`timestamp`, `value`, `dic`) "
+        "VALUES (1, 100, 'd2'), (2, 200, 'd1'), (3, 300, '')"
+    )
+    vals = [
+        r["value"]
+        for r in engine.execute_sql(
+            "SELECT * FROM `03_dml_insert_mode_t2` ORDER BY `value` ASC"
+        ).collect()
+    ]
+    assert vals == [10.0, 20.0, 30.0, 100.0, 200.0, 300.0]  # append keeps all
+
+    # default mode is OVERWRITE
+    engine.execute_sql(
+        "CREATE TABLE `03_dml_insert_mode_t3` (`timestamp` timestamp NOT NULL, "
+        "`value` double, timestamp KEY (timestamp)) ENGINE=Analytic "
+        "WITH(enable_ttl='false')"
+    )
+    assert engine.catalog.get("03_dml_insert_mode_t3").options.update_mode == "OVERWRITE"
+
+
 def test_case_sensitive_wrong_case_errors(engine):
     # case_sensitive.sql/.result: SELECT from CASE_SENSITIVE_TABLE1 when the
     # table is case_SENSITIVE_table1 must fail with table-not-found
