@@ -488,6 +488,67 @@ def ann_ivf_trained_sql(
     return d.cte_query(ctes, f"SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {k}")
 
 
+def _bf_ranked_ctes(d: Dialect, qv_src: str, k: int, n_queries: int) -> list[tuple[str, str]]:
+    """Exact top-k over QUANTIZED vectors (same grid as the IVF path so
+    recall compares like against like), with bf_-prefixed stage names to
+    compose alongside the km_* stages."""
+    cos = f"({_dot(d, 'q.qe', 'e.q')}) / (q.qnrm * e.nrm)"
+    return [
+        (
+            "bf_q",
+            f"SELECT vec_id AS qid, q AS qe, nrm AS qnrm FROM {qv_src} "
+            f"WHERE vec_id < {n_queries}",
+        ),
+        (
+            "bf_scored",
+            f"""SELECT q.qid, e.vec_id, {_r6(cos)} AS cosine
+      FROM bf_q q JOIN {qv_src} e ON e.vec_id <> q.qid""",
+        ),
+        (
+            "bf_ranked",
+            """SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM bf_scored""",
+        ),
+    ]
+
+
+def ann_recall_select(d: Dialect, bf_src: str, ivf_src: str, k: int) -> str:
+    """Per-query recall@k of an ANN result against the exact top-k:
+    (qid, n_hits, k) — integer outputs so the gate hash is drift-free.
+    This is the eval-harness operator an embedding-index deployment runs
+    after every retrain; at 100 TB both inputs are tiny (k rows/query)."""
+    return f"""SELECT b.qid,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           CAST({k} AS BIGINT) AS k
+    FROM {bf_src} b
+    LEFT JOIN {ivf_src} i ON i.qid = b.qid AND i.vec_id = b.vec_id
+    GROUP BY b.qid"""
+
+
+def ann_recall_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """One-shot rendering (oracle side): trained-IVF search AND the exact
+    quantized top-k in one CTE chain, reduced to per-query recall@k."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", km_qv_select(d, "qraw")),
+        ("cent1", km_init_select(d, "qv")),
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        ctes.append((f"a{r}", km_assign_select(d, "qv", f"cent{r}")))
+        if r < KM_ROUNDS:
+            ctes.append((f"cent{r + 1}", km_update_select(d, f"a{r}")))
+    ctes += km_search_ctes(
+        d, "qv", f"a{KM_ROUNDS}", f"cent{KM_ROUNDS}", k, n_probe, n_queries
+    )
+    ctes.append(("ivf_topk", f"SELECT qid, vec_id FROM ranked WHERE rn <= {k}"))
+    ctes += _bf_ranked_ctes(d, "qv", k, n_queries)
+    ctes.append(("bf_topk", f"SELECT qid, vec_id FROM bf_ranked WHERE rn <= {k}"))
+    return d.cte_query(ctes, ann_recall_select(d, "bf_topk", "ivf_topk", k))
+
+
 def blocked_topk_oracle_sql(
     d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10
 ) -> str:

@@ -400,6 +400,31 @@ register(
 )(_staged_ann_ivf_trained)
 
 
+def _staged_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_ivf_kmeans(spark, sf_dir)  # builds __km_qv, __km_cent{R}, __km_a{R}
+    r = similarity.KM_ROUNDS
+    ivf = SPARK.cte_query(
+        similarity.km_search_ctes(
+            SPARK, "__km_qv", f"__km_a{r}", f"__km_cent{r}", k=5, n_probe=2, n_queries=10
+        ),
+        "SELECT qid, vec_id FROM ranked WHERE rn <= 5",
+    )
+    _stage(spark.sql(ivf), "__recall_ivf")
+    bf = SPARK.cte_query(
+        similarity._bf_ranked_ctes(SPARK, "__km_qv", k=5, n_queries=10),
+        "SELECT qid, vec_id FROM bf_ranked WHERE rn <= 5",
+    )
+    _stage(spark.sql(bf), "__recall_bf")
+    return spark.sql(similarity.ann_recall_select(SPARK, "__recall_bf", "__recall_ivf", k=5))
+
+
+_staged_ann_recall.__doc__ = similarity.ann_recall_sql.__doc__
+register(
+    "ann_recall_at_k",
+    oracle=similarity.ann_recall_sql(DUCK, k=5, n_probe=2, n_queries=10),
+)(_staged_ann_recall)
+
+
 def _blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.blocked_topk(emb, k=5, n_queries=10)
