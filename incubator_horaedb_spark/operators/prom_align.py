@@ -65,8 +65,14 @@ OVER_TIME_FUNCS = (
     # reset-correction already computes make these free
     "changes",
     "resets",
+    # dispersion (Prometheus stddev/stdvar_over_time): population variance
+    # via sum-of-squares; addends quantized at 2^-10 so squares sit on the
+    # exact 2^-20 grid (|value| < 2^10 → 40-bit terms, window sums < 53)
+    "stdvar_over_time",
+    "stddev_over_time",
 )
 _Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
+_Q2 = 1 << 10  # coarser grid for squared addends (exactness bound above)
 
 
 def prom_align(
@@ -168,6 +174,15 @@ def prom_align(
         "val_min": lambda: F.min("__val").alias("val_min"),
         "val_max": lambda: F.max("__val").alias("val_max"),
         "val_sum_q": lambda: F.sum(F.round(F.col("__val") * _Q) / _Q).alias("val_sum_q"),
+        # dispersion inputs: tie-proof floor quantization at the coarser
+        # 2^-10 grid (squares are then exact multiples of 2^-20)
+        "val_sum_q2": lambda: F.sum(
+            F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2
+        ).alias("val_sum_q2"),
+        "val_sumsq_q": lambda: F.sum(
+            (F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2)
+            * (F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2)
+        ).alias("val_sumsq_q"),
         # changes()/resets(): consecutive-pair counters (exact integers)
         "n_changes": lambda: F.sum(
             F.when(
@@ -195,6 +210,8 @@ def prom_align(
         "last_over_time": ["last_val"],
         "changes": ["n_changes"],
         "resets": ["n_resets"],
+        "stdvar_over_time": ["val_sum_q2", "val_sumsq_q"],
+        "stddev_over_time": ["val_sum_q2", "val_sumsq_q"],
     }
     agg = exploded.groupBy(*series_cols, "__t").agg(
         F.count(F.lit(1)).alias("n"),
@@ -205,6 +222,14 @@ def prom_align(
     mint = t - F.lit(lookback_ms)
 
     if func in OVER_TIME_FUNCS:
+        # population variance; greatest(,0) guards the -epsilon a constant
+        # window can produce from the two inexact divisions (identical on
+        # both engines, but sqrt of a negative diverges)
+        _var = F.greatest(
+            F.col("val_sumsq_q") / F.col("n")
+            - (F.col("val_sum_q2") / F.col("n")) * (F.col("val_sum_q2") / F.col("n")),
+            F.lit(0.0),
+        ) if func in ("stdvar_over_time", "stddev_over_time") else None
         out_val = {
             "avg_over_time": F.col("val_sum_q") / F.col("n"),
             "min_over_time": F.col("val_min"),
@@ -214,6 +239,8 @@ def prom_align(
             "last_over_time": F.col("last_val"),
             "changes": F.col("n_changes").cast("double"),
             "resets": F.col("n_resets").cast("double"),
+            "stdvar_over_time": _var,
+            "stddev_over_time": F.sqrt(_var) if _var is not None else None,
         }[func]
         result = agg.withColumn("value", out_val)
     elif func == "instant":
@@ -260,6 +287,13 @@ def prom_align(
         F.timestamp_millis(F.col("__t")).alias("ts"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+# oracle rendering of the population variance, identical association to
+# the Spark column expression (greatest guards sqrt(-epsilon))
+_VAR_SQL = (
+    "greatest(val_sumsq_q / n - (val_sum_q2 / n) * (val_sum_q2 / n), 0.0)"
+)
 
 
 def prom_align_oracle_sql(
@@ -316,6 +350,9 @@ def prom_align_oracle_sql(
              min(val) AS val_min,
              max(val) AS val_max,
              sum(round(val * {_Q}) / {_Q}) AS val_sum_q,
+             sum(CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2}) AS val_sum_q2,
+             sum((CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2})
+                 * (CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2})) AS val_sumsq_q,
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
                        AND val <> prev_val THEN 1 ELSE 0 END) AS n_changes,
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
@@ -334,6 +371,8 @@ def prom_align_oracle_sql(
             "last_over_time": "last_val",
             "changes": "CAST(n_changes AS DOUBLE)",
             "resets": "CAST(n_resets AS DOUBLE)",
+            "stdvar_over_time": _VAR_SQL,
+            "stddev_over_time": f"sqrt({_VAR_SQL})",
         }[func]
         where_sql = "TRUE"
     elif func == "instant":
@@ -371,7 +410,13 @@ def prom_align_oracle_sql(
 
     value_out = f"CAST({value_sql} AS DOUBLE)"
     if round_digits is not None:
-        value_out = f"round({value_out}, {round_digits})"
+        # tie-proof floor form, identical to the Spark side's _rounded —
+        # round() is tie-unsafe across engines (see similarity._r6)
+        scale = 10 ** round_digits
+        value_out = (
+            f"(CAST(floor({value_out} * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+            f" / CAST({scale} AS DOUBLE))"
+        )
     return f"""{base}
     SELECT {series},
            make_timestamp(t * 1000) AS ts,

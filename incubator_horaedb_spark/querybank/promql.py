@@ -48,7 +48,16 @@ _ORACLE_PARAMS = dict(
 
 
 def _rounded(df: DataFrame) -> DataFrame:
-    return df.select("event_type", "ts", F.round("value", 6).alias("value"))
+    # floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): Spark's round (BigDecimal
+    # HALF_UP of shortest repr) and DuckDB's (scaled double) can disagree
+    # within one ulp of a 6th-digit boundary — the exact failure class of
+    # the r02 driver-reds.  The oracle renders the identical floor form
+    # (prom_align_oracle_sql round_digits).
+    v = F.col("value") * F.lit(1000000.0) + F.lit(0.5)
+    return df.select(
+        "event_type", "ts",
+        (F.floor(v).cast("double") / F.lit(1000000.0)).alias("value"),
+    )
 
 
 def _load_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +97,8 @@ for _func in (
     "last_over_time",
     "changes",
     "resets",
+    "stdvar_over_time",
+    "stddev_over_time",
 ):
     register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
 

@@ -217,7 +217,7 @@ DRIVER_ORDER = [
     "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
     "corpus_split_assign", "text_ttr", "text_ngram_topk",
     "multimodal_audio_header_meta", "multimodal_video_header_meta",
-    "ann_recall_at_k",
+    "ann_recall_at_k", "promql_stddev_over_time", "promql_stdvar_over_time",
 ]
 
 
