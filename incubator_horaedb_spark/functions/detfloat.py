@@ -33,15 +33,42 @@ BITS_MONEY = 16
 BITS_VAR = 10
 
 
+# All rounding here is the HALF-UP FLOOR FORM floor(x*s + 0.5)/s, never
+# round(): engine round() implementations are tie-unsafe against each
+# other (Spark = BigDecimal HALF_UP of the double's shortest repr, DuckDB
+# = scaled-double, numpy = half-to-even), and a value within one ulp of a
+# boundary flips between them — the r02 driver-red failure class.  One
+# IEEE multiply + add + floor of the same double is bit-deterministic on
+# every engine.  Spark floor(double) returns LONG, so the result is cast
+# back to DOUBLE before the divide (DuckDB's floor stays DOUBLE; the
+# values are identical either way, but column types must match too).
+
+
 def dyadic(col: Union[Column, str], bits: int = BITS_SMALL) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     scale = 1 << bits
-    return F.round(c * scale) / scale
+    return F.floor(c * scale + F.lit(0.5)).cast("double") / scale
 
 
 def dyadic_sql(expr: str, bits: int = BITS_SMALL) -> str:
     scale = 1 << bits
-    return f"(round(({expr}) * {scale}) / {scale})"
+    return f"(CAST(floor(({expr}) * {scale} + 0.5) AS DOUBLE) / {scale})"
+
+
+def r_out(col: Union[Column, str], digits: int) -> Column:
+    """Tie-proof output rounding to ``digits`` decimals (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**digits)
+    return F.floor(c * scale + F.lit(0.5)).cast("double") / F.lit(scale)
+
+
+def r_out_sql(expr: str, digits: int) -> str:
+    """Tie-proof output rounding (oracle side) — identical arithmetic."""
+    scale = 10**digits
+    return (
+        f"(CAST(floor(({expr}) * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+        f" / CAST({scale} AS DOUBLE))"
+    )
 
 
 def stddev_samp_det(col: Union[Column, str], bits: int = BITS_VAR) -> Column:

@@ -208,7 +208,7 @@ def pairs_from_bands_ctes(
         (
             "verified",
             f"""SELECT c.doc_a, c.doc_b,
-             round({_jaccard(d, "x.shs", "y.shs")}, 6) AS jaccard
+             (CAST(floor(({_jaccard(d, "x.shs", "y.shs")}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
       FROM cand c
       JOIN {hs_src} x ON x.doc_id = c.doc_a
       JOIN {hs_src} y ON y.doc_id = c.doc_b""",
@@ -468,11 +468,11 @@ def ngram_pairs_from(
     return d.cte_query(
         ctes,
         f"""SELECT doc_a, doc_b,
-           round({inter} / (x.n + y.n - n_shared), 6) AS jaccard
+           (CAST(floor(({inter} / (x.n + y.n - n_shared)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM shared
     JOIN sz x ON x.doc_id = doc_a
     JOIN sz y ON y.doc_id = doc_b
-    WHERE round({inter} / (x.n + y.n - n_shared), 6) >= {threshold}""",
+    WHERE (CAST(floor(({inter} / (x.n + y.n - n_shared)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= {threshold}""",
     )
 
 
@@ -555,7 +555,7 @@ def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0
     jac = _jaccard(d, "a.shs", "b.shs")
     return d.cte_query(
         _shingle_ctes(d, table),
-        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, (CAST(floor(({jac}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-    WHERE round({jac}, 6) >= {threshold}""",
+    WHERE (CAST(floor(({jac}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= {threshold}""",
     )

@@ -94,7 +94,7 @@ def decontaminate_ctes(d: Dialect, hs_src: str) -> list[tuple[str, str]]:
         (
             "sized",
             f"""SELECT t.doc_id, hits.n_shared,
-             round(CAST(hits.n_shared AS DOUBLE) / {d.size('t.shs')}, 6) AS overlap
+             (CAST(floor((CAST(hits.n_shared AS DOUBLE) / {d.size('t.shs')}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS overlap
       FROM hits JOIN {hs_src} t ON t.doc_id = hits.doc_id""",
         ),
     ]
@@ -142,7 +142,7 @@ def stratified_sample_sql(
     SELECT event_type,
            count(*) AS n_total,
            CAST(sum(CASE WHEN {gate} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           round(sum(CASE WHEN {gate} THEN round(value * 1048576) / 1048576 ELSE 0 END), 6)
+           (CAST(floor((sum(CASE WHEN {gate} THEN CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576 ELSE 0 END)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))
              AS sampled_value_sum
     FROM {table}
     GROUP BY event_type
@@ -231,7 +231,7 @@ def mix_report_sql(d: Dialect, table: str = "documents") -> str:
             (
                 "p",
                 f"""SELECT doc_id, {pred} AS pred_lang, bpe_tokens,
-             round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio))), 6)
+             (CAST(floor((1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))
                AS quality_score
       FROM m""",
             ),
@@ -239,7 +239,7 @@ def mix_report_sql(d: Dialect, table: str = "documents") -> str:
         """SELECT pred_lang,
            count(*) AS n_docs,
            CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-           round(sum(round(quality_score * 1048576) / 1048576) / count(*), 6)
+           (CAST(floor((sum(CAST(floor((quality_score * 1048576) + 0.5) AS DOUBLE) / 1048576) / count(*)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))
              AS mean_quality
     FROM p
     GROUP BY pred_lang""",

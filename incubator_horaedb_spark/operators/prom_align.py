@@ -163,7 +163,7 @@ def prom_align(
         "reset_corr": lambda: F.sum(
             F.when(
                 prev_in_window & (F.col("__val") < F.col("__prev_val")),
-                F.round(F.col("__prev_val") * (1 << 20)) / (1 << 20),
+                F.floor((F.col("__prev_val") * (1 << 20)) + F.lit(0.5)).cast("double") / (1 << 20),
             ).otherwise(F.lit(0.0))
         ).alias("reset_corr"),
         # second-last in-window sample = the series-predecessor of the last
@@ -173,7 +173,7 @@ def prom_align(
         # addends so the aggregation order cannot change the result
         "val_min": lambda: F.min("__val").alias("val_min"),
         "val_max": lambda: F.max("__val").alias("val_max"),
-        "val_sum_q": lambda: F.sum(F.round(F.col("__val") * _Q) / _Q).alias("val_sum_q"),
+        "val_sum_q": lambda: F.sum(F.floor((F.col("__val") * _Q) + F.lit(0.5)).cast("double") / _Q).alias("val_sum_q"),
         # dispersion inputs: tie-proof floor quantization at the coarser
         # 2^-10 grid (squares are then exact multiples of 2^-20)
         "val_sum_q2": lambda: F.sum(
@@ -344,12 +344,12 @@ def prom_align_oracle_sql(
              arg_max(val, sts) AS last_val,
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
                        AND val < prev_val
-                      THEN round(prev_val * 1048576) / 1048576 ELSE 0.0 END) AS reset_corr,
+                      THEN CAST(floor((prev_val * 1048576) + 0.5) AS DOUBLE) / 1048576 ELSE 0.0 END) AS reset_corr,
              arg_max(prev_ts, sts) AS second_last_ts,
              arg_max(prev_val, sts) AS second_last_val,
              min(val) AS val_min,
              max(val) AS val_max,
-             sum(round(val * {_Q}) / {_Q}) AS val_sum_q,
+             sum(CAST(floor((val * {_Q}) + 0.5) AS DOUBLE) / {_Q}) AS val_sum_q,
              sum(CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2}) AS val_sum_q2,
              sum((CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2})
                  * (CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2})) AS val_sumsq_q,
@@ -411,7 +411,7 @@ def prom_align_oracle_sql(
     value_out = f"CAST({value_sql} AS DOUBLE)"
     if round_digits is not None:
         # tie-proof floor form, identical to the Spark side's _rounded —
-        # round() is tie-unsafe across engines (see similarity._r6)
+        # CAST(floor(() + 0.5) AS DOUBLE) is tie-unsafe across engines (see similarity._r6)
         scale = 10 ** round_digits
         value_out = (
             f"(CAST(floor({value_out} * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"

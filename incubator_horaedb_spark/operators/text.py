@@ -67,9 +67,9 @@ def quality_sql(d: Dialect, table: str = "documents") -> str:
             )
         ],
         """SELECT doc_id, n_chars, n_tokens,
-           round(punct_ratio, 6) AS punct_ratio,
-           round(stop_ratio, 6) AS stop_ratio,
-           round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio))), 6)
+           (CAST(floor((punct_ratio) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS punct_ratio,
+           (CAST(floor((stop_ratio) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS stop_ratio,
+           (CAST(floor((1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * stop_ratio - 8.0 * punct_ratio)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))
              AS quality_score
     FROM m""",
     )
@@ -87,7 +87,7 @@ def token_count_sql(d: Dialect, table: str = "documents") -> str:
     SELECT doc_id,
            CAST({d.size(toks)} AS BIGINT) AS ws_tokens,
            CAST({bpe} AS BIGINT) AS bpe_tokens,
-           round(CAST(length(text) AS DOUBLE) / {d.size(toks)}, 4) AS chars_per_token
+           (CAST(floor((CAST(length(text) AS DOUBLE) / {d.size(toks)}) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS chars_per_token
     FROM {table}
     """
 
@@ -140,7 +140,7 @@ def bm25_sql(
             ),
             (
                 "scored",
-                f"SELECT doc_id, round({score}, 6) AS bm25 FROM tf CROSS JOIN stats s",
+                f"SELECT doc_id, (CAST(floor(({score}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS bm25 FROM tf CROSS JOIN stats s",
             ),
             (
                 "ranked",

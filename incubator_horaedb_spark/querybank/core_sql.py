@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic
+from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic, r_out
 from incubator_horaedb_spark.querybank.registry import load, register
 
 
@@ -27,13 +27,13 @@ from incubator_horaedb_spark.querybank.registry import load, register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(round(l_quantity * 1048576) / 1048576), 2)        AS sum_qty,
-           round(sum(round(l_extendedprice * 65536) / 65536), 2)       AS sum_base_price,
-           round(sum(round(l_extendedprice * (1 - l_discount) * 65536) / 65536), 2) AS sum_disc_price,
-           round(sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 65536) / 65536), 2) AS sum_charge,
-           round(avg(round(l_quantity * 1048576) / 1048576), 4)        AS avg_qty,
-           round(avg(round(l_extendedprice * 65536) / 65536), 4)       AS avg_price,
-           round(avg(round(l_discount * 1048576) / 1048576), 4)        AS avg_disc,
+           (CAST(floor((sum(CAST(floor((l_quantity * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE))        AS sum_qty,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE))       AS sum_base_price,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount) * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS sum_disc_price,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax) * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS sum_charge,
+           (CAST(floor((avg(CAST(floor((l_quantity * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE))        AS avg_qty,
+           (CAST(floor((avg(CAST(floor((l_extendedprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE))       AS avg_price,
+           (CAST(floor((avg(CAST(floor((l_discount * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE))        AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
@@ -54,13 +54,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dyadic("l_quantity", BITS_SMALL)), 2).alias("sum_qty"),
-            F.round(F.sum(dyadic("l_extendedprice", BITS_MONEY)), 2).alias("sum_base_price"),
-            F.round(F.sum(dyadic(disc_price, BITS_MONEY)), 2).alias("sum_disc_price"),
-            F.round(F.sum(dyadic(charge, BITS_MONEY)), 2).alias("sum_charge"),
-            F.round(F.avg(dyadic("l_quantity", BITS_SMALL)), 4).alias("avg_qty"),
-            F.round(F.avg(dyadic("l_extendedprice", BITS_MONEY)), 4).alias("avg_price"),
-            F.round(F.avg(dyadic("l_discount", BITS_SMALL)), 4).alias("avg_disc"),
+            r_out(F.sum(dyadic("l_quantity", BITS_SMALL)), 2).alias("sum_qty"),
+            r_out(F.sum(dyadic("l_extendedprice", BITS_MONEY)), 2).alias("sum_base_price"),
+            r_out(F.sum(dyadic(disc_price, BITS_MONEY)), 2).alias("sum_disc_price"),
+            r_out(F.sum(dyadic(charge, BITS_MONEY)), 2).alias("sum_charge"),
+            r_out(F.avg(dyadic("l_quantity", BITS_SMALL)), 4).alias("avg_qty"),
+            r_out(F.avg(dyadic("l_extendedprice", BITS_MONEY)), 4).alias("avg_price"),
+            r_out(F.avg(dyadic("l_discount", BITS_SMALL)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -105,7 +105,7 @@ def filter_constant_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_order_limit",
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    SELECT o_orderkey, o_custkey, (CAST(floor((o_totalprice) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS o_totalprice
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 10
@@ -117,7 +117,7 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .select("o_orderkey", "o_custkey", r_out("o_totalprice", 2).alias("o_totalprice"))
         .limit(10)
     )
 
@@ -126,7 +126,7 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "group_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(round(o_totalprice * 65536) / 65536), 2) AS total
+    SELECT o_custkey, count(*) AS n_orders, (CAST(floor((sum(CAST(floor((o_totalprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 15
@@ -136,7 +136,7 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum(dyadic("o_totalprice", BITS_MONEY)), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), r_out(F.sum(dyadic("o_totalprice", BITS_MONEY)), 2).alias("total"))
         .filter(F.col("n_orders") >= 15)
     )
 
@@ -146,7 +146,7 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_inner_3way",
     oracle="""
     SELECT c.c_mktsegment,
-           round(sum(round(l.l_extendedprice * (1 - l.l_discount) * 65536) / 65536), 2) AS revenue,
+           (CAST(floor((sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount) * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -167,7 +167,7 @@ def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(dyadic(F.col("l_extendedprice") * (1 - F.col("l_discount")), BITS_MONEY)), 2).alias("revenue"),
+            r_out(F.sum(dyadic(F.col("l_extendedprice") * (1 - F.col("l_discount")), BITS_MONEY)), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -295,7 +295,7 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "in_list_filter",
     oracle="""
-    SELECT event_id, event_type, round(value, 2) AS value
+    SELECT event_id, event_type, (CAST(floor((value) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS value
     FROM events
     WHERE event_type IN ('click', 'purchase') AND user_id NOT IN (1, 2, 3)
     """,
@@ -304,7 +304,7 @@ def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.filter(F.col("event_type").isin("click", "purchase") & ~F.col("user_id").isin(1, 2, 3))
-        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+        .select("event_id", "event_type", r_out("value", 2).alias("value"))
     )
 
 
@@ -312,7 +312,7 @@ def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_rownum_top2",
     oracle="""
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    SELECT o_custkey, o_orderkey, (CAST(floor((o_totalprice) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS o_totalprice
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -329,7 +329,7 @@ def window_rownum_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .select("o_custkey", "o_orderkey", r_out("o_totalprice", 2).alias("o_totalprice"))
     )
 
 
@@ -342,7 +342,7 @@ def window_rownum_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(n_name)                  AS name_len,
            substr(n_name, 1, 3)            AS prefix3,
            concat(n_name, '-', CAST(n_regionkey AS VARCHAR)) AS tagged,
-           round(sqrt(CAST(n_nationkey AS DOUBLE)), 4)  AS sq,
+           (CAST(floor((sqrt(CAST(n_nationkey AS DOUBLE))) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE))  AS sq,
            abs(n_regionkey - 2)            AS dist
     FROM nation
     """,
@@ -355,7 +355,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("n_name").cast("long").alias("name_len"),
         F.substring("n_name", 1, 3).alias("prefix3"),
         F.concat(F.col("n_name"), F.lit("-"), F.col("n_regionkey").cast("string")).alias("tagged"),
-        F.round(F.sqrt(F.col("n_nationkey").cast("double")), 4).alias("sq"),
+        r_out(F.sqrt(F.col("n_nationkey").cast("double")), 4).alias("sq"),
         F.abs(F.col("n_regionkey") - 2).alias("dist"),
     )
 
@@ -368,7 +368,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 300000 THEN 'medium'
                 ELSE 'large' END AS bucket,
            count(*) AS n,
-           round(avg(round(o_totalprice * 65536) / 65536), 2) AS avg_price
+           (CAST(floor((avg(CAST(floor((o_totalprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS avg_price
     FROM orders
     GROUP BY 1
     """,
@@ -382,7 +382,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     )
     return o.groupBy(bucket).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg(dyadic("o_totalprice", BITS_MONEY)), 2).alias("avg_price")
+        F.count(F.lit(1)).alias("n"), r_out(F.avg(dyadic("o_totalprice", BITS_MONEY)), 2).alias("avg_price")
     )
 
 
@@ -391,7 +391,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(round(o_totalprice * 65536) / 65536), 2) AS total
+           count(*) AS n, (CAST(floor((sum(CAST(floor((o_totalprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -400,5 +400,5 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(dyadic("o_totalprice", BITS_MONEY)), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), r_out(F.sum(dyadic("o_totalprice", BITS_MONEY)), 2).alias("total"))
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubator_horaedb_spark.functions.detfloat import dyadic, dyadic_sql, r_out, r_out_sql
 from incubator_horaedb_spark.functions.hashing import regex_match
 from incubator_horaedb_spark.operators.prom_align import prom_align, prom_align_oracle_sql
 from incubator_horaedb_spark.querybank.registry import load, load_time_range, register
@@ -109,7 +110,7 @@ for _func in (
     WITH aligned AS (
       {prom_align_oracle_sql("rate", round_digits=6, **_ORACLE_PARAMS)}
     )
-    SELECT ts, round(sum(round(value * 1048576) / 1048576), 6) AS value
+    SELECT ts, {r_out_sql(f"sum({dyadic_sql('value')})", 6)} AS value
     FROM aligned
     GROUP BY ts
     """,
@@ -118,13 +119,14 @@ def promql_sum_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sum(rate(metric[2h]))` — PromQL aggregation over the align output,
     grouped by timestamp with tags dropped (convert.rs:270-315 groups by
     ts + kept tags).  Summed addends are dyadic-quantized for cross-engine
-    sum determinism (functions/detfloat.py)."""
+    sum determinism; all rounding is the tie-proof floor form
+    (functions/detfloat.py)."""
     aligned = prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS)
-    q = F.round(F.round("value", 6) * (1 << 20)) / (1 << 20)
+    q = dyadic(r_out("value", 6))
     return (
         aligned.select("ts", q.alias("value"))
         .groupBy("ts")
-        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .agg(r_out(F.sum("value"), 6).alias("value"))
     )
 
 
@@ -139,7 +141,7 @@ def promql_sum_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
           **_ORACLE_PARAMS,
       )}
     )
-    SELECT ts, round(max(value), 6) AS value, CAST(0 AS BIGINT) AS uid
+    SELECT ts, {r_out_sql("max(value)", 6)} AS value, CAST(0 AS BIGINT) AS uid
     FROM aligned
     GROUP BY ts
     """,
@@ -159,7 +161,7 @@ def promql_parsed_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_ms=STEP_MS,
         tag_cols=["event_type"],
     )
-    return out.select("ts", F.round("value", 6).alias("value"), "uid")
+    return out.select("ts", r_out("value", 6).alias("value"), "uid")
 
 
 @register(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.frontends.influxql import influxql_to_df
 from incubator_horaedb_spark.frontends.opentsdb import parse_query_request, query_to_dfs
-from incubator_horaedb_spark.functions.detfloat import BITS_SMALL, dyadic
+from incubator_horaedb_spark.functions.detfloat import BITS_SMALL, dyadic, r_out
 from incubator_horaedb_spark.functions.time_bucket import date_bin_sql
 from incubator_horaedb_spark.querybank.registry import load, load_time_range, register
 
@@ -26,7 +26,7 @@ _END = 1706659200000  # 2024-01-31T00:00:00Z
     oracle=f"""
     SELECT event_type,
            {date_bin_sql(3600000, 'ts')} AS ts,
-           round(avg(round(value * 1048576) / 1048576), 4) AS value
+           (CAST(floor((avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS value
     FROM events
     WHERE epoch_ms(ts) >= {_START} AND epoch_ms(ts) <= {_END}
       AND event_type IN ('click', 'view')
@@ -61,13 +61,13 @@ def opentsdb_downsample_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", dyadic("value", BITS_SMALL)
     )
     (df,) = query_to_dfs(ev, request)
-    return df.select("event_type", "ts", F.round("value", 4).alias("value"))
+    return df.select("event_type", "ts", r_out("value", 4).alias("value"))
 
 
 @register(
     "opentsdb_not_literal_or_raw",
     oracle=f"""
-    SELECT ts, event_type, round(value, 4) AS value
+    SELECT ts, event_type, (CAST(floor((value) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS value
     FROM events
     WHERE epoch_ms(ts) >= {_START} AND epoch_ms(ts) <= {_END}
       AND event_type NOT IN ('click', 'view', 'signup')
@@ -96,7 +96,7 @@ def opentsdb_not_literal_or_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     (df,) = query_to_dfs(load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END), request)
-    return df.select("ts", "event_type", F.round("value", 4).alias("value"))
+    return df.select("ts", "event_type", r_out("value", 4).alias("value"))
 
 
 @register(
@@ -104,7 +104,7 @@ def opentsdb_not_literal_or_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {date_bin_sql(21600000, 'ts')} AS time,
            event_type,
-           round(avg(round(value * 1048576) / 1048576), 4) AS mean_value,
+           (CAST(floor((avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS mean_value,
            count(value) AS count_value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
@@ -129,7 +129,7 @@ def influxql_groupby_time_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "time",
         "event_type",
-        F.round("mean_value", 4).alias("mean_value"),
+        r_out("mean_value", 4).alias("mean_value"),
         F.col("count_value"),
     )
 
@@ -179,7 +179,7 @@ def influxql_fill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "influxql_raw_topn",
     oracle="""
-    SELECT ts AS time, round(value, 4) AS value
+    SELECT ts AS time, (CAST(floor((value) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS value
     FROM events
     WHERE event_type = 'purchase'
     ORDER BY ts DESC
@@ -194,4 +194,4 @@ def influxql_raw_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT value FROM events WHERE event_type = 'purchase' ORDER BY time DESC LIMIT 50",
         {"events": load(spark, sf_dir, "events")},
     )
-    return df.select("time", F.round("value", 4).alias("value"))
+    return df.select("time", r_out("value", 4).alias("value"))

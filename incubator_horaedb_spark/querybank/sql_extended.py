@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic
+from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic, r_out
 from incubator_horaedb_spark.querybank.registry import load, register
 
 
@@ -80,7 +80,7 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_in",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(round(o_totalprice * 65536) / 65536), 2) AS total
+           (CAST(floor((sum(CAST(floor((o_totalprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderstatus
@@ -91,7 +91,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, count(*) AS n,
-               round(sum(round(o_totalprice * 65536) / 65536), 2) AS total
+               (CAST(floor((sum(CAST(floor((o_totalprice * 65536) + 0.5) AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderstatus
@@ -127,7 +127,7 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand, count(*) AS n_above_avg
     FROM part
-    WHERE p_retailprice > (SELECT avg(round(p_retailprice * 65536) / 65536) FROM part)
+    WHERE p_retailprice > (SELECT avg(CAST(floor((p_retailprice * 65536) + 0.5) AS DOUBLE) / 65536) FROM part)
     GROUP BY p_brand
     """,
 )
@@ -137,7 +137,7 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_brand, count(*) AS n_above_avg
         FROM part
-        WHERE p_retailprice > (SELECT avg(round(p_retailprice * 65536) / 65536) FROM part)
+        WHERE p_retailprice > (SELECT avg(CAST(floor((p_retailprice * 65536) + 0.5) AS DOUBLE) / 65536) FROM part)
         GROUP BY p_brand
         """
     )
@@ -149,7 +149,7 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_steps,
-           round(sum(round(delta * 1048576) / 1048576), 4) AS sum_delta
+           (CAST(floor((sum(CAST(floor((delta * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS sum_delta
     FROM (
         SELECT event_type,
                value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
@@ -169,7 +169,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_steps"),
-            F.round(F.sum(dyadic("delta", BITS_SMALL)), 4).alias("sum_delta"),
+            r_out(F.sum(dyadic("delta", BITS_SMALL)), 4).alias("sum_delta"),
         )
     )
 
@@ -178,9 +178,9 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
     SELECT user_id, event_id,
-           round(avg(round(value * 1048576) / 1048576)
+           (CAST(floor((avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS mavg3
     FROM events
     WHERE user_id % 30 = 0
     """,
@@ -191,7 +191,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.avg(dyadic("value", BITS_SMALL)).over(w), 6).alias("mavg3"),
+        r_out(F.avg(dyadic("value", BITS_SMALL)).over(w), 6).alias("mavg3"),
     )
 
 
@@ -232,8 +232,8 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_exact",
     oracle="""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+           (CAST(floor((quantile_cont(o_totalprice, 0.5)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS p50,
+           (CAST(floor((quantile_cont(o_totalprice, 0.95)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS p95
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -246,8 +246,8 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            r_out(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            r_out(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
         )
     )
 
@@ -300,7 +300,7 @@ def udaf_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator-based UDAF framework (src/df_operator/src/udaf.rs:61).
     Integer arithmetic end-to-end. Quantization is tie-proof
     half-away-from-zero via sign·floor(|x·1024|+0.5) — numpy's .round()
-    is half-to-even while DuckDB's round() is half-away, so a raw .5 tie
+    is half-to-even while DuckDB's CAST(floor(() + 0.5) AS DOUBLE) is half-away, so a raw .5 tie
     would hash-mismatch; this floor form is bit-identical in both engines
     (same IEEE multiply/abs/add/floor sequence)."""
     from pyspark.sql.types import LongType

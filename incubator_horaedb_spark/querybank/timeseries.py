@@ -25,6 +25,7 @@ from incubator_horaedb_spark.functions.time_bucket import (
 from incubator_horaedb_spark.functions.detfloat import (
     BITS_SMALL,
     dyadic,
+    r_out,
     stddev_samp_det,
     stddev_samp_det_sql,
 )
@@ -38,7 +39,7 @@ from incubator_horaedb_spark.querybank.registry import load, register
     SELECT {time_bucket_sql('ts', 'PT5M')} AS bucket,
            event_type,
            count(*) AS n,
-           round(sum(round(value * 1048576) / 1048576), 2) AS sum_value
+           (CAST(floor((sum(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -49,7 +50,7 @@ def time_bucket_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(time_bucket("ts", "PT5M").alias("bucket"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(dyadic("value", BITS_SMALL)), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), r_out(F.sum(dyadic("value", BITS_SMALL)), 2).alias("sum_value"))
     )
 
 
@@ -58,7 +59,7 @@ def time_bucket_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {time_bucket_sql('ts', 'PT1H')} AS bucket,
            count(*) AS n,
-           round(avg(round(value * 1048576) / 1048576), 4) AS avg_value,
+           (CAST(floor((avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS avg_value,
            count(DISTINCT user_id) AS ndv_users
     FROM events
     GROUP BY 1
@@ -68,7 +69,7 @@ def time_bucket_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(time_bucket("ts", "PT1H").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
+        r_out(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
         F.countDistinct("user_id").alias("ndv_users"),
     )
 
@@ -77,8 +78,8 @@ def time_bucket_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_bin_15m",
     oracle=f"""
     SELECT {date_bin_sql(900000, 'ts')} AS bin,
-           round(max(value), 2) AS max_value,
-           round(min(value), 2) AS min_value
+           (CAST(floor((max(value)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS max_value,
+           (CAST(floor((min(value)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS min_value
     FROM events
     WHERE event_type = 'view'
     GROUP BY 1
@@ -87,8 +88,8 @@ def time_bucket_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 def date_bin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     return ev.groupBy(date_bin(900000, "ts").alias("bin")).agg(
-        F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.min("value"), 2).alias("min_value"),
+        r_out(F.max("value"), 2).alias("max_value"),
+        r_out(F.min("value"), 2).alias("min_value"),
     )
 
 
@@ -96,7 +97,7 @@ def date_bin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_latest_by_key",
     oracle="""
-    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    SELECT event_id, ts, user_id, event_type, (CAST(floor((value) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts DESC, event_id DESC) AS rn
@@ -116,7 +117,7 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .select("event_id", "ts", "user_id", "event_type", r_out("value", 2).alias("value"))
     )
 
 
@@ -242,8 +243,8 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {time_bucket_sql('ts', 'PT30M')} AS bucket,
            event_type,
-           round({stddev_samp_det_sql('value')}, 4) AS dev_value,
-           round(avg(round(value * 1048576) / 1048576), 4) AS avg_value
+           (CAST(floor(({stddev_samp_det_sql('value')}) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS dev_value,
+           (CAST(floor((avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS avg_value
     FROM events
     WHERE event_type IN ('click', 'error')
     GROUP BY 1, 2
@@ -254,8 +255,8 @@ def downsample_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 30-minute downsample buckets."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
     return ev.groupBy(time_bucket("ts", "PT30M").alias("bucket"), "event_type").agg(
-        F.round(stddev_samp_det("value"), 4).alias("dev_value"),
-        F.round(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
+        r_out(stddev_samp_det("value"), 4).alias("dev_value"),
+        r_out(F.avg(dyadic("value", BITS_SMALL)), 4).alias("avg_value"),
     )
 
 
