@@ -116,6 +116,46 @@ def hs_from_tokh_select(d: Dialect, tokh_src: str, k: int = 3) -> str:
     )
 
 
+def paragraph_dedup_sql(d: Dialect, table: str = "documents", min_chars: int = 20) -> str:
+    """Paragraph/sentence-level exact dedup across the corpus (the C4 /
+    MassiveText boilerplate-removal pass, public: Raffel et al. 2020 §2.2,
+    Rae et al. 2021 §A1.2): sentences shared by >= 2 distinct documents,
+    with document frequency and the representative (min) doc.
+
+    Scale shape: explode to (doc, sentence) → hash each sentence ONCE
+    (chunked 4-chars-per-step — sentences are long enough to amortize the
+    pad pass, unlike tokens) → one hash-keyed count-distinct aggregation.
+    The same hash groups drive removal: a deployment drops (doc, sentence)
+    pairs whose hash has df >= 2 and doc <> rep_doc.
+
+    The synthetic corpus has no organic repeated sentences (and no '. '
+    separators), so — exactly like pii_scrub — the query first injects a
+    deterministic per-source boilerplate sentence with an identical
+    expression on both engines; the detector then has real work: each
+    source's boilerplate must come back with df = that source's doc count."""
+    sentences = d.split_lit("('Standard disclaimer for ' || source || '. ' || text)", ". ")
+    return d.cte_query(
+        [
+            ("p", d.unnest_select("doc_id", sentences, "para", table)),
+            (
+                "pp",
+                f"SELECT doc_id, {d.pad_chunk('para')} AS padded FROM p "
+                f"WHERE length(para) >= {min_chars}",
+            ),
+            ("ph", f"SELECT doc_id, {d.chunked_hash('padded')} AS h FROM pp"),
+            (
+                "g",
+                "SELECT h, count(DISTINCT doc_id) AS df, min(doc_id) AS rep_doc "
+                "FROM ph GROUP BY h",
+            ),
+        ],
+        """SELECT CAST(h AS BIGINT) AS para_hash,
+           CAST(df AS BIGINT) AS df,
+           CAST(rep_doc AS BIGINT) AS rep_doc
+    FROM g WHERE df >= 2""",
+    )
+
+
 def _sig_cols() -> str:
     return ",\n           ".join(
         f"min((CAST({PERM_A[i]} AS BIGINT) * h + {PERM_B[i]}) % {P}) AS s{i + 1}"

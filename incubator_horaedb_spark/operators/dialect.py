@@ -206,6 +206,15 @@ class Dialect:
             return f"split({text}, ' ')"
         return f"string_split({text}, ' ')"
 
+    def split_lit(self, text: str, sep: str) -> str:
+        """Split on a LITERAL separator.  Spark's split() takes a Java
+        regex, so metacharacters must be escaped; DuckDB's string_split is
+        literal already."""
+        if self.engine == "spark":
+            esc = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", sep)
+            return f"split({text}, '{esc}')"
+        return f"string_split({text}, '{sep}')"
+
     def shingles(self, tokens: str, k: int = 3) -> str:
         """Token k-grams joined by spaces, [] when fewer than k tokens."""
         n = self.size(tokens)

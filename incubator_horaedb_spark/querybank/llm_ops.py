@@ -300,6 +300,7 @@ _sql_query("sessionize_events", pipeline.sessionize_sql, _tables=("events",))
 _sql_query("zorder_cluster", pipeline.zorder_sql, _tables=("part",))
 _sql_query("corpus_split_assign", pipeline.split_assign_sql)
 _sql_query("text_ttr", text.ttr_sql)
+_sql_query("dedup_paragraphs", dedup.paragraph_dedup_sql)
 
 
 def _staged_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -195,6 +195,27 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_FAMILY_SQL = """
+    SELECT user_id, event_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           lead(event_id) OVER w AS next_event
+    FROM events
+    WHERE user_id % 50 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("window_rank_family", oracle=_RANK_FAMILY_SQL)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lead over a deterministic (ts, event_id)
+    order — the ranking-function family (SURVEY §2.5), all-integer outputs.
+    One user-keyed shuffle serves all four functions (same WINDOW)."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_RANK_FAMILY_SQL)
+
+
 # --- CUBE (SURVEY §2.4 grouping sets family) ------------------------------
 @register(
     "cube_agg",
