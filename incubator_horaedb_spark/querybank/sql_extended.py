@@ -195,6 +195,30 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDER_NULLS_SQL = """
+    SELECT o_orderkey, o_comment_len
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE length(o_orderpriority) END AS o_comment_len
+        FROM orders
+    ) t
+    ORDER BY o_comment_len ASC NULLS LAST, o_orderkey ASC
+    LIMIT 40
+    """
+
+
+@register("order_nulls_explicit", oracle=_ORDER_NULLS_SQL)
+def order_nulls_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY with EXPLICIT null placement — a cross-engine semantics
+    trap worth pinning: Spark defaults to NULLS FIRST on ASC while DuckDB
+    defaults to NULLS LAST, so any gated ordering over a nullable key MUST
+    spell the placement out.  This query is the regression canary (same
+    SQL text on both engines, explicit NULLS LAST)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_ORDER_NULLS_SQL)
+
+
 _RANK_FAMILY_SQL = """
     SELECT user_id, event_id,
            rank() OVER w AS rnk,
