@@ -69,6 +69,27 @@ def test_ngram_topk_is_top_k(spark, sf_dir, qs):
     assert _exchanges(df) <= 2, explain_str(df, "simple")
 
 
+def test_paragraph_dedup_bounded_shuffles(spark, sf_dir, qs):
+    # explode → hash-keyed count-distinct: the distinct rewrite costs at
+    # most two hash exchanges; never a join, never a cartesian
+    df = qs["dedup_paragraphs"](spark, sf_dir)
+    text = explain_str(df, "simple")
+    assert _exchanges(df) <= 2, text
+    assert "Join" not in text and "CartesianProduct" not in text
+
+
+def test_rank_family_single_shuffle(spark, sf_dir, qs):
+    # four window functions share ONE named WINDOW → one user-keyed exchange
+    df = qs["window_rank_family"](spark, sf_dir)
+    assert _exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_order_nulls_is_top_k(spark, sf_dir, qs):
+    # ORDER BY ... LIMIT plans as TakeOrderedAndProject, no global sort
+    df = qs["order_nulls_explicit"](spark, sf_dir)
+    assert uses_top_k(df)
+
+
 def test_repetition_shuffles_are_doc_keyed(spark, sf_dir, qs):
     # (doc, bigram) agg then per-doc agg — both keyed by doc_id; at most
     # two exchanges and no broadcast-nested-loop anywhere
