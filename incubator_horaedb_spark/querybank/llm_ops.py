@@ -303,6 +303,40 @@ _sql_query("text_ttr", text.ttr_sql)
 _sql_query("dedup_paragraphs", dedup.paragraph_dedup_sql)
 
 
+def _salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact NDV per event_type via salted two-phase
+    aggregation (operators/salt.py): phase 1 collects per-(key, salt)
+    distinct sets, phase 2 merges them per key — the shape that survives a
+    hot key whose distinct-set state would otherwise pin one reducer.  The
+    oracle is the PLAIN count(DISTINCT ...), proving the salted
+    decomposition is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.operators.salt import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    return salted_agg(
+        ev.select("event_type", "user_id"),
+        ["event_type"],
+        partial_aggs=[F.collect_set("user_id").alias("us")],
+        combine_aggs=[
+            F.size(F.array_distinct(F.flatten(F.collect_list("us"))))
+            .cast("long")
+            .alias("n_users")
+        ],
+    )
+
+
+register(
+    "salted_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)(_salted_distinct_users)
+
+
 def _staged_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token projection staged as a cached view (CTE-inlining cliff, same
     # reason as text_repetition)
