@@ -250,6 +250,40 @@ class EngineServer:
                 }
             ]
             return {"results": [{"statement_id": 0, "series": series}]}
+        # SHOW TAG KEYS / SHOW FIELD KEYS [FROM m] — per-measurement key
+        # listing from the catalog schema (the reference delegates these to
+        # the iox InfluxQL planner; tag = TAG column, field = non-tag,
+        # non-timestamp).  Field keys carry the InfluxQL type name.
+        import re as _re
+
+        keys_m = _re.match(
+            r"^\s*show\s+(tag|field)\s+keys(?:\s+from\s+\"?(\w+)\"?)?\s*$", q, _re.I
+        )
+        if keys_m:
+            kind = keys_m.group(1).lower()
+            names = [keys_m.group(2)] if keys_m.group(2) else self.engine.catalog.list_tables()
+            _FIELD_TYPES = {
+                "double": "float", "float": "float", "int64": "integer",
+                "int32": "integer", "uint64": "integer", "uint32": "integer",
+                "string": "string", "boolean": "boolean", "varbinary": "string",
+            }
+            series = []
+            for n in names:
+                meta = self.engine.catalog.get(n)
+                ts = meta.schema.timestamp_column
+                if kind == "tag":
+                    vals = [[c.name] for c in meta.schema.columns if c.is_tag]
+                    cols = ["tagKey"]
+                else:
+                    vals = [
+                        [c.name, _FIELD_TYPES.get(c.kind, "string")]
+                        for c in meta.schema.columns
+                        if not c.is_tag and c.name != ts
+                    ]
+                    cols = ["fieldKey", "fieldType"]
+                if vals:
+                    series.append({"name": n, "columns": cols, "values": vals})
+            return {"results": [{"statement_id": 0, "series": series}]}
         iq = parse_influxql(q)
         table = Table(self.engine.spark, self.engine.catalog, iq.measurement).read()
         df = influxql_to_df(iq, {iq.measurement: table})

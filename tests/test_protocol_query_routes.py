@@ -93,6 +93,30 @@ def test_influxql_query_route(server):
     assert {v[1] for v in by_host["a"]["values"]} == {1.5, 2.5}
 
 
+def test_influxql_show_tag_and_field_keys(server):
+    ts = int(time.time()) * 1000
+    _seed(server, ts)
+
+    q = urllib.parse.quote("SHOW TAG KEYS FROM cpu")
+    status, body = _get(server, f"/influxdb/v1/query?q={q}")
+    s = body["results"][0]["series"][0]
+    assert s["name"] == "cpu" and s["columns"] == ["tagKey"]
+    assert sorted(v[0] for v in s["values"]) == ["host", "region"]
+
+    q = urllib.parse.quote("SHOW FIELD KEYS FROM cpu")
+    status, body = _get(server, f"/influxdb/v1/query?q={q}")
+    s = body["results"][0]["series"][0]
+    assert s["columns"] == ["fieldKey", "fieldType"]
+    assert ["usage", "float"] in s["values"]
+    # timestamp column is neither a tag key nor a field key
+    assert all(v[0] not in ("time", "ts", "timestamp") for v in s["values"])
+
+    # measurement-less form lists keys for every measurement
+    q = urllib.parse.quote("SHOW TAG KEYS")
+    status, body = _get(server, f"/influxdb/v1/query?q={q}")
+    assert any(s["name"] == "cpu" for s in body["results"][0]["series"])
+
+
 def test_opentsdb_query_route(server):
     ts = int(time.time()) * 1000
     points = [
