@@ -307,27 +307,30 @@ def prom_align_oracle_sql(
     end_ms: int,
     step_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    offset_ms: int = 0,
     round_digits: int | None = 6,
     series_filter_sql: str = "TRUE",
 ) -> str:
     """DuckDB SQL computing the identical PromAlign result — generated from
     the same parameters so the Spark pipeline and the oracle cannot drift.
-    Used by the correctness gate."""
+    Used by the correctness gate.  ``offset_ms`` mirrors the Spark side's
+    shift-timestamps-before-stepping (step_helper, prom_align.rs:273-289)."""
     if func not in ALIGN_FUNCS + OVER_TIME_FUNCS:
         raise ValueError(func)
     is_counter = func in ("rate", "increase")
     n_steps = (end_ms - start_ms) // step_ms
     series = ", ".join(series_cols)
+    shifted = f"(epoch_ms({ts_col}) + {offset_ms})"
 
     base = f"""
     WITH base AS (
       SELECT {series},
-             epoch_ms({ts_col}) AS sts,
+             {shifted} AS sts,
              CAST({value_col} AS DOUBLE) AS val,
-             lag(epoch_ms({ts_col})) OVER (PARTITION BY {series} ORDER BY epoch_ms({ts_col})) AS prev_ts,
-             lag(CAST({value_col} AS DOUBLE)) OVER (PARTITION BY {series} ORDER BY epoch_ms({ts_col})) AS prev_val
+             lag({shifted}) OVER (PARTITION BY {series} ORDER BY {shifted}) AS prev_ts,
+             lag(CAST({value_col} AS DOUBLE)) OVER (PARTITION BY {series} ORDER BY {shifted}) AS prev_val
       FROM {table}
-      WHERE epoch_ms({ts_col}) >= {start_ms - lookback_ms} AND epoch_ms({ts_col}) <= {end_ms}
+      WHERE {shifted} >= {start_ms - lookback_ms} AND {shifted} <= {end_ms}
         AND ({series_filter_sql})
     ), exploded AS (
       SELECT b.*, ({start_ms} + k.k * {step_ms}) AS t

@@ -105,6 +105,19 @@ for _func in (
 
 
 @register(
+    "promql_rate_offset",
+    oracle=prom_align_oracle_sql("rate", offset_ms=600_000, **_ORACLE_PARAMS),
+)
+def promql_rate_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(metric[2h] offset 10m)` — the PromQL offset modifier: sample
+    timestamps shift forward by the offset before stepping (step_helper,
+    prom_align.rs:273-289), so each step sees [t - offset - lookback,
+    t - offset].  Gated with the oracle applying the identical shift."""
+    df = load(spark, sf_dir, "events")
+    return _rounded(prom_align(df, "rate", offset_ms=600_000, **_PARAMS))
+
+
+@register(
     "promql_sum_by_ts",
     oracle=f"""
     WITH aligned AS (
