@@ -71,6 +71,39 @@ def test_synth_payload_roundtrip_and_sizes():
     assert len(synth_image_payload(1)) == 50
 
 
+def test_parsers_never_crash_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from incubator_horaedb_spark.operators.multimodal import (
+        parse_mp4_header,
+        parse_wav_header,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def _fuzz(payload):
+        # parsers must return a tuple or None — never raise, never hang —
+        # on arbitrary bytes (these run inside executor-side kernels where
+        # an exception kills the task)
+        for parse in (parse_image_header, parse_wav_header, parse_mp4_header):
+            r = parse(payload)
+            assert r is None or isinstance(r, tuple)
+
+    _fuzz()
+
+    # adversarial prefixes: valid magics with garbage bodies
+    for parse, magic in (
+        (parse_image_header, b"\x89PNG\r\n\x1a\n"),
+        (parse_image_header, b"\xff\xd8"),
+        (parse_wav_header, b"RIFF\xff\xff\xff\xffWAVE"),
+        (parse_mp4_header, b"\x00\x00\x00\x10ftyp"),
+    ):
+        for tail in (b"", b"\x00", b"\xff" * 32, bytes(range(64))):
+            r = parse(magic + tail)
+            assert r is None or isinstance(r, tuple)
+
+
 def test_wav_header_roundtrip():
     from incubator_horaedb_spark.operators.multimodal import (
         parse_wav_header,
