@@ -219,7 +219,7 @@ DRIVER_ORDER = [
     "multimodal_audio_header_meta", "multimodal_video_header_meta",
     "ann_recall_at_k", "promql_stddev_over_time", "promql_stdvar_over_time",
     "dedup_paragraphs", "window_rank_family", "order_nulls_explicit",
-    "salted_distinct_users", "promql_rate_offset",
+    "salted_distinct_users", "promql_rate_offset", "time_bucket_gapfill_locf",
 ]
 
 

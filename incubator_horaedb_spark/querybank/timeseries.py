@@ -25,7 +25,9 @@ from incubator_horaedb_spark.functions.time_bucket import (
 from incubator_horaedb_spark.functions.detfloat import (
     BITS_SMALL,
     dyadic,
+    dyadic_sql,
     r_out,
+    r_out_sql,
     stddev_samp_det,
     stddev_samp_det_sql,
 )
@@ -333,3 +335,66 @@ def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         points, sess, point_ts="point_t", start="s_start", end="s_end", on=["user_id"]
     )
+
+
+# --- time_bucket_gapfill + LOCF (hypertable gapfill analogue) -------------
+def _gapfill_sql(engine: str) -> str:
+    """Dual-rendered gap-filled downsample (public pattern: TimescaleDB
+    time_bucket_gapfill + locf): a dense (event_type × 10-minute bucket)
+    grid over one fixed day, LEFT-joined with the actual per-bucket
+    averages, missing buckets filled by last-observation-carried-forward.
+
+    Scale shape: the grid is generated (rows = types × buckets, never a
+    scan), the actual aggregate is one map-side-combinable shuffle, the
+    LOCF is one window keyed by event_type — the dashboard-densification
+    query a time-series engine serves constantly.  Leading buckets before
+    a series' first sample stay NULL (gap_filled still flags them).
+
+    Engine deltas handled here: IGNORE NULLS placement
+    (`last_value(x IGNORE NULLS)` in DuckDB vs `last_value(x) IGNORE
+    NULLS` in Spark), grid generation (unnest(range) vs
+    explode(sequence)), and ms-epoch → timestamp construction."""
+    start_ms, end_ms, bucket_ms = 1704067200000, 1704153600000, 600_000
+    n = (end_ms - start_ms) // bucket_ms
+    q = dyadic_sql("value")
+    avg6 = r_out_sql(f"avg({q})", 6)
+    if engine == "spark":
+        ks = f"(SELECT explode(sequence(0, {n - 1})) AS k)"
+        to_ts = "timestamp_millis({ms})"
+        ems = "unix_millis(ts)"
+        locf = "last_value(avg_v) IGNORE NULLS"
+    else:
+        ks = f"(SELECT unnest(range(0, {n})) AS k)"
+        to_ts = "make_timestamp(({ms}) * 1000)"
+        ems = "epoch_ms(ts)"
+        locf = "last_value(avg_v IGNORE NULLS)"
+    grid_ts = to_ts.format(ms=f"{start_ms} + k * {bucket_ms}")
+    actual_ts = to_ts.format(ms=f"CAST(floor(ems / {bucket_ms}) AS BIGINT) * {bucket_ms}")
+    return f"""
+    WITH grid AS (
+      SELECT t.event_type, {grid_ts} AS bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN {ks} kk
+    ), actual AS (
+      SELECT event_type, {actual_ts} AS bucket_ts, {avg6} AS avg_v
+      FROM (SELECT event_type, value, {ems} AS ems FROM events
+            WHERE {ems} >= {start_ms} AND {ems} < {end_ms}) e
+      GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.event_type, g.bucket_ts, a.avg_v,
+             (a.avg_v IS NULL) AS gap_filled
+      FROM grid g LEFT JOIN actual a
+        ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+    )
+    SELECT event_type, bucket_ts,
+           {locf} OVER (PARTITION BY event_type ORDER BY bucket_ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           gap_filled
+    FROM joined
+    """
+
+
+@register("time_bucket_gapfill_locf", oracle=_gapfill_sql("duckdb"))
+def time_bucket_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gapfill_sql("spark"))
