@@ -38,6 +38,16 @@ class Dialect:
             return f"aggregate({lst}, CAST(0 AS BIGINT), ({acc}, {var}) -> {body})"
         return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}), ({acc}, {var}) -> {body})"
 
+    def fold_dbl(self, lst: str, var: str, acc: str, body: str) -> str:
+        """Left fold with a DOUBLE 0.0 seed — sequential order on both
+        engines, so dyadic-exact addends sum bit-identically."""
+        if self.engine == "spark":
+            return f"aggregate({lst}, CAST(0.0 AS DOUBLE), ({acc}, {var}) -> {body})"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+            f"({acc}, {var}) -> {body})"
+        )
+
     def range1(self, n: str) -> str:
         """[1..n] inclusive; EMPTY for n <= 0 on both engines.
 
@@ -68,6 +78,16 @@ class Dialect:
 
     def arr_min(self, lst: str) -> str:
         return f"array_min({lst})" if self.engine == "spark" else f"list_min({lst})"
+
+    def arr_max(self, lst: str) -> str:
+        return f"array_max({lst})" if self.engine == "spark" else f"list_max({lst})"
+
+    def slice_(self, lst: str, start: str, length: str) -> str:
+        """1-based subsequence of ``length`` elements — Spark's slice();
+        DuckDB's list_slice takes an inclusive end index."""
+        if self.engine == "spark":
+            return f"slice({lst}, {start}, {length})"
+        return f"list_slice({lst}, {start}, ({start}) + ({length}) - 1)"
 
     def distinct(self, lst: str) -> str:
         return f"array_distinct({lst})" if self.engine == "spark" else f"list_distinct({lst})"

@@ -754,3 +754,94 @@ def blocked_near_dup_pairs(df, threshold: float = 0.45):
             )
 
     return df.select("vec_id", "embedding").mapInPandas(kernel, schema=schema)
+
+
+# --- SemDeDup (semantic dedup over embeddings) ----------------------------
+def semdedup_final_select(d: Dialect, table: str, pairs_src: str, threshold: float) -> str:
+    """Per-label survivorship after semantic dedup: a vector is DROPPED
+    when some lower-id vector is a near-duplicate (cosine >= threshold) —
+    the keep-one-representative rule of SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540, public), with LSH candidate generation instead of
+    k-means cluster partitioning.  survivor_id_sum is an exact integer
+    checksum of WHICH vectors survive (not just how many)."""
+    return f"""SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN dup.vec_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(sum(CASE WHEN dup.vec_b IS NULL THEN e.vec_id ELSE 0 END) AS BIGINT)
+               AS survivor_id_sum
+    FROM {table} e
+    LEFT JOIN (SELECT DISTINCT vec_b FROM {pairs_src} WHERE cosine >= {threshold}) dup
+           ON e.vec_id = dup.vec_b
+    GROUP BY e.label"""
+
+
+def semdedup_sql(d: Dialect, table: str = "embeddings", threshold: float = 0.7) -> str:
+    """One-shot rendering (oracle side).  Scale shape: candidates come from
+    the RHP-LSH equi-join (never all-pairs); the dominated set is a
+    DISTINCT projection of verified pairs, joined back to the corpus on
+    vec_id (co-partitioned, no broadcast needed); one final label agg."""
+    ctes = [_normed_cte(d, table), ("sig", rhp_sig_select(d, "normed"))] + rhp_pairs_ctes(
+        d, "sig", "normed", threshold
+    )
+    return d.cte_query(ctes, semdedup_final_select(d, table, "verified", threshold))
+
+
+# --- int8 scalar quantization of embeddings -------------------------------
+def int8_quantize_sql(d: Dialect, table: str = "embeddings") -> str:
+    """Symmetric int8 scalar quantization of the embedding column (the
+    standard vector-index compression: q = round_half_away(x * 127 / mx)
+    with one corpus-wide scale mx = max |x|), with an exact integer
+    checksum of the quantized codes and the mean absolute reconstruction
+    error per label.
+
+    Determinism: the scale is one global max (exact), the per-element
+    quantization is the tie-proof sign·floor(|·|+0.5) form, the per-row
+    error fold is sequential (identical order both engines), and the
+    per-row error is dyadic-quantized before the group sum so cross-row
+    addition is exact in any order.
+
+    Scale shape: one corpus scan for the max (a 1-row broadcastable
+    scalar), one map-side quantization pass, one label agg — no shuffle
+    beyond the final partial→final agg.  At 100 TB the scale would come
+    from a sampled or per-shard max merged on the driver; the kernel is
+    unchanged."""
+    absed = d.transform("embedding", "x", "abs(CAST(x AS DOUBLE))")
+    qint = (
+        "CAST(CASE WHEN x >= 0 THEN floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) "
+        "ELSE -floor(-CAST(x AS DOUBLE) * 127.0 / mx + 0.5) END AS BIGINT)"
+    )
+    qv = d.transform("embedding", "x", qint)
+    err_i = (
+        f"abs(CAST({d.at('embedding', 'i')} AS DOUBLE) "
+        f"- CAST({d.at('qv', 'i')} AS DOUBLE) * mx / 127.0)"
+    )
+    err_list = d.transform(d.range1(str(DIM)), "i", err_i)
+    err_sum = d.fold_dbl(err_list, "x", "acc", "acc + x")
+    q20 = 1 << 20
+    err_dyadic = (
+        f"(CAST(floor(({err_sum}) * {q20} + 0.5) AS DOUBLE) / {q20})"
+    )
+    code_sum = d.fold("qv", "x", "acc", "acc + x")
+    return d.cte_query(
+        [
+            ("s", f"SELECT max({d.arr_max(absed)}) AS mx FROM {table}"),
+            (
+                "q",
+                f"SELECT label, vec_id, embedding, {qv} AS qv, mx "
+                f"FROM {table} CROSS JOIN s",
+            ),
+            (
+                "rows_q",
+                f"""SELECT label,
+             CAST({code_sum} AS BIGINT) AS code_sum,
+             {err_dyadic} AS err
+      FROM q""",
+            ),
+        ],
+        f"""SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(code_sum) AS BIGINT) AS q_checksum,
+           {_r6('sum(err) / count(*)')} AS mean_abs_err
+    FROM rows_q GROUP BY label""",
+    )

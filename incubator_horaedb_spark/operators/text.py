@@ -394,3 +394,121 @@ def quality_filter_sql(d: Dialect, table: str = "documents") -> str:
     All-integer outputs.  One-shot rendering = the DuckDB oracle; Spark
     stages the token view (querybank/llm_ops.py)."""
     return quality_filter_from(d, "t", lead_ctes=[("t", qf_tokens_select(d, table))])
+
+
+def winnow_sql(d: Dialect, table: str = "documents", k: int = 3, w: int = 4) -> str:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS local-fingerprinting algorithm, public): per document, hash
+    every k-token shingle IN ORDER, slide a window of w consecutive shingle
+    hashes, and select the minimum hash of each window; the distinct
+    selected hashes are the document's fingerprints.  Guarantees every
+    shared substring of >= w+k-1 tokens contributes a shared fingerprint,
+    while storing only ~2/(w+1) of all shingle hashes — the storage-bounded
+    alternative to full shingle sets for copy detection.
+
+    Output: per-doc fingerprint count, an order-independent modular
+    checksum of the fingerprint set, the minimum fingerprint, and the
+    exact-duplicate group size over (checksum, n_fp) — documents whose
+    entire winnow set matches (the scaled dedup grouping, mirroring
+    fingerprint_sql's group_size).
+
+    Scale shape: one scan, all per-doc array work map-side inside codegen
+    (ordered k-gram combo reuses the hs_from_tokh polynomial), one window
+    shuffle on the checksum.  All-integer outputs."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    return winnow_from(d, "tokh", k, w, lead_ctes=[("tokh", tokh_select(d, table))])
+
+
+def winnow_from(
+    d: Dialect, tokh_src: str, k: int = 3, w: int = 4, lead_ctes: list | None = None
+) -> str:
+    """Winnowing body from a materialized (doc_id, th) token-hash source —
+    staged on the Spark side because CTE inlining would re-evaluate the
+    O(chars) token-hash expression at each of kg's references."""
+    from incubator_horaedb_spark.operators.dialect import BASE, P
+
+    combo = "CAST(0 AS BIGINT)"
+    for i in range(k):
+        combo = f"(({combo}) * {BASE} + {d.at('th', f'i + {i}')}) % {P}"
+    kgrams = d.transform(d.range1(f"{d.size('th')} - {k - 1}"), "i", combo)
+    mins = d.transform(
+        d.range1(f"{d.size('kg')} - {w - 1}"), "i", d.arr_min(d.slice_("kg", "i", str(w)))
+    )
+    checksum = d.fold("wf", "x", "acc", f"(acc + x) % {P}")
+    return d.cte_query(
+        (lead_ctes or [])
+        + [
+            (
+                "kg",
+                f"SELECT doc_id, {kgrams} AS kg FROM {tokh_src} WHERE {d.size('th')} >= {k}",
+            ),
+            (
+                "wf",
+                f"SELECT doc_id, {d.distinct(mins)} AS wf FROM kg "
+                f"WHERE {d.size('kg')} >= {w}",
+            ),
+            (
+                "s",
+                f"""SELECT doc_id,
+             CAST({d.size('wf')} AS BIGINT) AS n_fp,
+             CAST({checksum} AS BIGINT) AS fp_checksum,
+             CAST({d.arr_min('wf')} AS BIGINT) AS min_fp
+      FROM wf""",
+            ),
+        ],
+        """SELECT doc_id, n_fp, fp_checksum, min_fp,
+           CAST(count(*) OVER (PARTITION BY fp_checksum, n_fp) AS BIGINT) AS group_size
+    FROM s""",
+    )
+
+
+def rare_token_ratio_sql(d: Dialect, table: str = "documents", max_freq: int = 2) -> str:
+    """Rare-token quality signal: the fraction of a document's tokens whose
+    CORPUS-WIDE frequency is <= max_freq (hapax/dis legomena share) — a
+    cheap proxy for noisy/OCR-damaged text (high ratio) vs boilerplate
+    (near-zero), used as a Gopher-style curation rule on corpus statistics
+    rather than per-doc features.
+
+    Scale shape: the two-pass corpus-statistic pattern — one explode +
+    hash-agg builds the token-frequency table (shuffle keyed on the token
+    hash, partial->final so the map side combines), then the per-doc pass
+    re-joins on the same key (co-partitioned by the same shuffle key, no
+    broadcast needed at any vocabulary size) and reduces per doc_id.
+    Exact integer counts; the ratio is one rational division."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    return rare_from_tokh(
+        d, "tokh", max_freq, lead_ctes=[("tokh", tokh_select(d, table))]
+    )
+
+
+def rare_from_tokh(
+    d: Dialect, tokh_src: str, max_freq: int = 2, lead_ctes: list | None = None
+) -> str:
+    """rare_token_ratio body from a materialized (doc_id, th) source."""
+    r6 = (
+        "(CAST(floor((CAST(n_rare AS DOUBLE) / n_tokens) * CAST(1000000 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        (lead_ctes or [])
+        + [
+            ("tok", d.unnest_select("doc_id", "th", "t", tokh_src)),
+            ("freq", "SELECT t, count(*) AS cnt FROM tok GROUP BY t"),
+            (
+                "perdoc",
+                f"""SELECT tok.doc_id,
+             count(*) AS n_tok,
+             sum(CASE WHEN freq.cnt <= {max_freq} THEN 1 ELSE 0 END) AS n_r
+      FROM tok JOIN freq ON tok.t = freq.t
+      GROUP BY tok.doc_id""",
+            ),
+            (
+                "typed",
+                "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+                "CAST(n_r AS BIGINT) AS n_rare FROM perdoc",
+            ),
+        ],
+        f"SELECT doc_id, n_tokens, n_rare, {r6} AS rare_ratio FROM typed",
+    )

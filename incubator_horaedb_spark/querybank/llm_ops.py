@@ -489,3 +489,47 @@ register(
     "ann_topk_multiblock",
     oracle=similarity.blocked_topk_oracle_sql(DUCK, k=5, n_queries=10),
 )(_blocked_topk_multiblock)
+
+
+# --- round-3 additions: winnowing, rare-token, SemDeDup, int8 quantize ----
+def _staged_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), "__winnow_tokh")
+    return spark.sql(text.winnow_from(SPARK, "__winnow_tokh"))
+
+
+_staged_winnow.__doc__ = text.winnow_sql.__doc__
+register("text_winnow_fingerprint", oracle=text.winnow_sql(DUCK))(_staged_winnow)
+
+
+def _staged_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), "__rare_tokh")
+    return spark.sql(text.rare_from_tokh(SPARK, "__rare_tokh"))
+
+
+_staged_rare_tokens.__doc__ = text.rare_token_ratio_sql.__doc__
+register("text_rare_token_ratio", oracle=text.rare_token_ratio_sql(DUCK))(
+    _staged_rare_tokens
+)
+
+
+def _staged_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView("embeddings")
+    _stage(spark.sql(similarity.normed_select(SPARK, "embeddings")), "__sd_normed")
+    _stage(spark.sql(similarity.rhp_sig_select(SPARK, "__sd_normed")), "__sd_sig")
+    return spark.sql(
+        SPARK.cte_query(
+            similarity.rhp_pairs_ctes(SPARK, "__sd_sig", "__sd_normed", 0.7),
+            similarity.semdedup_final_select(SPARK, "embeddings", "verified", 0.7),
+        )
+    )
+
+
+_staged_semdedup.__doc__ = similarity.semdedup_sql.__doc__
+register("embedding_semdedup", oracle=similarity.semdedup_sql(DUCK, threshold=0.7))(
+    _staged_semdedup
+)
+
+
+_sql_query("embedding_int8_quantize", similarity.int8_quantize_sql, _tables=("embeddings",))

@@ -1,0 +1,201 @@
+"""OLAP-analytics extensions: statistical aggregates, histograms, pivot,
+and time-interval RANGE window frames.
+
+All of these are reachable in the reference through DataFusion's SQL
+planner and aggregate library (src/query_frontend/src/planner.rs:622-650
+plants arbitrary SELECT into SqlToRel; DataFusion ships corr/covar/regr_*
+and window RANGE frames), so they are declared reference surface even
+though the sqlness corpus never exercises them.  Spark SQL provides the
+same semantics natively.
+
+Cross-engine determinism strategy (see functions/detfloat.py): statistical
+moments are computed from INTEGER-quantized inputs so every aggregate sum
+is exact (order-independent); the closed-form formulas then run the same
+IEEE expression tree on identical doubles on both engines, which is
+bit-deterministic — no engine-native corr()/regr_slope() implementations
+(their incremental algorithms differ between engines in the last ulp).
+
+Scale notes: every query here is a single scan + one hash aggregate (or
+one window shuffle); the pivot is a partial→final count agg with a fixed
+pivot-value list (no distinct-value discovery pass); the histogram's bin
+id is computed map-side so the agg shuffles nbins rows per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.querybank.registry import load, register
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- statistical aggregates (corr / covar / linear regression) ------------
+# Moments over integer-quantized x = round(l_quantity), y = round(price):
+# sums of x, y, x*x, x*y, y*y stay below 2^53 at any realistic SF per
+# group (y <= 1.05e5, y^2 <= 1.2e10; 1e9 rows/group * 1.2e10 overflows
+# int64 at ~SF1000 — at that point the quantization scale drops, not the
+# algorithm).  The formula arithmetic is identical IEEE double ops on both
+# engines, so r_out(…, 6) matches exactly.
+_MOMENTS = (
+    "count(*) AS n, "
+    "sum(xq) AS sx, sum(yq) AS sy, "
+    "sum(xq * xq) AS sxx, sum(xq * yq) AS sxy, sum(yq * yq) AS syy"
+)
+
+def _r6(expr: str) -> str:
+    return (
+        f"(CAST(floor(({expr}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE))"
+    )
+
+
+def _corr_sql() -> str:
+    n, sx, sy, sxx, sxy, syy = (
+        f"CAST({c} AS DOUBLE)" for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov_n = f"({n} * {sxy} - {sx} * {sy})"  # n^2 * covariance
+    var_x = f"({n} * {sxx} - {sx} * {sx})"  # n^2 * variance(x)
+    var_y = f"({n} * {syy} - {sy} * {sy})"
+    slope = f"({cov_n} / {var_x})"
+    body = ", ".join(
+        [
+            f"{n} AS n_rows",
+            f"{_r6(f'{cov_n} / sqrt({var_x} * {var_y})')} AS corr_qty_price",
+            f"{_r6(slope)} AS regr_slope",
+            f"{_r6(f'({sy} - {slope} * {sx}) / {n}')} AS regr_intercept",
+            f"{_r6(f'({cov_n} * {cov_n}) / ({var_x} * {var_y})')} AS regr_r2",
+        ]
+    )
+    return f"""
+    SELECT l_returnflag, {body}
+    FROM (
+        SELECT l_returnflag, {_MOMENTS}
+        FROM (
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS xq,
+                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS yq
+            FROM lineitem
+        ) q
+        GROUP BY l_returnflag
+    ) m
+    ORDER BY l_returnflag
+    """
+
+
+@register("stats_corr_regr", oracle=_corr_sql())
+def stats_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + simple linear regression (slope, intercept,
+    R^2) of extended price on quantity per return flag — DataFusion's
+    corr/covar/regr_* aggregate family re-expressed as exact integer
+    moments + closed-form doubles (module docstring).  One scan, one
+    partial->final hash agg of 6 integer sums; the formula runs on 3 rows."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_corr_sql())
+
+
+# --- fixed-bin numeric histogram ------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110000.0, 22
+
+
+def _hist_sql() -> str:
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    return f"""
+    SELECT bin,
+           CAST(bin * {width} AS DOUBLE) AS bin_lo,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price
+    FROM (
+        SELECT CAST(least(CAST({_HIST_BINS - 1} AS BIGINT),
+                    greatest(CAST(0 AS BIGINT),
+                             CAST(floor((l_extendedprice - {_HIST_LO}) / {width}) AS BIGINT)))
+                    AS BIGINT) AS bin,
+               l_extendedprice
+        FROM lineitem
+    ) b
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+@register("numeric_histogram", oracle=_hist_sql())
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price (22 bins, width_bucket
+    semantics with clamped edges) — bin ids computed map-side so the
+    aggregate shuffles at most nbins rows per input partition; per-bin sums
+    are exact cent-quantized integers.  The classic OLAP profiling scan."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_hist_sql())
+
+
+# --- pivot (event_type -> columns) ----------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_oracle() -> str:
+    cols = ", ".join(
+        f'sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END) AS "{t}"'
+        for t in _EVENT_TYPES
+    )
+    return f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, {cols}
+    FROM events
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """
+
+
+@register("pivot_event_counts", oracle=_pivot_oracle())
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per user-bucket event counts fanned into one column per event
+    type.  The pivot value list is FIXED (no distinct-discovery pre-pass —
+    at 100 TB a discovery pass is a full extra scan) so the plan is a
+    single partial->final pivot_sum aggregate.  Oracle renders the same
+    thing as CASE sums."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .orderBy("user_bucket")
+    )
+    # pivot-count leaves NULL for empty cells; the CASE-sum oracle yields 0
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# --- time-interval RANGE window frame -------------------------------------
+_RANGE_FRAME_SQL = """
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_5m,
+           (CAST(floor((sum(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576) OVER w)
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(10000 AS DOUBLE)) AS sum_5m
+    FROM events
+    WHERE user_id % 25 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW)
+    """
+
+# DuckDB spells the interval literal differently but the frame semantics
+# (peers included, timestamp-range lower bound inclusive) agree.
+_RANGE_FRAME_ORACLE = _RANGE_FRAME_SQL.replace("INTERVAL '5' MINUTE", "INTERVAL 5 MINUTE")
+
+
+@register("window_range_time_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per user, rolling 5-minute count and
+    dyadic-exact sum ordered by timestamp.  RANGE (not ROWS) frames are the
+    time-series-native frame — peers at the same timestamp aggregate
+    identically regardless of tie order, which keeps the result
+    deterministic.  One shuffle on user_id."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_RANGE_FRAME_SQL)

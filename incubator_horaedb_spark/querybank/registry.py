@@ -220,6 +220,11 @@ DRIVER_ORDER = [
     "ann_recall_at_k", "promql_stddev_over_time", "promql_stdvar_over_time",
     "dedup_paragraphs", "window_rank_family", "order_nulls_explicit",
     "salted_distinct_users", "promql_rate_offset", "time_bucket_gapfill_locf",
+    # round-3 late additions (statistical aggs, histogram, pivot, RANGE
+    # frames, winnowing, rare-token, SemDeDup, int8 quantization)
+    "stats_corr_regr", "numeric_histogram", "pivot_event_counts",
+    "window_range_time_frame", "text_winnow_fingerprint",
+    "text_rare_token_ratio", "embedding_semdedup", "embedding_int8_quantize",
 ]
 
 
