@@ -299,3 +299,87 @@ def zorder_sql(d: Dialect, table: str = "part", bits: int = 16) -> str:
         f"SELECT p_partkey, p_size, CAST({z} AS BIGINT) AS zvalue "
         f"FROM {table} ORDER BY zvalue, p_partkey LIMIT 200"
     )
+
+
+# ------------------------------------------- end-to-end corpus curation --
+
+
+def curation_from(
+    d: Dialect,
+    table: str,
+    t_src: str,
+    hs_src: str,
+    lead_ctes: list | None = None,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> str:
+    """The full training-data curation DAG as ONE composed query — the
+    pipeline a pretraining run actually executes, chaining the gated
+    operators end to end:
+
+      quality gate (language/length/repetition, text.QF_KEEP)
+        → exact dedup (keep the min-doc_id per normalized text)
+        → benchmark decontamination (drop >= 5%-shingle-overlap docs AND
+          the held-out benchmark slice itself)
+        → deterministic train/val/test split assignment
+        → per-(source, split) audit: docs, token totals, id checksum.
+
+    Every stage reuses the standalone operator's fragment (quality_flag_ctes,
+    exact-dedup group, decontaminate_ctes, split_assign hash), so the
+    composition provably agrees with the individually-gated queries.
+
+    Scale shape: the quality flags and split assignment are map-side; the
+    compose adds one groupBy for exact dedup (normalized-text hash), the
+    bucketed decontam join, and doc_id-keyed joins between stages — every
+    join key is the doc id or a content hash, so the whole DAG is a chain
+    of co-partitionable shuffles with no cartesian anywhere.  At 100 TB
+    each arrow materializes to a table; the SQL is the same."""
+    from incubator_horaedb_spark.operators import text as _text
+
+    norm = d.regexp_replace_all("lower(text)", " +", " ")
+    bucket = f"({sample_hash_expr(f'f.doc_id % {_SAMPLE_P}')}) % 100"
+    split = (
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' "
+        f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+    keep = (
+        "(f.stop_hits > 0 AND f.n_tokens >= 10 AND f.n_tokens <= 5000 "
+        "AND NOT COALESCE(f.repetitive, FALSE))"
+    )
+    ctes = (
+        list(lead_ctes or [])
+        + _text.quality_flag_ctes(d, t_src)
+        + [("ed", f"SELECT min(doc_id) AS keep_id FROM {table} GROUP BY {norm}")]
+        + decontaminate_ctes(d, hs_src)
+        + [
+            (
+                "contaminated",
+                f"SELECT doc_id FROM sized WHERE overlap >= {DECONTAM_THRESHOLD}",
+            ),
+            (
+                "surv",
+                f"""SELECT f.doc_id, f.source, f.n_tokens, {split} AS split
+      FROM flagged f
+      JOIN ed ON ed.keep_id = f.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = f.doc_id
+      WHERE {keep} AND c.doc_id IS NULL AND f.doc_id % {BENCH_MOD} <> 0""",
+            ),
+        ]
+    )
+    return d.cte_query(
+        ctes,
+        """SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM surv
+    GROUP BY source, split""",
+    )
+
+
+def curation_e2e_sql(d: Dialect, table: str = "documents") -> str:
+    """One-shot rendering (oracle side)."""
+    from incubator_horaedb_spark.operators.text import qf_tokens_select
+
+    lead = [("t", qf_tokens_select(d, table))] + dedup._shingle_ctes(d, table)
+    return curation_from(d, table, "t", "hs", lead_ctes=lead)

@@ -338,38 +338,49 @@ def qf_tokens_select(d: Dialect, table: str = "documents") -> str:
     return f"SELECT doc_id, source, {d.tokens('lower(text)')} AS toks FROM {table}"
 
 
-def quality_filter_from(d: Dialect, src: str, lead_ctes: list | None = None) -> str:
-    """Survivorship report from a staged token view ``src``."""
+# The keep rule shared by the survivorship report and the end-to-end
+# curation pipeline (columns of the ``flagged`` CTE).
+QF_KEEP = (
+    "(stop_hits > 0 AND n_tokens >= 10 AND n_tokens <= 5000 "
+    "AND NOT COALESCE(repetitive, FALSE))"
+)
+
+
+def quality_flag_ctes(d: Dialect, src: str) -> list[tuple[str, str]]:
+    """CTE chain ending in ``flagged`` (doc_id, source, n_tokens,
+    stop_hits, repetitive) from a token view ``src`` — the per-doc inputs
+    of the QF_KEEP rule."""
     hits = "greatest(" + ", ".join(
         _stop_hits(d, "toks", lang) for lang in _LANG_PRIORITY
     ) + ")"
     bigram = f"{d.at('toks', 'i')} || '_' || {d.at('toks', 'i + 1')}"
     bigrams = d.transform(d.range1(f"{d.size('toks')} - 1"), "i", bigram)
-    keep = (
-        "(stop_hits > 0 AND n_tokens >= 10 AND n_tokens <= 5000 "
-        "AND NOT COALESCE(repetitive, FALSE))"
-    )
+    return [
+        (
+            "m",
+            f"SELECT doc_id, source, {d.size('toks')} AS n_tokens, "
+            f"{hits} AS stop_hits FROM {src}",
+        ),
+        ("b", d.unnest_select("doc_id", bigrams, "bg", src)),
+        ("cb", "SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg"),
+        (
+            "rep",
+            "SELECT doc_id, (max(n) * 5 >= sum(n)) AS repetitive "
+            "FROM cb GROUP BY doc_id",
+        ),
+        (
+            "flagged",
+            "SELECT m.doc_id, m.source, m.n_tokens, m.stop_hits, rep.repetitive "
+            "FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id",
+        ),
+    ]
+
+
+def quality_filter_from(d: Dialect, src: str, lead_ctes: list | None = None) -> str:
+    """Survivorship report from a staged token view ``src``."""
+    keep = QF_KEEP
     return d.cte_query(
-        list(lead_ctes or [])
-        + [
-            (
-                "m",
-                f"SELECT doc_id, source, {d.size('toks')} AS n_tokens, "
-                f"{hits} AS stop_hits FROM {src}",
-            ),
-            ("b", d.unnest_select("doc_id", bigrams, "bg", src)),
-            ("cb", "SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg"),
-            (
-                "rep",
-                "SELECT doc_id, (max(n) * 5 >= sum(n)) AS repetitive "
-                "FROM cb GROUP BY doc_id",
-            ),
-            (
-                "flagged",
-                "SELECT m.doc_id, m.source, m.n_tokens, m.stop_hits, rep.repetitive "
-                "FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id",
-            ),
-        ],
+        list(lead_ctes or []) + quality_flag_ctes(d, src),
         f"""SELECT source,
            CAST(count(*) AS BIGINT) AS total_docs,
            CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept,

@@ -533,3 +533,17 @@ register("embedding_semdedup", oracle=similarity.semdedup_sql(DUCK, threshold=0.
 
 
 _sql_query("embedding_int8_quantize", similarity.int8_quantize_sql, _tables=("embeddings",))
+
+
+def _staged_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage the two expensive shared inputs: lowercased tokens (quality
+    # gate references it 2x) and shingle hashes (decontam references 3x)
+    _staged_shingles(spark, sf_dir, "__cur_hs")
+    _stage(spark.sql(text.qf_tokens_select(SPARK, "documents")), "__cur_t")
+    return spark.sql(
+        pipeline.curation_from(SPARK, "documents", "__cur_t", "__cur_hs")
+    )
+
+
+_staged_curation.__doc__ = pipeline.curation_from.__doc__
+register("corpus_curation_e2e", oracle=pipeline.curation_e2e_sql(DUCK))(_staged_curation)
