@@ -599,3 +599,68 @@ def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0
     FROM hs a JOIN hs b ON a.doc_id < b.doc_id
     WHERE (CAST(floor(({jac}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= {threshold}""",
     )
+
+
+def minhash_accuracy_ctes(
+    d: Dialect, hs_src: str, sig_src: str, bucket_cap: int | None = BAND_BUCKET_CAP
+) -> list[tuple[str, str]]:
+    """Signature-estimated vs exact Jaccard on the LSH candidate pairs —
+    the estimator-quality eval a deployment runs before trusting MinHash
+    at a new threshold (the dedup twin of ann_recall_at_k).
+
+    est = (matching signature components) / NUM_PERM, an exact multiple
+    of 1/16 (dyadic, so group averaging is order-independent); the exact
+    Jaccard is dyadic-quantized before averaging for the same reason."""
+    matches = " + ".join(
+        f"(CASE WHEN x.s{i + 1} = y.s{i + 1} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    q20 = 1 << 20
+    jacc = _jaccard(d, "hx.shs", "hy.shs")
+    return pairs_from_bands_ctes(d, hs_src, "bands", bucket_cap)[:-1] + [
+        (
+            "scored",
+            f"""SELECT c.doc_a, c.doc_b,
+             CAST(({matches}) AS DOUBLE) / {NUM_PERM} AS est,
+             (CAST(floor(({jacc}) * {q20} + 0.5) AS DOUBLE) / {q20}) AS jacc
+      FROM cand c
+      JOIN {sig_src} x ON x.doc_id = c.doc_a
+      JOIN {sig_src} y ON y.doc_id = c.doc_b
+      JOIN {hs_src} hx ON hx.doc_id = c.doc_a
+      JOIN {hs_src} hy ON hy.doc_id = c.doc_b""",
+        ),
+    ]
+
+
+def minhash_accuracy_final(d: Dialect) -> str:
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return f"""SELECT CAST(floor(abs(est - jacc) * 10) AS BIGINT) AS err_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {r6('sum(est) / count(*)')} AS mean_est,
+           {r6('sum(jacc) / count(*)')} AS mean_jaccard
+    FROM scored
+    GROUP BY 1"""
+
+
+def minhash_accuracy_sql(d: Dialect, table: str = "documents") -> str:
+    """One-shot rendering (oracle side)."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [("sig", minhash_sig_select(d, "hs"))]
+        + [("bands", bands_select(d, "sig"))]
+        + minhash_accuracy_ctes(d, "hs", "sig")
+    )
+    return d.cte_query(ctes, minhash_accuracy_final(d))
+
+
+def minhash_accuracy_from(
+    d: Dialect, hs_src: str, sig_src: str, bands_src: str
+) -> str:
+    """From materialized views (staged Spark path); the bands were already
+    adaptively gated at staging time, so the SQL gate is skipped."""
+    ctes = [("bands", f"SELECT * FROM {bands_src}")] + minhash_accuracy_ctes(
+        d, hs_src, sig_src, bucket_cap=None
+    )
+    return d.cte_query(ctes, minhash_accuracy_final(d))

@@ -547,3 +547,25 @@ def _staged_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _staged_curation.__doc__ = pipeline.curation_from.__doc__
 register("corpus_curation_e2e", oracle=pipeline.curation_e2e_sql(DUCK))(_staged_curation)
+
+
+def _staged_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_shingles(spark, sf_dir, "__acc_hs")
+    _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__acc_hs")), "__acc_sig")
+    gated = _gated_src(
+        spark,
+        dedup.bands_select(SPARK, "__acc_sig"),
+        ["band_idx", "band_key"],
+        "__acc_bands",
+        dedup.BAND_BUCKET_CAP,
+    )
+    if not gated:
+        _stage(spark.sql(dedup.bands_select(SPARK, "__acc_sig")), "__acc_bands_all")
+        gated = "__acc_bands_all"
+    return spark.sql(dedup.minhash_accuracy_from(SPARK, "__acc_hs", "__acc_sig", gated))
+
+
+_staged_minhash_accuracy.__doc__ = dedup.minhash_accuracy_sql.__doc__
+register("dedup_minhash_accuracy", oracle=dedup.minhash_accuracy_sql(DUCK))(
+    _staged_minhash_accuracy
+)

@@ -199,3 +199,26 @@ def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.  One shuffle on user_id."""
     _views(spark, sf_dir, "events")
     return spark.sql(_RANGE_FRAME_SQL)
+
+
+# --- explicit GROUPING SETS + grouping flags ------------------------------
+_GSETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+
+@register("grouping_sets_explicit", oracle=_GSETS_SQL)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags — completes the
+    ROLLUP/CUBE family (DataFusion supports all three through SqlToRel).
+    The grouping flags disambiguate a NULL group key from a super-
+    aggregate row.  Exact cent-quantized sums; one expand + hash agg."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GSETS_SQL)

@@ -225,7 +225,8 @@ DRIVER_ORDER = [
     "stats_corr_regr", "numeric_histogram", "pivot_event_counts",
     "window_range_time_frame", "text_winnow_fingerprint",
     "text_rare_token_ratio", "embedding_semdedup", "embedding_int8_quantize",
-    "corpus_curation_e2e",
+    "corpus_curation_e2e", "grouping_sets_explicit", "m4_downsample",
+    "time_weighted_avg", "dedup_minhash_accuracy",
 ]
 
 

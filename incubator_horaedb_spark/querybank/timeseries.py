@@ -398,3 +398,85 @@ def _gapfill_sql(engine: str) -> str:
 def time_bucket_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_gapfill_sql("spark"))
+
+
+# --- M4 downsampling (beyond-reference; public: Jugel et al., VLDB 2014) --
+# One BIGINT order key makes first/last deterministic: epoch_ms * 2^20 +
+# event_id (unique; event_id < 2^20 at gate scale — at larger id ranges
+# widen the shift, the pattern is unchanged).
+_M4_OKEY = {
+    "spark": "(unix_millis(ts) * 1048576 + event_id)",
+    "duckdb": "(epoch_ms(ts) * 1048576 + event_id)",
+}
+
+
+def _m4_sql(engine: str) -> str:
+    okey = _M4_OKEY[engine]
+    amin = "min_by" if engine == "spark" else "arg_min"
+    amax = "max_by" if engine == "spark" else "arg_max"
+    stride = 15 * 60 * 1000
+    if engine == "spark":
+        bucket = (
+            f"timestamp_millis(CAST(floor(unix_millis(ts) / {stride}) AS BIGINT)"
+            f" * {stride})"
+        )
+    else:
+        bucket = time_bucket_sql("ts", "PT15M")
+    return f"""
+    SELECT {bucket} AS bucket,
+           event_type,
+           count(*) AS n,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           {amin}(value, {okey}) AS v_first,
+           {amax}(value, {okey}) AS v_last
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@register("m4_downsample", oracle=_m4_sql("duckdb"))
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014, public):
+    per (bucket, series) emit min/max/first/last — the four points that
+    make a pixel-perfect line rendering of arbitrary-size data.  A pure
+    partial→final hash aggregate (min/max/arg_min/arg_max all combine
+    map-side), so the downsample runs at scan speed at any corpus size;
+    no value quantization needed because no values are summed."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_m4_sql("spark"))
+
+
+# --- time-weighted average (beyond-reference; the TimescaleDB-style agg) --
+def _twa_sql(engine: str) -> str:
+    okey = _M4_OKEY[engine]
+    dt = "CAST(lead_ms - ts_ms AS DOUBLE)"
+    return f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(lead_ms - ts_ms) AS BIGINT) AS span_ms,
+           (CAST(floor((sum(vq * {dt}) / sum({dt})) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS twa
+    FROM (
+        SELECT user_id,
+               {"unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"} AS ts_ms,
+               lead({"unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"})
+                   OVER (PARTITION BY user_id ORDER BY {okey}) AS lead_ms,
+               (CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024) AS vq
+        FROM events
+        WHERE user_id % 20 = 0
+    ) s
+    WHERE lead_ms IS NOT NULL
+    GROUP BY user_id
+    """
+
+
+@register("time_weighted_avg", oracle=_twa_sql("duckdb"))
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted mean per series (the TimescaleDB `time_weight`
+    aggregate, LOCF weighting): each sample is weighted by the time until
+    the next sample.  One user-keyed window shuffle reused by the final
+    agg.  Addends are dyadic rationals (value at 2^-10 grid x integer ms),
+    so the group sums are exact in any reduction order — the summation-
+    order-proofing the plain avg() lacks."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_twa_sql("spark"))
