@@ -222,3 +222,93 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate row.  Exact cent-quantized sums; one expand + hash agg."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_GSETS_SQL)
+
+
+# --- TPC-H-shaped analytics (q3 / q6 analogues over the testdata) ---------
+# Revenue addends are dyadic-quantized (2^-16) before summing, so the
+# group sums are exact in any reduction order — the product itself is one
+# IEEE multiply, identical on both engines.
+_Q3_SQL = """
+    SELECT l_orderkey,
+           o_orderdate,
+           o_orderpriority,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 65536 + 0.5)
+                 AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(100 AS DOUBLE)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join, filtered on both fact and
+    dimension sides, revenue agg, top-10.  Plan shape at scale: the
+    customer side broadcasts (segment filter leaves ~1/5 of a dimension),
+    orders⋈lineitem shuffles once on the order key, the top-10 is a
+    TakeOrderedAndProject (no global sort).  Exact dyadic revenue sums."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3_SQL)
+
+
+_Q6_SQL = """
+    SELECT count(*) AS n_items,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * l_discount) * 65536 + 0.5)
+                 AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(100 AS DOUBLE)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 25
+    """
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    query — every predicate reaches PushedFilters (range on the ship-date,
+    range on discount, bound on quantity), the agg is a 1-row global sum.
+    The canonical predicate-pushdown benchmark."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+# --- single-pass column profiling -----------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_sql() -> str:
+    aggs = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        f"CAST(min({c}) AS DOUBLE) AS mn_{c}, CAST(max({c}) AS DOUBLE) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct, mn_{c} AS min_v, mx_{c} AS max_v FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH a AS (SELECT count(*) AS n_rows, {aggs} FROM lineitem)
+    {rows}
+    """
+
+
+@register("column_profile", oracle=_profile_sql())
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (the zone-map / stats-collection scan
+    a table-format maintenance job runs): one aggregate row computes
+    count/nulls/NDV/min/max for every profiled column, then unpivots to
+    one row per column.  ONE scan regardless of column count.  Exact NDV
+    here (gate-checkable); at 100 TB swap count(DISTINCT) for
+    approx_count_distinct per column — the plan shape is unchanged."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_profile_sql())

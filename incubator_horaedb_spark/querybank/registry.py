@@ -227,6 +227,7 @@ DRIVER_ORDER = [
     "text_rare_token_ratio", "embedding_semdedup", "embedding_int8_quantize",
     "corpus_curation_e2e", "grouping_sets_explicit", "m4_downsample",
     "time_weighted_avg", "dedup_minhash_accuracy",
+    "q3_shipping_priority", "q6_forecast_revenue", "column_profile",
 ]
 
 
