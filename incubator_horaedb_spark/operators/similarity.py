@@ -845,3 +845,162 @@ def int8_quantize_sql(d: Dialect, table: str = "embeddings") -> str:
            {_r6('sum(err) / count(*)')} AS mean_abs_err
     FROM rows_q GROUP BY label""",
     )
+
+
+# --- product quantization (PQ) — the billion-scale ANN compression --------
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 (public).  The vector is split into PQ_M subspaces;
+# each subspace gets its own tiny k-means codebook (PQ_KSUB centroids);
+# a vector is stored as PQ_M small codes (here 8 codes for a 64-dim
+# vector — 64:1 vs float64).  Search uses Asymmetric Distance
+# Computation: the query stays exact, distances are sums of per-subspace
+# query→centroid distances looked up from the codebook.
+#
+# Determinism: all decision points use SQUARED L2 ON THE 2^-20-QUANTIZED
+# GRID — (x−c) is dyadic with 20 fraction bits, its square has 40, and an
+# 8-term sum stays below 2^13·2^-40 of magnitude, i.e. every assignment
+# distance is EXACT in a double (43 bits < 53).  No rounding is needed at
+# any decision point, unlike the cosine ranking of the full-vector
+# k-means (which needs the floor(·1e6) tie-guard).
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_KSUB = 16  # centroids per subspace
+PQ_ROUNDS = 2
+
+
+def pq_sub_select(d: Dialect, qv_src: str) -> str:
+    """(vec_id, subsp 1..PQ_M, sq = the subspace slice of the quantized
+    vector) — one explode, PQ_M rows per vector."""
+    sq = d.slice_("v.q", f"(s.subsp - 1) * {PQ_SUBDIM} + 1", str(PQ_SUBDIM))
+    return (
+        f"SELECT v.vec_id, s.subsp, {sq} AS sq "
+        f"FROM {qv_src} v CROSS JOIN {d.explode_range1(str(PQ_M), 'subsp')} s"
+    )
+
+
+def _l2sq(d: Dialect, a: str, b: str) -> str:
+    """Exact squared L2 between two PQ_SUBDIM-dim dyadic vectors:
+    sequential fold of (a_i − b_i)² — every partial sum is exactly
+    representable, so the value is bit-identical regardless of engine."""
+    diffs = d.transform(
+        d.range1(str(PQ_SUBDIM)),
+        "i",
+        f"(CAST({d.at(a, 'i')} AS DOUBLE) - CAST({d.at(b, 'i')} AS DOUBLE)) "
+        f"* (CAST({d.at(a, 'i')} AS DOUBLE) - CAST({d.at(b, 'i')} AS DOUBLE))",
+    )
+    return d.fold_dbl(diffs, "x", "acc", "acc + x")
+
+
+def pq_init_select(d: Dialect, sub_src: str) -> str:
+    """Seed each subspace's codebook with the first PQ_KSUB vectors'
+    slices (deterministic; k-means++ per subspace at real scale)."""
+    return (
+        f"SELECT subsp, vec_id AS cid, sq AS ce FROM {sub_src} "
+        f"WHERE vec_id < {PQ_KSUB}"
+    )
+
+
+def pq_assign_select(d: Dialect, sub_src: str, cb_src: str) -> str:
+    """Per (vector, subspace): the nearest codebook entry by EXACT squared
+    L2 (ties broken by cid; exactness makes the tie-break stable)."""
+    dist = _l2sq(d, "v.sq", "c.ce")
+    return f"""SELECT vec_id, subsp, sq, cid FROM (
+        SELECT v.vec_id, v.subsp, v.sq, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.subsp
+                                  ORDER BY {dist} ASC, c.cid) AS rn
+        FROM {sub_src} v JOIN {cb_src} c ON c.subsp = v.subsp
+      ) t WHERE rn = 1"""
+
+
+def pq_update_select(d: Dialect, assign_src: str) -> str:
+    """New codebook: per (subsp, cid, dim) mean, re-quantized to the
+    2^-20 grid, reassembled in dim order."""
+    val = d.at("a.sq", "dims.dim")
+    mean_q = f"floor((sum({val}) / count(*)) * {Q} + 0.5) / {Q}"
+    arr = d.ordered_list("cv", "dim")
+    return f"""SELECT subsp, cid, {arr} AS ce FROM (
+        SELECT a.subsp, a.cid, dims.dim, {mean_q} AS cv
+        FROM {assign_src} a CROSS JOIN {d.explode_range1(str(PQ_SUBDIM), 'dim')} dims
+        GROUP BY a.subsp, a.cid, dims.dim
+      ) per_dim GROUP BY subsp, cid"""
+
+
+def pq_train_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", f"SELECT vec_id, q FROM qraw"),
+        ("sub", pq_sub_select(d, "qv")),
+        ("cb1", pq_init_select(d, "sub")),
+    ]
+    for r in range(1, PQ_ROUNDS + 1):
+        ctes.append((f"pa{r}", pq_assign_select(d, "sub", f"cb{r}")))
+        if r < PQ_ROUNDS:
+            ctes.append((f"cb{r + 1}", pq_update_select(d, f"pa{r}")))
+    return ctes
+
+
+def pq_train_sql(d: Dialect, table: str = "embeddings") -> str:
+    """One-shot rendering (oracle side): per-(subspace, code) membership
+    summary — pins every one of the N·PQ_M assignments without emitting
+    N·PQ_M rows."""
+    ctes = pq_train_ctes(d, table)
+    return d.cte_query(
+        ctes,
+        f"""SELECT subsp, cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+    FROM pa{PQ_ROUNDS}
+    GROUP BY subsp, cid""",
+    )
+
+
+def pq_adc_ctes(
+    d: Dialect, codes_src: str, cb_src: str, sub_src: str, k: int, n_queries: int
+) -> list[tuple[str, str]]:
+    """Asymmetric Distance Computation: per (query, subspace) the exact
+    distance to every codebook entry (n_queries × PQ_M × PQ_KSUB lookup
+    table — tiny, broadcastable), joined to the corpus CODES (not the
+    vectors) and summed per (query, candidate).  The corpus vectors are
+    never read at search time — that is the point of PQ."""
+    qdist = _l2sq(d, "qs.sq", "c.ce")
+    return [
+        (
+            "lut",
+            f"""SELECT qs.vec_id AS qid, qs.subsp, c.cid, {qdist} AS sdist
+      FROM {sub_src} qs JOIN {cb_src} c ON c.subsp = qs.subsp
+      WHERE qs.vec_id < {n_queries}""",
+        ),
+        (
+            "adc",
+            f"""SELECT l.qid, co.vec_id, sum(l.sdist) AS adist
+      FROM {codes_src} co
+      JOIN lut l ON l.subsp = co.subsp AND l.cid = co.cid
+      WHERE co.vec_id <> l.qid
+      GROUP BY l.qid, co.vec_id""",
+        ),
+        (
+            "ranked",
+            """SELECT qid, vec_id, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rn
+      FROM adc""",
+        ),
+    ]
+
+
+def pq_adc_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10
+) -> str:
+    """One-shot rendering (oracle side) of codes + ADC top-k."""
+    ctes = pq_train_ctes(d, table) + [
+        ("codes", f"SELECT vec_id, subsp, cid FROM pa{PQ_ROUNDS}"),
+    ]
+    ctes += pq_adc_ctes(d, "codes", f"cb{PQ_ROUNDS}", "sub", k, n_queries)
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        ctes,
+        f"""SELECT qid, vec_id, {r6('adist')} AS adc_dist
+    FROM ranked WHERE rn <= {k}""",
+    )

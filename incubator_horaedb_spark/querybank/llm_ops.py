@@ -569,3 +569,59 @@ _staged_minhash_accuracy.__doc__ = dedup.minhash_accuracy_sql.__doc__
 register("dedup_minhash_accuracy", oracle=dedup.minhash_accuracy_sql(DUCK))(
     _staged_minhash_accuracy
 )
+
+
+def _pq_stage_common(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, str, str]:
+    """Stage the PQ training chain: subvector view, final codebook, final
+    assignment.  ``sub`` is referenced once per Lloyd round plus the ADC
+    LUT; each codebook round is referenced by its assignment; the final
+    assignment is referenced by both the codes and the summary — all
+    multi-referenced subtrees are cached views (CTE-inlining cliff)."""
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView("embeddings")
+    _stage(spark.sql(similarity.km_quant_select(SPARK, "embeddings")), f"{prefix}_qv")
+    _stage(spark.sql(similarity.pq_sub_select(SPARK, f"{prefix}_qv")), f"{prefix}_sub")
+    cb = f"{prefix}_cb1"
+    _stage(spark.sql(similarity.pq_init_select(SPARK, f"{prefix}_sub")), cb)
+    pa = None
+    for r in range(1, similarity.PQ_ROUNDS + 1):
+        pa = f"{prefix}_pa{r}"
+        _stage(spark.sql(similarity.pq_assign_select(SPARK, f"{prefix}_sub", cb)), pa)
+        if r < similarity.PQ_ROUNDS:
+            cb = f"{prefix}_cb{r + 1}"
+            _stage(spark.sql(similarity.pq_update_select(SPARK, pa)), cb)
+    return f"{prefix}_sub", cb, pa
+
+
+def _staged_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, pa = _pq_stage_common(spark, sf_dir, "__pqt")
+    return spark.sql(
+        f"""SELECT subsp, cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+    FROM {pa} GROUP BY subsp, cid"""
+    )
+
+
+_staged_pq_train.__doc__ = similarity.pq_train_sql.__doc__
+register("pq_train", oracle=similarity.pq_train_sql(DUCK))(_staged_pq_train)
+
+
+def _staged_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub, cb, pa = _pq_stage_common(spark, sf_dir, "__pqa")
+    _stage(spark.sql(f"SELECT vec_id, subsp, cid FROM {pa}"), "__pqa_codes")
+    r6 = (
+        "(CAST(floor((adist) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return spark.sql(
+        SPARK.cte_query(
+            similarity.pq_adc_ctes(SPARK, "__pqa_codes", cb, sub, 5, 10),
+            f"SELECT qid, vec_id, {r6} AS adc_dist FROM ranked WHERE rn <= 5",
+        )
+    )
+
+
+_staged_pq_adc.__doc__ = similarity.pq_adc_sql.__doc__
+register("ann_pq_adc", oracle=similarity.pq_adc_sql(DUCK, k=5, n_queries=10))(
+    _staged_pq_adc
+)

@@ -170,3 +170,35 @@ def test_int8_quantize_bounds(spark, sf_dir, qs):
     bound = 64 * mx / 254.0 + 2**-20  # per-dim half-steps + dyadic slack
     for r in rows:
         assert 0 <= r["mean_abs_err"] <= bound, (r["label"], r["mean_abs_err"], bound)
+
+
+def test_pq_codes_shape(spark, sf_dir, qs):
+    """PQ training yields <= PQ_KSUB codes per subspace covering every
+    vector exactly once per subspace (the 64:1 compression invariant)."""
+    from incubator_horaedb_spark.operators.similarity import PQ_KSUB, PQ_M
+
+    rows = qs["pq_train"](spark, sf_dir).collect()
+    subsp = {}
+    for r in rows:
+        assert 0 <= r["cid"] < PQ_KSUB
+        subsp[r["subsp"]] = subsp.get(r["subsp"], 0) + r["n_members"]
+    n = registry.load(spark, sf_dir, "embeddings").count()
+    assert set(subsp) == set(range(1, PQ_M + 1))
+    assert all(v == n for v in subsp.values())
+
+
+def test_pq_adc_approximates_exact(spark, sf_dir, qs):
+    """ADC top-5 must overlap the exact quantized top-5 (recall sanity —
+    PQ is lossy, but on this corpus the top neighbor set is stable)."""
+    adc = qs["ann_pq_adc"](spark, sf_dir).collect()
+    exact = qs["ann_cosine_bruteforce"](spark, sf_dir).collect()
+    by_q_adc: dict = {}
+    for r in adc:
+        by_q_adc.setdefault(r["qid"], set()).add(r["vec_id"])
+    by_q_exact: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(by_q_adc[q] & by_q_exact[q]) / len(by_q_exact[q]) for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
