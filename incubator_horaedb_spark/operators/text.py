@@ -523,3 +523,81 @@ def rare_from_tokh(
         ],
         f"SELECT doc_id, n_tokens, n_rare, {r6} AS rare_ratio FROM typed",
     )
+
+
+# ------------------------------------------ hashing-trick featurization --
+
+FEATURE_DIM = 8
+# Deterministic classifier weights/bias (stand-ins for a trained model's
+# parameters — the PIPELINE is the deliverable: at deployment the literals
+# are the trained coefficients, the plan is unchanged).
+CLS_W = [0.12, -0.07, 0.31, -0.22, 0.05, 0.17, -0.14, 0.09]
+CLS_B = -0.05
+
+
+def hash_features_sql(d: Dialect, table: str = "documents", lead_ctes: list | None = None, tokh_src: str | None = None) -> str:
+    """Feature hashing (the 'hashing trick', Weinberger et al. ICML 2009,
+    public): bucket every token's hash into FEATURE_DIM counts — the
+    fixed-width featurizer behind fastText-style corpus quality
+    classifiers (CCNet/LLaMA-style data filtering).  Pure map-side
+    projection over the token-hash array: zero shuffles, scan-speed
+    featurization at any corpus size."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    if tokh_src is None:
+        lead_ctes = [("tokh", tokh_select(d, table))]
+        tokh_src = "tokh"
+    cols = ",\n           ".join(
+        f"CAST({d.size(d.filter('th', 't', f't % {FEATURE_DIM} = {j}'))} AS BIGINT) AS f{j}"
+        for j in range(FEATURE_DIM)
+    )
+    return d.cte_query(
+        list(lead_ctes or []),
+        f"""SELECT doc_id,
+           CAST({d.size('th')} AS BIGINT) AS n_tokens,
+           {cols}
+    FROM {tokh_src}
+    WHERE {d.size('th')} > 0""",
+    )
+
+
+def classifier_score_sql(d: Dialect, table: str = "documents", lead_ctes: list | None = None, tokh_src: str | None = None) -> str:
+    """Distributed classifier inference over hashed features: a linear
+    model on length-normalized bucket frequencies, squashed by the
+    RATIONAL sigmoid x/(1+|x|) (algebraic — bit-deterministic across
+    engines, unlike exp()).  Per-source keep/drop audit.  The whole
+    score is a per-row expression: classifier inference at scan speed,
+    the shape of every learned quality filter in an LLM data pipeline."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    if tokh_src is None:
+        lead_ctes = [("tokh", f"SELECT doc_id, source, {d.hash_list(d.tokens('text'))} AS th FROM {table}")]
+        tokh_src = "tokh"
+    z_terms = " + ".join(
+        f"({w} * (CAST({d.size(d.filter('th', 't', f't % {FEATURE_DIM} = {j}'))} AS DOUBLE)"
+        f" / {d.size('th')}))"
+        for j, w in enumerate(CLS_W)
+    )
+    z = f"({z_terms} + {CLS_B})"
+    score = f"({z} / (1.0 + abs({z})))"
+    q20 = 1 << 20
+    score_q = f"(CAST(floor(({score}) * {q20} + 0.5) AS DOUBLE) / {q20})"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        list(lead_ctes or [])
+        + [
+            (
+                "scored",
+                f"SELECT doc_id, source, {score_q} AS s FROM {tokh_src} "
+                f"WHERE {d.size('th')} > 0",
+            )
+        ],
+        f"""SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           {r6('sum(s) / count(*)')} AS mean_score
+    FROM scored GROUP BY source""",
+    )

@@ -625,3 +625,31 @@ _staged_pq_adc.__doc__ = similarity.pq_adc_sql.__doc__
 register("ann_pq_adc", oracle=similarity.pq_adc_sql(DUCK, k=5, n_queries=10))(
     _staged_pq_adc
 )
+
+
+def _staged_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), "__hf_tokh")
+    return spark.sql(text.hash_features_sql(SPARK, tokh_src="__hf_tokh"))
+
+
+_staged_hash_features.__doc__ = text.hash_features_sql.__doc__
+register("text_hash_features", oracle=text.hash_features_sql(DUCK))(_staged_hash_features)
+
+
+def _staged_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(
+        spark.sql(
+            f"SELECT doc_id, source, {SPARK.hash_list(SPARK.tokens('text'))} AS th "
+            f"FROM documents"
+        ),
+        "__cls_tokh",
+    )
+    return spark.sql(text.classifier_score_sql(SPARK, tokh_src="__cls_tokh"))
+
+
+_staged_classifier_score.__doc__ = text.classifier_score_sql.__doc__
+register("quality_classifier_score", oracle=text.classifier_score_sql(DUCK))(
+    _staged_classifier_score
+)

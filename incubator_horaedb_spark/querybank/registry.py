@@ -228,7 +228,7 @@ DRIVER_ORDER = [
     "corpus_curation_e2e", "grouping_sets_explicit", "m4_downsample",
     "time_weighted_avg", "dedup_minhash_accuracy",
     "q3_shipping_priority", "q6_forecast_revenue", "column_profile",
-    "pq_train", "ann_pq_adc",
+    "pq_train", "ann_pq_adc", "text_hash_features", "quality_classifier_score",
 ]
 
 
