@@ -1004,3 +1004,83 @@ def pq_adc_sql(
         f"""SELECT qid, vec_id, {r6('adist')} AS adc_dist
     FROM ranked WHERE rn <= {k}""",
     )
+
+
+# --- IVF-PQ composition (the FAISS IVFPQ index shape) ---------------------
+def ivfpq_adc_ctes(
+    d: Dialect,
+    codes_src: str,
+    cb_src: str,
+    sub_src: str,
+    qv_src: str,
+    cent_src: str,
+    assign_src: str,
+    n_probe: int,
+    n_queries: int,
+) -> list[tuple[str, str]]:
+    """Coarse IVF probe restricts the candidate set to the query's
+    ``n_probe`` buckets; fine ranking is PQ Asymmetric Distance over the
+    CODES of those candidates only.  This is the standard billion-scale
+    layout (FAISS IVFPQ): the scan cost is (probed fraction of corpus) ×
+    (PQ_M code lookups), and neither the corpus vectors nor the full
+    distance matrix is ever materialized.  All distances are exact dyadic
+    squared-L2 (see the PQ block above), so ranking is deterministic."""
+    qdist = _l2sq(d, "qs.sq", "c.ce")
+    return [
+        ("probe", km_probe_select(d, qv_src, cent_src, n_probe, n_queries)),
+        (
+            "lut",
+            f"""SELECT qs.vec_id AS qid, qs.subsp, c.cid, {qdist} AS sdist
+      FROM {sub_src} qs JOIN {cb_src} c ON c.subsp = qs.subsp
+      WHERE qs.vec_id < {n_queries}""",
+        ),
+        (
+            "adc",
+            f"""SELECT p.qid, co.vec_id, sum(l.sdist) AS adist
+      FROM probe p
+      JOIN {assign_src} a ON a.cid = p.pcid AND a.vec_id <> p.qid
+      JOIN {codes_src} co ON co.vec_id = a.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.subsp = co.subsp AND l.cid = co.cid
+      GROUP BY p.qid, co.vec_id""",
+        ),
+        (
+            "ranked",
+            """SELECT qid, vec_id, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rn
+      FROM adc""",
+        ),
+    ]
+
+
+def ann_ivfpq_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """One-shot rendering (oracle side): coarse k-means training + PQ
+    codebook training + probed ADC search, sharing the quantized ``qv``."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", km_qv_select(d, "qraw")),
+        ("cent1", km_init_select(d, "qv")),
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        ctes.append((f"a{r}", km_assign_select(d, "qv", f"cent{r}")))
+        if r < KM_ROUNDS:
+            ctes.append((f"cent{r + 1}", km_update_select(d, f"a{r}")))
+    ctes += [("sub", pq_sub_select(d, "qv")), ("cb1", pq_init_select(d, "sub"))]
+    for r in range(1, PQ_ROUNDS + 1):
+        ctes.append((f"pa{r}", pq_assign_select(d, "sub", f"cb{r}")))
+        if r < PQ_ROUNDS:
+            ctes.append((f"cb{r + 1}", pq_update_select(d, f"pa{r}")))
+    ctes.append(("codes", f"SELECT vec_id, subsp, cid FROM pa{PQ_ROUNDS}"))
+    ctes += ivfpq_adc_ctes(
+        d, "codes", f"cb{PQ_ROUNDS}", "sub", "qv", f"cent{KM_ROUNDS}",
+        f"a{KM_ROUNDS}", n_probe, n_queries,
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        ctes,
+        f"SELECT qid, vec_id, {r6('adist')} AS adc_dist FROM ranked WHERE rn <= {k}",
+    )

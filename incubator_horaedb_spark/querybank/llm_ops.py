@@ -653,3 +653,41 @@ _staged_classifier_score.__doc__ = text.classifier_score_sql.__doc__
 register("quality_classifier_score", oracle=text.classifier_score_sql(DUCK))(
     _staged_classifier_score
 )
+
+
+def _staged_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coarse quantizer: the staged k-means chain (__km_qv/__km_cent/__km_a)
+    _staged_ivf_kmeans(spark, sf_dir)
+    r = similarity.KM_ROUNDS
+    # fine quantizer: PQ chain over the SAME quantized vectors
+    _stage(spark.sql(similarity.pq_sub_select(SPARK, "__km_qv")), "__ivfpq_sub")
+    cb = "__ivfpq_cb1"
+    _stage(spark.sql(similarity.pq_init_select(SPARK, "__ivfpq_sub")), cb)
+    pa = None
+    for pr in range(1, similarity.PQ_ROUNDS + 1):
+        pa = f"__ivfpq_pa{pr}"
+        _stage(spark.sql(similarity.pq_assign_select(SPARK, "__ivfpq_sub", cb)), pa)
+        if pr < similarity.PQ_ROUNDS:
+            cb = f"__ivfpq_cb{pr + 1}"
+            _stage(spark.sql(similarity.pq_update_select(SPARK, pa)), cb)
+    _stage(spark.sql(f"SELECT vec_id, subsp, cid FROM {pa}"), "__ivfpq_codes")
+    r6 = (
+        "(CAST(floor((adist) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return spark.sql(
+        SPARK.cte_query(
+            similarity.ivfpq_adc_ctes(
+                SPARK, "__ivfpq_codes", cb, "__ivfpq_sub", "__km_qv",
+                f"__km_cent{r}", f"__km_a{r}", n_probe=2, n_queries=10,
+            ),
+            f"SELECT qid, vec_id, {r6} AS adc_dist FROM ranked WHERE rn <= 5",
+        )
+    )
+
+
+_staged_ann_ivfpq.__doc__ = similarity.ann_ivfpq_sql.__doc__
+register(
+    "ann_ivfpq",
+    oracle=similarity.ann_ivfpq_sql(DUCK, k=5, n_probe=2, n_queries=10),
+)(_staged_ann_ivfpq)

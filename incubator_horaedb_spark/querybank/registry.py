@@ -229,6 +229,7 @@ DRIVER_ORDER = [
     "time_weighted_avg", "dedup_minhash_accuracy",
     "q3_shipping_priority", "q6_forecast_revenue", "column_profile",
     "pq_train", "ann_pq_adc", "text_hash_features", "quality_classifier_score",
+    "ann_ivfpq",
 ]
 
 
