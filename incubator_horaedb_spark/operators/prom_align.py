@@ -70,6 +70,14 @@ OVER_TIME_FUNCS = (
     # exact 2^-20 grid (|value| < 2^10 → 40-bit terms, window sums < 53)
     "stdvar_over_time",
     "stddev_over_time",
+    # Prometheus quantile_over_time: linear interpolation between the two
+    # order statistics around rank q*(n-1).  NOT the engine-native
+    # percentile/quantile_cont — their interpolation expression trees are
+    # not guaranteed ulp-identical across engines, so both sides compute
+    # the same explicit lo + frac*(hi - lo) over the same sorted
+    # quantized window (window cardinality is bounded by
+    # lookback/scrape-interval, so the per-group array is small).
+    "quantile_over_time",
 )
 _Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
 _Q2 = 1 << 10  # coarser grid for squared addends (exactness bound above)
@@ -87,6 +95,7 @@ def prom_align(
     step_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
     offset_ms: int = 0,
+    quantile: float = 0.75,
 ) -> DataFrame:
     """Evaluate ``func`` per series on the aligned grid.
 
@@ -194,6 +203,12 @@ def prom_align(
                 prev_in_window & (F.col("__val") < F.col("__prev_val")), F.lit(1)
             ).otherwise(F.lit(0))
         ).alias("n_resets"),
+        # quantile_over_time input: the sorted quantized window values.
+        # collect_list is bounded by the per-window sample count
+        # (lookback / scrape interval), not the series length.
+        "vals_sorted": lambda: F.sort_array(
+            F.collect_list(F.floor(F.col("__val") * _Q + F.lit(0.5)).cast("double") / _Q)
+        ).alias("vals_sorted"),
     }
     needed_by_func = {
         "rate": ["first_ts", "last_ts", "first_val", "last_val", "reset_corr"],
@@ -212,6 +227,7 @@ def prom_align(
         "resets": ["n_resets"],
         "stdvar_over_time": ["val_sum_q2", "val_sumsq_q"],
         "stddev_over_time": ["val_sum_q2", "val_sumsq_q"],
+        "quantile_over_time": ["vals_sorted"],
     }
     agg = exploded.groupBy(*series_cols, "__t").agg(
         F.count(F.lit(1)).alias("n"),
@@ -241,6 +257,9 @@ def prom_align(
             "resets": F.col("n_resets").cast("double"),
             "stdvar_over_time": _var,
             "stddev_over_time": F.sqrt(_var) if _var is not None else None,
+            "quantile_over_time": F.expr(_quantile_expr_sql("spark", quantile))
+            if func == "quantile_over_time"
+            else None,
         }[func]
         result = agg.withColumn("value", out_val)
     elif func == "instant":
@@ -296,6 +315,19 @@ _VAR_SQL = (
 )
 
 
+def _quantile_expr_sql(engine: str, q: float) -> str:
+    """Rank-interpolation quantile over the sorted window array, the SAME
+    arithmetic tree on both engines (lo + frac*(hi - lo) at rank q*(n-1));
+    only the list-indexing builtin differs."""
+    at = "element_at" if engine == "spark" else "list_extract"
+    h = f"(CAST(n - 1 AS DOUBLE) * {q!r})"
+    k1 = f"(CAST(floor({h}) AS INT) + 1)"
+    k2 = f"least(CAST(floor({h}) AS INT) + 2, CAST(n AS INT))"
+    lo = f"{at}(vals_sorted, {k1})"
+    hi = f"{at}(vals_sorted, {k2})"
+    return f"({lo} + ({h} - floor({h})) * ({hi} - {lo}))"
+
+
 def prom_align_oracle_sql(
     func: str,
     *,
@@ -310,6 +342,7 @@ def prom_align_oracle_sql(
     offset_ms: int = 0,
     round_digits: int | None = 6,
     series_filter_sql: str = "TRUE",
+    quantile: float = 0.75,
 ) -> str:
     """DuckDB SQL computing the identical PromAlign result — generated from
     the same parameters so the Spark pipeline and the oracle cannot drift.
@@ -359,7 +392,8 @@ def prom_align_oracle_sql(
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
                        AND val <> prev_val THEN 1 ELSE 0 END) AS n_changes,
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
-                       AND val < prev_val THEN 1 ELSE 0 END) AS n_resets
+                       AND val < prev_val THEN 1 ELSE 0 END) AS n_resets,
+             list_sort(list(CAST(floor((val * {_Q}) + 0.5) AS DOUBLE) / {_Q})) AS vals_sorted
       FROM exploded
       GROUP BY {series}, t
     )"""
@@ -376,6 +410,7 @@ def prom_align_oracle_sql(
             "resets": "CAST(n_resets AS DOUBLE)",
             "stdvar_over_time": _VAR_SQL,
             "stddev_over_time": f"sqrt({_VAR_SQL})",
+            "quantile_over_time": _quantile_expr_sql("duckdb", quantile),
         }[func]
         where_sql = "TRUE"
     elif func == "instant":

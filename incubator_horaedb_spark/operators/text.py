@@ -601,3 +601,63 @@ def classifier_score_sql(d: Dialect, table: str = "documents", lead_ctes: list |
            {r6('sum(s) / count(*)')} AS mean_score
     FROM scored GROUP BY source""",
     )
+
+
+def gopher_rules_sql(d: Dialect, table: str = "documents") -> str:
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1
+    "quality filter heuristics" — public paper, arXiv:2112.11446):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, and a minimum-stopword requirement.  Every
+    measure is a per-row expression over the token array — ONE scan, no
+    shuffle, whole-stage codegen (at 100 TB this runs at scan speed, the
+    same shape as the reference's scan-side predicates).
+
+    Outputs the measured ratios (6-digit floor-quantized) plus the rule
+    verdicts, so downstream curation can re-threshold without recomputing.
+    """
+    toks = d.tokens("lower(text)")
+    if d.engine == "spark":
+        alpha = d.filter("toks", "t", "t RLIKE '^[a-z]+$'")
+    else:
+        alpha = d.filter("toks", "t", "regexp_matches(t, '^[a-z]+$')")
+    sum_len = d.fold(d.transform("toks", "t", "length(t)"), "x", "acc", "acc + x")
+    stop_hits = _stop_hits(d, "toks", "en")
+    hashes = "length(text) - length(replace(text, '#', ''))"
+    ellipses = d.size(d.regexp_extract_all("text", r"\.\.\."))
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        [
+            ("t", f"SELECT doc_id, source, {toks} AS toks, text FROM {table}"),
+            (
+                "m",
+                f"""SELECT doc_id, source,
+             CAST({d.size('toks')} AS BIGINT) AS n_words,
+             CAST({sum_len} AS BIGINT) AS sum_word_len,
+             CAST({d.size(alpha)} AS BIGINT) AS n_alpha_words,
+             CAST({stop_hits} AS BIGINT) AS stop_hits,
+             CAST({hashes} + {ellipses} AS BIGINT) AS n_symbols
+      FROM t WHERE {d.size('toks')} > 0""",
+            ),
+        ],
+        f"""SELECT doc_id, source, n_words,
+           {r6('CAST(sum_word_len AS DOUBLE) / n_words')} AS mean_word_len,
+           {r6('CAST(n_alpha_words AS DOUBLE) / n_words')} AS frac_alpha,
+           {r6('CAST(n_symbols AS DOUBLE) / n_words')} AS symbol_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (CAST(sum_word_len AS DOUBLE) / n_words >= 3.0
+            AND CAST(sum_word_len AS DOUBLE) / n_words <= 10.0) AS ok_mean_len,
+           (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS ok_alpha,
+           (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS ok_symbols,
+           (stop_hits >= 2) AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND CAST(sum_word_len AS DOUBLE) / n_words >= 3.0
+            AND CAST(sum_word_len AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+            AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+            AND stop_hits >= 2) AS keep
+    FROM m""",
+    )

@@ -301,6 +301,7 @@ _sql_query("zorder_cluster", pipeline.zorder_sql, _tables=("part",))
 _sql_query("corpus_split_assign", pipeline.split_assign_sql)
 _sql_query("text_ttr", text.ttr_sql)
 _sql_query("dedup_paragraphs", dedup.paragraph_dedup_sql)
+_sql_query("quality_gopher_rules", text.gopher_rules_sql)
 
 
 def _salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,3 +312,107 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct per column — the plan shape is unchanged."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_profile_sql())
+
+
+# --- TPC-H Q5 analogue: the 6-table join ----------------------------------
+_Q5_SQL = """
+    SELECT n_name,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 65536 + 0.5)
+                 AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(100 AS DOUBLE)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_SQL)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the widest join in the suite —
+    region⋈nation⋈supplier⋈(customer⋈orders⋈lineitem) with the non-key
+    c_nationkey = s_nationkey residual.  Plan shape at scale: region,
+    nation, supplier and the filtered customer side all broadcast (AQE
+    picks BroadcastHashJoin for every dimension), so the ONLY shuffle is
+    orders⋈lineitem on the order key; the date range prunes order row
+    groups via PushedFilters.  Exact dyadic revenue sums make the group
+    totals reduction-order-independent (reference reaches this query
+    through DataFusion's SqlToRel, planner.rs:622-650)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q5_SQL)
+
+
+# --- FILTER (WHERE ...) aggregate modifiers -------------------------------
+_AGG_FILTER_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+           count(*) FILTER (WHERE l_quantity < 10) AS n_small,
+           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+               FILTER (WHERE l_tax > 0.04) AS cents_hi_tax,
+           max(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """
+
+
+@register("agg_filter_clause", oracle=_AGG_FILTER_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE ...) aggregate modifiers — several conditionally
+    filtered aggregates in ONE scan + ONE hash agg (the alternative, a
+    self-join per condition, is N scans).  DataFusion plans FILTER
+    natively, so the reference accepts this through its SQL frontend;
+    Spark compiles each to an if()-guarded partial agg, staying inside
+    whole-stage codegen.  Integer cent sums; no FP reduction order
+    dependence anywhere."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_AGG_FILTER_SQL)
+
+
+# --- semi-structured JSON column extraction -------------------------------
+# The events.props column carries JSON payloads; extracting typed values
+# out of semi-structured columns is core OLAP surface (DataFusion ships
+# json functions; Spark's get_json_object evaluates a compiled JsonPath
+# per row inside codegen — no Python).  The oracle uses DuckDB's native
+# ->> extraction; both engines parse the same strict JSON, so the typed
+# values agree exactly.
+_JSON_SPARK_SQL = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(get_json_object(props, '$.k')) AS n_with_k,
+           sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """
+
+_JSON_DUCK_SQL = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(props->>'$.k') AS n_with_k,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """
+
+
+@register("events_json_extract", oracle=_JSON_DUCK_SQL)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a semi-structured JSON string column, then a
+    grouped aggregate over the extracted value.  Single scan, map-side
+    JsonPath evaluation, one hash agg; at 100 TB the extraction cost is
+    the scan itself (no shuffle added), and frequently-queried paths
+    should be materialized to a typed column by the compaction rewrite
+    (table.py::optimize_zorder) rather than re-parsed per query."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_JSON_SPARK_SQL)

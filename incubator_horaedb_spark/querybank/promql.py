@@ -100,6 +100,7 @@ for _func in (
     "resets",
     "stdvar_over_time",
     "stddev_over_time",
+    "quantile_over_time",
 ):
     register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
 

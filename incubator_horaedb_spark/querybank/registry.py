@@ -230,6 +230,10 @@ DRIVER_ORDER = [
     "q3_shipping_priority", "q6_forecast_revenue", "column_profile",
     "pq_train", "ann_pq_adc", "text_hash_features", "quality_classifier_score",
     "ann_ivfpq",
+    # round-3 second wave (wide join, FILTER modifiers, JSON extraction,
+    # Gopher rules, quantile_over_time)
+    "q5_local_supplier_volume", "agg_filter_clause", "events_json_extract",
+    "quality_gopher_rules", "promql_quantile_over_time",
 ]
 
 
