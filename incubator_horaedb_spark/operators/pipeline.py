@@ -383,3 +383,102 @@ def curation_e2e_sql(d: Dialect, table: str = "documents") -> str:
 
     lead = [("t", qf_tokens_select(d, table))] + dedup._shingle_ctes(d, table)
     return curation_from(d, table, "t", "hs", lead_ctes=lead)
+
+
+# ------------------------------------------ Bloom-filter decontamination --
+# Same contamination semantics as decontaminate_ctes, but the benchmark
+# vocabulary is compacted into a Bloom bitset instead of joined as rows —
+# the 100 TB shape: the filter is ~8 KB regardless of benchmark size, so
+# the probe side needs NO shuffle at all (4 broadcast joins against a
+# 1024-row word table), where the exact equi-join shuffles the corpus
+# shingle stream.  False positives are deterministic (same hash family on
+# both engines), so the result is still exactly oracle-checkable.
+_BLOOM_WORDS = 1024  # bitset words
+_BLOOM_WORD_BITS = 62  # bits used per word (stay clear of the sign bit)
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_WORD_BITS
+# Independent affine permutations of the 31-bit shingle hash (public
+# Knuth/xxhash multiplier constants); h*A + B < 2^63.
+_BLOOM_A = (2654435761, 2246822519, 3266489917, 668265263)
+_BLOOM_B = (11, 17, 23, 31)
+
+
+def _bloom_pos(j: int, h: str = "h") -> str:
+    return f"((({h}) * {_BLOOM_A[j]} + {_BLOOM_B[j]}) % {dedup.P} % {_BLOOM_M})"
+
+
+def bloom_decontaminate_ctes(d: Dialect, hs_src: str) -> list[tuple[str, str]]:
+    """CTE chain ending in ``sized`` (doc_id, n_maybe, overlap)."""
+    k = len(_BLOOM_A)
+    build_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT {_bloom_pos(j)} // {_BLOOM_WORD_BITS} AS word, "
+        f"{d.shl('1', f'{_bloom_pos(j)} % {_BLOOM_WORD_BITS}')} AS m FROM bench_h"
+        if d.engine == "duckdb"
+        else f"SELECT CAST({_bloom_pos(j)} / {_BLOOM_WORD_BITS} AS BIGINT) AS word, "
+        f"{d.shl('1', f'{_bloom_pos(j)} % {_BLOOM_WORD_BITS}')} AS m FROM bench_h"
+        for j in range(k)
+    )
+    probe_cols = ",\n             ".join(
+        (
+            f"CAST({_bloom_pos(j)} / {_BLOOM_WORD_BITS} AS BIGINT) AS w{j}"
+            if d.engine == "spark"
+            else f"{_bloom_pos(j)} // {_BLOOM_WORD_BITS} AS w{j}"
+        )
+        + f",\n             {_bloom_pos(j)} % {_BLOOM_WORD_BITS} AS b{j}"
+        for j in range(k)
+    )
+    bloom_joins = "\n      ".join(
+        f"JOIN bloom bl{j} ON bl{j}.word = p.w{j} "
+        f"AND (bl{j}.mask & {d.shl('1', f'p.b{j}')}) <> 0"
+        for j in range(k)
+    )
+    return [
+        (
+            "bench_h",
+            f"""SELECT DISTINCT h FROM (
+        {d.unnest_select("doc_id", "shs", "h", hs_src)}
+      ) b WHERE doc_id % {BENCH_MOD} = 0""",
+        ),
+        (
+            "bloom",
+            f"""SELECT word, bit_or(m) AS mask FROM (
+      {build_selects}
+      ) pos GROUP BY word""",
+        ),
+        (
+            "probe",
+            f"""SELECT doc_id, h,
+             {probe_cols}
+      FROM ({d.unnest_select("doc_id", "shs", "h", hs_src)}) c
+      WHERE doc_id % {BENCH_MOD} <> 0""",
+        ),
+        (
+            "hits",
+            f"""SELECT p.doc_id, count(*) AS n_maybe
+      FROM probe p
+      {bloom_joins}
+      GROUP BY p.doc_id""",
+        ),
+        (
+            "sized",
+            f"""SELECT t.doc_id, hits.n_maybe,
+             (CAST(floor((CAST(hits.n_maybe AS DOUBLE) / {d.size('t.shs')}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS overlap
+      FROM hits JOIN {hs_src} t ON t.doc_id = hits.doc_id""",
+        ),
+    ]
+
+
+def bloom_decontaminate_sql(d: Dialect, table: str = "documents") -> str:
+    """One-shot rendering (oracle side)."""
+    ctes = dedup._shingle_ctes(d, table) + bloom_decontaminate_ctes(d, "hs")
+    return d.cte_query(
+        ctes,
+        f"SELECT doc_id, n_maybe, overlap FROM sized WHERE overlap >= {DECONTAM_THRESHOLD}",
+    )
+
+
+def bloom_decontaminate_from_hs_select(d: Dialect, hs_src: str) -> str:
+    """From a materialized shingle view (staged Spark path)."""
+    return d.cte_query(
+        bloom_decontaminate_ctes(d, hs_src),
+        f"SELECT doc_id, n_maybe, overlap FROM sized WHERE overlap >= {DECONTAM_THRESHOLD}",
+    )

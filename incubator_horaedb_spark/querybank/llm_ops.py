@@ -261,6 +261,16 @@ register("decontaminate_ngram", oracle=pipeline.decontaminate_sql(DUCK))(
     _staged_decontaminate
 )
 
+def _staged_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _staged_shingles(spark, sf_dir, "__bloom_hs")
+    return spark.sql(pipeline.bloom_decontaminate_from_hs_select(SPARK, "__bloom_hs"))
+
+
+_staged_bloom_decontaminate.__doc__ = pipeline.bloom_decontaminate_sql.__doc__
+register("decontaminate_bloom", oracle=pipeline.bloom_decontaminate_sql(DUCK))(
+    _staged_bloom_decontaminate
+)
+
 _sql_query("sample_stratified", pipeline.stratified_sample_sql, _tables=("events",))
 _sql_query("corpus_mix_report", pipeline.mix_report_sql)
 

@@ -234,6 +234,7 @@ DRIVER_ORDER = [
     # Gopher rules, quantile_over_time)
     "q5_local_supplier_volume", "agg_filter_clause", "events_json_extract",
     "quality_gopher_rules", "promql_quantile_over_time",
+    "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
 ]
 
 

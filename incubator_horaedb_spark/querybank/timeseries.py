@@ -480,3 +480,154 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-proofing the plain avg() lacks."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_twa_sql("spark"))
+
+
+# --- time_bucket_gapfill + linear interpolation ---------------------------
+def _gapfill_interp_sql(engine: str) -> str:
+    """Gap-filled downsample with LINEAR interpolation (TimescaleDB's
+    `interpolate()` companion to locf): missing buckets take
+    prev + (next - prev) * frac, where frac is the bucket's fractional
+    position between its nearest non-empty neighbors (forward neighbor =
+    last_value IGNORE NULLS over the same frame in DESC order — nearest
+    at-or-after the bucket).  Leading/trailing gaps (no neighbor on one
+    side) stay NULL.
+
+    Same scale shape as the LOCF variant (generated grid + one agg + one
+    window per series); the interpolation needs BOTH directions, so two
+    window passes (backward fill is the same window with DESC order).
+    The interpolation expression is the identical IEEE tree on both
+    engines over already-quantized bucket averages, then floor-rounded —
+    bit-deterministic."""
+    start_ms, end_ms, bucket_ms = 1704067200000, 1704153600000, 600_000
+    n = (end_ms - start_ms) // bucket_ms
+    q = dyadic_sql("value")
+    avg6 = r_out_sql(f"avg({q})", 6)
+    if engine == "spark":
+        ks = f"(SELECT explode(sequence(0, {n - 1})) AS k)"
+        to_ts = "timestamp_millis({ms})"
+        ems = "unix_millis(ts)"
+        lastv = lambda col: f"last_value({col}) IGNORE NULLS"
+    else:
+        ks = f"(SELECT unnest(range(0, {n})) AS k)"
+        to_ts = "make_timestamp(({ms}) * 1000)"
+        ems = "epoch_ms(ts)"
+        lastv = lambda col: f"last_value({col} IGNORE NULLS)"
+    grid_ts = to_ts.format(ms=f"{start_ms} + k * {bucket_ms}")
+    actual_k = f"CAST(floor(ems / {bucket_ms}) AS BIGINT) - {start_ms // bucket_ms}"
+    wb = "OVER (PARTITION BY event_type ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    wf = "OVER (PARTITION BY event_type ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    interp = (
+        "prev_v + (next_v - prev_v) * (CAST(k - prev_k AS DOUBLE) / CAST(next_k - prev_k AS DOUBLE))"
+    )
+    val6 = r_out_sql(interp, 6)
+    return f"""
+    WITH grid AS (
+      SELECT t.event_type, kk.k, {grid_ts} AS bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN {ks} kk
+    ), actual AS (
+      SELECT event_type, {actual_k} AS k, {avg6} AS avg_v
+      FROM (SELECT event_type, value, {ems} AS ems FROM events
+            WHERE {ems} >= {start_ms} AND {ems} < {end_ms}) e
+      GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.event_type, g.k, g.bucket_ts, a.avg_v
+      FROM grid g LEFT JOIN actual a ON a.event_type = g.event_type AND a.k = g.k
+    ), fb AS (
+      SELECT event_type, k, bucket_ts, avg_v,
+             {lastv('avg_v')} {wb} AS prev_v,
+             {lastv('CASE WHEN avg_v IS NOT NULL THEN k END')} {wb} AS prev_k,
+             {lastv('avg_v')} {wf} AS next_v,
+             {lastv('CASE WHEN avg_v IS NOT NULL THEN k END')} {wf} AS next_k
+      FROM joined
+    )
+    SELECT event_type, bucket_ts,
+           CASE WHEN avg_v IS NOT NULL THEN avg_v
+                WHEN prev_k IS NOT NULL AND next_k IS NOT NULL AND next_k <> prev_k
+                THEN {val6}
+                ELSE NULL END AS value,
+           (avg_v IS NULL) AS gap_filled
+    FROM fb
+    """
+
+
+@register("time_bucket_gapfill_interp", oracle=_gapfill_interp_sql("duckdb"))
+def time_bucket_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gapfill_interp_sql("spark"))
+
+
+# --- LTTB downsampling (beyond-reference; Steinarsson 2013, public) -------
+def _lttb_sql(engine: str) -> str:
+    """Largest-Triangle-Three-Buckets, parallel variant: the original
+    algorithm anchors each bucket's selection on the PREVIOUSLY SELECTED
+    point (a sequential chain); this implementation anchors on the
+    previous bucket's centroid instead — the standard parallelization
+    (each bucket then selects independently), trading a marginal visual
+    difference for a fully distributed one-pass plan.
+
+    Per (series, 15-min bucket): pick the point maximizing the triangle
+    area between the previous bucket's centroid and the next bucket's
+    centroid; first/last buckets keep their first/last sample (LTTB
+    endpoint rule).  Area ranking uses floor-quantized doubles with the
+    unique order key as tie-break — deterministic across engines.
+
+    Scale shape: one centroid agg (map-side combinable), two window lag/
+    leads over the tiny per-bucket stats, one broadcast-size join back to
+    the points, one per-bucket top-1 window.  No all-pairs anything."""
+    okey = _M4_OKEY[engine]
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    to_ts = "timestamp_millis({ms})" if engine == "spark" else "make_timestamp(({ms}) * 1000)"
+    stride = 15 * 60 * 1000
+    vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
+    # centroid: exact integer ts mean numerators, dyadic value sums
+    area = (
+        "abs((ax - cx) * (vy - ay) - (ax - bx) * (cy - ay))"
+    )
+    bucket_ts = to_ts.format(ms=f"b * {stride}")
+    return f"""
+    WITH pts AS (
+      SELECT event_type, ts, value, {okey} AS okey,
+             CAST(floor({ems} / {stride}) AS BIGINT) AS b,
+             CAST({ems} AS DOUBLE) AS bx, {vq} AS vy
+      FROM events
+    ), cent AS (
+      SELECT event_type, b,
+             CAST(sum(CAST(bx AS BIGINT)) AS DOUBLE) / count(*) AS cx0,
+             sum(vy) / count(*) AS cy0
+      FROM pts GROUP BY event_type, b
+    ), nbr AS (
+      SELECT event_type, b,
+             lag(cx0)  OVER (PARTITION BY event_type ORDER BY b) AS ax,
+             lag(cy0)  OVER (PARTITION BY event_type ORDER BY b) AS ay,
+             lead(cx0) OVER (PARTITION BY event_type ORDER BY b) AS cx,
+             lead(cy0) OVER (PARTITION BY event_type ORDER BY b) AS cy
+      FROM cent
+    ), scored AS (
+      SELECT p.event_type, p.b, p.ts, p.value, p.okey,
+             CASE WHEN n.ax IS NULL THEN NULL
+                  WHEN n.cx IS NULL THEN NULL
+                  ELSE floor({area} * 1048576.0 + 0.5) END AS area_q,
+             (n.ax IS NULL) AS is_first_bucket,
+             (n.cx IS NULL) AS is_last_bucket
+      FROM pts p JOIN nbr n ON n.event_type = p.event_type AND n.b = p.b
+    ), ranked AS (
+      SELECT event_type, b, ts, value,
+             row_number() OVER (
+               PARTITION BY event_type, b
+               ORDER BY CASE WHEN is_first_bucket THEN -okey
+                             WHEN is_last_bucket THEN okey
+                             ELSE area_q END DESC,
+                        okey
+             ) AS rn
+      FROM scored
+    )
+    SELECT event_type, {to_ts.format(ms=f"b * {stride}")} AS bucket_ts, ts, value
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("lttb_downsample", oracle=_lttb_sql("duckdb"))
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_lttb_sql("spark"))
