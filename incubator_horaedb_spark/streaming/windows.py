@@ -167,3 +167,44 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "10 minutes",
+    lower_ms: int = 0,
+    upper_ms: int = 5 * 60 * 1000,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: match right-stream rows to
+    left-stream rows with the same key whose timestamp falls in
+    ``[left_ts + lower_ms, left_ts + upper_ms]``.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions, so Spark can evict join state: a buffered left row
+    is dropped once the right watermark passes ``left_ts + upper_ms`` (and
+    vice versa) — state is bounded by (rate × interval), not stream
+    length.  This is the streaming face of the batch interval join
+    (operators/temporal.py::interval_join); an unbounded-condition
+    stream-stream join would accumulate state forever and is refused by
+    Spark in append mode for exactly that reason.
+
+    At scale each micro-batch shuffles both sides by the join key once —
+    the same single exchange as the batch equi-join.
+
+    Convention: the right stream's columns are ``r_``-prefixed
+    (``r_<key>``, ``r_ts``) so the joined output needs no aliasing —
+    stream-stream joins cannot be renamed after the fact without
+    re-deriving the watermark."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[f"r_{key}"])
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower_ms} MILLISECONDS"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper_ms} MILLISECONDS"))
+    )
+    return l.join(r, cond, "inner")

@@ -112,3 +112,36 @@ def test_sessionize_stream(spark, tmp_path):
     # user 1's second session (the base+600s event) is still open — only
     # closed sessions are emitted
     assert all(r["n_events"] >= 1 for r in out.collect())
+
+
+def test_stream_stream_join(spark, tmp_path):
+    lpath = str(tmp_path / "ss_left")
+    rpath = str(tmp_path / "ss_right")
+    base = 1_700_000_000_000
+    _write_events(spark, lpath, [
+        (1, base, 1.0),
+        (2, base + 10_000, 2.0),
+        (3, base + 20_000, 3.0),
+    ])
+    # right stream: r_user_id/r_ts naming avoids join-column ambiguity
+    spark.createDataFrame(
+        [
+            (1, base + 30_000, 10.0),   # 30s after left(1) → inside [0, 60s]
+            (2, base + 100_000, 20.0),  # 90s after left(2) → outside
+            (9, base + 5_000, 30.0),    # no matching key
+        ],
+        "r_user_id long, ms long, r_value double",
+    ).withColumn("r_ts", F.timestamp_millis("ms")).drop("ms").write.mode(
+        "overwrite"
+    ).parquet(rpath)
+
+    from incubator_horaedb_spark.streaming.windows import stream_stream_join
+
+    left = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(lpath)
+    right = spark.readStream.schema("r_user_id long, r_value double, r_ts timestamp").parquet(rpath)
+    joined = stream_stream_join(
+        left, right, "user_id", watermark="1 minute", lower_ms=0, upper_ms=60_000
+    )
+    out = _run_stream(spark, joined, "ss_join")
+    got = [(r["user_id"], r["value"], r["r_value"]) for r in out.collect()]
+    assert got == [(1, 1.0, 10.0)]
