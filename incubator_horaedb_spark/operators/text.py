@@ -661,3 +661,47 @@ def gopher_rules_sql(d: Dialect, table: str = "documents") -> str:
             AND stop_hits >= 2) AS keep
     FROM m""",
     )
+
+
+def surprisal_sql(d: Dialect, table: str = "documents") -> str:
+    """Unigram language-model surprisal scoring — the cheap perplexity
+    proxy LLM pipelines use as a fluency/quality signal (public: Wenzek
+    et al. 2019 "CCNet" uses LM perplexity for corpus filtering; the
+    unigram variant needs no trained model, just corpus statistics).
+
+    p(token) = corpus_count(token_hash) / total_tokens; per doc emit the
+    mean surprisal  -ln p  over its tokens.  Cross-engine determinism:
+    each addend is dyadically quantized (2^-20) before the per-doc sum,
+    so reduction order cannot move the result; ln() outputs are rounded
+    through the same floor form both sides (transcendental tolerance,
+    same profile as bm25_sql's ln terms).
+
+    Scale shape: ONE corpus scan builds the token-frequency table (hash
+    keyed, map-side combinable), which at 100 TB is vocabulary-sized —
+    broadcast to the probe join; the per-doc agg shuffles on doc_id only.
+    """
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    q20 = 1 << 20
+    surp = f"(CAST(floor((-ln(CAST(f.cnt AS DOUBLE) / s.total)) * {q20} + 0.5) AS DOUBLE) / {q20})"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        [
+            ("tokh", tokh_select(d, table)),
+            ("tok", d.unnest_select("doc_id", "th", "h", "tokh")),
+            ("freq", "SELECT h, count(*) AS cnt FROM tok GROUP BY h"),
+            ("stats", "SELECT sum(cnt) AS total FROM freq"),
+            (
+                "scored",
+                f"""SELECT t.doc_id, {surp} AS sq
+      FROM tok t JOIN freq f ON f.h = t.h CROSS JOIN stats s""",
+            ),
+        ],
+        f"""SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {r6('sum(sq) / count(*)')} AS mean_surprisal
+    FROM scored GROUP BY doc_id""",
+    )

@@ -416,3 +416,30 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table.py::optimize_zorder) rather than re-parsed per query."""
     _views(spark, sf_dir, "events")
     return spark.sql(_JSON_SPARK_SQL)
+
+
+# --- NTILE window buckets -------------------------------------------------
+_NTILE_SQL = """
+    SELECT o_orderstatus, quartile,
+           count(*) AS n,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM (
+      SELECT o_orderstatus, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    ) t
+    GROUP BY o_orderstatus, quartile
+    """
+
+
+@register("window_ntile_quartiles", oracle=_NTILE_SQL)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) bucket assignment + per-bucket stats — the remaining SQL
+    window-function family (rank/row_number/lag/lead/RANGE frames are
+    covered by the other window queries).  The unique o_orderkey
+    tie-break pins bucket boundaries so both engines split ties
+    identically.  One window shuffle + one hash agg."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_NTILE_SQL)

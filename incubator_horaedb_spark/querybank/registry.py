@@ -235,6 +235,8 @@ DRIVER_ORDER = [
     "q5_local_supplier_volume", "agg_filter_clause", "events_json_extract",
     "quality_gopher_rules", "promql_quantile_over_time",
     "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
+    "funnel_conversion", "retention_cohorts", "window_ntile_quartiles",
+    "text_unigram_surprisal",
 ]
 
 

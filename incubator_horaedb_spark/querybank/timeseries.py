@@ -631,3 +631,76 @@ def _lttb_sql(engine: str) -> str:
 def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_lttb_sql("spark"))
+
+
+# --- funnel analysis (beyond-reference; product-analytics surface) --------
+def _funnel_sql(engine: str) -> str:
+    """Ordered funnel conversion over the events stream: users who did
+    view → click → purchase IN ORDER (each later step strictly after the
+    user's earliest qualifying earlier step).  The standard product-
+    analytics query (ClickHouse windowFunnel / Amplitude funnels — public
+    surface), expressed as three cascaded min-aggregations.
+
+    Scale shape: each stage is one equi-join on user_id + a min agg — all
+    shuffles share the user_id key, so a pre-bucketed events table makes
+    every stage co-located (operators/bucketing.py); no window over the
+    full event stream is needed.  All-integer outputs."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_type, {ems} AS ems FROM events
+    ), s1 AS (
+      SELECT user_id, min(ems) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ems) AS t2
+      FROM e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ems > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ems) AS t3
+      FROM e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ems > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase
+    """
+
+
+@register("funnel_conversion", oracle=_funnel_sql("duckdb"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_funnel_sql("spark"))
+
+
+# --- cohort retention (beyond-reference; product-analytics surface) -------
+def _retention_sql(engine: str) -> str:
+    """Daily cohort retention: cohort = a user's first active day; for day
+    offsets 0..7, how many of each cohort's users were active.  One
+    distinct-(user, day) projection, one min-agg for cohorts, one
+    co-keyed join back — the canonical retention matrix.
+
+    Scale shape: both aggs and the join key on user_id (one shuffle family);
+    day arithmetic is integer division of epoch ms — no timezone or
+    calendar functions, so the engines cannot disagree."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    return f"""
+    WITH a AS (
+      SELECT user_id, CAST(floor({ems} / 86400000) AS BIGINT) AS day
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+    )
+    SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM a JOIN c ON a.user_id = c.user_id
+    WHERE a.day - c.cohort_day <= 7
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+    """
+
+
+@register("retention_cohorts", oracle=_retention_sql("duckdb"))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_retention_sql("spark"))
