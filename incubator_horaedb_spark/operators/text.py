@@ -705,3 +705,71 @@ def surprisal_sql(d: Dialect, table: str = "documents") -> str:
            {r6('sum(sq) / count(*)')} AS mean_surprisal
     FROM scored GROUP BY doc_id""",
     )
+
+
+# Count-min sketch parameters: depth 4 x width 512 cells.  The hash family
+# reuses the affine-permutation constants pattern (public Knuth/xxhash
+# multipliers); all arithmetic stays in int64 (h < 2^31, A < 2^32).
+_CMS_W = 512
+_CMS_A = (2654435761, 2246822519, 3266489917, 668265263)
+_CMS_B = (101, 211, 307, 401)
+
+
+def _cms_pos(j: int, h: str = "h") -> str:
+    from incubator_horaedb_spark.operators.dialect import P
+
+    return f"((({h}) * {_CMS_A[j]} + {_CMS_B[j]}) % {P} % {_CMS_W})"
+
+
+def cms_heavy_hitters_sql(d: Dialect, table: str = "documents", k: int = 20) -> str:
+    """Count-min-sketch heavy hitters over the corpus token stream
+    (Cormode & Muthukrishnan 2005, public): the token frequency sketch is
+    4 x 512 counters (8 KB regardless of vocabulary size), estimates are
+    min over the 4 hashed cells, and the one-sided error guarantee
+    (estimate >= true count) is tested as an invariant.
+
+    At 100 TB the sketch build is ONE map-side-combinable aggregate into
+    2048 cells — no vocabulary-sized shuffle — and the candidate ranking
+    joins the tiny cell table 4 times by broadcast.  Deterministic hashes
+    on both engines make even the sketch's collisions identical, so the
+    result is exactly oracle-checkable (same property as the Bloom
+    decontaminator).  Output: top-k token hashes by estimated count with
+    the exact count alongside (estimate >= exact, both returned)."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    cell_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS row_idx, {_cms_pos(j)} AS pos, cnt FROM freq" for j in range(4)
+    )
+    est = "least(" + ", ".join(f"c{j}.cell_cnt" for j in range(4)) + ")"
+    cell_joins = "\n      ".join(
+        f"JOIN cells c{j} ON c{j}.row_idx = {j} AND c{j}.pos = {_cms_pos(j, 'f.h')}"
+        for j in range(4)
+    )
+    return d.cte_query(
+        [
+            ("tokh", tokh_select(d, table)),
+            ("tok", d.unnest_select("doc_id", "th", "h", "tokh")),
+            ("freq", "SELECT h, count(*) AS cnt FROM tok GROUP BY h"),
+            (
+                "cells",
+                f"""SELECT row_idx, pos, sum(cnt) AS cell_cnt FROM (
+      {cell_union}
+      ) u GROUP BY row_idx, pos""",
+            ),
+            (
+                "est",
+                f"""SELECT f.h, f.cnt AS exact_cnt, {est} AS est_cnt
+      FROM freq f
+      {cell_joins}""",
+            ),
+            (
+                "ranked",
+                """SELECT h, exact_cnt, est_cnt,
+             row_number() OVER (ORDER BY est_cnt DESC, h) AS rn FROM est""",
+            ),
+        ],
+        f"""SELECT CAST(h AS BIGINT) AS token_hash,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt
+    FROM ranked WHERE rn <= {k}""",
+    )

@@ -313,6 +313,7 @@ _sql_query("text_ttr", text.ttr_sql)
 _sql_query("dedup_paragraphs", dedup.paragraph_dedup_sql)
 _sql_query("quality_gopher_rules", text.gopher_rules_sql)
 _sql_query("text_unigram_surprisal", text.surprisal_sql)
+_sql_query("cms_heavy_hitters", text.cms_heavy_hitters_sql)
 
 
 def _salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -236,7 +236,7 @@ DRIVER_ORDER = [
     "quality_gopher_rules", "promql_quantile_over_time",
     "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
     "funnel_conversion", "retention_cohorts", "window_ntile_quartiles",
-    "text_unigram_surprisal",
+    "text_unigram_surprisal", "cms_heavy_hitters",
 ]
 
 

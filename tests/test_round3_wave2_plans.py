@@ -176,3 +176,11 @@ def test_surprisal_positive_and_total(spark, sf_dir, qs):
     for r in rows:
         assert r["mean_surprisal"] > 0
         assert r["n_tokens"] > 0
+
+
+def test_cms_one_sided_error(spark, sf_dir, qs):
+    """Count-min estimates can only OVER-count (hash collisions add)."""
+    rows = qs["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"] > 0
