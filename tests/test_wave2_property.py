@@ -1,0 +1,161 @@
+"""Property tests for the second-wave operators: the dual-dialect SQL
+templates (rendered to DuckDB for speed — the Spark rendering is
+hash-gated against the same template by the correctness harness) vs
+independent pure-Python models on random inputs.  Agreement on random
+data is evidence the templates implement the intended semantics, not
+just the gated corpus shapes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from incubator_horaedb_spark.operators.dialect import DUCK, P
+from incubator_horaedb_spark.operators.text import (
+    _CMS_A,
+    _CMS_B,
+    _CMS_W,
+    cms_heavy_hitters_sql,
+)
+from incubator_horaedb_spark.querybank.timeseries import _funnel_sql, _retention_sql
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------- funnel --
+
+_user = st.integers(min_value=0, max_value=5)
+_type = st.sampled_from(["view", "click", "purchase", "error"])
+_ms = st.integers(min_value=0, max_value=10_000)
+_events = st.lists(st.tuples(_user, _type, _ms), min_size=1, max_size=40)
+
+
+def _funnel_model(events):
+    """Ordered-funnel reference: per user, earliest view, then earliest
+    later click, then earliest later purchase."""
+    by_user: dict = {}
+    for u, t, ms in events:
+        by_user.setdefault(u, []).append((t, ms))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((ms for t, ms in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((ms for t, ms in evs if t == "click" and ms > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        t3 = min((ms for t, ms in evs if t == "purchase" and ms > t2), default=None)
+        if t3 is not None:
+            n3 += 1
+    return n1, n2, n3
+
+
+@settings(**_SETTINGS)
+@given(events=_events)
+def test_funnel_matches_model(duck, events):
+    duck.execute("DROP TABLE IF EXISTS events")
+    duck.execute("CREATE TABLE events (user_id bigint, event_type varchar, ts timestamp)")
+    duck.executemany(
+        "INSERT INTO events VALUES (?, ?, make_timestamp(CAST(? AS BIGINT) * 1000))",
+        [(u, t, ms) for u, t, ms in events],
+    )
+    got = duck.execute(_funnel_sql("duckdb")).fetchone()
+    assert tuple(got) == _funnel_model(events)
+
+
+# ------------------------------------------------------------- retention --
+
+
+def _retention_model(events):
+    active = {(u, ms // 86_400_000) for u, _t, ms in events}
+    cohort = {}
+    for u, d in active:
+        cohort[u] = min(cohort.get(u, d), d)
+    out: dict = {}
+    for u, d in active:
+        off = d - cohort[u]
+        if off <= 7:
+            key = (cohort[u], off)
+            out[key] = out.get(key, 0) + 1
+    return out
+
+
+_ms_wide = st.integers(min_value=0, max_value=86_400_000 * 12)
+_events_wide = st.lists(st.tuples(_user, _type, _ms_wide), min_size=1, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(events=_events_wide)
+def test_retention_matches_model(duck, events):
+    duck.execute("DROP TABLE IF EXISTS events")
+    duck.execute("CREATE TABLE events (user_id bigint, event_type varchar, ts timestamp)")
+    duck.executemany(
+        "INSERT INTO events VALUES (?, ?, make_timestamp(CAST(? AS BIGINT) * 1000))",
+        [(u, t, ms) for u, t, ms in events],
+    )
+    got = {
+        (c, o): n for c, o, n in duck.execute(_retention_sql("duckdb")).fetchall()
+    }
+    assert got == _retention_model(events)
+
+
+# ------------------------------------------------------------------- CMS --
+
+
+def _char_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 131 + ord(ch)) % P
+    return acc
+
+
+def _cms_model(docs, k=20):
+    """Pure-Python count-min sketch with the template's hash family."""
+    freq: dict = {}
+    for text in docs:
+        for tok in text.split(" "):
+            h = _char_hash(tok)
+            freq[h] = freq.get(h, 0) + 1
+    cells: dict = {}
+    for h, cnt in freq.items():
+        for j in range(4):
+            pos = (h * _CMS_A[j] + _CMS_B[j]) % P % _CMS_W
+            cells[(j, pos)] = cells.get((j, pos), 0) + cnt
+    est = {
+        h: min(cells[(j, (h * _CMS_A[j] + _CMS_B[j]) % P % _CMS_W)] for j in range(4))
+        for h in freq
+    }
+    ranked = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(h, freq[h], e) for h, e in ranked]
+
+
+_token = st.text(alphabet="abcd", min_size=1, max_size=3)
+_doc = st.lists(_token, min_size=1, max_size=10).map(" ".join)
+_docs = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs)
+def test_cms_matches_model(duck, docs):
+    duck.execute("DROP TABLE IF EXISTS documents")
+    duck.execute("CREATE TABLE documents (doc_id bigint, text varchar)")
+    duck.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(docs))
+    )
+    got = duck.execute(cms_heavy_hitters_sql(DUCK)).fetchall()
+    assert [tuple(r) for r in got] == _cms_model(docs)
