@@ -443,3 +443,65 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically.  One window shuffle + one hash agg."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_NTILE_SQL)
+
+
+# --- TPC-H Q10 analogue: returned-item revenue ranking --------------------
+_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           (CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 65536 + 0.5)
+                 AS DOUBLE) / 65536)) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(100 AS DOUBLE)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+@register("q10_returned_items", oracle=_Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): who cost us the most in
+    returns.  Plan shape at scale: nation broadcasts, customer⋈orders and
+    orders⋈lineitem shuffle on their keys, the return-flag and date
+    predicates reach PushedFilters, and the top-20 is a
+    TakeOrderedAndProject — no global sort of the aggregated customers.
+    Exact dyadic revenue sums (reference reaches arbitrary SELECT through
+    DataFusion SqlToRel, planner.rs:622-650)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)
+
+
+# --- TPC-H Q18 analogue: large-volume customers ---------------------------
+_Q18_SQL = """
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """
+
+
+@register("q18_large_orders", oracle=_Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, via an IN subquery over a grouped HAVING — the
+    aggregated-semi-join pattern.  Plan shape at scale: the subquery is
+    one partial→final agg on l_orderkey; its (small) qualifying key set
+    semi-joins the fact tables; all three order-keyed operations share
+    the same shuffle key.  Integer quantity sums end-to-end."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_SQL)

@@ -237,6 +237,7 @@ DRIVER_ORDER = [
     "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
     "funnel_conversion", "retention_cohorts", "window_ntile_quartiles",
     "text_unigram_surprisal", "cms_heavy_hitters",
+    "q10_returned_items", "q18_large_orders",
 ]
 
 
