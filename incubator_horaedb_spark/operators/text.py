@@ -663,7 +663,7 @@ def gopher_rules_sql(d: Dialect, table: str = "documents") -> str:
     )
 
 
-def surprisal_sql(d: Dialect, table: str = "documents") -> str:
+def surprisal_sql(d: Dialect, table: str = "documents", tokh_src: str | None = None) -> str:
     """Unigram language-model surprisal scoring — the cheap perplexity
     proxy LLM pipelines use as a fluency/quality signal (public: Wenzek
     et al. 2019 "CCNet" uses LM perplexity for corpus filtering; the
@@ -679,6 +679,9 @@ def surprisal_sql(d: Dialect, table: str = "documents") -> str:
     Scale shape: ONE corpus scan builds the token-frequency table (hash
     keyed, map-side combinable), which at 100 TB is vocabulary-sized —
     broadcast to the probe join; the per-doc agg shuffles on doc_id only.
+    Spark callers stage the tokh view (``tokh_src``) — the token view is
+    referenced twice (probe + freq), and CTE inlining would re-run the
+    per-char fold for each reference.
     """
     from incubator_horaedb_spark.operators.dedup import tokh_select
 
@@ -688,10 +691,15 @@ def surprisal_sql(d: Dialect, table: str = "documents") -> str:
         lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
     )
+    if tokh_src is None:
+        lead = [("tokh", tokh_select(d, table))]
+        tokh_src = "tokh"
+    else:
+        lead = []
     return d.cte_query(
-        [
-            ("tokh", tokh_select(d, table)),
-            ("tok", d.unnest_select("doc_id", "th", "h", "tokh")),
+        lead
+        + [
+            ("tok", d.unnest_select("doc_id", "th", "h", tokh_src)),
             ("freq", "SELECT h, count(*) AS cnt FROM tok GROUP BY h"),
             ("stats", "SELECT sum(cnt) AS total FROM freq"),
             (
@@ -721,7 +729,9 @@ def _cms_pos(j: int, h: str = "h") -> str:
     return f"((({h}) * {_CMS_A[j]} + {_CMS_B[j]}) % {P} % {_CMS_W})"
 
 
-def cms_heavy_hitters_sql(d: Dialect, table: str = "documents", k: int = 20) -> str:
+def cms_heavy_hitters_sql(
+    d: Dialect, table: str = "documents", k: int = 20, tokh_src: str | None = None
+) -> str:
     """Count-min-sketch heavy hitters over the corpus token stream
     (Cormode & Muthukrishnan 2005, public): the token frequency sketch is
     4 x 512 counters (8 KB regardless of vocabulary size), estimates are
@@ -745,10 +755,15 @@ def cms_heavy_hitters_sql(d: Dialect, table: str = "documents", k: int = 20) -> 
         f"JOIN cells c{j} ON c{j}.row_idx = {j} AND c{j}.pos = {_cms_pos(j, 'f.h')}"
         for j in range(4)
     )
+    if tokh_src is None:
+        lead = [("tokh", tokh_select(d, table))]
+        tokh_src = "tokh"
+    else:
+        lead = []
     return d.cte_query(
-        [
-            ("tokh", tokh_select(d, table)),
-            ("tok", d.unnest_select("doc_id", "th", "h", "tokh")),
+        lead
+        + [
+            ("tok", d.unnest_select("doc_id", "th", "h", tokh_src)),
             ("freq", "SELECT h, count(*) AS cnt FROM tok GROUP BY h"),
             (
                 "cells",
