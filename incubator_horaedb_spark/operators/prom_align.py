@@ -78,7 +78,19 @@ OVER_TIME_FUNCS = (
     # quantized window (window cardinality is bounded by
     # lookback/scrape-interval, so the per-group array is small).
     "quantile_over_time",
+    # Prometheus deriv()/predict_linear(): simple least-squares over the
+    # window samples.  Timestamps enter as integer offsets RELATIVE TO THE
+    # STEP (t_rel = sample_ts - step_ts, |t_rel| <= lookback), so the
+    # moment sums are exact: t_rel and t_rel^2 are integers, v is
+    # 2^-10-quantized, t_rel*v sits on the 2^-10 grid with |term| < 2^43 —
+    # every aggregate is reduction-order-independent, and the closed-form
+    # slope/intercept divisions are the identical IEEE tree on both
+    # engines.
+    "deriv",
+    "predict_linear",
 )
+# predict_linear horizon (seconds ahead of the step timestamp)
+PREDICT_LINEAR_OFFSET_S = 600
 _Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
 _Q2 = 1 << 10  # coarser grid for squared addends (exactness bound above)
 
@@ -209,6 +221,17 @@ def prom_align(
         "vals_sorted": lambda: F.sort_array(
             F.collect_list(F.floor(F.col("__val") * _Q + F.lit(0.5)).cast("double") / _Q)
         ).alias("vals_sorted"),
+        # least-squares moments for deriv/predict_linear: integer t_rel
+        # offsets and 2^-10-quantized values (exactness argument at
+        # OVER_TIME_FUNCS)
+        "lr_t": lambda: F.sum(F.col("__ts") - F.col("__t")).alias("lr_t"),
+        "lr_tv": lambda: F.sum(
+            (F.col("__ts") - F.col("__t")).cast("double")
+            * (F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2)
+        ).alias("lr_tv"),
+        "lr_tt": lambda: F.sum(
+            (F.col("__ts") - F.col("__t")) * (F.col("__ts") - F.col("__t"))
+        ).alias("lr_tt"),
     }
     needed_by_func = {
         "rate": ["first_ts", "last_ts", "first_val", "last_val", "reset_corr"],
@@ -228,6 +251,8 @@ def prom_align(
         "stdvar_over_time": ["val_sum_q2", "val_sumsq_q"],
         "stddev_over_time": ["val_sum_q2", "val_sumsq_q"],
         "quantile_over_time": ["vals_sorted"],
+        "deriv": ["lr_t", "val_sum_q2", "lr_tv", "lr_tt"],
+        "predict_linear": ["lr_t", "val_sum_q2", "lr_tv", "lr_tt"],
     }
     agg = exploded.groupBy(*series_cols, "__t").agg(
         F.count(F.lit(1)).alias("n"),
@@ -260,8 +285,14 @@ def prom_align(
             "quantile_over_time": F.expr(_quantile_expr_sql("spark", quantile))
             if func == "quantile_over_time"
             else None,
+            "deriv": F.expr(_linreg_value_sql("deriv")),
+            "predict_linear": F.expr(_linreg_value_sql("predict_linear")),
         }[func]
         result = agg.withColumn("value", out_val)
+        if func in ("deriv", "predict_linear"):
+            # least squares needs >= 2 samples and time variance in the
+            # window (Prometheus returns no point otherwise)
+            result = result.filter(F.expr(_LINREG_GUARD_SQL))
     elif func == "instant":
         out_val = F.col("last_val")
         result = agg.withColumn("value", out_val)
@@ -313,6 +344,27 @@ def prom_align(
 _VAR_SQL = (
     "greatest(val_sumsq_q / n - (val_sum_q2 / n) * (val_sum_q2 / n), 0.0)"
 )
+
+
+_LINREG_GUARD_SQL = "n >= 2 AND n * lr_tt - lr_t * lr_t <> 0"
+
+
+def _linreg_value_sql(which: str, offset_s: int | None = None) -> str:
+    """deriv/predict_linear closed forms over the moment columns — one
+    shared SQL string per engine-agnostic expression tree (lr_* and
+    val_sum_q2 are exact sums, so the only doubles are these divisions)."""
+    slope = (
+        "((CAST(n AS DOUBLE) * lr_tv - CAST(lr_t AS DOUBLE) * val_sum_q2)"
+        " / CAST(n * lr_tt - lr_t * lr_t AS DOUBLE))"
+    )
+    if which == "deriv":
+        return f"({slope} * 1000.0)"  # per-ms slope → per-second
+    if offset_s is None:
+        offset_s = PREDICT_LINEAR_OFFSET_S
+    return (
+        f"(((val_sum_q2 - {slope} * CAST(lr_t AS DOUBLE)) / CAST(n AS DOUBLE))"
+        f" + {slope} * {offset_s * 1000}.0)"
+    )
 
 
 def _quantile_expr_sql(engine: str, q: float) -> str:
@@ -393,7 +445,11 @@ def prom_align_oracle_sql(
                        AND val <> prev_val THEN 1 ELSE 0 END) AS n_changes,
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
                        AND val < prev_val THEN 1 ELSE 0 END) AS n_resets,
-             list_sort(list(CAST(floor((val * {_Q}) + 0.5) AS DOUBLE) / {_Q})) AS vals_sorted
+             list_sort(list(CAST(floor((val * {_Q}) + 0.5) AS DOUBLE) / {_Q})) AS vals_sorted,
+             sum(sts - t) AS lr_t,
+             sum(CAST(sts - t AS DOUBLE)
+                 * (CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2})) AS lr_tv,
+             sum((sts - t) * (sts - t)) AS lr_tt
       FROM exploded
       GROUP BY {series}, t
     )"""
@@ -411,8 +467,12 @@ def prom_align_oracle_sql(
             "stdvar_over_time": _VAR_SQL,
             "stddev_over_time": f"sqrt({_VAR_SQL})",
             "quantile_over_time": _quantile_expr_sql("duckdb", quantile),
+            "deriv": _linreg_value_sql("deriv"),
+            "predict_linear": _linreg_value_sql("predict_linear"),
         }[func]
-        where_sql = "TRUE"
+        where_sql = (
+            _LINREG_GUARD_SQL if func in ("deriv", "predict_linear") else "TRUE"
+        )
     elif func == "instant":
         value_sql = "last_val"
         where_sql = "TRUE"

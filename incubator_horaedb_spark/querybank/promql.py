@@ -101,6 +101,8 @@ for _func in (
     "stdvar_over_time",
     "stddev_over_time",
     "quantile_over_time",
+    "deriv",
+    "predict_linear",
 ):
     register(f"promql_{_func}", oracle=prom_align_oracle_sql(_func, **_ORACLE_PARAMS))(_make(_func))
 

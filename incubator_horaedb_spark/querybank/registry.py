@@ -238,6 +238,7 @@ DRIVER_ORDER = [
     "funnel_conversion", "retention_cohorts", "window_ntile_quartiles",
     "text_unigram_surprisal", "cms_heavy_hitters",
     "q10_returned_items", "q18_large_orders",
+    "promql_deriv", "promql_predict_linear",
 ]
 
 
