@@ -239,6 +239,7 @@ DRIVER_ORDER = [
     "text_unigram_surprisal", "cms_heavy_hitters",
     "q10_returned_items", "q18_large_orders",
     "promql_deriv", "promql_predict_linear",
+    "promql_absent_over_time", "holt_winters_smooth",
 ]
 
 

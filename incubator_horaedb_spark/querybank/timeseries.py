@@ -704,3 +704,164 @@ def _retention_sql(engine: str) -> str:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_retention_sql("spark"))
+
+
+# --- absent_over_time (PromQL absence detection on the aligned grid) ------
+def _absent_sql(engine: str) -> str:
+    """Per-series absent_over_time: emit value 1 for every aligned step
+    whose lookback window contains NO sample of the series — the alerting
+    primitive for dead exporters (Prometheus absent_over_time, applied
+    per series like the rest of the align family).  The input is thinned
+    to a sparse user slice so absence actually occurs in the gated data.
+
+    Scale shape: the step grid is GENERATED (series x steps rows, never a
+    scan), presence is one aggregated projection of the sample stream,
+    and absence is a broadcast-size anti-join — no window functions at
+    all.  Integer outputs only."""
+    start_ms, end_ms, step_ms, lookback_ms = (
+        1704067200000,
+        1704412800000,  # 4 days of hourly steps
+        3_600_000,
+        7_200_000,
+    )
+    n = (end_ms - start_ms) // step_ms
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    if engine == "spark":
+        ks = f"(SELECT explode(sequence(0, {n})) AS k)"
+        to_ts = "timestamp_millis({ms})"
+    else:
+        ks = f"(SELECT unnest(range(0, {n + 1})) AS k)"
+        to_ts = "make_timestamp(({ms}) * 1000)"
+    return f"""
+    WITH src AS (
+      SELECT event_type, {ems} AS ems FROM events
+      WHERE user_id % 41 = 0
+        AND {ems} >= {start_ms - lookback_ms} AND {ems} <= {end_ms}
+    ), grid AS (
+      SELECT s.event_type, ({start_ms} + kk.k * {step_ms}) AS t
+      FROM (SELECT DISTINCT event_type FROM src) s
+      CROSS JOIN {ks} kk
+    ), present AS (
+      SELECT DISTINCT g.event_type, g.t
+      FROM grid g JOIN src e
+        ON e.event_type = g.event_type
+       AND e.ems <= g.t AND e.ems >= g.t - {lookback_ms}
+    )
+    SELECT g.event_type,
+           {to_ts.format(ms="g.t")} AS ts,
+           CAST(1 AS BIGINT) AS value
+    FROM grid g
+    LEFT JOIN present p ON p.event_type = g.event_type AND p.t = g.t
+    WHERE p.t IS NULL
+    """
+
+
+@register("promql_absent_over_time", oracle=_absent_sql("duckdb"))
+def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_absent_sql("spark"))
+
+
+# --- holt_winters (double exponential smoothing per bucket) ---------------
+_HW_SF, _HW_TF = 0.5, 0.25  # dyadic smoothing/trend factors (exact doubles)
+
+
+def _hw_step(s: str, b: str, v: str) -> str:
+    """ONE smoothing step (Prometheus holtWinters loop body) as a shared
+    expression pair — rendered identically into the Spark fold lambda and
+    the DuckDB recursive-CTE step, so the sequential arithmetic tree is
+    bit-identical across the two structurally different evaluators."""
+    s_new = f"({_HW_SF} * {v} + {1 - _HW_SF} * ({s} + {b}))"
+    b_new = f"({_HW_TF} * ({s_new} - {s}) + {1 - _HW_TF} * {b})"
+    return s_new, b_new
+
+
+def _hw_sql(engine: str) -> str:
+    """Per-(series, 6h bucket) Holt-Winters smoothed level (Prometheus
+    holt_winters / double exponential smoothing — a SEQUENTIAL recurrence
+    over the time-ordered window samples).
+
+    The Spark side runs the recurrence as a higher-order fold over the
+    sorted (okey, value) array — sequential-in-the-lambda, parallel
+    across buckets, no Python.  The DuckDB oracle runs the SAME step
+    expression through a recursive CTE — a structurally independent
+    evaluator, so agreement is strong evidence the recurrence (not just
+    the rendering) is right.  Window arrays are bounded by samples-per-
+    bucket; state is two doubles.  Buckets need >= 2 samples."""
+    okey = _M4_OKEY[engine]
+    stride = 6 * 60 * 60 * 1000
+    vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    to_ts = "timestamp_millis({ms})" if engine == "spark" else "make_timestamp(({ms}) * 1000)"
+    bucket_ts = to_ts.format(ms=f"b * {stride}")
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    if engine == "spark":
+        vals = (
+            "transform(sort_array(collect_list(struct(okey, vq))), x -> x.vq)"
+        )
+        s_new, b_new = _hw_step("acc.s", "acc.b", "v")
+        fold = (
+            f"aggregate(slice(vals, 3, size(vals) - 2), "
+            f"named_struct('s', CAST({_HW_SF} * element_at(vals, 2) + {1 - _HW_SF} * "
+            f"(element_at(vals, 1) + (element_at(vals, 2) - element_at(vals, 1))) AS DOUBLE), "
+            f"'b', CAST({_HW_TF} * (({_HW_SF} * element_at(vals, 2) + {1 - _HW_SF} * "
+            f"(element_at(vals, 1) + (element_at(vals, 2) - element_at(vals, 1)))) - element_at(vals, 1)) "
+            f"+ {1 - _HW_TF} * (element_at(vals, 2) - element_at(vals, 1)) AS DOUBLE)), "
+            f"(acc, v) -> named_struct('s', CAST({s_new} AS DOUBLE), 'b', CAST({b_new} AS DOUBLE)), "
+            f"acc -> acc.s)"
+        )
+        return f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor({ems} / {stride}) AS BIGINT) AS b,
+             {okey} AS okey, {vq} AS vq
+      FROM events
+    ), grouped AS (
+      SELECT event_type, b, {vals} AS vals
+      FROM pts GROUP BY event_type, b
+    )
+    SELECT event_type, {bucket_ts} AS bucket_ts,
+           CAST(size(vals) AS BIGINT) AS n,
+           {r6(fold)} AS smoothed
+    FROM grouped WHERE size(vals) >= 2
+    """
+    # DuckDB: recursive CTE evaluator over the same sorted arrays.  The
+    # first loop iteration (i = 2, 1-based) is folded into the seed so the
+    # recursion starts from the SAME state as the Spark fold's init.
+    s_new, b_new = _hw_step("r.s", "r.bb", "g.vals[r.i + 1]")
+    seed_s, seed_b = _hw_step("vals[1]", "(vals[2] - vals[1])", "vals[2]")
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             CAST(floor({ems} / {stride}) AS BIGINT) AS b,
+             {okey} AS okey, {vq} AS vq
+      FROM events
+    ), grouped AS (
+      SELECT event_type, b,
+             list_transform(list_sort(list({{'k': okey, 'v': vq}})), x -> x.v) AS vals
+      FROM pts GROUP BY event_type, b
+    ), r(event_type, b, i, s, bb) AS (
+      SELECT grouped.event_type, grouped.b, 2,
+             CAST({seed_s} AS DOUBLE), CAST({seed_b} AS DOUBLE)
+      FROM grouped WHERE len(vals) >= 2
+      UNION ALL
+      SELECT r.event_type, r.b, r.i + 1,
+             CAST({s_new} AS DOUBLE),
+             CAST({b_new} AS DOUBLE)
+      FROM r JOIN grouped g ON g.event_type = r.event_type AND g.b = r.b
+      WHERE r.i < len(g.vals)
+    )
+    SELECT g.event_type AS event_type, {bucket_ts.replace('b *', 'g.b *')} AS bucket_ts,
+           CAST(len(g.vals) AS BIGINT) AS n,
+           {r6('r.s')} AS smoothed
+    FROM grouped g JOIN r ON r.event_type = g.event_type AND r.b = g.b AND r.i = len(g.vals)
+    """
+
+
+@register("holt_winters_smooth", oracle=_hw_sql("duckdb"))
+def holt_winters_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hw_sql("spark"))
