@@ -145,3 +145,20 @@ def test_stream_stream_join(spark, tmp_path):
     out = _run_stream(spark, joined, "ss_join")
     got = [(r["user_id"], r["value"], r["r_value"]) for r in out.collect()]
     assert got == [(1, 1.0, 10.0)]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-to-static join: the dimension side is a plain DataFrame, so
+    Spark broadcasts it into every micro-batch — no state store at all
+    (the streaming face of the batch dimension-broadcast joins)."""
+    path = str(tmp_path / "enrich_src")
+    base = 1_700_000_000_000
+    _write_events(spark, path, [(1, base, 1.0), (2, base + 1_000, 2.0), (9, base + 2_000, 3.0)])
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(path)
+    joined = stream.join(dim, "user_id", "left")
+    out = _run_stream(spark, joined, "enriched")
+    got = {r["user_id"]: r["tier"] for r in out.collect()}
+    assert got == {1: "gold", 2: "silver", 9: None}

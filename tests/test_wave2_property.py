@@ -159,3 +159,62 @@ def test_cms_matches_model(duck, docs):
     )
     got = duck.execute(cms_heavy_hitters_sql(DUCK)).fetchall()
     assert [tuple(r) for r in got] == _cms_model(docs)
+
+
+# ----------------------------------------------------------- holt_winters --
+
+
+def _hw_model(samples, sf=0.5, tf=0.25):
+    """Prometheus holtWinters reference loop (float64)."""
+    v = [x for _, x in sorted(samples)]
+    s0 = v[0]
+    b = v[1] - v[0]
+    s1 = s0
+    for i in range(1, len(v)):
+        x = sf * v[i]
+        y = (1 - sf) * (s0 + b)
+        s1 = x + y
+        b = tf * (s1 - s0) + (1 - tf) * b
+        s0 = s1
+    return s1
+
+
+_samples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=-1000, max_value=1000).map(lambda q: q / 16.0),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(samples=_samples)
+def test_holt_winters_matches_model(duck, samples):
+    """The recursive-CTE evaluator vs the plain-Python Prometheus loop.
+    Values are dyadic (q/16) so the quantization step in the template is
+    the identity and the recurrence arithmetic is exactly comparable."""
+    from incubator_horaedb_spark.querybank.timeseries import _hw_sql
+
+    duck.execute("DROP TABLE IF EXISTS events")
+    duck.execute(
+        "CREATE TABLE events (event_id bigint, ts timestamp, value double)"
+    )
+    duck.execute("ALTER TABLE events ADD COLUMN event_type varchar DEFAULT 'a'")
+    # all samples inside ONE 6h bucket; okey = epoch_ms * 2^20 + event_id
+    duck.executemany(
+        "INSERT INTO events (event_id, ts, value, event_type) "
+        "VALUES (?, make_timestamp(CAST(? AS BIGINT) * 1000), ?, 'a')",
+        [(i, k * 1000, v) for i, (k, v) in enumerate(samples)],
+    )
+    rows = duck.execute(_hw_sql("duckdb")).fetchall()
+    assert len(rows) == 1
+    _etype, _ts, n, smoothed = rows[0]
+    assert n == len(samples)
+    import math
+
+    expect = _hw_model([(k * 1000, v) for k, v in samples])
+    expect_r6 = math.floor(expect * 1e6 + 0.5) / 1e6
+    assert abs(smoothed - expect_r6) < 1e-9, (smoothed, expect_r6)
