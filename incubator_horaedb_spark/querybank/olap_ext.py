@@ -505,3 +505,42 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shuffle key.  Integer quantity sums end-to-end."""
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_Q18_SQL)
+
+
+# --- Pareto / ABC analysis ------------------------------------------------
+_PARETO_SQL = """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_cents,
+             sum(cents) OVER () AS total_cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM rev
+    )
+    SELECT o_custkey, rnk,
+           (CAST(floor((CAST(cents AS DOUBLE) / total_cents) * CAST(1000000 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS share,
+           (CAST(floor((CAST(running_cents AS DOUBLE) / total_cents) * CAST(1000000 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS cum_share
+    FROM ranked
+    WHERE CAST(running_cents - cents AS DOUBLE) / total_cents < 0.8
+    ORDER BY rnk
+    """
+
+
+@register("pareto_customers", oracle=_PARETO_SQL)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: the minimal prefix of customers covering 80%
+    of total revenue (every customer whose cumulative share STARTS below
+    the threshold — the standard 'A-class' cut).  Integer cent sums make
+    the running total exact, so the prefix boundary cannot drift between
+    engines.  One agg + one global-ordered window over the (small)
+    per-customer aggregate — the raw fact table is never globally
+    sorted."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_PARETO_SQL)

@@ -865,3 +865,46 @@ def _hw_sql(engine: str) -> str:
 def holt_winters_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hw_sql("spark"))
+
+
+# --- per-series z-score anomaly detection ---------------------------------
+def _zscore_sql(engine: str) -> str:
+    """Per-series z-score anomaly flags: each sample scored against its
+    series' global mean/stddev, computed from exact integer-quantized
+    moments (the engine-native stddev is reduction-order-sensitive — same
+    determinism argument as stats_corr_regr).  Emits only the anomalies.
+
+    Scale shape: one partial→final moment agg per series (5 tiny rows),
+    broadcast back onto the stream — scoring is map-side, so anomaly
+    detection runs at scan speed; no window functions, no second shuffle
+    of the raw stream."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    mean = "(m.sum_v / m.n)"
+    var = f"greatest(m.sum_v2 / m.n - {mean} * {mean}, 0.0)"
+    z = f"((e.vq - {mean}) / sqrt({var}))"
+    return f"""
+    WITH q AS (
+      SELECT event_type, event_id, {ems} AS ems, {vq} AS vq FROM events
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             sum(vq) AS sum_v,
+             sum(vq * vq) AS sum_v2
+      FROM q GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id,
+           {r6('e.vq')} AS value,
+           {r6(z)} AS zscore
+    FROM q e JOIN m ON m.event_type = e.event_type
+    WHERE {var} > 0 AND abs({z}) > 3.0
+    """
+
+
+@register("anomaly_zscore", oracle=_zscore_sql("duckdb"))
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_zscore_sql("spark"))
