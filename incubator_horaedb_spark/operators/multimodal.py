@@ -15,8 +15,11 @@ Design for 100 TB:
   SOF0-SOF3 dimensions (``parse_image_header``), MP4/ISO-BMFF tkhd
   dimensions (``parse_mp4_header``), RIFF/WAVE channels/rate/samples
   (``parse_wav_header``);
-- full pixel/sample decode (PIL/ffmpeg/torchaudio) is NOT in this
-  container, so payloads with no parseable container header fall back to
+- 16-bit PCM WAV **sample decode is REAL** (``audio_pcm_window_stats``:
+  np.frombuffer over the data chunk, channel de-interleave, per-window
+  peak/energy) — uncompressed PCM needs no codec library;
+- compressed pixel/sample decode (PIL/ffmpeg) is NOT in this container,
+  so payloads with no parseable container header fall back to
   ``_fake_decode`` — a clearly marked deterministic stub keyed on the
   byte length.  The Spark-side plumbing (schema contract, batch
   iteration, partitioning) is real and tested; a deployment swaps
@@ -310,8 +313,16 @@ def synth_wav_payload(media_id: int) -> bytes:
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
     )
+    # REAL PCM samples from a closed-form an SQL oracle can restate:
+    # frame i carries ((id*31 + i*7) % 65536) - 32768 on every channel.
+    import numpy as np
+
+    frames = ((media_id * 31 + 7 * np.arange(n_samples, dtype=np.int64)) % 65536
+              - 32768).astype("<i2")
+    pcm = np.repeat(frames, channels).tobytes()
+    assert len(pcm) == data_len
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    body += b"data" + struct.pack("<I", data_len) + pcm
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -457,3 +468,72 @@ def audio_windows(
             )
 
     return df.mapInPandas(kernel, schema=AUDIO_WINDOW_SCHEMA)
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def audio_pcm_window_stats(
+    df: DataFrame,
+    win: int = 400,
+    hop: int = 160,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL audio sample decoding — no stub: parse the RIFF/WAVE header,
+    `np.frombuffer` the 16-bit PCM payload, de-interleave channels, and
+    compute per-analysis-window statistics (peak amplitude and energy)
+    on channel 0.  This is the feature-extraction batch shape (the same
+    windows audio_windows frames), with the actual DSP-ready samples in
+    hand; swapping the stats line for an FFT is the only change a real
+    MFCC pipeline needs.
+
+    Integer outputs (peak, sum of squares) — exactly SQL-checkable
+    because the synthetic corpus generates PCM from a closed form.  At
+    scale: Arrow-batched mapInPandas, one pass per payload, no shuffle;
+    short trailing windows are emitted with their true frame count."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                parsed = parse_wav_header(raw)
+                if not parsed:
+                    continue
+                channels, _rate, n_samples = parsed
+                data_off = raw.rfind(b"data") + 8
+                pcm = np.frombuffer(
+                    raw, dtype="<i2", count=n_samples * channels, offset=data_off
+                ).reshape(-1, channels)
+                ch0 = pcm[:, 0].astype(np.int64)
+                k = 0
+                while k * hop < n_samples:
+                    seg = ch0[k * hop : k * hop + win]
+                    rows.append(
+                        (
+                            int(mid),
+                            k,
+                            len(seg),
+                            int(np.abs(seg).max()),
+                            int((seg * seg).sum()),
+                        )
+                    )
+                    k += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "n_frames", "peak", "sum_sq"],
+            )
+
+    return df.mapInPandas(kernel, schema=PCM_STATS_SCHEMA)

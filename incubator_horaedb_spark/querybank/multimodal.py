@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from incubator_horaedb_spark.operators.multimodal import (
+    audio_pcm_window_stats,
     audio_windows,
     decode_audio_meta,
     decode_media,
@@ -149,3 +150,40 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return audio_windows(media, win=400, hop=160)
+
+
+@register(
+    "multimodal_audio_pcm_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 100 + doc_id % 400 AS n FROM documents
+    ), w AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST(ceil(n / 160.0) AS BIGINT))) AS k
+      FROM m
+    ), s AS (
+      SELECT doc_id, k, n,
+             unnest(range(k * 160, least(k * 160 + 400, n))) AS i
+      FROM w
+    ), v AS (
+      SELECT doc_id, k, n, ((doc_id * 31 + 7 * i) % 65536) - 32768 AS smp
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(k AS BIGINT) AS window_idx,
+           CAST(least(400, n - k * 160) AS BIGINT) AS n_frames,
+           CAST(max(abs(smp)) AS BIGINT) AS peak,
+           CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+    FROM v GROUP BY doc_id, k, n
+    """,
+)
+def multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio SAMPLE decoding — the de-stubbed path: the synthesized
+    WAVs carry closed-form 16-bit PCM, the kernel np.frombuffer-decodes
+    the payload, de-interleaves channels, and computes per-window peak +
+    energy on channel 0 (operators/multimodal.py::audio_pcm_window_stats).
+    The oracle recomputes the same integer statistics from the generator
+    formula alone — it never sees the bytes, so a decode bug cannot hide."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_payloads(docs, synth_wav_payload)
+    return audio_pcm_window_stats(media, win=400, hop=160)

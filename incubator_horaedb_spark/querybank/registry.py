@@ -240,7 +240,7 @@ DRIVER_ORDER = [
     "q10_returned_items", "q18_large_orders",
     "promql_deriv", "promql_predict_linear",
     "promql_absent_over_time", "holt_winters_smooth",
-    "anomaly_zscore", "pareto_customers",
+    "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
 ]
 
 
