@@ -537,3 +537,130 @@ def audio_pcm_window_stats(
             )
 
     return df.mapInPandas(kernel, schema=PCM_STATS_SCHEMA)
+
+
+def synth_png_full_payload(media_id: int) -> bytes:
+    """Complete, VALID RGB8 PNG with real pixel data: pixel (x, y) channel
+    c carries ((id*7 + y*131 + x*17 + c*29) % 256) — a closed form an SQL
+    oracle can restate.  Even scanlines use filter 0 (None), odd ones
+    filter 1 (Sub), so a decoder must implement genuine PNG un-filtering
+    (not just inflate) to reconstruct the pixels.  CRCs are real
+    (zlib.crc32); the stream inflates with stdlib zlib — no codec libs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = 4 + media_id % 13
+    h = 4 + media_id % 11
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+    )
+    px = ((media_id * 7 + y * 131 + x * 17 + c * 29) % 256).astype(np.uint8)
+    raw = bytearray()
+    for row in range(h):
+        scan = px[row].reshape(-1)  # w*3 bytes
+        if row % 2 == 0:
+            raw.append(0)
+            raw.extend(scan.tobytes())
+        else:
+            raw.append(1)  # Sub: delta vs previous pixel in the row
+            prev = np.zeros(3, dtype=np.int16)
+            for xx in range(w):
+                cur = scan[xx * 3 : (xx + 1) * 3].astype(np.int16)
+                raw.extend(((cur - prev) % 256).astype(np.uint8).tobytes())
+                prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_png_pixel_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL PNG pixel decoding — stdlib only: walk chunks, inflate the
+    IDAT stream with zlib, and UN-FILTER each scanline (filter 0 = None,
+    1 = Sub are produced by the synthesizer; the reconstruction is the
+    PNG spec's recon(x) = raw(x) + recon(x - bpp)).  Emits per-image
+    per-channel pixel sums — exact integers, so the oracle (which
+    recomputes them from the generator formula without seeing bytes)
+    catches any inflate/un-filter bug.
+
+    Scale: Arrow-batched mapInPandas, one pass per payload; the same
+    kernel shape as a PIL/ffmpeg decode — swapping in a codec library
+    changes one function, not the plumbing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                if raw[:8] != _PNG_MAGIC:
+                    continue
+                i, w = 8, None
+                idat = bytearray()
+                while i + 8 <= len(raw):
+                    clen, ctype = struct.unpack(">I4s", raw[i : i + 8])
+                    data = raw[i + 8 : i + 8 + clen]
+                    if ctype == b"IHDR":
+                        w, h = struct.unpack(">II", data[:8])
+                    elif ctype == b"IDAT":
+                        idat.extend(data)
+                    i += 12 + clen
+                if w is None:
+                    continue
+                stream = zlib.decompress(bytes(idat))
+                stride = w * 3
+                img = np.empty((h, stride), dtype=np.uint8)
+                for row in range(h):
+                    off = row * (stride + 1)
+                    filt = stream[off]
+                    line = np.frombuffer(
+                        stream, dtype=np.uint8, count=stride, offset=off + 1
+                    ).astype(np.int64)
+                    if filt == 0:
+                        img[row] = line
+                    elif filt == 1:  # Sub: recon(x) = raw(x) + recon(x - 3)
+                        acc = line.reshape(w, 3)
+                        img[row] = np.cumsum(acc, axis=0).astype(np.int64).reshape(-1) % 256
+                    else:
+                        raise ValueError(f"unsupported PNG filter {filt}")
+                px = img.reshape(h, w, 3).astype(np.int64)
+                sums = px.sum(axis=(0, 1))
+                rows.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(kernel, schema=PIXEL_STATS_SCHEMA)

@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from incubator_horaedb_spark.operators.multimodal import (
     audio_pcm_window_stats,
     audio_windows,
+    decode_png_pixel_stats,
+    synth_png_full_payload,
     decode_audio_meta,
     decode_media,
     documents_as_media,
@@ -187,3 +189,37 @@ def multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_payloads(docs, synth_wav_payload)
     return audio_pcm_window_stats(media, win=400, hop=160)
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             unnest(range(0, h)) AS y
+      FROM dims
+    ), xx AS (
+      SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id * 7 + y * 131 + x * 17) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 7 + y * 131 + x * 17 + 29) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 7 + y * 131 + x * 17 + 58) % 256) AS BIGINT) AS sum_b
+    FROM xx GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image PIXEL decoding, stdlib only: the synthesized PNGs carry
+    closed-form RGB8 pixels behind real zlib compression and mixed
+    None/Sub scanline filters; the kernel inflates and UN-FILTERS per the
+    PNG spec and emits exact per-channel pixel sums
+    (operators/multimodal.py::decode_png_pixel_stats).  The oracle
+    recomputes the sums from the pixel formula alone — an inflate or
+    un-filter bug cannot hash-match."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_payloads(docs, synth_png_full_payload)
+    return decode_png_pixel_stats(media)
