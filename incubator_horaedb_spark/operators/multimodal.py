@@ -614,51 +614,89 @@ def decode_png_pixel_stats(
     Scale: Arrow-batched mapInPandas, one pass per payload; the same
     kernel shape as a PIL/ffmpeg decode — swapping in a codec library
     changes one function, not the plumbing."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                px = _decode_png(b)
+                if px is None:
+                    continue
+                h, w, _ = px.shape
+                sums = px.sum(axis=(0, 1))
+                rows.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(kernel, schema=PIXEL_STATS_SCHEMA)
+
+
+def _decode_png(b) -> "np.ndarray | None":
+    """Shared REAL PNG pixel decode: chunk walk -> zlib inflate ->
+    scanline un-filter (None/Sub) -> (h, w, 3) int64 array."""
     import struct
     import zlib
 
     import numpy as np
 
+    if b is None:
+        return None
+    raw = bytes(b)
+    if raw[:8] != _PNG_MAGIC:
+        return None
+    i, w = 8, None
+    idat = bytearray()
+    while i + 8 <= len(raw):
+        clen, ctype = struct.unpack(">I4s", raw[i : i + 8])
+        data = raw[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        i += 12 + clen
+    if w is None:
+        return None
+    stream = zlib.decompress(bytes(idat))
+    stride = w * 3
+    img = np.empty((h, stride), dtype=np.uint8)
+    for row in range(h):
+        off = row * (stride + 1)
+        filt = stream[off]
+        line = np.frombuffer(
+            stream, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        if filt == 0:
+            img[row] = line
+        elif filt == 1:  # Sub: recon(x) = raw(x) + recon(x - 3)
+            acc = line.reshape(w, 3)
+            img[row] = np.cumsum(acc, axis=0).astype(np.int64).reshape(-1) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter {filt}")
+    return img.reshape(h, w, 3).astype("int64")
+
+
+def resize_png_nearest_stats(
+    df: DataFrame, factor: int = 2, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL image resize over decoded pixels: nearest-neighbor
+    downsampling by an integer factor (output pixel (x, y) = source pixel
+    (x*factor, y*factor)) on the actually-decoded PNG array, emitting the
+    resized dimensions and exact per-channel sums.  This is the
+    thumbnail/preprocess kernel of a multimodal training pipeline with
+    the decode REAL end-to-end; the oracle restates the selected-pixel
+    sums from the generator formula."""
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, b in zip(pdf[id_col], pdf[media_col]):
-                if b is None:
+                px = _decode_png(b)
+                if px is None:
                     continue
-                raw = bytes(b)
-                if raw[:8] != _PNG_MAGIC:
-                    continue
-                i, w = 8, None
-                idat = bytearray()
-                while i + 8 <= len(raw):
-                    clen, ctype = struct.unpack(">I4s", raw[i : i + 8])
-                    data = raw[i + 8 : i + 8 + clen]
-                    if ctype == b"IHDR":
-                        w, h = struct.unpack(">II", data[:8])
-                    elif ctype == b"IDAT":
-                        idat.extend(data)
-                    i += 12 + clen
-                if w is None:
-                    continue
-                stream = zlib.decompress(bytes(idat))
-                stride = w * 3
-                img = np.empty((h, stride), dtype=np.uint8)
-                for row in range(h):
-                    off = row * (stride + 1)
-                    filt = stream[off]
-                    line = np.frombuffer(
-                        stream, dtype=np.uint8, count=stride, offset=off + 1
-                    ).astype(np.int64)
-                    if filt == 0:
-                        img[row] = line
-                    elif filt == 1:  # Sub: recon(x) = raw(x) + recon(x - 3)
-                        acc = line.reshape(w, 3)
-                        img[row] = np.cumsum(acc, axis=0).astype(np.int64).reshape(-1) % 256
-                    else:
-                        raise ValueError(f"unsupported PNG filter {filt}")
-                px = img.reshape(h, w, 3).astype(np.int64)
-                sums = px.sum(axis=(0, 1))
-                rows.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+                small = px[::factor, ::factor, :]
+                h2, w2, _ = small.shape
+                sums = small.sum(axis=(0, 1))
+                rows.append((int(mid), w2, h2, int(sums[0]), int(sums[1]), int(sums[2])))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
             )

@@ -12,6 +12,7 @@ from incubator_horaedb_spark.operators.multimodal import (
     audio_pcm_window_stats,
     audio_windows,
     decode_png_pixel_stats,
+    resize_png_nearest_stats,
     synth_png_full_payload,
     decode_audio_meta,
     decode_media,
@@ -223,3 +224,32 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_payloads(docs, synth_png_full_payload)
     return decode_png_pixel_stats(media)
+
+
+@register(
+    "multimodal_png_resize_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, (h + 1) // 2)) AS y2 FROM dims
+    ), xx AS (
+      SELECT doc_id, w, h, y2, unnest(range(0, (w + 1) // 2)) AS x2 FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST((w + 1) // 2 AS BIGINT) AS width,
+           CAST((h + 1) // 2 AS BIGINT) AS height,
+           CAST(sum((doc_id * 7 + (y2 * 2) * 131 + (x2 * 2) * 17) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 7 + (y2 * 2) * 131 + (x2 * 2) * 17 + 29) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 7 + (y2 * 2) * 131 + (x2 * 2) * 17 + 58) % 256) AS BIGINT) AS sum_b
+    FROM xx GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over REAL decoded pixels: nearest-neighbor 2x
+    downsample of the inflated+un-filtered PNG array (output (x2, y2) =
+    source (2*x2, 2*y2)); the oracle restates the selected-pixel channel
+    sums from the generator formula."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_payloads(docs, synth_png_full_payload)
+    return resize_png_nearest_stats(media, factor=2)

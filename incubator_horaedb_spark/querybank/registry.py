@@ -241,7 +241,7 @@ DRIVER_ORDER = [
     "promql_deriv", "promql_predict_linear",
     "promql_absent_over_time", "holt_winters_smooth",
     "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
-    "multimodal_png_pixel_stats",
+    "multimodal_png_pixel_stats", "multimodal_png_resize_stats",
 ]
 
 
