@@ -482,3 +482,25 @@ def bloom_decontaminate_from_hs_select(d: Dialect, hs_src: str) -> str:
         bloom_decontaminate_ctes(d, hs_src),
         f"SELECT doc_id, n_maybe, overlap FROM sized WHERE overlap >= {DECONTAM_THRESHOLD}",
     )
+
+
+def weighted_sample_sql(d: Dialect, table: str = "documents") -> str:
+    """Per-source WEIGHTED sampling — the data-mixing primitive: each
+    source keeps a different deterministic fraction of its documents
+    (mixture weights, e.g. upsample curated sources / downsample crawl),
+    driven by the same multiplicative hash as the Bernoulli sample so the
+    kept set is reproducible across engines and runs.  Weight for source
+    'srcN' = (N % 5 + 1) * 10 percent — a closed form the oracle
+    restates.  One scan, map-side gate, small per-source audit agg."""
+    src_num = f"CAST(substr(source, 4, 10) AS BIGINT)"
+    weight_pct = f"(({src_num}) % 5 + 1) * 10"
+    gate = f"{sample_hash_expr('doc_id')} % 100 < {weight_pct}"
+    return f"""
+    SELECT source,
+           CAST({weight_pct} AS BIGINT) AS weight_pct,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {gate} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN {gate} THEN doc_id END) AS BIGINT) AS first_kept
+    FROM {table}
+    GROUP BY source
+    """

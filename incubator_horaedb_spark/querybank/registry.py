@@ -242,6 +242,7 @@ DRIVER_ORDER = [
     "promql_absent_over_time", "holt_winters_smooth",
     "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
     "multimodal_png_pixel_stats", "multimodal_png_resize_stats",
+    "sample_weighted_mix",
 ]
 
 
