@@ -202,16 +202,19 @@ DRIVER_ORDER = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_cluster_reps", "dedup_apply_survivors", "decontaminate_ngram",
     "sample_stratified",
-    "ann_cosine_bruteforce", "ann_cosine_ivf",
+    "ann_cosine_bruteforce", "holt_winters_smooth",
     "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
     "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
     "text_fingerprint", "text_bm25_topk", "text_repetition", "pii_scrub",
-    "doc_chunking", "corpus_shuffle", "corpus_quality_filter",
+    "funnel_conversion", "cms_heavy_hitters", "corpus_quality_filter",
     "sessionize_events", "zorder_cluster", "asof_join_events",
     "interval_join_sessions",
-    "multimodal_decode_meta",
+    "multimodal_png_pixel_stats",
     # family variants — covered by a same-family representative above when
-    # the driver caps its check window
+    # the driver caps its check window (ann_cosine_ivf, doc_chunking,
+    # corpus_shuffle, multimodal_decode_meta rotated out of the window in
+    # round 3 — still locally gated every round)
+    "ann_cosine_ivf", "doc_chunking", "corpus_shuffle", "multimodal_decode_meta",
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
     "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
@@ -235,14 +238,13 @@ DRIVER_ORDER = [
     "q5_local_supplier_volume", "agg_filter_clause", "events_json_extract",
     "quality_gopher_rules", "promql_quantile_over_time",
     "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
-    "funnel_conversion", "retention_cohorts", "window_ntile_quartiles",
-    "text_unigram_surprisal", "cms_heavy_hitters",
+    "retention_cohorts", "window_ntile_quartiles",
+    "text_unigram_surprisal",
     "q10_returned_items", "q18_large_orders",
     "promql_deriv", "promql_predict_linear",
-    "promql_absent_over_time", "holt_winters_smooth",
+    "promql_absent_over_time",
     "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
-    "multimodal_png_pixel_stats", "multimodal_png_resize_stats",
-    "sample_weighted_mix",
+    "multimodal_png_resize_stats", "sample_weighted_mix",
 ]
 
 
