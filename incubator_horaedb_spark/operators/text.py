@@ -788,3 +788,64 @@ def cms_heavy_hitters_sql(
            CAST(est_cnt AS BIGINT) AS est_cnt
     FROM ranked WHERE rn <= {k}""",
     )
+
+
+def doc_cluster_sql(d: Dialect, table: str = "documents", k: int = 4) -> str:
+    """Document clustering over hashed features: assign every document's
+    normalized FEATURE_DIM hash-bucket vector to the nearest of ``k``
+    seed-document centroids (squared L2, deterministic seed = the k
+    lowest doc_ids — the k-means++-style init a full Lloyd run would
+    start from; operators/similarity.py owns the iterated-Lloyd path for
+    embeddings).  Features are 2^-20-quantized rationals, so distances
+    are EXACT dyadic sums — no tie guard needed beyond the cid order.
+
+    Scale shape: featurization is map-side (zero shuffle); the centroid
+    table is k rows (broadcast); assignment is one narrow cross join +
+    per-doc top-1; the summary aggregates k rows.  The canonical corpus
+    topic-bucketing pass before per-cluster sampling."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    q20 = 1 << 20
+    fcols = ",\n             ".join(
+        f"CAST({d.size(d.filter('th', 't', f't % {FEATURE_DIM} = {j}'))} AS BIGINT) AS f{j}"
+        for j in range(FEATURE_DIM)
+    )
+    gcols = ",\n             ".join(
+        f"(CAST(floor((CAST(f{j} AS DOUBLE) / n_tokens) * {q20} + 0.5) AS DOUBLE) / {q20}) AS g{j}"
+        for j in range(FEATURE_DIM)
+    )
+    ccols = ", ".join(f"g{j} AS c{j}" for j in range(FEATURE_DIM))
+    dist = " + ".join(
+        f"(g.g{j} - c.c{j}) * (g.g{j} - c.c{j})" for j in range(FEATURE_DIM)
+    )
+    return d.cte_query(
+        [
+            ("tokh", tokh_select(d, table)),
+            (
+                "feats",
+                f"""SELECT doc_id, CAST({d.size('th')} AS BIGINT) AS n_tokens,
+             {fcols}
+      FROM tokh WHERE {d.size('th')} > 0""",
+            ),
+            (
+                "g",
+                f"""SELECT doc_id,
+             {gcols}
+      FROM feats""",
+            ),
+            ("cent", f"SELECT doc_id AS cid, {ccols} FROM g WHERE doc_id < {k}"),
+            (
+                "pick",
+                f"""SELECT g.doc_id, c.cid,
+             row_number() OVER (PARTITION BY g.doc_id
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM g CROSS JOIN cent c""",
+            ),
+        ],
+        """SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(sum(doc_id) AS BIGINT) AS member_checksum
+    FROM pick WHERE rn = 1 GROUP BY cid""",
+    )

@@ -273,6 +273,7 @@ register("decontaminate_bloom", oracle=pipeline.bloom_decontaminate_sql(DUCK))(
 
 _sql_query("sample_stratified", pipeline.stratified_sample_sql, _tables=("events",))
 _sql_query("sample_weighted_mix", pipeline.weighted_sample_sql)
+_sql_query("doc_cluster_assign", text.doc_cluster_sql)
 _sql_query("corpus_mix_report", pipeline.mix_report_sql)
 
 
