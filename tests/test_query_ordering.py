@@ -26,10 +26,13 @@ def test_driver_order_covers_families_in_first_50():
         "promql_instant", "opentsdb_downsample_groupby",
         "influxql_groupby_time_tag", "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster_reps",
-        "ann_cosine_bruteforce", "ann_cosine_ivf", "ivf_kmeans_train",
+        "ann_cosine_bruteforce", "holt_winters_smooth", "ivf_kmeans_train",
         "ann_ivf_trained", "ann_topk_blocked", "embedding_rhp_lsh",
         "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-        "text_bm25_topk", "multimodal_decode_meta",
+        "text_bm25_topk", "multimodal_png_pixel_stats", "funnel_conversion",
+        "cms_heavy_hitters",
+        # ann_cosine_ivf / multimodal_decode_meta rotated out in round 3
+        # (ADVICE r02 #5) — their families keep other reps above
     ]:
         assert rep in first50, rep
 
