@@ -1084,3 +1084,35 @@ def ann_ivfpq_sql(
         ctes,
         f"SELECT qid, vec_id, {r6('adist')} AS adc_dist FROM ranked WHERE rn <= {k}",
     )
+
+
+def ann_mips_sql(d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10) -> str:
+    """Exact maximum-inner-product top-k (MIPS — the retrieval scoring for
+    UN-normalized embeddings, e.g. DSSM/recommendation towers, where
+    magnitude carries signal and cosine would distort the ranking).  Same
+    plan shape as the cosine brute force: query block × corpus with a
+    sequential-fold dot product (identical addition order on both
+    engines), per-query top-k.  The IVF/PQ scale paths apply unchanged —
+    only the scoring expression differs (no normalization CTE at all)."""
+    ip = _dot(d, "q.qe", "e.embedding")
+    return d.cte_query(
+        [
+            (
+                "q",
+                f"SELECT vec_id AS qid, embedding AS qe FROM {table} "
+                f"WHERE vec_id < {n_queries}",
+            ),
+            (
+                "scored",
+                f"""SELECT q.qid, e.vec_id, {_r6(ip)} AS inner_product
+      FROM q JOIN {table} e ON e.vec_id <> q.qid""",
+            ),
+            (
+                "ranked",
+                """SELECT qid, vec_id, inner_product,
+             row_number() OVER (PARTITION BY qid ORDER BY inner_product DESC, vec_id) AS rn
+      FROM scored""",
+            ),
+        ],
+        f"SELECT qid, vec_id, inner_product FROM ranked WHERE rn <= {k}",
+    )

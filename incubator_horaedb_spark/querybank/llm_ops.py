@@ -279,6 +279,7 @@ _sql_query("corpus_mix_report", pipeline.mix_report_sql)
 
 # --- similarity search ----------------------------------------------------
 _sql_query("ann_cosine_bruteforce", similarity.ann_bruteforce_sql, _tables=("embeddings",))
+_sql_query("ann_mips_topk", similarity.ann_mips_sql, _tables=("embeddings",))
 _sql_query("ann_cosine_ivf", similarity.ann_ivf_sql, _tables=("embeddings",))
 _sql_query(
     "embedding_near_dup_pairs",

@@ -244,7 +244,8 @@ DRIVER_ORDER = [
     "promql_deriv", "promql_predict_linear",
     "promql_absent_over_time",
     "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
-    "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign",
+    "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "ann_mips_topk",
+    "window_distribution_family",
 ]
 
 

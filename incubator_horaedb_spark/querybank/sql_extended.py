@@ -361,3 +361,29 @@ def udaf_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(energy_q(F.col("value")).alias("energy_q"))
     )
+
+
+# --- distribution window functions (percent_rank / cume_dist) -------------
+_DIST_WINDOW_SQL = """
+    SELECT o_orderkey, o_orderstatus,
+           (CAST(floor((percent_rank() OVER w) * CAST(1000000 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS pct_rank,
+           (CAST(floor((cume_dist() OVER w) * CAST(1000000 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS cum_dist
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """
+
+
+@register("window_distribution_family", oracle=_DIST_WINDOW_SQL)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank()/cume_dist() — the distribution window functions,
+    completing the OVER-clause families (ranking, offset, frames, NTILE
+    are covered by their own gated queries).  Both are rank-derived
+    ratios of exact integers ((rank-1)/(n-1), rank_hi/n) computed from
+    the same total order on both engines (unique o_orderkey tie-break),
+    so the single division per row is the identical IEEE tree.  One
+    window shuffle; the modulo thins the output, not the semantics."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_DIST_WINDOW_SQL)
