@@ -218,3 +218,158 @@ def test_holt_winters_matches_model(duck, samples):
     expect = _hw_model([(k * 1000, v) for k, v in samples])
     expect_r6 = math.floor(expect * 1e6 + 0.5) / 1e6
     assert abs(smoothed - expect_r6) < 1e-9, (smoothed, expect_r6)
+
+
+# -------------------------------------------------------------- LTTB ------
+
+
+def _lttb_model(events, stride=15 * 60 * 1000):
+    """Pure-Python rendering of the parallel centroid-anchored LTTB."""
+    import math
+
+    pts = sorted(
+        ((ems, v, (ems << 20) + eid) for eid, ems, v in events), key=lambda p: p[2]
+    )
+    vq = lambda v: math.floor(v * 1024 + 0.5) / 1024
+    byb: dict = {}
+    for ems, v, okey in pts:
+        byb.setdefault(ems // stride, []).append((ems, vq(v), okey))
+    bs = sorted(byb)
+    cent = {
+        b: (
+            sum(e for e, _v, _o in byb[b]) / len(byb[b]),
+            sum(v for _e, v, _o in byb[b]) / len(byb[b]),
+        )
+        for b in bs
+    }
+    out = {}
+    for idx, b in enumerate(bs):
+        prev_c = cent[bs[idx - 1]] if idx > 0 else None
+        next_c = cent[bs[idx + 1]] if idx + 1 < len(bs) else None
+        rows = byb[b]
+        if prev_c is None:
+            pick = min(rows, key=lambda r: r[2])
+        elif next_c is None:
+            pick = max(rows, key=lambda r: r[2])
+        else:
+            ax, ay = prev_c
+            cx, cy = next_c
+
+            def key(r):
+                ems, vy, okey = r
+                area = abs((ax - cx) * (vy - ay) - (ax - ems) * (cy - ay))
+                return (-math.floor(area * 1048576.0 + 0.5), okey)
+
+            pick = min(rows, key=key)
+        out[b] = (pick[0], pick[1])
+    return out
+
+
+_lttb_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # event_id
+        st.integers(min_value=0, max_value=4 * 15 * 60 * 1000),  # ems in 4 buckets
+        st.integers(min_value=-320, max_value=320).map(lambda q: q / 16.0),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(events=_lttb_events)
+def test_lttb_matches_model(duck, events):
+    from incubator_horaedb_spark.querybank.timeseries import _lttb_sql
+
+    duck.execute("DROP TABLE IF EXISTS events")
+    duck.execute(
+        "CREATE TABLE events (event_id bigint, event_type varchar, ts timestamp, value double)"
+    )
+    duck.executemany(
+        "INSERT INTO events VALUES (?, 'a', make_timestamp(CAST(? AS BIGINT) * 1000), ?)",
+        events,
+    )
+    got = {}
+    for _etype, _bts, ts, value in duck.execute(
+        _lttb_sql("duckdb") + " ORDER BY bucket_ts"
+    ).fetchall():
+        ems = int(ts.timestamp() * 1000)
+        got[ems // (15 * 60 * 1000)] = (ems, math_floor_q(value))
+    want = {
+        b: (ems, math_floor_q(v)) for b, (ems, v) in _lttb_model(events).items()
+    }
+    assert got == want
+
+
+def math_floor_q(v):
+    import math
+
+    return math.floor(v * 1024 + 0.5) / 1024
+
+
+# --------------------------------------------------- gapfill interpolate --
+
+
+def _interp_model(events):
+    """Pure-Python gapfill-with-linear-interpolation reference."""
+    import math
+
+    START, END, BUCKET = 1704067200000, 1704153600000, 600_000
+    n = (END - START) // BUCKET
+    q20 = 1 << 20
+    byk: dict = {}
+    for ems, v in events:
+        if START <= ems < END:
+            byk.setdefault((ems - START) // BUCKET, []).append(
+                math.floor(v * q20 + 0.5) / q20
+            )
+    avg = {
+        k: math.floor((sum(vs) / len(vs)) * 1e6 + 0.5) / 1e6 for k, vs in byk.items()
+    }
+    out = {}
+    for k in range(n):
+        if k in avg:
+            out[k] = (avg[k], False)
+            continue
+        prevs = [kk for kk in avg if kk < k]
+        nexts = [kk for kk in avg if kk > k]
+        if not prevs or not nexts:
+            out[k] = (None, True)
+            continue
+        pk, nk = max(prevs), min(nexts)
+        pv, nv = avg[pk], avg[nk]
+        val = pv + (nv - pv) * ((k - pk) / (nk - pk))
+        out[k] = (math.floor(val * 1e6 + 0.5) / 1e6, True)
+    return out
+
+
+_interp_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=143).map(
+            lambda b: 1704067200000 + b * 600_000 + 1000
+        ),
+        st.integers(min_value=-320, max_value=320).map(lambda q: q / 16.0),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(events=_interp_events)
+def test_gapfill_interp_matches_model(duck, events):
+    from incubator_horaedb_spark.querybank.timeseries import _gapfill_interp_sql
+
+    duck.execute("DROP TABLE IF EXISTS events")
+    duck.execute("CREATE TABLE events (event_type varchar, ts timestamp, value double)")
+    duck.executemany(
+        "INSERT INTO events VALUES ('a', make_timestamp(CAST(? AS BIGINT) * 1000), ?)",
+        events,
+    )
+    got = {}
+    for _etype, bts, value, gap in duck.execute(_gapfill_interp_sql("duckdb")).fetchall():
+        k = (int(bts.timestamp() * 1000) - 1704067200000) // 600_000
+        got[k] = (value, gap)
+    want = _interp_model(events)
+    assert got == want
