@@ -246,6 +246,13 @@ DRIVER_ORDER = [
     "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
     "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "ann_mips_topk",
     "window_distribution_family",
+    # round-3 continuation: TPC-H completion (all 22 shapes now covered)
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_quantity",
+    "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_global_sales",
 ]
 
 
