@@ -1,0 +1,219 @@
+"""PromQL function extensions: histogram_quantile, topk/bottomk,
+count_values, clamp, label_replace/label_join.
+
+The reference pushes only rate/irate/delta/idelta/increase/instant into
+its PromAlignNode (promql/pushdown.rs:33-56) and leaves every other
+PromQL function to the Prometheus evaluator running ON TOP of the
+returned vectors (remote-read split, src/server/src/grpc/prom_query.rs).
+Here the engine IS the evaluator, so these run distributed over the
+aligned output — each is a composition over the same explode-to-grid +
+hash-agg align plan (operators/prom_align.py), adding at most one extra
+window or aggregation on the (ts)-keyed result.
+
+Semantics mirror prometheus/promql/quantile.go (histogram_quantile's
+lower-bound-0 first bucket and last-finite-le overflow clamp) and
+functions.go (topk/bottomk per-timestamp selection, count_values,
+clamp, label_replace full-anchored regex / label_join concat).
+
+Determinism: aligned values are pre-rounded with the tie-proof floor
+form (functions/detfloat.py), row_number ties break on the series
+label, histogram ranks compare an identically-computed double against
+integer bucket counts, and interpolation is a fixed IEEE expression
+tree over exact integers — bit-identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.detfloat import dyadic, dyadic_sql, r_out, r_out_sql
+from incubator_horaedb_spark.operators.prom_align import prom_align, prom_align_oracle_sql
+from incubator_horaedb_spark.querybank.promql import (
+    _ORACLE_PARAMS,
+    _PARAMS,
+    _load_range,
+    _rounded,
+)
+from incubator_horaedb_spark.querybank.registry import load, register
+
+
+def _aligned_oracle(func: str) -> str:
+    return prom_align_oracle_sql(func, round_digits=6, **_ORACLE_PARAMS)
+
+
+# --- histogram_quantile ---------------------------------------------------
+# Cumulative le-buckets {10, 25, 50, 100, 250, +Inf} per (series, day) —
+# the classic_histogram layout a Prometheus client exports; quantile.go's
+# interpolation: first bucket interpolates from lower bound 0, a rank in
+# the +Inf bucket clamps to the last finite le.
+_LES = (10.0, 25.0, 50.0, 100.0, 250.0)
+_PHI = 0.9
+
+
+def _hq_sql() -> str:
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN value <= {le} THEN 1 ELSE 0 END) AS BIGINT) AS c{i + 1}"
+        for i, le in enumerate(_LES)
+    )
+    # first matching bucket: lo + (hi-lo) * (rank - c_prev) / (c_i - c_prev);
+    # rank > c_prev in every taken branch, so the integer denominator >= 1.
+    branches, lo = [], 0.0
+    for i, hi in enumerate(_LES):
+        prev = f"CAST(c{i} AS DOUBLE)" if i else "CAST(0 AS DOUBLE)"
+        branches.append(
+            f"WHEN CAST(c{i + 1} AS DOUBLE) >= rnk THEN {lo} + {hi - lo}"
+            f" * (rnk - {prev}) / (CAST(c{i + 1} AS DOUBLE) - {prev})"
+        )
+        lo = hi
+    case = "CASE " + " ".join(branches) + f" ELSE {_LES[-1]} END"
+    return f"""
+    WITH hist AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n, {counts}
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, {r_out_sql(case, 6)} AS phi90
+    FROM (SELECT hist.*, {_PHI} * CAST(n AS DOUBLE) AS rnk FROM hist) h
+    ORDER BY event_type, day
+    """
+
+
+@register("promql_histogram_quantile", oracle=_hq_sql())
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`histogram_quantile(0.9, ...)` over per-(series, day) cumulative
+    le-buckets (promql/quantile.go bucketQuantile): ONE scan builds all
+    bucket counters as CASE-guarded integer sums in a single hash agg
+    (no per-le scan or unpivot), then the quantile is a map-side CASE
+    over exact integers.  At 100 TB the histogram agg is the only
+    shuffle and it moves (series × day × 1) rows."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hq_sql())
+
+
+# --- topk / bottomk -------------------------------------------------------
+_TOPK_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    ranked AS (
+      SELECT ts, event_type, value,
+             row_number() OVER (PARTITION BY ts ORDER BY value DESC, event_type) AS rn
+      FROM aligned
+    )
+    SELECT ts, event_type, value, rn FROM ranked WHERE rn <= 3
+    """
+
+
+@register("promql_topk_series", oracle=_TOPK_SQL)
+def promql_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`topk(3, rate(events[2h]))` — per-timestamp series selection
+    (functions.go topk): one row_number window over the aligned output,
+    partitioned by the grid timestamp.  Ties in the rounded value break
+    on the series label identically on both engines.  The window
+    partitions by ts, so at scale it re-shuffles only (series × steps)
+    aligned rows — never raw samples."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS))
+    w = Window.partitionBy("ts").orderBy(F.desc("value"), F.col("event_type"))
+    return (
+        aligned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("ts", "event_type", "value", "rn")
+    )
+
+
+_BOTTOMK_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    ranked AS (
+      SELECT ts, event_type, value,
+             row_number() OVER (PARTITION BY ts ORDER BY value ASC, event_type) AS rn
+      FROM aligned
+    )
+    SELECT ts, event_type, value, rn FROM ranked WHERE rn <= 2
+    """
+
+
+@register("promql_bottomk_series", oracle=_BOTTOMK_SQL)
+def promql_bottomk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bottomk(2, rate(events[2h]))` — the ascending twin of topk."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS))
+    w = Window.partitionBy("ts").orderBy(F.asc("value"), F.col("event_type"))
+    return (
+        aligned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("ts", "event_type", "value", "rn")
+    )
+
+
+# --- count_values ---------------------------------------------------------
+_COUNT_VALUES_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("instant")})
+    SELECT ts,
+           (CAST(floor(value / 10.0 + 0.5) AS DOUBLE) * 10.0) AS bucket_value,
+           count(*) AS n_series
+    FROM aligned
+    GROUP BY ts, (CAST(floor(value / 10.0 + 0.5) AS DOUBLE) * 10.0)
+    ORDER BY ts, bucket_value
+    """
+
+
+@register("promql_count_values", oracle=_COUNT_VALUES_SQL)
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`count_values("v", ...)` — series count per distinct (rounded)
+    value per timestamp (functions.go count_values).  The to-tens
+    rounding is part of the query (raw doubles rarely collide); the
+    grouping is one hash agg over aligned rows."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "instant", **_PARAMS))
+    bucket = (F.floor(F.col("value") / F.lit(10.0) + F.lit(0.5)).cast("double") * F.lit(10.0))
+    return (
+        aligned.select("ts", bucket.alias("bucket_value"))
+        .groupBy("ts", "bucket_value")
+        .agg(F.count(F.lit(1)).alias("n_series"))
+    )
+
+
+# --- clamp ----------------------------------------------------------------
+_CLAMP_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("instant")})
+    SELECT ts, event_type,
+           greatest(least(value, 100.0), 20.0) AS value
+    FROM aligned
+    """
+
+
+@register("promql_clamp", oracle=_CLAMP_SQL)
+def promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clamp(v, 20, 100)` (functions.go clamp): pure map-side
+    greatest/least over the aligned instant vector — zero added
+    shuffles, stays in whole-stage codegen."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "instant", **_PARAMS))
+    return aligned.select(
+        "ts", "event_type",
+        F.greatest(F.least(F.col("value"), F.lit(100.0)), F.lit(20.0)).alias("value"),
+    )
+
+
+# --- label_replace / label_join -------------------------------------------
+_LABEL_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("instant")})
+    SELECT ts, event_type,
+           regexp_extract(event_type, '^(.)', 1) AS shard,
+           concat_ws('-', event_type, 'prod') AS joined,
+           value
+    FROM aligned
+    """
+
+
+@register("promql_label_replace", oracle=_LABEL_SQL)
+def promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`label_replace(v, "shard", "$1", "event_type", "(.).*")` +
+    `label_join(v, "joined", "-", "event_type", "env")` — label-set
+    rewriting (functions.go label_replace/label_join) as map-side regex
+    capture + concat over the aligned vector.  Series identity is
+    preserved (relabeling never merges samples); both engines evaluate
+    the same anchored capture group."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "instant", **_PARAMS))
+    return aligned.select(
+        "ts", "event_type",
+        F.regexp_extract("event_type", "^(.)", 1).alias("shard"),
+        F.concat_ws("-", F.col("event_type"), F.lit("prod")).alias("joined"),
+        "value",
+    )

@@ -253,6 +253,9 @@ DRIVER_ORDER = [
     "q15_top_supplier", "q16_supplier_counts", "q17_small_quantity",
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales",
+    # round-3 continuation: PromQL evaluator functions over aligned vectors
+    "promql_histogram_quantile", "promql_topk_series", "promql_bottomk_series",
+    "promql_count_values", "promql_clamp", "promql_label_replace",
 ]
 
 
