@@ -363,7 +363,7 @@ def km_summary_select(d: Dialect, assign_src: str) -> str:
     """(cid, n_members, sum_vec_ids): pins the full assignment without
     emitting N rows."""
     return (
-        f"SELECT cid, count(*) AS n_members, sum(vec_id) AS sum_vec_ids "
+        f"SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids "
         f"FROM {assign_src} GROUP BY cid"
     )
 

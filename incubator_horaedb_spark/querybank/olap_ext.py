@@ -139,7 +139,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def _pivot_oracle() -> str:
     cols = ", ".join(
-        f'sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END) AS "{t}"'
+        f'CAST(sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END) AS BIGINT) AS "{t}"'
         for t in _EVENT_TYPES
     )
     return f"""
@@ -355,8 +355,8 @@ _AGG_FILTER_SQL = """
            count(*) AS n_all,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
            count(*) FILTER (WHERE l_quantity < 10) AS n_small,
-           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-               FILTER (WHERE l_tax > 0.04) AS cents_hi_tax,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                FILTER (WHERE l_tax > 0.04) AS BIGINT) AS cents_hi_tax,
            max(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
     FROM lineitem
     GROUP BY l_returnflag
@@ -398,7 +398,7 @@ _JSON_DUCK_SQL = """
     SELECT event_type,
            count(*) AS n_events,
            count(props->>'$.k') AS n_with_k,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from incubator_horaedb_spark.functions.detfloat import dyadic, dyadic_sql, r_out, r_out_sql
+from incubator_horaedb_spark.functions.detfloat import r_out_sql
 from incubator_horaedb_spark.operators.prom_align import prom_align, prom_align_oracle_sql
 from incubator_horaedb_spark.querybank.promql import (
     _ORACLE_PARAMS,
@@ -67,11 +67,17 @@ def _hq_sql() -> str:
         )
         lo = hi
     case = "CASE " + " ".join(branches) + f" ELSE {_LES[-1]} END"
+    # date_trunc('day', ts) is TIMESTAMP on Spark but DATE on DuckDB; the
+    # explicit CAST AS TIMESTAMP pins both engines (and both driver fetch
+    # paths) to the same rendered type.  TIMESTAMP, not DATE: every
+    # driver-green query emits timestamps, while no oracle has ever shipped
+    # a date32 final through the driver's pandas/Arrow fetch.
     return f"""
     WITH hist AS (
-      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n, {counts}
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n, {counts}
       FROM events
-      GROUP BY event_type, date_trunc('day', ts)
+      GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
     )
     SELECT event_type, day, {r_out_sql(case, 6)} AS phi90
     FROM (SELECT hist.*, {_PHI} * CAST(n AS DOUBLE) AS rnk FROM hist) h

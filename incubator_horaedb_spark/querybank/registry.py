@@ -199,21 +199,35 @@ DRIVER_ORDER = [
     "promql_rate", "promql_instant", "promql_sum_by_ts",
     "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_cluster_reps", "dedup_apply_survivors", "decontaminate_ngram",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_cluster_reps", "decontaminate_ngram",
     "sample_stratified",
-    "ann_cosine_bruteforce", "holt_winters_smooth",
+    "ann_cosine_bruteforce",
     "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
-    "embedding_rhp_lsh", "text_langid", "text_quality", "text_token_count",
-    "text_fingerprint", "text_bm25_topk", "text_repetition", "pii_scrub",
-    "funnel_conversion", "cms_heavy_hitters", "corpus_quality_filter",
+    "embedding_rhp_lsh", "text_langid", "text_quality",
+    "text_fingerprint",
+    "funnel_conversion", "corpus_quality_filter",
     "sessionize_events", "zorder_cluster", "asof_join_events",
     "interval_join_sessions",
     "multimodal_png_pixel_stats",
+    # round-4 window rotation: the four latent-HUGEINT oracles fixed this
+    # round (VERDICT r03 #2) plus representatives from the two families the
+    # driver has never verified (TPC-H completion, PromQL evaluator fns) —
+    # fixes and new families become externally visible while every family
+    # keeps at least one in-window representative.
+    "pivot_event_counts", "agg_filter_clause", "events_json_extract",
+    "join_full_outer",
+    "promql_histogram_quantile", "promql_topk_series",
+    "q5_local_supplier_volume", "q18_large_orders",
     # family variants — covered by a same-family representative above when
-    # the driver caps its check window (ann_cosine_ivf, doc_chunking,
-    # corpus_shuffle, multimodal_decode_meta rotated out of the window in
-    # round 3 — still locally gated every round)
+    # the driver caps its check window (round-4 rotations out:
+    # dedup_ngram_jaccard, dedup_apply_survivors, holt_winters_smooth,
+    # text_token_count, text_bm25_topk, text_repetition, pii_scrub,
+    # cms_heavy_hitters — all driver-green in r03, still locally gated
+    # every round)
+    "dedup_ngram_jaccard", "dedup_apply_survivors", "holt_winters_smooth",
+    "text_token_count", "text_bm25_topk", "text_repetition", "pii_scrub",
+    "cms_heavy_hitters",
     "ann_cosine_ivf", "doc_chunking", "corpus_shuffle", "multimodal_decode_meta",
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
@@ -225,7 +239,7 @@ DRIVER_ORDER = [
     "salted_distinct_users", "promql_rate_offset", "time_bucket_gapfill_locf",
     # round-3 late additions (statistical aggs, histogram, pivot, RANGE
     # frames, winnowing, rare-token, SemDeDup, int8 quantization)
-    "stats_corr_regr", "numeric_histogram", "pivot_event_counts",
+    "stats_corr_regr", "numeric_histogram",
     "window_range_time_frame", "text_winnow_fingerprint",
     "text_rare_token_ratio", "embedding_semdedup", "embedding_int8_quantize",
     "corpus_curation_e2e", "grouping_sets_explicit", "m4_downsample",
@@ -235,12 +249,11 @@ DRIVER_ORDER = [
     "ann_ivfpq",
     # round-3 second wave (wide join, FILTER modifiers, JSON extraction,
     # Gopher rules, quantile_over_time)
-    "q5_local_supplier_volume", "agg_filter_clause", "events_json_extract",
     "quality_gopher_rules", "promql_quantile_over_time",
     "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
     "retention_cohorts", "window_ntile_quartiles",
     "text_unigram_surprisal",
-    "q10_returned_items", "q18_large_orders",
+    "q10_returned_items",
     "promql_deriv", "promql_predict_linear",
     "promql_absent_over_time",
     "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
@@ -254,7 +267,7 @@ DRIVER_ORDER = [
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales",
     # round-3 continuation: PromQL evaluator functions over aligned vectors
-    "promql_histogram_quantile", "promql_topk_series", "promql_bottomk_series",
+    "promql_bottomk_series",
     "promql_count_values", "promql_clamp", "promql_label_replace",
 ]
 

@@ -38,7 +38,8 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     oracle="""
     SELECT coalesce(c.c_mktsegment, '<no customer>') AS segment,
            count(o.o_orderkey) AS n_orders,
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_without_orders
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers_without_orders
     FROM customer c
     FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY coalesce(c.c_mktsegment, '<no customer>')
@@ -332,9 +333,9 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_energy_by_type",
     oracle="""
     SELECT event_type,
-           sum(CAST(sign(value) * floor(abs(value * 1024) + 0.5) AS BIGINT)
-               * CAST(sign(value) * floor(abs(value * 1024) + 0.5) AS BIGINT))
-               AS energy_q
+           CAST(sum(CAST(sign(value) * floor(abs(value * 1024) + 0.5) AS BIGINT)
+                    * CAST(sign(value) * floor(abs(value * 1024) + 0.5) AS BIGINT))
+                AS BIGINT) AS energy_q
     FROM events
     GROUP BY event_type
     """,

@@ -158,7 +158,10 @@ _q(
 # --- Q8: national market share (conditional-ratio by year) ----------------
 _Q8_SQL = f"""
     SELECT o_year,
-           {_r6("CAST(sum(nation_cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)")} AS mkt_share
+           {_r6(
+               "CASE WHEN sum(cents) = 0 THEN NULL ELSE "
+               "CAST(sum(nation_cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE) END"
+           )} AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year, {_CENTS} AS cents,
              CASE WHEN n2.n_name = 'NATION_3' THEN {_CENTS} ELSE 0 END AS nation_cents
@@ -301,8 +304,9 @@ _q(
 # --- Q14: promotion effect (conditional ratio, single month) --------------
 _Q14_SQL = f"""
     SELECT {_r6(
+        "CASE WHEN sum(cents) = 0 THEN NULL ELSE "
         "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)"
-        " / CAST(sum(cents) AS DOUBLE)"
+        " / CAST(sum(cents) AS DOUBLE) END"
     )} AS promo_revenue
     FROM (
       SELECT p_type, {_CENTS} AS cents

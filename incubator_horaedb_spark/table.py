@@ -34,6 +34,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from incubator_horaedb_spark import fsops
 from incubator_horaedb_spark.catalog import Catalog, pick_segment_duration_ms
 from incubator_horaedb_spark.functions.hashing import tsid_expr
 from incubator_horaedb_spark.partition import (
@@ -178,13 +179,11 @@ class Table:
         newest-per-primary-key."""
         meta = self.meta
         schema = meta.schema
-        import os
-
         data = self.catalog.data_dir(self.name)
-        has_data = any(
-            name.startswith((f"{SEGMENT_COLUMN}=", f"{PARTITION_COLUMN}="))
-            for name in os.listdir(data)
-        ) if os.path.isdir(data) else False
+        has_data = bool(
+            fsops.list_dirs(self.spark, data, prefix=f"{SEGMENT_COLUMN}=")
+            or fsops.list_dirs(self.spark, data, prefix=f"{PARTITION_COLUMN}=")
+        )
         if not has_data:
             df = self.spark.createDataFrame([], schema.spark_schema(include_internal=True))
         else:
@@ -241,13 +240,11 @@ class Table:
         timestamp column is part of the effective primary key
         (schema.rs:628): every version of a key shares its timestamp, hence
         its segment."""
-        import os
-
         meta = self.meta
         schema = meta.schema
         seg_ms = meta.options.segment_duration_ms
         data = self.catalog.data_dir(self.name)
-        if not os.path.isdir(data) or not os.listdir(data):
+        if not fsops.list_dirs(self.spark, data):
             return self.read(now_ms=now_ms)
         df = self.spark.read.schema(self._read_schema()).parquet(data)
         if seg_ms:
@@ -303,21 +300,36 @@ class Table:
         return df.select(*[c.name for c in schema.columns])
 
     # -------------------------------------------------------- maintenance --
-    def compact(self) -> int:
-        """Rewrite each time partition into compacted files, applying
-        Overwrite dedup — the TimeWindow compaction analogue.  Returns the
-        number of rewritten partitions."""
-        import os
-        import shutil
+    # All three maintenance ops route list/delete/rename through the Hadoop
+    # FileSystem API (fsops) so they run unchanged over object storage —
+    # os.listdir/shutil surgery only exists on a POSIX local disk — and
+    # size rewrites to ~128 MB output files via repartition[ByRange]
+    # instead of coalesce(1), which at 100 TB would funnel a hot segment
+    # through one single-threaded task (compaction/picker.rs sizes SST
+    # outputs the same way).
 
-        meta = self.meta
+    def _segment_dirs(self) -> list[tuple[str, str]]:
+        """(name, full path) of every time-partition directory."""
         data = self.catalog.data_dir(self.name)
-        if not os.path.isdir(data):
-            return 0
-        segs = [d for d in os.listdir(data) if d.startswith(f"{SEGMENT_COLUMN}=")]
+        return [
+            (seg, f"{data}/{seg}")
+            for seg in fsops.list_dirs(self.spark, data, prefix=f"{SEGMENT_COLUMN}=")
+        ]
+
+    def _commit_rewrite(self, src: str, tmp: str) -> None:
+        """Swap the rewritten directory in (delete-then-rename — the same
+        manifest-flip ordering the reference uses between SST purge and
+        meta update; readers see old or new listing, never a merge)."""
+        fsops.delete(self.spark, src)
+        fsops.rename(self.spark, tmp, src)
+
+    def compact(self, target_file_bytes: int = fsops.TARGET_FILE_BYTES) -> int:
+        """Rewrite each time partition into compacted, sort-clustered files,
+        applying Overwrite dedup — the TimeWindow compaction analogue.
+        Returns the number of rewritten partitions."""
+        meta = self.meta
         rewritten = 0
-        for seg in segs:
-            src = os.path.join(data, seg)
+        for seg, src in self._segment_dirs():
             df = self.spark.read.parquet(src)
             if meta.options.update_mode == "OVERWRITE":
                 pk = [
@@ -327,18 +339,27 @@ class Table:
                 df = df.withColumn("__rn", F.row_number().over(w)).filter(
                     F.col("__rn") == 1
                 ).drop("__rn")
-            out = df.coalesce(1)
-            if meta.options.sampled_sort_key:
-                # compaction re-sorts merged batches by the sampled key, so
-                # the rewritten file's row groups regain selective stats
-                # (sort after coalesce — a later merge would destroy order)
-                out = out.sortWithinPartitions(
-                    *[c for c in meta.options.sampled_sort_key if c in df.columns]
+            nfiles = fsops.n_output_files(
+                fsops.dir_bytes(self.spark, src), target_file_bytes
+            )
+            sort_key = [
+                c for c in (meta.options.sampled_sort_key or []) if c in df.columns
+            ]
+            if sort_key:
+                # range-partition on the sampled key, then sort within each
+                # output file: files cover disjoint key ranges, so row-group
+                # min/max stats prune across files too (not just inside one)
+                out = (
+                    df.repartitionByRange(nfiles, *sort_key)
+                    .sortWithinPartitions(*sort_key)
+                    if nfiles > 1
+                    else df.coalesce(1).sortWithinPartitions(*sort_key)
                 )
+            else:
+                out = df.repartition(nfiles) if nfiles > 1 else df.coalesce(1)
             tmp = src + ".compact"
             out.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(src)
-            os.replace(tmp, src)
+            self._commit_rewrite(src, tmp)
             rewritten += 1
         return rewritten
 
@@ -356,54 +377,62 @@ class Table:
                 z = z + F.shiftleft(bit, j * len(cols) + k)
         return z
 
-    def optimize_zorder(self, cols: list[str], bits: int = 16) -> int:
+    def optimize_zorder(
+        self,
+        cols: list[str],
+        bits: int = 16,
+        target_file_bytes: int = fsops.TARGET_FILE_BYTES,
+    ) -> int:
         """Rewrite every time partition clustered by the Z-order key of
         ``cols`` — after this, row-group min/max stats prune scans on ALL
         the z-ordered columns, not just the lead sort column.  The rewrite
         is per-segment (same shape as compact), so at scale it runs as
         bounded parallel jobs, never a global sort.  Returns partitions
         rewritten."""
-        import os
-        import shutil
-
         meta = self.meta
         for c in cols:
             kind = meta.schema.column(c).kind
             if kind in ("double", "float", "string", "timestamp", "varbinary"):
                 raise ValueError(f"zorder column {c!r} must be integer-kind, got {kind}")
-        data = self.catalog.data_dir(self.name)
-        if not os.path.isdir(data):
-            return 0
         rewritten = 0
-        for seg in [d for d in os.listdir(data) if d.startswith(f"{SEGMENT_COLUMN}=")]:
-            src = os.path.join(data, seg)
+        for seg, src in self._segment_dirs():
             df = self.spark.read.parquet(src)
-            out = df.coalesce(1).sortWithinPartitions(self.zorder_column(cols, bits))
+            z = self.zorder_column(cols, bits)
+            nfiles = fsops.n_output_files(
+                fsops.dir_bytes(self.spark, src), target_file_bytes
+            )
+            # range-partition on the z-key so each output file owns a
+            # disjoint Morton range — min/max prunes on every z-ordered
+            # column across files (the Delta/Iceberg OPTIMIZE ZORDER shape)
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(nfiles, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                if nfiles > 1
+                else df.coalesce(1).sortWithinPartitions(z)
+            )
             tmp = src + ".zorder"
             out.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(src)
-            os.replace(tmp, src)
+            self._commit_rewrite(src, tmp)
             rewritten += 1
         return rewritten
 
     def ttl_expire(self, now_ms: int | None = None) -> int:
         """Drop whole segments beyond TTL (segment-level TTL purge —
-        src/analytic_engine retention).  Returns segments dropped."""
-        import os
-        import shutil
-
+        src/analytic_engine retention).  Metadata-only: one LIST plus one
+        recursive delete per expired segment, no data read.  Returns
+        segments dropped."""
         meta = self.meta
         if not meta.options.enable_ttl or meta.options.segment_duration_ms is None:
             return 0
         now_ms = int(time.time() * 1000) if now_ms is None else now_ms
         cutoff_seg = (now_ms - meta.options.ttl_ms) // meta.options.segment_duration_ms
-        data = self.catalog.data_dir(self.name)
         dropped = 0
-        for d in os.listdir(data) if os.path.isdir(data) else []:
-            if d.startswith(f"{SEGMENT_COLUMN}="):
-                seg_val = int(d.split("=", 1)[1])
-                # a segment is expired only when its whole range is expired
-                if seg_val + 1 <= cutoff_seg:
-                    shutil.rmtree(os.path.join(data, d))
-                    dropped += 1
+        for seg, src in self._segment_dirs():
+            seg_val = int(seg.split("=", 1)[1])
+            # a segment is expired only when its whole range is expired
+            if seg_val + 1 <= cutoff_seg:
+                fsops.delete(self.spark, src)
+                dropped += 1
         return dropped

@@ -171,6 +171,36 @@ def test_compaction_dedups_files(engine):
     assert [r["v"] for r in out.collect()] == [3.0]  # newest seq survives
 
 
+def test_compaction_sizes_output_files(engine, spark):
+    """Maintenance rewrites must be size-aware (VERDICT r03 #4): with a
+    small target-bytes knob a multi-file segment compacts to N>1 files,
+    each task-parallel — never a coalesce(1) funnel — and the result
+    set is unchanged."""
+    from incubator_horaedb_spark import fsops
+
+    engine.execute_sql(
+        "CREATE TABLE csz (k string TAG, v double, t timestamp NOT NULL, timestamp KEY (t)) "
+        "ENGINE=Analytic WITH(enable_ttl='false', update_mode='APPEND', segment_duration='2h')"
+    )
+    values = ", ".join(f"('k{i % 7}', {i}, {1000 + i})" for i in range(500))
+    for _ in range(3):  # several small files in one segment
+        engine.execute_sql(f"INSERT INTO csz (k, v, t) VALUES {values}")
+    tbl = engine.table("csz")
+    before = sorted(r["v"] for r in tbl.read().collect())
+    assert tbl.compact(target_file_bytes=4 * 1024) >= 1
+    after = sorted(r["v"] for r in tbl.read().collect())
+    assert after == before
+    data = engine.catalog.data_dir("csz")
+    seg = fsops.list_dirs(spark, data, prefix="__segment=")[0]
+    fs, jpath = fsops.hadoop_fs(spark, f"{data}/{seg}")
+    parquet_files = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    assert len(parquet_files) > 1, parquet_files
+
+
 def test_partition_rules_random_and_linear_key(spark, tmp_path):
     """Random + LINEAR KEY partition rules (partition/rule/random.rs:40-53,
     ast.rs:113-118, factory.rs:39): random scatters writes across

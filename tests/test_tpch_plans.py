@@ -8,7 +8,7 @@ import re
 
 import pytest
 
-from incubator_horaedb_spark.plans.inspect import explain_str
+from incubator_horaedb_spark.plans.inspect import explain_str, pushed_filters
 from incubator_horaedb_spark.querybank import registry
 from incubator_horaedb_spark.querybank.tpch import *  # noqa: F401,F403 - registers queries
 
@@ -23,10 +23,12 @@ def _plan(df) -> str:
 
 
 def test_q4_exists_is_semi_join(spark, sf_dir, qs):
-    text = _plan(qs["q4_order_priority"](spark, sf_dir))
+    df = qs["q4_order_priority"](spark, sf_dir)
+    text = _plan(df)
     assert "LeftSemi" in text, text
-    # the quarter predicate reaches the orders scan
-    assert "PushedFilters" not in text or True
+    # the quarter predicate reaches the orders scan as a PushedFilter
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, pf
     rows = qs["q4_order_priority"](spark, sf_dir).collect()
     assert all(r["order_count"] > 0 for r in rows)
 

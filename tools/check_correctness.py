@@ -148,6 +148,27 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # The grading driver fetches the oracle through pandas/Arrow, where
+        # DuckDB HUGEINT (sum of BIGINT) degrades to float64/decimal128 and
+        # hashes as `4950.0` against Spark's `4950` — invisible to the
+        # .fetchall() path above (VERDICT r03 #1: two rounds of driver-red
+        # with a green local harness).  Probe the result's Arrow schema and
+        # fail any type that diverges between fetch paths.
+        try:
+            sch = con.execute(f"SELECT * FROM ({os_[name]}) __q LIMIT 0").arrow().schema
+            bad_types = [
+                f"{f.name}:{f.type}"
+                for f in sch
+                if "decimal" in str(f.type) or str(f.type).startswith("uint")
+            ]
+            if bad_types:
+                problems.append(
+                    "oracle type not driver-safe (HUGEINT/decimal/uint "
+                    f"renders differently under pandas fetch): {bad_types} "
+                    "— CAST the final aggregate to BIGINT/DOUBLE"
+                )
+        except Exception:
+            pass  # arrow probe is advisory; the value compare below still runs
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
