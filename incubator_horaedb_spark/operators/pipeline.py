@@ -504,3 +504,92 @@ def weighted_sample_sql(d: Dialect, table: str = "documents") -> str:
     FROM {table}
     GROUP BY source
     """
+
+
+# ------------------------------------------- split leakage audit --
+def split_leakage_sql(
+    d: Dialect, table: str = "documents", train_pct: int = 90, val_pct: int = 5
+) -> str:
+    """Cross-split near-duplicate leakage audit — the eval-integrity check
+    every pretraining run needs: a test document with a near-identical
+    train twin silently inflates benchmark scores.  Composes the split
+    assignment (split_assign_sql's seeded-hash buckets: pure projection,
+    no shuffle) with the edit-distance near-dup detector
+    (dedup.edit_distance_pairs_select: blocked equi-join candidates +
+    exact levenshtein verify — never all-pairs).  Output is the
+    per-(split, split) leaked-pair matrix; at 100 TB the only shuffles
+    are the block-key join and a 9-row-max final agg."""
+    bucket = f"({sample_hash_expr(f'doc_id % {_SAMPLE_P}')}) % 100"
+    split = (
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' "
+        f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+    ctes = dedup._prefix_block_ctes(d, table, extra_cols=f"{split} AS split") + [
+        (
+            "leaks",
+            dedup.edit_distance_pairs_select(
+                d, "admitted", extra=", a.split AS split_a, b.split AS split_b"
+            ),
+        ),
+    ]
+    return d.cte_query(
+        ctes,
+        """SELECT least(split_a, split_b)    AS split_lo,
+           greatest(split_a, split_b) AS split_hi,
+           CAST(count(*) AS BIGINT)   AS n_leaked_pairs,
+           CAST(min(doc_a) AS BIGINT) AS first_doc_a,
+           CAST(max(edit_dist) AS BIGINT) AS max_edit_dist
+    FROM leaks
+    GROUP BY least(split_a, split_b), greatest(split_a, split_b)""",
+    )
+
+
+# ------------------------------------------- sequence packing --
+PACK_CAPACITY = 512  # token budget per packed training sequence
+
+
+def pack_sequences_sql(
+    d: Dialect, table: str = "documents", capacity: int = PACK_CAPACITY
+) -> str:
+    """Token-budget sequence packing (next-fit by running sum) — the step
+    that turns a filtered corpus into fixed-budget training sequences
+    without padding waste.  Each (source, shard) stream is packed
+    independently: bin_id = (running token total before this doc) DIV
+    capacity, so a document lands in the bin where its stream position
+    starts (contiguous, deterministic, one window pass — the streaming
+    next-fit every packing implementation uses).
+
+    Scale shape: the window partitions on (source, doc_id % 8), not on
+    source alone — packing needs *an* order, not a global one, and the
+    shard key bounds any one window's rows at 1/8 of a source, keeping
+    the sort-based window parallel even when one source dominates the
+    corpus (raise the shard count with corpus size).  Output is the
+    per-bin audit (n_docs, tokens, fill vs capacity); emitting the
+    doc→bin map instead is the same query minus the final GROUP BY."""
+    tok_n = d.size(d.tokens("text"))
+    shard = "doc_id % 8"
+    cum = (
+        "sum(tok_n) OVER (PARTITION BY source, shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return d.cte_query(
+        [
+            (
+                "toks",
+                f"SELECT doc_id, source, {shard} AS shard, "
+                f"CAST({tok_n} AS BIGINT) AS tok_n FROM {table}",
+            ),
+            (
+                "packed",
+                f"SELECT doc_id, source, shard, tok_n, "
+                f"CAST({d.idiv(f'({cum} - tok_n)', str(capacity))} AS BIGINT)"
+                f" AS bin_id FROM toks",
+            ),
+        ],
+        f"""SELECT source, shard, bin_id,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(tok_n) AS BIGINT) AS bin_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM packed
+    GROUP BY source, shard, bin_id""",
+    )

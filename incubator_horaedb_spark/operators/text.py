@@ -849,3 +849,38 @@ def doc_cluster_sql(d: Dialect, table: str = "documents", k: int = 4) -> str:
            CAST(sum(doc_id) AS BIGINT) AS member_checksum
     FROM pick WHERE rn = 1 GROUP BY cid""",
     )
+
+
+# ------------------------------------------- BPE pair statistics --
+def bpe_pair_counts_sql(d: Dialect, table: str = "documents", k: int = 30) -> str:
+    """One BPE merge iteration's pair statistics: corpus-weighted adjacent
+    character-pair frequencies — the inner loop of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016, public algorithm).
+
+    Shape matters at 100 TB: the classic efficiency trick is to count
+    pairs over the DISTINCT word vocabulary weighted by word frequency,
+    not over the raw corpus — one map-side-combinable word-count shuffle
+    collapses the corpus to a vocab that is orders of magnitude smaller,
+    and the per-character explode then runs on vocab rows only.  Ties
+    break lexicographically so the top-k is total-ordered on both
+    engines."""
+    words = d.tokens("lower(text)")
+    pair = "substr(word, i, 2)"
+    pairs_arr = d.transform(d.range1("length(word) - 1"), "i", pair)
+    return d.cte_query(
+        [
+            ("w", d.unnest_select("doc_id", words, "word", table)),
+            (
+                "vocab",
+                "SELECT word, count(*) AS wc FROM w "
+                "WHERE length(word) >= 2 GROUP BY word",
+            ),
+            ("vp", d.unnest_select("wc", pairs_arr, "pair", "vocab")),
+            (
+                "pc",
+                "SELECT pair, sum(wc) AS pair_count FROM vp GROUP BY pair",
+            ),
+        ],
+        "SELECT pair, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM pc ORDER BY pair_count DESC, pair LIMIT {k}",
+    )

@@ -752,3 +752,10 @@ register(
     "ann_ivfpq",
     oracle=similarity.ann_ivfpq_sql(DUCK, k=5, n_probe=2, n_queries=10),
 )(_staged_ann_ivfpq)
+
+
+# --- round 4: edit-distance dedup, leakage audit, packing, BPE ------------
+_sql_query("dedup_edit_distance", dedup.edit_distance_dedup_sql)
+_sql_query("split_leakage_check", pipeline.split_leakage_sql)
+_sql_query("pack_sequences", pipeline.pack_sequences_sql)
+_sql_query("bpe_pair_counts", text.bpe_pair_counts_sql)

@@ -269,6 +269,10 @@ DRIVER_ORDER = [
     # round-3 continuation: PromQL evaluator functions over aligned vectors
     "promql_bottomk_series",
     "promql_count_values", "promql_clamp", "promql_label_replace",
+    # round-4 additions: edit-distance-verified near-dup dedup, cross-split
+    # leakage audit, token-budget sequence packing, BPE pair statistics
+    "dedup_edit_distance", "split_leakage_check", "pack_sequences",
+    "bpe_pair_counts",
 ]
 
 

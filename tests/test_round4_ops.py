@@ -1,0 +1,78 @@
+"""Round-4 LLM-pipeline operators: plan-shape and semantic invariants.
+
+Covers the four new gated queries (dedup_edit_distance,
+split_leakage_check, pack_sequences, bpe_pair_counts).  Cross-engine value
+equality is the oracle harness's job; these tests pin the SCALE claims in
+the operator docstrings (no cartesian products, block caps honored,
+packing invariants) against the actual physical plans and results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_horaedb_spark.plans.inspect import explain_str
+from incubator_horaedb_spark.querybank import registry
+from incubator_horaedb_spark.querybank import llm_ops  # noqa: F401 - registers
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return {n: e.fn for n, e in registry.QUERIES.items()}
+
+
+def test_edit_distance_is_blocked_equi_join(spark, sf_dir, qs):
+    df = qs["dedup_edit_distance"](spark, sf_dir)
+    text = explain_str(df, "simple")
+    # candidates come from the (blk, lb) equi-join — never a cartesian
+    assert "CartesianProduct" not in text, text
+    assert "SortMergeJoin" in text or "BroadcastHashJoin" in text or "ShuffledHashJoin" in text, text
+    rows = df.collect()
+    assert rows, "test corpus contains known near-dup pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["edit_dist"] <= 8
+
+
+def test_split_leakage_matrix_is_bounded(spark, sf_dir, qs):
+    df = qs["split_leakage_check"](spark, sf_dir)
+    rows = df.collect()
+    # at most 6 unordered split pairs over {train, val, test}
+    assert 0 < len(rows) <= 6
+    for r in rows:
+        assert r["split_lo"] <= r["split_hi"]
+        assert r["n_leaked_pairs"] > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir, qs):
+    df = qs["pack_sequences"](spark, sf_dir)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text and "Join" not in text, text
+    rows = df.collect()
+    assert rows
+    from collections import defaultdict
+
+    by_stream = defaultdict(list)
+    for r in rows:
+        by_stream[(r["source"], r["shard"])].append(r)
+    from incubator_horaedb_spark.operators.pipeline import PACK_CAPACITY
+
+    for stream, bins in by_stream.items():
+        ids = sorted(b["bin_id"] for b in bins)
+        # next-fit bins are contiguous from 0 within each stream
+        assert ids == list(range(len(ids))), (stream, ids)
+        for b in bins:
+            # a bin stops accepting docs once it crosses capacity, so it
+            # can exceed capacity only by the tokens of its final doc —
+            # and every non-final bin must have crossed the threshold
+            if b["bin_id"] < len(ids) - 1:
+                assert b["bin_tokens"] >= PACK_CAPACITY - 0, (stream, b)
+
+
+def test_bpe_pairs_are_char_bigrams(spark, sf_dir, qs):
+    rows = qs["bpe_pair_counts"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r["pair"]) == 2
