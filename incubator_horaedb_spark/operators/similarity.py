@@ -1116,3 +1116,86 @@ def ann_mips_sql(d: Dialect, table: str = "embeddings", k: int = 5, n_queries: i
         ],
         f"SELECT qid, vec_id, inner_product FROM ranked WHERE rn <= {k}",
     )
+
+
+# --- principal component via fixed-k power iteration ----------------------
+# Beyond-reference, LLM-pipeline grade: the top principal direction of an
+# embedding corpus (public technique: power iteration / von Mises; used for
+# all-but-the-top embedding post-processing, Mu & Viswanath 2018, and as
+# the split direction in spill-tree/PCA-tree ANN partitioning).  The whole
+# iteration is data-parallel SQL: each round is one broadcast of the
+# 1-row current vector, one per-vector dot (the corpus scan), and one
+# per-dimension integer-quantized sum — the distributed matvec
+# v <- normalize(Eᵀ(E v)).  Three unrolled rounds, like KM_ROUNDS: fixed
+# iteration count keeps the plan static and the oracle a single SQL text.
+#
+# Determinism: dots are rounded to the 2^-20 grid (floor form), the
+# per-dim matvec sums add PRE-QUANTIZED integer addends (s·q_j exact on
+# the 2^-20 grid by construction: S·G ≤ 2^46 < 2^53, so the double
+# arithmetic is exact before floor), and the norm squares are integer-
+# quantized before their 64-row sum — no reduction-order dependence
+# anywhere in the loop.
+
+PI_ROUNDS = 3
+
+
+def pi_init_select(d: Dialect) -> str:
+    """Deterministic data-independent start: the uniform unit vector
+    (1/sqrt(DIM) = 0.125 at DIM=64, exactly representable)."""
+    arr = d.transform(d.range1(str(DIM)), "i", "CAST(0.125 AS DOUBLE)")
+    return f"SELECT {arr} AS v"
+
+
+def pi_score_select(d: Dialect, qv_src: str, v_src: str) -> str:
+    """(vec_id, q, s): the per-vector projection s = <q, v>, rounded to
+    the 2^-20 grid.  v is one row — Spark broadcasts it."""
+    s = f"floor(({_dot(d, 'e.q', 'w.v')}) * {Q} + 0.5) / {Q}"
+    return f"SELECT e.vec_id, e.q, {s} AS s FROM {qv_src} e CROSS JOIN {v_src} w"
+
+
+def pi_update_select(d: Dialect, score_src: str) -> str:
+    """One-row (v) table for the next round: per-dim integer-exact matvec
+    sum, then L2 normalization with an order-independent norm."""
+    qj = d.at("e.q", "dims.dim")
+    addend = f"CAST(floor(e.s * ({qj}) * {Q} + 0.5) AS BIGINT)"
+    wv = f"CAST(wq AS DOUBLE) / {Q}"
+    nsq_addend = f"CAST(floor(({wv}) * ({wv}) * {Q} + 0.5) AS BIGINT)"
+    comp = f"floor((CAST(wq AS DOUBLE) / {Q}) / nrm * {Q} + 0.5) / {Q}"
+    arr = d.ordered_list(comp, "dim")
+    return f"""SELECT {arr} AS v FROM (
+        SELECT w.dim, w.wq, n.nrm FROM (
+          SELECT dims.dim, CAST(sum({addend}) AS BIGINT) AS wq
+          FROM {score_src} e CROSS JOIN {d.explode_range1(str(DIM), 'dim')} dims
+          GROUP BY dims.dim
+        ) w CROSS JOIN (
+          SELECT sqrt(CAST(sum({nsq_addend}) AS DOUBLE) / {Q}) AS nrm FROM (
+            SELECT CAST(sum({addend}) AS BIGINT) AS wq
+            FROM {score_src} e CROSS JOIN {d.explode_range1(str(DIM), 'dim')} dims
+            GROUP BY dims.dim
+          ) wi
+        ) n
+      ) fin"""
+
+
+def pi_component_select(d: Dialect, v_src: str) -> str:
+    """(dim, component): the final vector exploded to 64 gate-friendly
+    rows."""
+    comp = d.at("w.v", "dims.dim")
+    return (
+        f"SELECT CAST(dims.dim AS BIGINT) AS dim, {comp} AS component "
+        f"FROM {v_src} w CROSS JOIN {d.explode_range1(str(DIM), 'dim')} dims"
+    )
+
+
+def power_iteration_sql(d: Dialect, table: str = "embeddings") -> str:
+    """One-shot rendering (oracle side)."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("v0", pi_init_select(d)),
+    ]
+    prev = "v0"
+    for r in range(1, PI_ROUNDS + 1):
+        ctes.append((f"s{r}", pi_score_select(d, "qraw", prev)))
+        ctes.append((f"v{r}", pi_update_select(d, f"s{r}")))
+        prev = f"v{r}"
+    return d.cte_query(ctes, pi_component_select(d, prev))

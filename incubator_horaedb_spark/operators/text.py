@@ -884,3 +884,67 @@ def bpe_pair_counts_sql(d: Dialect, table: str = "documents", k: int = 30) -> st
         "SELECT pair, CAST(pair_count AS BIGINT) AS pair_count "
         f"FROM pc ORDER BY pair_count DESC, pair LIMIT {k}",
     )
+
+
+# ------------------------------------------- bigram LM surprisal --
+def bigram_surprisal_sql(
+    d: Dialect, table: str = "documents", tokh_src: str | None = None
+) -> str:
+    """Bigram language-model surprisal — the next rung above
+    :func:`surprisal_sql`'s unigram proxy (public: CCNet-style LM
+    filtering, Wenzek et al. 2019; a count-based bigram LM needs only
+    corpus statistics).  Per doc: mean of -ln p(w_i | w_{i-1}) with
+    p = c(w_{i-1} w_i) / c(w_{i-1} ·).
+
+    The trick that keeps this ONE unnest instead of a struct explode: the
+    bigram key is ``ctx_h * 2^31 + next_h`` (both hashes < 2^31, so the
+    packed key fits int64 exactly) — the context hash is recovered later
+    as ``key DIV 2^31``, so the conditional denominator c(w1 ·) is a
+    GROUP BY over the same exploded rows, no second explode and no struct
+    columns.
+
+    Scale shape: bigram and context frequency tables are vocabulary²- and
+    vocabulary-sized (map-side combinable counts; broadcast to the probe
+    join at 100 TB); the per-doc mean shuffles on doc_id only.  Addends
+    are dyadically quantized before the per-doc sum (reduction-order-
+    proof); ln() rounds through the same floor form on both engines."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    shift = 1 << 31
+    q20 = 1 << 20
+    bg = f"({d.at('th', 'i')}) * CAST({shift} AS BIGINT) + ({d.at('th', 'i + 1')})"
+    bgs = d.transform(d.range1(f"{d.size('th')} - 1"), "i", bg)
+    surp = (
+        f"(CAST(floor((-ln(CAST(b.cnt AS DOUBLE) / CAST(c.cnt AS DOUBLE)))"
+        f" * {q20} + 0.5) AS DOUBLE) / {q20})"
+    )
+    r6 = (
+        f"(CAST(floor((sum(sq) / count(*)) * CAST(1000000 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    if tokh_src is None:
+        lead = [("tokh", tokh_select(d, table))]
+        tokh_src = "tokh"
+    else:
+        lead = []
+    return d.cte_query(
+        lead
+        + [
+            (
+                "bg",
+                f"SELECT doc_id, bgk, {d.idiv('bgk', str(shift))} AS ctx "
+                f"FROM ({d.unnest_select('doc_id', bgs, 'bgk', tokh_src)}) x",
+            ),
+            ("bfreq", "SELECT bgk, count(*) AS cnt FROM bg GROUP BY bgk"),
+            ("cfreq", "SELECT ctx, count(*) AS cnt FROM bg GROUP BY ctx"),
+            (
+                "scored",
+                f"""SELECT g.doc_id, {surp} AS sq
+      FROM bg g JOIN bfreq b ON b.bgk = g.bgk JOIN cfreq c ON c.ctx = g.ctx""",
+            ),
+        ],
+        f"""SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           {r6} AS mean_bigram_surprisal
+    FROM scored GROUP BY doc_id""",
+    )

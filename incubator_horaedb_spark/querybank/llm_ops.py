@@ -759,3 +759,34 @@ _sql_query("dedup_edit_distance", dedup.edit_distance_dedup_sql)
 _sql_query("split_leakage_check", pipeline.split_leakage_sql)
 _sql_query("pack_sequences", pipeline.pack_sequences_sql)
 _sql_query("bpe_pair_counts", text.bpe_pair_counts_sql)
+_staged_tokh_query("text_bigram_surprisal", text.bigram_surprisal_sql)
+
+
+def _staged_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same per-round localCheckpoint pattern as _staged_ivf_kmeans: the
+    # score→update chain doubles the matvec per inlined reference and
+    # compounds across rounds (2^R for the one-shot text), so each round's
+    # 1-row vector is pinned before the next scan
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView(
+        "embeddings"
+    )
+    _stage(spark.sql(similarity.km_quant_select(SPARK, "embeddings")), "__pi_q")
+    v = spark.sql(similarity.pi_init_select(SPARK)).localCheckpoint()
+    v.createOrReplaceTempView("__pi_v0")
+    for r in range(1, similarity.PI_ROUNDS + 1):
+        s = spark.sql(
+            similarity.pi_score_select(SPARK, "__pi_q", f"__pi_v{r - 1}")
+        ).localCheckpoint()
+        s.createOrReplaceTempView(f"__pi_s{r}")
+        v = spark.sql(similarity.pi_update_select(SPARK, f"__pi_s{r}")).localCheckpoint()
+        v.createOrReplaceTempView(f"__pi_v{r}")
+    return spark.sql(
+        similarity.pi_component_select(SPARK, f"__pi_v{similarity.PI_ROUNDS}")
+    )
+
+
+_staged_power_iteration.__doc__ = similarity.power_iteration_sql.__doc__
+register(
+    "embedding_power_iteration",
+    oracle=similarity.power_iteration_sql(DUCK),
+)(_staged_power_iteration)

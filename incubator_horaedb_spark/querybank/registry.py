@@ -272,7 +272,7 @@ DRIVER_ORDER = [
     # round-4 additions: edit-distance-verified near-dup dedup, cross-split
     # leakage audit, token-budget sequence packing, BPE pair statistics
     "dedup_edit_distance", "split_leakage_check", "pack_sequences",
-    "bpe_pair_counts",
+    "bpe_pair_counts", "text_bigram_surprisal", "embedding_power_iteration",
 ]
 
 

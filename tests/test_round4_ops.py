@@ -76,3 +76,24 @@ def test_bpe_pairs_are_char_bigrams(spark, sf_dir, qs):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert len(r["pair"]) == 2
+
+
+def test_bigram_surprisal_semantics(spark, sf_dir, qs):
+    rows = qs["text_bigram_surprisal"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # surprisal of p in (0, 1] is >= 0; n_bigrams = tokens - 1 > 0
+        assert r["mean_bigram_surprisal"] >= 0
+        assert r["n_bigrams"] >= 1
+
+
+def test_power_iteration_unit_norm_and_dominance(spark, sf_dir, qs):
+    import math
+
+    rows = qs["embedding_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    v = {r["dim"]: r["component"] for r in rows}
+    nrm = math.sqrt(sum(c * c for c in v.values()))
+    assert abs(nrm - 1.0) < 1e-4  # normalized (up to quantization grid)
+    # the result is a genuine direction, not the uniform start vector
+    assert max(abs(c) for c in v.values()) > 0.14
