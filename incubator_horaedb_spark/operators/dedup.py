@@ -730,3 +730,71 @@ def edit_distance_dedup_sql(d: Dialect, table: str = "documents") -> str:
         _prefix_block_ctes(d, table),
         edit_distance_pairs_select(d, "admitted"),
     )
+
+
+# --- shingle containment (asymmetric near-dup) ----------------------------
+# Containment C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+# asymmetric cousin of Jaccard (Broder 1997's original resemblance AND
+# containment pair).  It catches what the symmetric families structurally
+# miss: a short document wholly embedded in a longer one (quote farms,
+# boilerplate wrappers, article + comments pages) scores near 1.0 on
+# containment while its Jaccard stays ~|A|/|B|, far below any dedup
+# threshold.  Candidates reuse the SAME banded-LSH equi-join as minhash —
+# MinHash bands under-recall containment pairs with very different sizes
+# (the signature is dominated by the big doc), so this operator is defined
+# as "containment over the resemblance candidates": the practical pass
+# pipelines run, and self-consistent across engines.
+CONTAINMENT_THRESHOLD = 0.65
+
+
+def containment_pairs_from_bands_select(
+    d: Dialect,
+    hs_src: str,
+    bands_src: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+) -> str:
+    """(doc_small, doc_big, containment): verified containment pairs from
+    a (possibly materialized) bands view — staged Spark entry point."""
+    inter = d.size(d.intersect("x.shs", "y.shs"))
+    small = f"LEAST({d.size('x.shs')}, {d.size('y.shs')})"
+    cont = (
+        f"(CAST(floor((CAST({inter} AS DOUBLE) / CAST({small} AS DOUBLE))"
+        f" * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+        f" / CAST(1000000 AS DOUBLE))"
+    )
+    doc_small = f"CASE WHEN {d.size('x.shs')} <= {d.size('y.shs')} THEN c.doc_a ELSE c.doc_b END"
+    doc_big = f"CASE WHEN {d.size('x.shs')} <= {d.size('y.shs')} THEN c.doc_b ELSE c.doc_a END"
+    ctes = pairs_from_bands_ctes(d, hs_src, bands_src, bucket_cap)[:-1] + [
+        (
+            "cverified",
+            f"""SELECT {doc_small} AS doc_small, {doc_big} AS doc_big,
+             {cont} AS containment
+      FROM cand c
+      JOIN {hs_src} x ON x.doc_id = c.doc_a
+      JOIN {hs_src} y ON y.doc_id = c.doc_b""",
+        ),
+    ]
+    return d.cte_query(
+        ctes,
+        f"SELECT doc_small, doc_big, containment FROM cverified "
+        f"WHERE containment >= {threshold}",
+    )
+
+
+def containment_sql(
+    d: Dialect, table: str = "documents", threshold: float = CONTAINMENT_THRESHOLD
+) -> str:
+    """One-shot rendering (oracle side)."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {_sig_cols()}\n      FROM ex GROUP BY doc_id"),
+            ("bands", bands_select(d, "sig")),
+        ]
+    )
+    inner = containment_pairs_from_bands_select(d, "hs", "bands", threshold)
+    # containment_pairs_... renders a full cte_query; merge by re-rendering
+    # with the lead ctes prepended instead of nesting WITH blocks
+    return d.cte_query(ctes, f"SELECT * FROM ({inner}) q")

@@ -790,3 +790,32 @@ register(
     "embedding_power_iteration",
     oracle=similarity.power_iteration_sql(DUCK),
 )(_staged_power_iteration)
+
+
+def _staged_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same staging as _staged_minhash (the candidate machinery is shared);
+    # only the verify step differs (asymmetric containment vs jaccard)
+    _staged_shingles(spark, sf_dir, "__cont_hs", materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__cont_hs"), "__cont_sig")
+    gated = _gated_src(
+        spark,
+        dedup.bands_select(SPARK, "__cont_sig"),
+        ["band_idx", "band_key"],
+        "__cont_bands",
+        dedup.BAND_BUCKET_CAP,
+    )
+    src = gated if gated else "__cont_bands_all"
+    if not gated:
+        _stage_lazy(spark, dedup.bands_select(SPARK, "__cont_sig"), src)
+    return spark.sql(
+        dedup.containment_pairs_from_bands_select(
+            SPARK, "__cont_hs", src, bucket_cap=None
+        )
+    )
+
+
+_staged_containment.__doc__ = dedup.containment_sql.__doc__
+register(
+    "dedup_containment",
+    oracle=dedup.containment_sql(DUCK),
+)(_staged_containment)

@@ -97,3 +97,20 @@ def test_power_iteration_unit_norm_and_dominance(spark, sf_dir, qs):
     assert abs(nrm - 1.0) < 1e-4  # normalized (up to quantization grid)
     # the result is a genuine direction, not the uniform start vector
     assert max(abs(c) for c in v.values()) > 0.14
+
+
+def test_containment_asymmetric_semantics(spark, sf_dir, qs):
+    from incubator_horaedb_spark.operators.dedup import CONTAINMENT_THRESHOLD
+
+    rows = qs["dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    jac = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["containment"] >= CONTAINMENT_THRESHOLD
+        key = (min(r["doc_small"], r["doc_big"]), max(r["doc_small"], r["doc_big"]))
+        if key in jac:
+            # containment >= jaccard always (divides by the smaller set)
+            assert r["containment"] >= jac[key] - 1e-6
