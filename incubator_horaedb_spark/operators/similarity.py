@@ -1199,3 +1199,60 @@ def power_iteration_sql(d: Dialect, table: str = "embeddings") -> str:
         ctes.append((f"v{r}", pi_update_select(d, f"s{r}")))
         prev = f"v{r}"
     return d.cte_query(ctes, pi_component_select(d, prev))
+
+
+# --- all-but-the-top embedding post-processing ----------------------------
+def abtt_center_select(d: Dialect, qv_src: str) -> str:
+    """(vec_id, q): vectors centered on the per-dim corpus mean.  The mean
+    is integer-quantized per dim (exact addends, order-independent sum)
+    and the subtraction stays on the 2^-20 grid, so centered components
+    are exact rationals on both engines."""
+    qj = d.at("e.q", "dims.dim")
+    addend = f"CAST(floor(({qj}) * {Q} + 0.5) AS BIGINT)"
+    mu = f"floor(CAST(sum({addend}) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / {Q}"
+    mu_arr = d.ordered_list("mv", "dim")
+    center = (
+        f"zip_with(e.q, m.mu, (x, y) -> x - y)"
+        if d.engine == "spark"
+        else d.transform(d.range1(str(DIM)), "i", f"{d.at('e.q', 'i')} - {d.at('m.mu', 'i')}")
+    )
+    return f"""SELECT e.vec_id, {center} AS q FROM {qv_src} e CROSS JOIN (
+        SELECT {mu_arr} AS mu FROM (
+          SELECT dims.dim, {mu} AS mv
+          FROM {qv_src} e CROSS JOIN {d.explode_range1(str(DIM), 'dim')} dims
+          GROUP BY dims.dim
+        ) per_dim
+      ) m"""
+
+
+def abtt_score_select(d: Dialect, cv_src: str, v_src: str) -> str:
+    """(vec_id, proj, nrm_before, nrm_after): the all-but-the-top report
+    (Mu & Viswanath 2018, public) — projection on the top principal
+    direction and the norm with that direction removed, computed from
+    |c'|² = |c|² - proj² (no per-vector array rewrite needed)."""
+    proj = f"floor(({_dot(d, 'e.q', 'w.v')}) * {Q} + 0.5) / {Q}"
+    nsq = _dot(d, "e.q", "e.q")
+    return f"""SELECT vec_id,
+           {_r6('proj')} AS proj,
+           {_r6('sqrt(nsq)')} AS nrm_before,
+           {_r6('sqrt(CASE WHEN nsq - proj * proj < 0 THEN 0 ELSE nsq - proj * proj END)')} AS nrm_after
+      FROM (
+        SELECT e.vec_id, {proj} AS proj, {nsq} AS nsq
+        FROM {cv_src} e CROSS JOIN {v_src} w
+      ) s"""
+
+
+def abtt_sql(d: Dialect, table: str = "embeddings") -> str:
+    """One-shot rendering (oracle side): quantize → center → 3 power-
+    iteration rounds on the centered corpus → per-vector ABTT report."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("cv", abtt_center_select(d, "qraw")),
+        ("v0", pi_init_select(d)),
+    ]
+    prev = "v0"
+    for r in range(1, PI_ROUNDS + 1):
+        ctes.append((f"s{r}", pi_score_select(d, "cv", prev)))
+        ctes.append((f"v{r}", pi_update_select(d, f"s{r}")))
+        prev = f"v{r}"
+    return d.cte_query(ctes, abtt_score_select(d, "cv", prev))

@@ -948,3 +948,72 @@ def bigram_surprisal_sql(
            {r6} AS mean_bigram_surprisal
     FROM scored GROUP BY doc_id""",
     )
+
+
+# ------------------------------------------- TF-IDF keyword extraction --
+def tfidf_tok_select(d: Dialect, table: str = "documents") -> str:
+    """Stage 1: the exploded (doc_id, term) stream.  Spark callers MUST
+    materialize this as a cached view — tf and df both consume it, and
+    CTE inlining would otherwise scan + re-split the corpus twice."""
+    return (
+        f"SELECT doc_id, term FROM "
+        f"({d.unnest_select('doc_id', d.tokens('lower(text)'), 'term', table)}) x "
+        f"WHERE length(term) >= 2"
+    )
+
+
+def tfidf_topk_from(
+    d: Dialect, tok_src: str, table: str = "documents",
+    k: int = 3, lead_ctes: list | None = None,
+) -> str:
+    """Per-document top-k keywords by TF-IDF (Sparck Jones 1972; the
+    classic relevance weight, same ln-idf family as bm25_sql).  Terms stay
+    literal strings — no hashing needed, both engines tokenize with the
+    same literal-space split — so the output is human-auditable.
+
+    Scale shape: one explode to (doc, term) feeds BOTH frequency tables
+    (per-doc tf and corpus df) as map-side-combinable counts; df is
+    vocabulary-sized and broadcast to the probe join at 100 TB; the final
+    per-doc top-k is a row_number window partitioned by doc_id.  Ties
+    break (score DESC, term ASC) so the k rows are engine-stable.
+
+    Determinism: tf and df are exact integers; the single ln() rounds
+    through the tie-proof floor form (transcendental tolerance, same
+    profile as bm25/surprisal); the tf x idf product quantizes once more
+    before ranking."""
+    q6 = "CAST(1000000 AS DOUBLE)"
+    idf = (
+        "(CAST(floor(ln((CAST(s.n_docs AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 1.0))"
+        f" * {q6} + 0.5) AS DOUBLE) / {q6})"
+    )
+    score = (
+        f"(CAST(floor(CAST(t.tf AS DOUBLE) * {idf} * {q6}"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / {q6})"
+    )
+    return d.cte_query(
+        list(lead_ctes or [])
+        + [
+            ("tf", f"SELECT doc_id, term, count(*) AS tf FROM {tok_src} GROUP BY doc_id, term"),
+            ("df", f"SELECT term, count(DISTINCT doc_id) AS df FROM {tok_src} GROUP BY term"),
+            ("nd", f"SELECT count(*) AS n_docs FROM {table}"),
+            (
+                "scored",
+                f"""SELECT t.doc_id, t.term, {score} AS tfidf
+      FROM tf t JOIN df f ON f.term = t.term CROSS JOIN nd s""",
+            ),
+            (
+                "ranked",
+                """SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored""",
+            ),
+        ],
+        f"SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {k}",
+    )
+
+
+def tfidf_topk_sql(d: Dialect, table: str = "documents", k: int = 3) -> str:
+    """One-shot rendering (oracle side)."""
+    return tfidf_topk_from(
+        d, "tok", table, k, lead_ctes=[("tok", tfidf_tok_select(d, table))]
+    )

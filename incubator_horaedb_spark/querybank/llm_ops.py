@@ -819,3 +819,44 @@ register(
     "dedup_containment",
     oracle=dedup.containment_sql(DUCK),
 )(_staged_containment)
+
+
+def _staged_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage the exploded (doc_id, term) stream once: tf and df both
+    # consume it, and CTE inlining would otherwise scan + re-split the
+    # corpus twice
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    _stage(spark.sql(text.tfidf_tok_select(SPARK, "documents")), "__tfidf_tok")
+    return spark.sql(text.tfidf_topk_from(SPARK, "__tfidf_tok"))
+
+
+_staged_tfidf.__doc__ = text.tfidf_topk_from.__doc__
+register("text_tfidf_topk", oracle=text.tfidf_topk_sql(DUCK))(_staged_tfidf)
+
+
+def _staged_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # center once (cached: the PI rounds and the final report all scan it),
+    # then the per-round localCheckpoint pattern from _staged_power_iteration
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView(
+        "embeddings"
+    )
+    _stage(spark.sql(similarity.km_quant_select(SPARK, "embeddings")), "__abtt_q")
+    _stage(spark.sql(similarity.abtt_center_select(SPARK, "__abtt_q")), "__abtt_cv")
+    v = spark.sql(similarity.pi_init_select(SPARK)).localCheckpoint()
+    v.createOrReplaceTempView("__abtt_v0")
+    for r in range(1, similarity.PI_ROUNDS + 1):
+        s = spark.sql(
+            similarity.pi_score_select(SPARK, "__abtt_cv", f"__abtt_v{r - 1}")
+        ).localCheckpoint()
+        s.createOrReplaceTempView(f"__abtt_s{r}")
+        v = spark.sql(similarity.pi_update_select(SPARK, f"__abtt_s{r}")).localCheckpoint()
+        v.createOrReplaceTempView(f"__abtt_v{r}")
+    return spark.sql(
+        similarity.abtt_score_select(SPARK, "__abtt_cv", f"__abtt_v{similarity.PI_ROUNDS}")
+    )
+
+
+_staged_abtt.__doc__ = similarity.abtt_sql.__doc__
+register("embedding_abtt_postprocess", oracle=similarity.abtt_sql(DUCK))(_staged_abtt)

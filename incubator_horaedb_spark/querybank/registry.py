@@ -273,7 +273,7 @@ DRIVER_ORDER = [
     # leakage audit, token-budget sequence packing, BPE pair statistics
     "dedup_edit_distance", "split_leakage_check", "pack_sequences",
     "bpe_pair_counts", "text_bigram_surprisal", "embedding_power_iteration",
-    "dedup_containment",
+    "dedup_containment", "text_tfidf_topk", "embedding_abtt_postprocess",
 ]
 
 

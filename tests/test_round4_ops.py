@@ -114,3 +114,27 @@ def test_containment_asymmetric_semantics(spark, sf_dir, qs):
         if key in jac:
             # containment >= jaccard always (divides by the smaller set)
             assert r["containment"] >= jac[key] - 1e-6
+
+
+def test_tfidf_topk_shape(spark, sf_dir, qs):
+    rows = qs["text_tfidf_topk"](spark, sf_dir).collect()
+    assert rows
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in rows)
+    assert max(per_doc.values()) <= 3
+    for r in rows:
+        assert r["tfidf"] >= 0 and len(r["term"]) >= 2
+
+
+def test_abtt_reduces_norms(spark, sf_dir, qs):
+    rows = qs["embedding_abtt_postprocess"](spark, sf_dir).collect()
+    assert rows
+    import statistics
+
+    before = statistics.mean(r["nrm_before"] for r in rows)
+    after = statistics.mean(r["nrm_after"] for r in rows)
+    # removing the top principal direction strictly shrinks mean norm
+    assert after < before
+    for r in rows:
+        assert r["nrm_after"] <= r["nrm_before"] + 1e-6
