@@ -153,3 +153,87 @@ def interval_join(
         *[F.col(f"__p.{c}") for c in points.columns],
         *[F.col(f"__i.{c}") for c in keep_iv],
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_ms: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Nearest-in-time join (both directions): every left row, plus the
+    right row (per key) minimizing |Δt|, within ``tolerance_ms``; ties
+    (equal distance before and after) resolve BACKWARD — the at-or-before
+    row wins, matching the as-of convention.  The sensor-alignment join:
+    as-of is "latest known state", nearest is "closest observation".
+
+    Same single-pass union-marker shape as :func:`asof_join` — one shuffle
+    on the key, one sort, TWO window frames over it (running last for the
+    backward candidate, following first for the forward candidate), then a
+    per-row pick.  The global nearest is always one of those two, so no
+    range join and no candidate blowup at any scale.  Left timestamps must
+    be numeric (epoch ms); right rows unique per (key, ts)."""
+    rpayload = [c for c in right.columns if c not in on and c != right_ts]
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in rpayload]).alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    lcols = left.columns
+    lft = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__t"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+    )
+    for c in lcols:
+        if c not in on and c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*lcols, "__t", "__r", "__side")
+    lft = lft.select(*lcols, "__t", "__r", "__side")
+    u = r.unionByName(lft)
+
+    # right rows at the same ts sort BEFORE the left row (side 0 < 1), so
+    # the backward frame includes same-ts matches and the forward frame
+    # starts strictly after — same-ts rows are "backward", never counted
+    # twice.
+    back = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rt = F.when(F.col("__side") == 0, F.col("__t"))
+    m = (
+        u.withColumn("__bm", F.last("__r", ignorenulls=True).over(back))
+        .withColumn("__bt", F.last(rt, ignorenulls=True).over(back))
+        .withColumn("__fm", F.first("__r", ignorenulls=True).over(fwd))
+        .withColumn("__ft", F.first(rt, ignorenulls=True).over(fwd))
+        .filter(F.col("__side") == 1)
+    )
+    bd = F.col("__t") - F.col("__bt")          # >= 0 when present
+    fd = F.col("__ft") - F.col("__t")          # > 0 when present
+    b_ok = F.col("__bt").isNotNull() & (bd <= tolerance_ms)
+    f_ok = F.col("__ft").isNotNull() & (fd <= tolerance_ms)
+    take_back = b_ok & (~f_ok | (bd <= fd))    # tie -> backward
+    take_fwd = f_ok & ~take_back
+    pick = lambda bcol, fcol: (
+        F.when(take_back, bcol).when(take_fwd, fcol)
+    )
+    out = m.select(
+        *lcols,
+        pick(F.col("__bt"), F.col("__ft")).alias(f"{right_ts}{suffix}"),
+        *[
+            pick(F.col("__bm").getField(c), F.col("__fm").getField(c)).alias(f"{c}{suffix}")
+            for c in rpayload
+        ],
+    )
+    return out

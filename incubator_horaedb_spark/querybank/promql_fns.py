@@ -223,3 +223,36 @@ def promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.col("event_type"), F.lit("prod")).alias("joined"),
         "value",
     )
+
+
+# --- subquery: max_over_time(rate(m[2h])[1h:5m]) --------------------------
+_SUBQ_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, event_type, value,
+           max(value) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+                            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+             AS max_1h
+    FROM aligned
+    """
+
+
+@register("promql_subquery_max_rate", oracle=_SUBQ_SQL)
+def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery `max_over_time(rate(m[2h])[1h:5m])` — a range
+    evaluation OVER an already-aligned range vector (promql/parser
+    SubqueryExpr; the reference evaluates subqueries in the Prometheus
+    engine above its PromAlignNode, here both layers run distributed).
+    The inner rate grid IS the subquery's step grid, so the outer
+    window is a time-RANGE frame per series over the aligned output —
+    no re-alignment, no second explode; one extra window over the
+    (series, ts)-sorted grid.  Outer max runs over already-rounded
+    values: order-independent, engine-stable."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600_000, 0)
+    )
+    return aligned.select(
+        "ts", "event_type", "value", F.max("value").over(w).alias("max_1h")
+    )

@@ -274,6 +274,7 @@ DRIVER_ORDER = [
     "dedup_edit_distance", "split_leakage_check", "pack_sequences",
     "bpe_pair_counts", "text_bigram_surprisal", "embedding_power_iteration",
     "dedup_containment", "text_tfidf_topk", "embedding_abtt_postprocess",
+    "nearest_join_events", "promql_subquery_max_rate",
 ]
 
 

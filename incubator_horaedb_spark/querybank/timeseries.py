@@ -908,3 +908,59 @@ def _zscore_sql(engine: str) -> str:
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_zscore_sql("spark"))
+
+
+# Nearest-in-time join: purchases pick up the CLOSEST signup within 2h,
+# before or after (as-of is "latest known state"; nearest is "closest
+# observation" — the sensor/label alignment join).  The oracle is the
+# generic candidates-and-rank SQL over a tolerance range join, proving
+# the single-pass two-frame window composition (operators/temporal.py
+# nearest_join: one shuffle, no range join) computes the same semantics.
+_NEAREST_TOL_MS = 2 * 3600 * 1000
+
+
+@register(
+    "nearest_join_events",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_type, value FROM events),
+         l AS (SELECT user_id, t AS purchase_t, max(value) AS purchase_value
+               FROM ev WHERE event_type = 'purchase' GROUP BY user_id, t),
+         r AS (SELECT user_id, t AS signup_t, max(value) AS signup_value
+               FROM ev WHERE event_type = 'signup' GROUP BY user_id, t),
+         cand AS (
+           SELECT l.user_id, l.purchase_t, l.purchase_value,
+                  r.signup_t, r.signup_value,
+                  abs(r.signup_t - l.purchase_t) AS adt,
+                  row_number() OVER (
+                    PARTITION BY l.user_id, l.purchase_t
+                    ORDER BY abs(r.signup_t - l.purchase_t),
+                             CASE WHEN r.signup_t <= l.purchase_t THEN 0 ELSE 1 END,
+                             r.signup_t) AS rn
+           FROM l JOIN r ON r.user_id = l.user_id
+                        AND abs(r.signup_t - l.purchase_t) <= {_NEAREST_TOL_MS}
+         )
+    SELECT l.user_id, l.purchase_t, l.purchase_value, c.signup_t, c.signup_value
+    FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON c.user_id = l.user_id AND c.purchase_t = l.purchase_t
+    """,
+)
+def nearest_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_horaedb_spark.operators.temporal import nearest_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("t"), "event_type", "value"
+    )
+    left = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("t").alias("purchase_t"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("t").alias("signup_t"))
+        .agg(F.max("value").alias("signup_value"))
+    )
+    return nearest_join(
+        left, right, on=["user_id"], left_ts="purchase_t", right_ts="signup_t",
+        tolerance_ms=_NEAREST_TOL_MS, suffix="",
+    )

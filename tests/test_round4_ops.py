@@ -138,3 +138,42 @@ def test_abtt_reduces_norms(spark, sf_dir, qs):
     assert after < before
     for r in rows:
         assert r["nrm_after"] <= r["nrm_before"] + 1e-6
+
+
+def test_nearest_join_picks_closer_side(spark, sf_dir, qs):
+    rows = qs["nearest_join_events"](spark, sf_dir).collect()
+    assert rows
+    asof = {
+        (r["user_id"], r["purchase_t"]): r["signup_t"]
+        for r in qs["asof_join_events"](spark, sf_dir).collect()
+    }
+    tol = 2 * 3600 * 1000
+    closer = 0
+    for r in rows:
+        if r["signup_t"] is None:
+            continue
+        assert abs(r["signup_t"] - r["purchase_t"]) <= tol
+        back = asof.get((r["user_id"], r["purchase_t"]))
+        if back is not None and r["signup_t"] != back:
+            # nearest deviates from as-of only when the forward row is
+            # strictly closer than the backward one
+            assert r["purchase_t"] - back > r["signup_t"] - r["purchase_t"] > 0
+            closer += 1
+    assert closer > 0  # the corpus exercises the forward branch
+
+
+def test_promql_subquery_window_is_range_max(spark, sf_dir, qs):
+    rows = qs["promql_subquery_max_rate"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["ts"])
+        for i, r in enumerate(rs):
+            lo = r["ts"].timestamp() * 1000 - 3600_000
+            window = [x["value"] for x in rs if lo <= x["ts"].timestamp() * 1000 <= r["ts"].timestamp() * 1000]
+            assert abs(r["max_1h"] - max(window)) < 1e-9
+        break  # one series is enough for the O(n^2) re-derivation
