@@ -256,3 +256,119 @@ def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aligned.select(
         "ts", "event_type", "value", F.max("value").over(w).alias("max_1h")
     )
+
+
+# --- binary operations between vectors (one-to-one matching) --------------
+_BINOP_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    e AS (SELECT ts, value AS err_rate FROM aligned WHERE event_type = 'error'),
+    c AS (SELECT ts, value AS click_rate FROM aligned WHERE event_type = 'click')
+    SELECT e.ts, e.err_rate, c.click_rate,
+           CASE WHEN c.click_rate = 0 THEN NULL
+                ELSE (CAST(floor((e.err_rate / c.click_rate) * CAST(1000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))
+           END AS error_ratio,
+           (CAST(floor((e.err_rate + c.click_rate) * CAST(1000000 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS combined
+    FROM e JOIN c ON c.ts = e.ts
+    """
+
+
+@register("promql_binary_vector_ops", oracle=_BINOP_SQL)
+def promql_binary_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL vector-vector binary operators with one-to-one matching —
+    `rate(errors[2h]) / rate(clicks[2h])` and `+` on the same match
+    (promql/parser BinaryExpr; Prometheus drops samples whose label set
+    has no partner, an INNER join on the matching labels).  Both sides
+    come from ONE aligned evaluation (a single explode-to-grid + hash
+    agg) split by series; the match is an equi-join on the grid
+    timestamp — at scale that join carries (series × steps) aligned
+    rows, never raw samples, and Spark broadcasts the smaller side.
+    Division by an exactly-zero rounded rate yields NULL on both
+    engines (the CASE guard pins Spark's non-ANSI NULL against DuckDB's
+    IEEE inf)."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS))
+    e = aligned.filter(F.col("event_type") == "error").select(
+        "ts", F.col("value").alias("err_rate")
+    )
+    c = aligned.filter(F.col("event_type") == "click").select(
+        "ts", F.col("value").alias("click_rate")
+    )
+    r6 = lambda col: (
+        F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+    )
+    j = e.join(c, "ts")
+    return j.select(
+        "ts", "err_rate", "click_rate",
+        F.when(
+            F.col("click_rate") != 0, r6(F.col("err_rate") / F.col("click_rate"))
+        ).alias("error_ratio"),
+        r6(F.col("err_rate") + F.col("click_rate")).alias("combined"),
+    )
+
+
+# --- quantile(φ, v) — aggregation ACROSS series per timestamp -------------
+_AGG_QUANTILE_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    ranked AS (
+      SELECT ts, value,
+             row_number() OVER (PARTITION BY ts ORDER BY value, event_type) AS rn,
+             count(*) OVER (PARTITION BY ts) AS n
+      FROM aligned
+    ),
+    pos AS (
+      SELECT ts, value, rn, n,
+             0.9 * (CAST(n AS DOUBLE) - 1.0) + 1.0 AS rk
+      FROM ranked
+    )
+    SELECT ts,
+           (CAST(floor((
+              max(CASE WHEN CAST(rn AS DOUBLE) = floor(rk) THEN value END)
+              + CASE WHEN rk = floor(rk) THEN 0.0
+                     ELSE (rk - floor(rk)) *
+                          (max(CASE WHEN CAST(rn AS DOUBLE) = floor(rk) + 1 THEN value END)
+                           - max(CASE WHEN CAST(rn AS DOUBLE) = floor(rk) THEN value END))
+                END
+           ) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE)) AS q90
+    FROM pos
+    GROUP BY ts, rk
+    """
+
+
+@register("promql_agg_quantile", oracle=_AGG_QUANTILE_SQL)
+def promql_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile(0.9, rate(m[2h]))` — the φ-quantile ACROSS series per
+    grid timestamp (promql/engine.go aggregation quantile; the across-
+    TIME twin is promql_quantile_over_time).  Same explicit
+    lo + frac·(hi−lo) rank interpolation over rounded values as the
+    over-time variant — engine-native percentile functions interpolate
+    with different expression trees, so the interpolation is spelled
+    out and runs identically on both engines.  One extra window +
+    hash agg over the (series × steps) aligned rows.
+
+    When the rank lands exactly on a row (frac = 0 — always true for
+    n = 1, where the hi rank n+1 has no row), `0 * NULL` would poison
+    the result with SQL NULL; the explicit frac=0 CASE takes lo
+    directly, so single-series timestamps emit their one value."""
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS))
+    w = Window.partitionBy("ts").orderBy("value", "event_type")
+    wn = Window.partitionBy("ts")
+    ranked = aligned.select(
+        "ts", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    rk = F.lit(0.9) * (F.col("n").cast("double") - 1.0) + 1.0
+    pos = ranked.withColumn("rk", rk)
+    lo = F.max(F.when(F.col("rn").cast("double") == F.floor("rk"), F.col("value")))
+    hi = F.max(F.when(F.col("rn").cast("double") == F.floor("rk") + 1, F.col("value")))
+    frac = F.col("rk") - F.floor("rk")
+    q = lo + F.when(F.col("rk") == F.floor("rk"), F.lit(0.0)).otherwise(frac * (hi - lo))
+    # group on rk too (constant per ts) so the frac expression survives agg
+    out = (
+        pos.groupBy("ts", "rk")
+        .agg((F.floor(q * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)).alias("q90"))
+        .select("ts", "q90")
+    )
+    return out

@@ -275,6 +275,7 @@ DRIVER_ORDER = [
     "bpe_pair_counts", "text_bigram_surprisal", "embedding_power_iteration",
     "dedup_containment", "text_tfidf_topk", "embedding_abtt_postprocess",
     "nearest_join_events", "promql_subquery_max_rate",
+    "promql_binary_vector_ops", "promql_agg_quantile", "window_value_family",
 ]
 
 

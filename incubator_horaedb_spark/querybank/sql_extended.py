@@ -388,3 +388,33 @@ def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle; the modulo thins the output, not the semantics."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_DIST_WINDOW_SQL)
+
+
+# --- value window family (first/last/nth) ---------------------------------
+_VALUE_FAMILY_SQL = """
+    SELECT user_id, event_id,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id)  OVER w AS last_ev,
+           nth_value(event_id, 3) OVER w AS third_ev,
+           lag(event_id, 2) OVER w2 AS lag2_ev
+    FROM events
+    WHERE user_id % 50 = 1
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("window_value_family", oracle=_VALUE_FAMILY_SQL)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value / lag-with-offset — the value
+    window family (SURVEY §2.5 completion next to window_rank_family).
+    The frame is spelled out as the FULL partition: last_value over the
+    default frame (UNBOUNDED PRECEDING..CURRENT ROW) is the classic
+    running-last trap, and defaults could drift between engines — the
+    explicit ROWS frame pins one semantics for both (lag gets its own
+    unframed window: Spark rejects frames on offset functions).
+    Deterministic (ts, event_id) order; one user-keyed shuffle serves
+    all four (same partition + order → one sort)."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_VALUE_FAMILY_SQL)

