@@ -12,7 +12,18 @@ update_mode (APPEND|OVERWRITE), segment_duration (default 2h, :54), ttl
 (default 7d, :60), enable_ttl, num_rows_per_row_group (default 8192, :62),
 compression.  The three-level namespace collapses to schema.table (the
 reference's fixed catalog level adds nothing on Spark).
-"""
+
+Scale note (100 TB): this JSON catalog is DRIVER-LOCAL by design — it
+holds kilobytes of metadata plus the per-table sequence counter, whose
+atomicity comes from the in-process lock + POSIX rename.  On a real
+cluster the equivalent state lives in a metadata service (Hive
+metastore / a small transactional DB), exactly as the reference keeps
+its manifest in a meta store separate from SSTs on object storage
+(src/analytic_engine/src/manifest/).  Object-store rename is NOT a safe
+substitute for the sequence counter (no atomic compare-and-swap), so
+porting this file to fsops would be cargo-cult scale-readiness; the
+DATA path (table.py) is the part that must and does run object-store
+clean."""
 
 from __future__ import annotations
 

@@ -798,3 +798,20 @@ def containment_sql(
     # containment_pairs_... renders a full cte_query; merge by re-rendering
     # with the lead ctes prepended instead of nesting WITH blocks
     return d.cte_query(ctes, f"SELECT * FROM ({inner}) q")
+
+
+def edit_survivors_sql(d: Dialect, table: str = "documents") -> str:
+    """One-shot rendering: edit-distance near-dup pairs → fixed-k CC
+    min-label propagation → survivor selection (docs in no cluster plus
+    each cluster's min-id representative).  The edit-distance twin of
+    dedup_apply_survivors: same CC machinery, different candidate
+    detector — together they show survivorship is detector-agnostic."""
+    from incubator_horaedb_spark.operators.pipeline import survivors_final_select
+
+    ctes = (
+        _prefix_block_ctes(d, table)
+        + [("pairs", edit_distance_pairs_select(d, "admitted"))]
+        + [("edges", f"SELECT doc_a, doc_b FROM pairs WHERE edit_dist <= {EDIT_MAX}")]
+        + cc_label_ctes(d, "edges")
+    )
+    return d.cte_query(ctes, survivors_final_select(d, table, f"l{CC_ITERS}"))

@@ -860,3 +860,33 @@ def _staged_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _staged_abtt.__doc__ = similarity.abtt_sql.__doc__
 register("embedding_abtt_postprocess", oracle=similarity.abtt_sql(DUCK))(_staged_abtt)
+
+
+def _staged_edit_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs are cheap here (blocked candidates, ~tens of rows) — stage the
+    # edges once, then the localCheckpoint CC loop from _staged_cc_labels
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    edges_sql = SPARK.cte_query(
+        dedup._prefix_block_ctes(SPARK, "documents")
+        + [("pairs", dedup.edit_distance_pairs_select(SPARK, "admitted"))],
+        f"SELECT doc_a, doc_b FROM pairs WHERE edit_dist <= {dedup.EDIT_MAX}",
+    )
+    _stage(spark.sql(edges_sql), "__edcc_edges")
+    l = spark.sql(dedup.cc_label_ctes(SPARK, "__edcc_edges")[0][1]).localCheckpoint()
+    l.createOrReplaceTempView("__edcc_l0")
+    for i in range(1, dedup.CC_ITERS + 1):
+        l = spark.sql(
+            dedup.cc_iter_select(SPARK, f"__edcc_l{i - 1}", "__edcc_edges")
+        ).localCheckpoint()
+        l.createOrReplaceTempView(f"__edcc_l{i}")
+    return spark.sql(
+        pipeline.survivors_final_select(SPARK, "documents", f"__edcc_l{dedup.CC_ITERS}")
+    )
+
+
+_staged_edit_survivors.__doc__ = dedup.edit_survivors_sql.__doc__
+register("dedup_edit_survivors", oracle=dedup.edit_survivors_sql(DUCK))(
+    _staged_edit_survivors
+)

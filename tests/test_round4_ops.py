@@ -212,3 +212,19 @@ def test_window_value_family_semantics(spark, sf_dir, qs):
         firsts = {r["first_ev"] for r in rs}
         lasts = {r["last_ev"] for r in rs}
         assert len(firsts) == 1 and len(lasts) == 1  # full-partition frame
+
+
+def test_edit_survivors_consistent_with_pairs(spark, sf_dir, qs):
+    survivors = {r["doc_id"] for r in qs["dedup_edit_survivors"](spark, sf_dir).collect()}
+    pairs = qs["dedup_edit_distance"](spark, sf_dir).collect()
+    assert survivors
+    # every near-dup pair lost at least one member (they share a cluster,
+    # whose single representative is the min id)
+    for p in pairs:
+        assert not (p["doc_a"] in survivors and p["doc_b"] in survivors)
+    # nothing outside the paired docs was dropped
+    from incubator_horaedb_spark.querybank.registry import load
+
+    all_ids = {r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()}
+    paired = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert all_ids - paired <= survivors
