@@ -31,16 +31,30 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.functions.time_bucket import date_bin
 
-_AGG_RE = re.compile(r"^(sum|count|mean|min|max|stddev)\((\w+)\)$", re.I)
+_AGG_RE = re.compile(r"^(sum|count|mean|min|max|stddev|first|last|spread)\((\w+)\)$", re.I)
 _INTERVAL_RE = re.compile(r"^time\((\d+)([smhd])\)$", re.I)
+# derivative(mean(v), 1s) — IOx influxql-query transformation surface
+# (the reference reaches it through the influxql-logical-planner crates,
+# src/query_frontend/src/influxql/planner.rs:51)
+_DERIV_RE = re.compile(
+    r"^derivative\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*,\s*(\d+)([smhd])\s*\)$",
+    re.I,
+)
 _UNIT_MS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+# Each entry takes (field column name, timestamp column name).  The
+# selector functions first/last are InfluxQL's value-at-min/max-time —
+# deterministic whenever (series, ts) is unique, the same uniqueness
+# contract the dedup read path assumes for (pk, __seq).
 _AGG_FNS = {
-    "sum": F.sum,
-    "count": lambda c: F.count(c),
-    "mean": F.avg,
-    "min": F.min,
-    "max": F.max,
-    "stddev": F.stddev_samp,
+    "sum": lambda c, ts: F.sum(c),
+    "count": lambda c, ts: F.count(c),
+    "mean": lambda c, ts: F.avg(c),
+    "min": lambda c, ts: F.min(c),
+    "max": lambda c, ts: F.max(c),
+    "stddev": lambda c, ts: F.stddev_samp(c),
+    "first": lambda c, ts: F.min_by(c, ts),
+    "last": lambda c, ts: F.max_by(c, ts),
+    "spread": lambda c, ts: F.max(c) - F.min(c),
 }
 
 
@@ -54,6 +68,8 @@ class InfluxQuery:
     order_desc: bool
     limit: int | None
     fill: float | str | None = None  # number | "null" (default grid) | "none"
+    # derivative(agg(col), n unit): (inner agg, column, unit in ms)
+    derivative: tuple[str, str, int] | None = None
 
 
 def parse_influxql(q: str) -> InfluxQuery:
@@ -69,8 +85,27 @@ def parse_influxql(q: str) -> InfluxQuery:
     if not m:
         raise ValueError(f"unsupported InfluxQL: {q!r}")
     projections: list[tuple[str | None, str]] = []
-    for item in m.group("proj").split(","):
+    derivative = None
+    # paren-aware projection split: the comma inside derivative(mean(v), 1s)
+    # is part of the call, not a projection separator
+    items, depth, cur = [], 0, []
+    for ch in m.group("proj"):
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+    items.append("".join(cur))
+    for item in items:
         item = item.strip()
+        d_m = _DERIV_RE.match(item)
+        if d_m:
+            unit_ms = int(d_m.group(3)) * _UNIT_MS[d_m.group(4).lower()]
+            derivative = (d_m.group(1).lower(), d_m.group(2), unit_ms)
+            projections.append((d_m.group(1).lower(), d_m.group(2)))
+            continue
         agg_m = _AGG_RE.match(item)
         if agg_m:
             projections.append((agg_m.group(1).lower(), agg_m.group(2)))
@@ -109,6 +144,7 @@ def parse_influxql(q: str) -> InfluxQuery:
         order_desc=bool(m.group("desc")),
         limit=int(m.group("limit")) if m.group("limit") else None,
         fill=fill,
+        derivative=derivative,
     )
 
 
@@ -186,13 +222,31 @@ def influxql_to_df(
             group_cols.append(date_bin(iq.group_time_ms, ts_col).alias("time"))
         group_cols += [F.col(t) for t in iq.group_tags]
         aggs = [
-            _AGG_FNS[agg](col).alias(f"{agg}_{col}")
+            _AGG_FNS[agg](col, ts_col).alias(f"{agg}_{col}")
             for agg, col in iq.projections
             if agg
         ]
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         if iq.group_time_ms and iq.fill != "none":
             out = _fill_time_grid(out, iq, lo_ms, hi_ms)
+        if iq.derivative is not None:
+            # InfluxQL DERIVATIVE: per-series delta between consecutive
+            # buckets scaled to the unit argument — one extra lag window
+            # over the already-bucketed series, never raw samples.
+            agg, col, unit_ms = iq.derivative
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*[F.col(t) for t in iq.group_tags]).orderBy("time")
+            v, t = F.col(f"{agg}_{col}"), F.unix_millis(F.col("time").cast("timestamp"))
+            dv, dt = v - F.lag(v).over(w), t - F.lag(t).over(w)
+            out = (
+                out.withColumn("__d", dv / (dt.cast("double") / F.lit(float(unit_ms))))
+                .filter(F.col("__d").isNotNull())
+                .select(
+                    "time", *iq.group_tags,
+                    F.col("__d").alias(f"derivative_{col}"),
+                )
+            )
         order = F.col("time") if iq.group_time_ms else None
     else:
         cols = [F.col(ts_col).alias("time")] + [F.col(c) for _, c in iq.projections]

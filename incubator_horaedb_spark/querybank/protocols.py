@@ -195,3 +195,83 @@ def influxql_raw_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"events": load(spark, sf_dir, "events")},
     )
     return df.select("time", r_out("value", 4).alias("value"))
+
+
+@register(
+    "influxql_selectors",
+    oracle=f"""
+    SELECT {date_bin_sql(1800000, 'ts')} AS time,
+           event_type,
+           min_by(value, ts) AS first_value,
+           max_by(value, ts) AS last_value,
+           max(value) - min(value) AS spread_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL selector functions first()/last()/spread() — the IOx
+    influxql-query surface the reference reaches through its influxql
+    planner crates (query_frontend/src/influxql/planner.rs:51).  first/
+    last are value-at-min/max-time via min_by/max_by inside the same
+    single hash agg as the other aggregates (no window, no self-join);
+    deterministic because (event_type, ts) is unique — the same
+    uniqueness contract the dedup read path assumes for (pk, __seq).
+    Raw field values pass through untouched (no summation), so the
+    outputs are bit-identical with zero quantization."""
+    ev = load_time_range(
+        spark, sf_dir, "events", "ts",
+        lo=1704412800000, hi=1705017600000,  # 2024-01-05 .. 2024-01-12
+    )
+    return influxql_to_df(
+        "SELECT first(value), last(value), spread(value) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00' "
+        "GROUP BY time(30m), event_type fill(none)",
+        {"events": ev},
+    )
+
+
+@register(
+    "influxql_derivative",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576) AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT time, event_type,
+             (m - lag(m) OVER w)
+               / ((epoch_ms(time) - lag(epoch_ms(time)) OVER w) / 1000.0) AS der
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    )
+    SELECT time, event_type,
+           (CAST(floor((der) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE)) AS derivative_value
+    FROM d WHERE der IS NOT NULL
+    """,
+)
+def influxql_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL DERIVATIVE transformation — `derivative(mean(value), 1s)`
+    over 6h buckets: per-series delta between consecutive buckets scaled
+    to per-second, one lag window over the bucketed series (never raw
+    samples).  Bucket means are exact rationals (dyadic addends sum
+    exactly in double at any realistic bucket size), so the single
+    division + rounding is engine-stable."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    df = influxql_to_df(
+        "SELECT derivative(mean(value), 1s) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(none)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type", r_out("derivative_value", 6).alias("derivative_value")
+    )

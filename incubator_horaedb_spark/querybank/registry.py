@@ -276,7 +276,7 @@ DRIVER_ORDER = [
     "dedup_containment", "text_tfidf_topk", "embedding_abtt_postprocess",
     "nearest_join_events", "promql_subquery_max_rate",
     "promql_binary_vector_ops", "promql_agg_quantile", "window_value_family",
-    "dedup_edit_survivors",
+    "dedup_edit_survivors", "influxql_selectors", "influxql_derivative",
 ]
 
 

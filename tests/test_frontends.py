@@ -194,3 +194,21 @@ def test_opentsdb_basic_golden(spark):
     summed = run({"aggregator": "sum", "metric": "t", "tags": {}}).collect()
     dps = {int(r["ts"].timestamp() * 1000): round(r["value"], 6) for r in summed}
     assert dps == {1439827200000: 10.184, 1439827560000: 10.121, 1439827620000: 9.915}
+
+
+def test_influxql_selector_and_derivative_parse():
+    from incubator_horaedb_spark.frontends.influxql import parse_influxql
+
+    iq = parse_influxql(
+        "SELECT first(value), last(value), spread(value) FROM events "
+        "GROUP BY time(30m), event_type fill(none)"
+    )
+    assert [a for a, _ in iq.projections] == ["first", "last", "spread"]
+    assert iq.group_time_ms == 1800000 and iq.derivative is None
+
+    iq = parse_influxql(
+        "SELECT derivative(mean(value), 1s) FROM events GROUP BY time(6h), event_type"
+    )
+    # the comma inside derivative() is not a projection separator
+    assert len(iq.projections) == 1
+    assert iq.derivative == ("mean", "value", 1000)
