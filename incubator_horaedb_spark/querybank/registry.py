@@ -101,11 +101,18 @@ def widen_for_compute(df: DataFrame, target_bytes: int = 64 << 10) -> DataFrame:
     natural split count already meets the target (any real-scale dataset),
     this is a no-op — no shuffle is inserted.
     """
-    import os as _os
-
     try:
+        from incubator_horaedb_spark import fsops
+
         files = df.inputFiles()
-        total = sum(_os.path.getsize(f.removeprefix("file:")) for f in files)
+        # Hadoop FS status (not os.path.getsize): inputFiles returns URIs
+        # of whatever store the session reads — file:, hdfs:, s3a: — and
+        # the FS API resolves each scheme (object-store-safe, one HEAD
+        # per file; widen targets small inputs, so the list is short)
+        total = 0
+        for f in files:
+            fs, jpath = fsops.hadoop_fs(df.sparkSession, f)
+            total += int(fs.getFileStatus(jpath).getLen())
     except Exception:
         return df
     spark = df.sparkSession
