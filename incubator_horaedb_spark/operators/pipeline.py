@@ -593,3 +593,49 @@ def pack_sequences_sql(
     FROM packed
     GROUP BY source, shard, bin_id""",
     )
+
+
+# ------------------------------------------- budget-constrained selection --
+SELECT_BUDGET_TOKENS = 20_000  # per-source token budget
+
+
+def budget_select_sql(
+    d: Dialect, table: str = "documents", budget: int = SELECT_BUDGET_TOKENS
+) -> str:
+    """Token-budget data selection: per source, take documents in
+    priority order until the token budget is exhausted — the selection
+    step of budget-constrained training-set construction (take the
+    best-scored docs that fit).  Priority here is (n_chars DESC, doc_id)
+    as the pluggable score placeholder; swapping in the quality
+    classifier score changes one ORDER BY.
+
+    A doc is kept iff the running token total BEFORE it is under budget
+    (the same streaming cumsum-window shape as pack_sequences — one
+    window per source, no iteration, deterministic under the total
+    order).  Output is the per-source selection audit."""
+    tok_n = d.size(d.tokens("text"))
+    cum_before = (
+        "sum(tok_n) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_n"
+    )
+    return d.cte_query(
+        [
+            (
+                "toks",
+                f"SELECT doc_id, source, n_chars, CAST({tok_n} AS BIGINT) AS tok_n "
+                f"FROM {table}",
+            ),
+            (
+                "sel",
+                f"SELECT doc_id, source, tok_n, "
+                f"CASE WHEN {cum_before} < {budget} THEN 1 ELSE 0 END AS kept FROM toks",
+            ),
+        ],
+        f"""SELECT source,
+           CAST(count(*) AS BIGINT)                           AS n_docs,
+           CAST(sum(kept) AS BIGINT)                          AS n_kept,
+           CAST(sum(CASE WHEN kept = 1 THEN tok_n ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(min(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT) AS first_kept
+    FROM sel
+    GROUP BY source""",
+    )

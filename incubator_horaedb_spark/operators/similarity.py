@@ -1256,3 +1256,32 @@ def abtt_sql(d: Dialect, table: str = "embeddings") -> str:
         ctes.append((f"v{r}", pi_update_select(d, f"s{r}")))
         prev = f"v{r}"
     return d.cte_query(ctes, abtt_score_select(d, "cv", prev))
+
+
+def ivf_medoids_sql(d: Dialect, table: str = "embeddings", k: int = 2) -> str:
+    """One-shot rendering (oracle side): full kmeans chain + medoids."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", km_qv_select(d, "qraw")),
+        ("cent1", km_init_select(d, "qv")),
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        ctes.append((f"a{r}", km_assign_select(d, "qv", f"cent{r}")))
+        if r < KM_ROUNDS:
+            ctes.append((f"cent{r + 1}", km_update_select(d, f"a{r}")))
+    ctes.append(
+        (
+            "scored",
+            f"""SELECT a.cid, a.vec_id,
+             {_r6(f"({_dot(d, 'a.q', 'c.ce')}) / (sqrt({_dot(d, 'a.q', 'a.q')}) * c.cnrm)")} AS cos
+      FROM a{KM_ROUNDS} a JOIN cent{KM_ROUNDS} c ON c.cid = a.cid""",
+        )
+    )
+    return d.cte_query(
+        ctes,
+        f"""SELECT cid, rnk, vec_id, cos FROM (
+        SELECT cid, vec_id, cos,
+               row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+      ) t WHERE rnk <= {k}""",
+    )

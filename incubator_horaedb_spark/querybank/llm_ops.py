@@ -890,3 +890,31 @@ _staged_edit_survivors.__doc__ = dedup.edit_survivors_sql.__doc__
 register("dedup_edit_survivors", oracle=dedup.edit_survivors_sql(DUCK))(
     _staged_edit_survivors
 )
+
+
+def _staged_ivf_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reuse the staged kmeans chain (__km_qv / __km_a{R} / __km_cent{R})
+    _staged_ivf_kmeans(spark, sf_dir)
+    r = similarity.KM_ROUNDS
+    r6 = similarity._r6
+    d = SPARK
+    dot_qc = similarity._dot(d, "a.q", "c.ce")
+    dot_qq = similarity._dot(d, "a.q", "a.q")
+    return spark.sql(
+        f"""SELECT cid, rnk, vec_id, cos FROM (
+        SELECT cid, vec_id, cos,
+               row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rnk
+        FROM (
+          SELECT a.cid, a.vec_id,
+                 {r6(f"({dot_qc}) / (sqrt({dot_qq}) * c.cnrm)")} AS cos
+          FROM __km_a{r} a JOIN __km_cent{r} c ON c.cid = a.cid
+        ) scored
+      ) t WHERE rnk <= 2"""
+    )
+
+
+_staged_ivf_medoids.__doc__ = similarity.ivf_medoids_sql.__doc__
+register("ivf_medoids", oracle=similarity.ivf_medoids_sql(DUCK))(_staged_ivf_medoids)
+
+
+_sql_query("corpus_budget_select", pipeline.budget_select_sql)

@@ -284,6 +284,8 @@ DRIVER_ORDER = [
     "nearest_join_events", "promql_subquery_max_rate",
     "promql_binary_vector_ops", "promql_agg_quantile", "window_value_family",
     "dedup_edit_survivors", "influxql_selectors", "influxql_derivative",
+    "seasonal_profile", "anomaly_mad", "tsz_dod_compression",
+    "ivf_medoids", "corpus_budget_select",
 ]
 
 

@@ -964,3 +964,153 @@ def nearest_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on=["user_id"], left_ts="purchase_t", right_ts="signup_t",
         tolerance_ms=_NEAREST_TOL_MS, suffix="",
     )
+
+
+# --- seasonal profile (day-of-week × hour) --------------------------------
+def _seasonal_sql(engine: str) -> str:
+    """Per-(series, day-of-week, hour-of-day) mean/count — the seasonality
+    heatmap every TSDB dashboard draws (and the baseline table seasonal
+    anomaly detection subtracts).  Day-of-week is computed from epoch
+    arithmetic, NOT the engines' dow()/dayofweek() builtins — Spark counts
+    Sunday=1..7 while DuckDB counts Sunday=0..6, so the portable form is
+    ((epoch_day + 3) mod 7) with 0=Monday (1970-01-01 was a Thursday).
+    One scan, one (series × 7 × 24)-row hash agg; runs at scan speed at
+    any scale."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    day_ms = 86_400_000
+    # INTEGER division — `/` on BIGINTs is float division on DuckDB (and
+    # double on Spark), and the engines' float→int CASTs disagree
+    # (truncate vs round), so the portable form is the engines' own
+    # integer-division operators
+    div = "DIV" if engine == "spark" else "//"
+    dow = f"CAST(((({ems}) {div} {day_ms}) + 3) % 7 AS BIGINT)"
+    hour = f"CAST((({ems}) % {day_ms}) {div} 3600000 AS BIGINT)"
+    r4 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    )
+    vq = "(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576)"
+    return f"""
+    SELECT event_type,
+           {dow} AS dow,
+           {hour} AS hour,
+           count(*) AS n,
+           {r4(f'avg({vq})')} AS mean_value
+    FROM events
+    GROUP BY event_type, {dow}, {hour}
+    """
+
+
+@register("seasonal_profile", oracle=_seasonal_sql("duckdb"))
+def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_seasonal_sql("spark"))
+
+
+seasonal_profile.__doc__ = _seasonal_sql.__doc__
+
+
+# --- robust MAD anomaly detection -----------------------------------------
+def _mad_sql(engine: str) -> str:
+    """Median-absolute-deviation anomaly flags — the robust twin of
+    anomaly_zscore: median and MAD are outlier-resistant where mean/sigma
+    are dragged by the very anomalies being hunted (Hampel identifier;
+    0.6745·dev/MAD ≈ z under normality).  Medians are explicit rank
+    interpolation over quantized values with (value, event_id) total
+    order — engine median() builtins interpolate differently.  Shape:
+    two rank-window passes per series + a tiny per-series table joined
+    back; emits only flagged rows."""
+    vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    # rank midpoints via INTEGER division — (n+1)/2 on DuckDB is float
+    # division whose CAST rounds (Spark's truncates), shifting the median
+    # rank by one on even-sized series
+    div = "DIV" if engine == "spark" else "//"
+
+    def med(src, val, part):
+        return f"""SELECT {part}, (min(CASE WHEN rn = lo THEN {val} END)
+             + min(CASE WHEN rn = hi THEN {val} END)) / 2.0 AS med
+      FROM (
+        SELECT {part}, {val},
+               row_number() OVER (PARTITION BY {part} ORDER BY {val}, event_id) AS rn,
+               (count(*) OVER (PARTITION BY {part}) + 1) {div} 2 AS lo,
+               (count(*) OVER (PARTITION BY {part}) + 2) {div} 2 AS hi
+        FROM {src}
+      ) r GROUP BY {part}"""
+    return f"""
+    WITH q AS (
+      SELECT event_type, event_id, {vq} AS vq FROM events
+    ),
+    m1 AS ({med('q', 'vq', 'event_type')}),
+    dev AS (
+      SELECT q.event_type, q.event_id, q.vq, abs(q.vq - m1.med) AS adev, m1.med
+      FROM q JOIN m1 ON m1.event_type = q.event_type
+    ),
+    m2 AS ({med('dev', 'adev', 'event_type')})
+    SELECT d.event_type, d.event_id,
+           {r6('d.vq')} AS value,
+           {r6('d.med')} AS series_median,
+           {r6('m2.med')} AS mad
+    FROM dev d JOIN m2 ON m2.event_type = d.event_type
+    WHERE m2.med > 0 AND d.adev > 6.0 * m2.med
+    """
+
+
+@register("anomaly_mad", oracle=_mad_sql("duckdb"))
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mad_sql("spark"))
+
+
+anomaly_mad.__doc__ = _mad_sql.__doc__
+
+
+# --- Gorilla delta-of-delta timestamp compression estimate ----------------
+def _dod_sql(engine: str) -> str:
+    """Per-series Gorilla timestamp-compression estimate (Pelkonen et al.
+    VLDB 2015 §4.1; the same family as the reference's SST timestamp
+    encoding): bits to store each delta-of-delta under the paper's bucket
+    ladder (0→1 bit; [-63,64]→9; [-255,256]→12; [-2047,2048]→16;
+    else→36).  The ingest-planning query: expected bytes/sample per
+    series BEFORE writing.  All-integer window math, one sort per series,
+    4-row output."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    r4 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    )
+    bits = """CASE WHEN dod = 0 THEN 1
+              WHEN dod >= -63 AND dod <= 64 THEN 9
+              WHEN dod >= -255 AND dod <= 256 THEN 12
+              WHEN dod >= -2047 AND dod <= 2048 THEN 16
+              ELSE 36 END"""
+    return f"""
+    WITH s AS (
+      SELECT event_type, {ems} AS t,
+             ({ems}) - lag({ems}) OVER w AS d
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {ems}, event_id)
+    ),
+    dd AS (
+      SELECT event_type, (d - lag(d) OVER (PARTITION BY event_type ORDER BY t)) AS dod
+      FROM s WHERE d IS NOT NULL
+    )
+    SELECT event_type,
+           count(dod) AS n_samples,
+           CAST(sum(CAST({bits} AS BIGINT)) AS BIGINT) AS total_bits,
+           {r4(f'avg(CAST({bits} AS DOUBLE))')} AS avg_bits_per_sample
+    FROM dd WHERE dod IS NOT NULL
+    GROUP BY event_type
+    """
+
+
+@register("tsz_dod_compression", oracle=_dod_sql("duckdb"))
+def tsz_dod_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dod_sql("spark"))
+
+
+tsz_dod_compression.__doc__ = _dod_sql.__doc__

@@ -228,3 +228,56 @@ def test_edit_survivors_consistent_with_pairs(spark, sf_dir, qs):
     all_ids = {r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()}
     paired = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
     assert all_ids - paired <= survivors
+
+
+def test_seasonal_profile_grid(spark, sf_dir, qs):
+    rows = qs["seasonal_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+    # a month of uniform synthetic events covers the full weekly grid
+    assert len({(r["event_type"], r["dow"], r["hour"]) for r in rows}) == len(rows)
+
+
+def test_anomaly_mad_is_robust_flagging(spark, sf_dir, qs):
+    rows = qs["anomaly_mad"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["value"] - r["series_median"]) > 6.0 * r["mad"] - 1e-6
+        assert r["mad"] > 0
+
+
+def test_dod_compression_bit_budget(spark, sf_dir, qs):
+    rows = qs["tsz_dod_compression"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Gorilla bits/sample lies in [1, 36] by construction
+        assert 1.0 <= r["avg_bits_per_sample"] <= 36.0
+        assert r["total_bits"] >= r["n_samples"]
+
+
+def test_ivf_medoids_are_cluster_members(spark, sf_dir, qs):
+    med = qs["ivf_medoids"](spark, sf_dir).collect()
+    assert med
+    from collections import Counter
+
+    per_cluster = Counter(r["cid"] for r in med)
+    assert max(per_cluster.values()) <= 2
+    for r in med:
+        assert -1.0 <= r["cos"] <= 1.0 + 1e-9
+        assert r["rnk"] in (1, 2)
+
+
+def test_budget_select_respects_budget(spark, sf_dir, qs):
+    from incubator_horaedb_spark.operators.pipeline import SELECT_BUDGET_TOKENS
+
+    rows = qs["corpus_budget_select"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= r["n_docs"]
+        # kept total exceeds budget by at most the final straddling doc
+        assert r["kept_tokens"] >= 0
+        if r["n_kept"] < r["n_docs"]:
+            # budget was binding: the running total before the last kept
+            # doc was < budget, so kept_tokens < budget + max doc size
+            assert r["kept_tokens"] < SELECT_BUDGET_TOKENS + 2000
