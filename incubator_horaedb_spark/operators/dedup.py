@@ -815,3 +815,34 @@ def edit_survivors_sql(d: Dialect, table: str = "documents") -> str:
         + cc_label_ctes(d, "edges")
     )
     return d.cte_query(ctes, survivors_final_select(d, table, f"l{CC_ITERS}"))
+
+
+def degree_histogram_sql(d: Dialect, table: str = "documents") -> str:
+    """Near-dup graph degree distribution: how many docs have 1, 2, ...
+    verified near-duplicates — the corpus-health report that decides
+    dedup strategy (a long tail of degree-1 pairs wants pairwise removal;
+    heavy high-degree nodes mean boilerplate and want cluster collapse or
+    block caps).  Reuses the edit-distance pair pipeline; degrees count
+    both directions of each undirected pair; two tiny aggs after the
+    blocked candidate join."""
+    ctes = (
+        _prefix_block_ctes(d, table)
+        + [("pairs", edit_distance_pairs_select(d, "admitted"))]
+        + [
+            (
+                "deg",
+                """SELECT doc_id, count(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) b GROUP BY doc_id""",
+            )
+        ]
+    )
+    return d.cte_query(
+        ctes,
+        """SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM deg GROUP BY degree""",
+    )

@@ -1017,3 +1017,24 @@ def tfidf_topk_sql(d: Dialect, table: str = "documents", k: int = 3) -> str:
     return tfidf_topk_from(
         d, "tok", table, k, lead_ctes=[("tok", tfidf_tok_select(d, table))]
     )
+
+
+# ------------------------------------------- language-ID quality audit --
+def langid_confusion_sql(d: Dialect, table: str = "documents") -> str:
+    """Language-ID confusion matrix: predicted vs actual label counts plus
+    per-cell share of the actual language's documents — the classifier
+    quality audit that gates whether the heuristic is good enough to
+    drive corpus filtering (run it BEFORE trusting langid to route data).
+    Composes the langid operator unchanged; one extra (actual, pred)
+    hash agg over its output and a window share."""
+    return d.cte_query(
+        [("scored", langid_sql(d, table))],
+        """SELECT actual_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           (CAST(floor((CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY actual_lang) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE)) AS share_of_actual
+    FROM scored
+    GROUP BY actual_lang, pred_lang""",
+    )

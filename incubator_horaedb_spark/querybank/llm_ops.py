@@ -918,3 +918,7 @@ register("ivf_medoids", oracle=similarity.ivf_medoids_sql(DUCK))(_staged_ivf_med
 
 
 _sql_query("corpus_budget_select", pipeline.budget_select_sql)
+
+
+_sql_query("dedup_degree_histogram", dedup.degree_histogram_sql)
+_sql_query("text_langid_confusion", text.langid_confusion_sql)

@@ -286,6 +286,8 @@ DRIVER_ORDER = [
     "dedup_edit_survivors", "influxql_selectors", "influxql_derivative",
     "seasonal_profile", "anomaly_mad", "tsz_dod_compression",
     "ivf_medoids", "corpus_budget_select",
+    "dedup_degree_histogram", "text_langid_confusion",
+    "user_activity_percentiles", "time_to_conversion",
 ]
 
 

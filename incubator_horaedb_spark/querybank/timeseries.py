@@ -1114,3 +1114,119 @@ def tsz_dod_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tsz_dod_compression.__doc__ = _dod_sql.__doc__
+
+
+# --- user activity distribution (p50/p90/p99) -----------------------------
+def _activity_pct_sql(engine: str) -> str:
+    """Events-per-user p50/p90/p99 — the product-analytics activity
+    distribution (and the skew probe that decides salting: a p99/p50
+    ratio in the hundreds means hot keys).  Explicit rank interpolation
+    over per-user counts (engine percentile builtins interpolate
+    differently); per-user counts are exact integers, so only the final
+    interpolation touches doubles.  Rank positions are computed as
+    per-row columns BEFORE the final aggregate (Spark rejects nested
+    aggregates like min(CASE WHEN rn = f(max(n)) ...)).  Shape: one
+    user-keyed count agg, one rank window over U rows (users, not
+    events), 1-row output."""
+
+    def pos_cols(phi: str, tag: str) -> str:
+        rk = f"({phi} * (CAST(n_users AS DOUBLE) - 1.0) + 1.0)"
+        return (
+            f"CAST(floor({rk}) AS BIGINT) AS lo{tag}, "
+            f"({rk} - floor({rk})) AS f{tag}"
+        )
+
+    def q(tag: str, name: str) -> str:
+        lo = f"CAST(min(CASE WHEN rn = lo{tag} THEN cnt END) AS DOUBLE)"
+        hi = f"CAST(min(CASE WHEN rn = lo{tag} + 1 THEN cnt END) AS DOUBLE)"
+        v = (
+            f"({lo} + CASE WHEN max(f{tag}) = 0.0 THEN 0.0 "
+            f"ELSE max(f{tag}) * ({hi} - {lo}) END)"
+        )
+        return (
+            f"(CAST(floor(({v}) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+            f" / CAST(100 AS DOUBLE)) AS {name}"
+        )
+
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt, user_id) AS rn,
+             count(*) OVER () AS n_users
+      FROM per_user
+    ),
+    pos AS (
+      SELECT cnt, rn, n_users,
+             {pos_cols('0.5', '50')},
+             {pos_cols('0.9', '90')},
+             {pos_cols('0.99', '99')}
+      FROM ranked
+    )
+    SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+           {q('50', 'p50')},
+           {q('90', 'p90')},
+           {q('99', 'p99')}
+    FROM pos
+    """
+
+
+@register("user_activity_percentiles", oracle=_activity_pct_sql("duckdb"))
+def user_activity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_activity_pct_sql("spark"))
+
+
+user_activity_percentiles.__doc__ = _activity_pct_sql.__doc__
+
+
+# --- time-to-conversion cohort latency ------------------------------------
+def _ttc_sql(engine: str) -> str:
+    """Signup→first-purchase latency distribution in day buckets — the
+    conversion-latency cohort report (funnel_conversion's "did they" twin
+    answers "how fast").  Per user: first signup ts, first purchase AT OR
+    AFTER it (min-over-filtered — no window, no join explosion), then a
+    day-bucket histogram; never-converted users land in bucket -1.  Two
+    user-keyed aggs + one tiny histogram agg."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    day_ms = 86_400_000
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN {ems} END) AS signup_t,
+             min(CASE WHEN event_type = 'purchase' THEN {ems} END) AS any_purchase_t
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, min({ems}) AS first_purchase_t
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND {ems} >= u.signup_t
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT u.user_id,
+             CASE WHEN u.signup_t IS NULL THEN NULL
+                  WHEN c.first_purchase_t IS NULL THEN -1
+                  ELSE (c.first_purchase_t - u.signup_t) {div} {day_ms}
+             END AS day_bucket
+      FROM u LEFT JOIN conv c ON c.user_id = u.user_id
+      WHERE u.signup_t IS NOT NULL
+    )
+    SELECT CAST(day_bucket AS BIGINT) AS days_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS min_user_id
+    FROM lat
+    GROUP BY day_bucket
+    """
+
+
+@register("time_to_conversion", oracle=_ttc_sql("duckdb"))
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ttc_sql("spark"))
+
+
+time_to_conversion.__doc__ = _ttc_sql.__doc__

@@ -281,3 +281,37 @@ def test_budget_select_respects_budget(spark, sf_dir, qs):
             # budget was binding: the running total before the last kept
             # doc was < budget, so kept_tokens < budget + max doc size
             assert r["kept_tokens"] < SELECT_BUDGET_TOKENS + 2000
+
+
+def test_degree_histogram_counts_pairs(spark, sf_dir, qs):
+    hist = qs["dedup_degree_histogram"](spark, sf_dir).collect()
+    pairs = qs["dedup_edit_distance"](spark, sf_dir).collect()
+    assert hist
+    # sum(degree * n_docs) counts each undirected pair twice
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * len(pairs)
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir, qs):
+    rows = qs["text_langid_confusion"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r["actual_lang"]] += r["share_of_actual"]
+    for lang, total in shares.items():
+        assert abs(total - 1.0) < 1e-3, (lang, total)
+
+
+def test_activity_percentiles_ordered(spark, sf_dir, qs):
+    (r,) = qs["user_activity_percentiles"](spark, sf_dir).collect()
+    assert r["n_users"] > 0
+    assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_time_to_conversion_buckets(spark, sf_dir, qs):
+    rows = qs["time_to_conversion"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["days_to_convert"] >= -1
+        assert r["n_users"] > 0
