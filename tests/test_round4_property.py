@@ -180,3 +180,75 @@ def test_next_fit_model_invariants(toks, cap):
     for b in range(max(bins)):
         running += totals[b]
         assert running >= (b + 1) * cap
+
+
+def test_containment_matches_python_shingle_model(spark, sf_dir, docs):
+    """Containment values re-derived from a plain-Python shingle model
+    (token 3-grams as strings — no shared hash code with the SQL; the
+    hash is injective enough on this corpus that distinct-shingle COUNTS
+    and intersections agree)."""
+    from incubator_horaedb_spark.querybank import registry
+
+    def shingles(text: str) -> set[str]:
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    rows = registry.QUERIES["dedup_containment"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = shingles(docs[r["doc_small"]]), shingles(docs[r["doc_big"]])
+        small = min(len(a), len(b))
+        expect = math.floor(len(a & b) / small * 1_000_000 + 0.5) / 1_000_000
+        assert abs(r["containment"] - expect) < 2e-6, (r["doc_small"], r["doc_big"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ctx=st.integers(min_value=0, max_value=(1 << 31) - 1),
+    nxt=st.integers(min_value=0, max_value=(1 << 31) - 1),
+)
+def test_bigram_key_packing_roundtrips(ctx, nxt):
+    """The packed int64 bigram key (ctx·2^31 + next) recovers its context
+    hash exactly by integer division for ALL hash values < 2^31 — the
+    invariant text_bigram_surprisal's denominator GROUP BY relies on."""
+    key = ctx * (1 << 31) + nxt
+    assert key < (1 << 62)  # fits int64 with headroom
+    assert key // (1 << 31) == ctx
+    assert key % (1 << 31) == nxt
+
+
+def test_nearest_join_matches_python_model(spark, sf_dir):
+    """nearest_join re-derived with a brute-force python model over the
+    same deduped inputs: per purchase, the signup minimizing |dt| within
+    tolerance, ties backward."""
+    from incubator_horaedb_spark.querybank import registry
+    from incubator_horaedb_spark.querybank.registry import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("t"), "event_type", "value"
+    )
+    purchases = {}
+    signups = {}
+    for r in ev.collect():
+        key = (r["user_id"], r["t"])
+        if r["event_type"] == "purchase":
+            purchases[key] = max(purchases.get(key, float("-inf")), r["value"])
+        elif r["event_type"] == "signup":
+            signups.setdefault(r["user_id"], []).append(r["t"])
+    tol = 2 * 3600 * 1000
+    got = {
+        (r["user_id"], r["purchase_t"]): r["signup_t"]
+        for r in registry.QUERIES["nearest_join_events"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(purchases)
+    for (uid, pt), _ in purchases.items():
+        cands = [
+            s for s in signups.get(uid, []) if abs(s - pt) <= tol
+        ]
+        if not cands:
+            expect = None
+        else:
+            # min |dt|, ties backward (s <= pt wins), then earliest s
+            expect = min(cands, key=lambda s: (abs(s - pt), 0 if s <= pt else 1, s))
+        assert got[(uid, pt)] == expect, (uid, pt)
