@@ -846,3 +846,31 @@ def degree_histogram_sql(d: Dialect, table: str = "documents") -> str:
            CAST(min(doc_id) AS BIGINT) AS min_doc_id
     FROM deg GROUP BY degree""",
     )
+
+
+def cross_source_sql(d: Dialect, table: str = "documents") -> str:
+    """Cross-source near-duplicate matrix — syndication/mirror detection:
+    which source pairs share near-identical documents (within-source dups
+    are rot; CROSS-source dups are content copying, and the pair counts
+    drive source dedup priorities and crawl blocklists).  Reuses the
+    blocked edit-distance pairs with the source label carried through;
+    the final agg is |sources|²-bounded."""
+    ctes = _prefix_block_ctes(d, table, extra_cols="source") + [
+        (
+            "pairs",
+            edit_distance_pairs_select(
+                d, "admitted", extra=", a.source AS source_a, b.source AS source_b"
+            ),
+        ),
+    ]
+    return d.cte_query(
+        ctes,
+        """SELECT least(source_a, source_b)    AS source_lo,
+           greatest(source_a, source_b) AS source_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross,
+           CAST(min(doc_a) AS BIGINT) AS first_doc
+    FROM pairs
+    GROUP BY least(source_a, source_b), greatest(source_a, source_b)""",
+    )

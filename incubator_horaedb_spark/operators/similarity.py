@@ -1285,3 +1285,42 @@ def ivf_medoids_sql(d: Dialect, table: str = "embeddings", k: int = 2) -> str:
         FROM scored
       ) t WHERE rnk <= {k}""",
     )
+
+
+def distance_histogram_sql(
+    d: Dialect, table: str = "embeddings", n_sample: int = 100, nbins: int = 20
+) -> str:
+    """Pairwise-cosine distance histogram over a deterministic vector
+    sample — the threshold-calibration query run BEFORE near-dup or
+    clustering passes (pick the cosine cutoff where the histogram's
+    between-cluster valley sits).  The sample is the first ``n_sample``
+    ids (the corpus is hash-shuffled upstream, so ids are unbiased);
+    pairs are sample², never corpus² — at 100 TB the sample join is a
+    broadcast of n_sample rows against itself, constant cost.  Bin ids
+    floor the rounded cosine onto [-1, 1] in 2/nbins steps; exact
+    dyadic dots under the single division keep bin assignment
+    engine-stable."""
+    cos = f"({_dot(d, 'a.q', 'b.q')}) / (a.nrm * b.nrm)"
+    width = 2.0 / nbins
+    binid = (
+        f"least(CAST(floor(({_r6(cos)} + 1.0) / {width}) AS BIGINT), {nbins - 1})"
+    )
+    return d.cte_query(
+        [
+            ("qraw", km_quant_select(d, table)),
+            (
+                "s",
+                f"SELECT vec_id, q, sqrt({_dot(d, 'q', 'q')}) AS nrm "
+                f"FROM qraw WHERE vec_id < {n_sample}",
+            ),
+            (
+                "pairs",
+                f"""SELECT {binid} AS bin
+      FROM s a JOIN s b ON a.vec_id < b.vec_id""",
+            ),
+        ],
+        f"""SELECT bin,
+           (CAST(bin AS DOUBLE) * {width} - 1.0) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY bin""",
+    )

@@ -922,3 +922,6 @@ _sql_query("corpus_budget_select", pipeline.budget_select_sql)
 
 _sql_query("dedup_degree_histogram", dedup.degree_histogram_sql)
 _sql_query("text_langid_confusion", text.langid_confusion_sql)
+_sql_query("dedup_cross_source", dedup.cross_source_sql)
+_sql_query("embedding_distance_histogram", similarity.distance_histogram_sql,
+           _tables=("embeddings",))

@@ -372,3 +372,58 @@ def promql_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ts", "q90")
     )
     return out
+
+
+# --- week-over-week comparison (offset join) ------------------------------
+_WEEK_MS = 7 * 86_400_000
+
+
+def _wow_oracle() -> str:
+    now = _aligned_oracle("rate")
+    then = prom_align_oracle_sql(
+        "rate", round_digits=6, offset_ms=_WEEK_MS, **_ORACLE_PARAMS
+    )
+    return f"""
+    WITH now_v AS ({now}), then_v AS ({then})
+    SELECT n.ts, n.event_type,
+           n.value AS rate_now,
+           t.value AS rate_week_ago,
+           (CAST(floor((n.value - t.value) * CAST(1000000 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             AS wow_delta
+    FROM now_v n JOIN then_v t
+      ON t.ts = n.ts AND t.event_type = n.event_type
+    """
+
+
+@register("promql_wow_delta", oracle=_wow_oracle())
+def promql_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week comparison: `rate(m[2h]) - rate(m[2h] offset 7d)` —
+    the alerting/seasonality pattern PromQL's offset modifier exists for.
+    Both evaluations share one widened scan (the offset series just
+    shifts sample timestamps before alignment, prom_align offset_ms);
+    the comparison is an equi-join on (grid ts, series) over aligned
+    rows — (series × steps), never raw samples.  Rows exist only where
+    BOTH windows have data (inner join = PromQL vector matching)."""
+    from incubator_horaedb_spark.querybank.promql import END_MS, LOOKBACK_MS, START_MS
+    from incubator_horaedb_spark.querybank.registry import load_time_range
+
+    # the offset evaluation reads samples up to 7d + lookback earlier
+    ev = load_time_range(
+        spark, sf_dir, "events", "ts",
+        lo=START_MS - _WEEK_MS - LOOKBACK_MS, hi=END_MS,
+    )
+    now_v = _rounded(prom_align(ev, "rate", **_PARAMS))
+    then_v = _rounded(prom_align(ev, "rate", offset_ms=_WEEK_MS, **_PARAMS))
+    j = now_v.alias("n").join(
+        then_v.alias("t"),
+        (F.col("n.ts") == F.col("t.ts")) & (F.col("n.event_type") == F.col("t.event_type")),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+    return j.select(
+        F.col("n.ts").alias("ts"),
+        F.col("n.event_type").alias("event_type"),
+        F.col("n.value").alias("rate_now"),
+        F.col("t.value").alias("rate_week_ago"),
+        r6(F.col("n.value") - F.col("t.value")).alias("wow_delta"),
+    )

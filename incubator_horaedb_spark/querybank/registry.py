@@ -288,6 +288,8 @@ DRIVER_ORDER = [
     "ivf_medoids", "corpus_budget_select",
     "dedup_degree_histogram", "text_langid_confusion",
     "user_activity_percentiles", "time_to_conversion",
+    "event_transition_matrix", "dedup_cross_source",
+    "embedding_distance_histogram", "promql_wow_delta",
 ]
 
 

@@ -1230,3 +1230,42 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 time_to_conversion.__doc__ = _ttc_sql.__doc__
+
+
+# --- event transition matrix (behavior paths) -----------------------------
+def _transition_sql(engine: str) -> str:
+    """Per-user event-type transition counts — the first-order Markov
+    matrix behind user-path analysis (which step follows which; funnel
+    discovery, as opposed to funnel_conversion's fixed-order check).
+    One lag window per user over (ts, event_id), then a (from, to) hash
+    agg with transition share within each source state.  Shape: one
+    user-keyed shuffle, |types|² output rows."""
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           (CAST(floor((CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE)) AS p_transition
+    FROM t
+    """
+
+
+@register("event_transition_matrix", oracle=_transition_sql("duckdb"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_transition_sql("spark"))
+
+
+event_transition_matrix.__doc__ = _transition_sql.__doc__

@@ -315,3 +315,44 @@ def test_time_to_conversion_buckets(spark, sf_dir, qs):
     for r in rows:
         assert r["days_to_convert"] >= -1
         assert r["n_users"] > 0
+
+
+def test_transition_matrix_probabilities(spark, sf_dir, qs):
+    rows = qs["event_transition_matrix"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0
+        by_from[r["from_type"]] += r["p_transition"]
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-3, (ft, total)
+
+
+def test_cross_source_consistent_with_pairs(spark, sf_dir, qs):
+    mat = qs["dedup_cross_source"](spark, sf_dir).collect()
+    pairs = qs["dedup_edit_distance"](spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in mat) == len(pairs)
+    for r in mat:
+        assert r["source_lo"] <= r["source_hi"]
+        if r["source_lo"] == r["source_hi"]:
+            assert r["n_cross"] == 0
+        else:
+            assert r["n_cross"] == r["n_pairs"]
+
+
+def test_distance_histogram_covers_sample_pairs(spark, sf_dir, qs):
+    rows = qs["embedding_distance_histogram"](spark, sf_dir).collect()
+    assert rows
+    n = sum(r["n_pairs"] for r in rows)
+    assert n == 100 * 99 // 2  # all sample pairs binned exactly once
+    for r in rows:
+        assert 0 <= r["bin"] <= 19 and -1.0 <= r["bin_lo"] < 1.0
+
+
+def test_wow_delta_matches_component_series(spark, sf_dir, qs):
+    rows = qs["promql_wow_delta"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert abs(r["wow_delta"] - round(r["rate_now"] - r["rate_week_ago"], 6)) < 2e-6
