@@ -81,6 +81,14 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, _jvm_path(spark, dst)))
 
 
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    """Create a directory (and parents).  Needed before rename: Hadoop
+    FileSystem.rename returns false when the destination's parent does not
+    exist, instead of creating it."""
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.mkdirs(jpath))
+
+
 def n_output_files(total_bytes: int, target: int = TARGET_FILE_BYTES) -> int:
     """Task/file count that lands each output file near ``target`` bytes —
     replaces ``coalesce(1)``, which at 100 TB turns a hot segment rewrite

@@ -29,6 +29,7 @@ the TimeWindow picker analogue.
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -308,20 +309,82 @@ class Table:
     # through one single-threaded task (compaction/picker.rs sizes SST
     # outputs the same way).
 
+    _SEGMENT_DIR_RE = re.compile(f"^{SEGMENT_COLUMN}=\\d+$")
+
     def _segment_dirs(self) -> list[tuple[str, str]]:
-        """(name, full path) of every time-partition directory."""
+        """(name, full path) of every time-partition directory.
+
+        Strictly ``__segment=<digits>`` — anything else under the data dir
+        (a crashed rewrite's leftovers, a foreign file) is not a segment
+        and must not reach ttl_expire's int() or compact's rewrite loop."""
         data = self.catalog.data_dir(self.name)
         return [
             (seg, f"{data}/{seg}")
             for seg in fsops.list_dirs(self.spark, data, prefix=f"{SEGMENT_COLUMN}=")
+            if self._SEGMENT_DIR_RE.match(seg)
         ]
 
+    # Rewrite staging/rollback areas.  Dot-prefixed so Spark's file listing
+    # (which skips '.'/'_'-prefixed paths) never discovers them as data —
+    # a crashed rewrite can leave them behind without polluting reads or
+    # partition discovery.
+    def _tmp_dir(self, seg: str) -> str:
+        return f"{self.catalog.data_dir(self.name)}/.rewrite-tmp/{seg}"
+
+    def _aside_dir(self, seg: str) -> str:
+        return f"{self.catalog.data_dir(self.name)}/.rewrite-old/{seg}"
+
+    def _recover_stale_rewrites(self) -> None:
+        """Crash recovery before any rewrite: drop half-written tmp output;
+        for each aside segment, restore it if the live directory is missing
+        (a crash hit between the two commit renames), else it is a
+        committed rewrite whose cleanup delete was lost — drop it."""
+        data = self.catalog.data_dir(self.name)
+        fsops.delete(self.spark, f"{data}/.rewrite-tmp")
+        for seg in fsops.list_dirs(self.spark, f"{data}/.rewrite-old"):
+            live = f"{data}/{seg}"
+            aside = self._aside_dir(seg)
+            if fsops.exists(self.spark, live):
+                fsops.delete(self.spark, aside)
+            elif not fsops.rename(self.spark, aside, live):
+                raise IOError(f"recovery rename failed: {aside} -> {live}")
+
     def _commit_rewrite(self, src: str, tmp: str) -> None:
-        """Swap the rewritten directory in (delete-then-rename — the same
-        manifest-flip ordering the reference uses between SST purge and
-        meta update; readers see old or new listing, never a merge)."""
-        fsops.delete(self.spark, src)
-        fsops.rename(self.spark, tmp, src)
+        """Swap the rewritten directory in: rename the live segment aside,
+        rename the tmp output into place, then delete the aside copy.
+
+        Real guarantee (not stronger): on HDFS/local each rename is atomic,
+        so a racing reader's listing sees the old segment, the new segment,
+        or — for the one-metadata-op window between the two renames — the
+        segment absent; never a merge of old and new files.  A scan that
+        already PLANNED over pre-rewrite files and executes after the swap
+        fails loudly (Spark FILE_NOT_EXIST) rather than returning partial
+        data — optimistic concurrency: wrong answers are impossible,
+        conflicting readers retry (tests/test_maintenance_commit.py).  On
+        S3A rename is copy+delete, so the absent window extends over the
+        copy; the aside copy is a rollback path either way — a crash at
+        any point is recoverable by _recover_stale_rewrites (the reference
+        gets its manifest-flip guarantee from a meta-store pointer, which
+        directory-granular storage cannot replicate; catalog.py documents
+        that boundary).  Every FS call's boolean is checked: Hadoop
+        reports most rename failures by returning false, and a silently
+        failed rename here would lose the segment while compact() counts
+        it as rewritten."""
+        seg = src.rsplit("/", 1)[1]
+        aside = self._aside_dir(seg)
+        fsops.mkdirs(self.spark, aside.rsplit("/", 1)[0])
+        if not fsops.rename(self.spark, src, aside):
+            raise IOError(f"rewrite commit: rename {src} -> {aside} failed")
+        if not fsops.rename(self.spark, tmp, src):
+            # roll back so the segment is not lost, then fail loudly
+            if not fsops.rename(self.spark, aside, src):
+                raise IOError(
+                    f"rewrite commit: rename {tmp} -> {src} failed AND rollback "
+                    f"{aside} -> {src} failed; segment preserved at {aside}"
+                )
+            raise IOError(f"rewrite commit: rename {tmp} -> {src} failed (rolled back)")
+        if not fsops.delete(self.spark, aside):
+            raise IOError(f"rewrite commit: cleanup delete {aside} failed")
 
     def compact(self, target_file_bytes: int = fsops.TARGET_FILE_BYTES) -> int:
         """Rewrite each time partition into compacted, sort-clustered files,
@@ -329,6 +392,7 @@ class Table:
         Returns the number of rewritten partitions."""
         meta = self.meta
         rewritten = 0
+        self._recover_stale_rewrites()
         for seg, src in self._segment_dirs():
             df = self.spark.read.parquet(src)
             if meta.options.update_mode == "OVERWRITE":
@@ -357,7 +421,7 @@ class Table:
                 )
             else:
                 out = df.repartition(nfiles) if nfiles > 1 else df.coalesce(1)
-            tmp = src + ".compact"
+            tmp = self._tmp_dir(seg)
             out.write.mode("overwrite").parquet(tmp)
             self._commit_rewrite(src, tmp)
             rewritten += 1
@@ -395,6 +459,7 @@ class Table:
             if kind in ("double", "float", "string", "timestamp", "varbinary"):
                 raise ValueError(f"zorder column {c!r} must be integer-kind, got {kind}")
         rewritten = 0
+        self._recover_stale_rewrites()
         for seg, src in self._segment_dirs():
             df = self.spark.read.parquet(src)
             z = self.zorder_column(cols, bits)
@@ -412,7 +477,7 @@ class Table:
                 if nfiles > 1
                 else df.coalesce(1).sortWithinPartitions(z)
             )
-            tmp = src + ".zorder"
+            tmp = self._tmp_dir(seg)
             out.write.mode("overwrite").parquet(tmp)
             self._commit_rewrite(src, tmp)
             rewritten += 1

@@ -24,7 +24,9 @@ import pytest
 from incubator_horaedb_spark import querybank
 from incubator_horaedb_spark.querybank.registry import TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 _FORBIDDEN = ("decimal", "uint", "hugeint", "int128")
 

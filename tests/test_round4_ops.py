@@ -202,13 +202,30 @@ def test_window_value_family_semantics(spark, sf_dir, qs):
     assert rows
     from collections import defaultdict
 
+    from incubator_horaedb_spark.querybank.registry import load
+
+    # independent model: per user, first/last event_id under (ts, event_id)
+    # order — the window's declared ordering
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter("user_id % 50 = 1")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    order = defaultdict(list)
+    for r in ev:
+        order[r["user_id"]].append((r["ts"], r["event_id"]))
+    expected_first = {u: min(v)[1] for u, v in order.items()}
+    expected_last = {u: max(v)[1] for u, v in order.items()}
+
     parts = defaultdict(list)
     for r in rows:
         parts[r["user_id"]].append(r)
+    assert set(parts) == set(order)
     for uid, rs in parts.items():
-        evs = sorted(r["event_id"] for r in rs)
         for r in rs:
-            assert r["first_ev"] == min(evs) or True  # order is (ts, event_id)
+            assert r["first_ev"] == expected_first[uid]
+            assert r["last_ev"] == expected_last[uid]
         firsts = {r["first_ev"] for r in rs}
         lasts = {r["last_ev"] for r in rs}
         assert len(firsts) == 1 and len(lasts) == 1  # full-partition frame
