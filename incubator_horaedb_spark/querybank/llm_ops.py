@@ -211,21 +211,13 @@ def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> str:
         )
     pairs.createOrReplaceTempView("__cc_pairs")
     _stage(spark.sql(dedup.cc_edges_select(SPARK, "__cc_pairs", 0.8)), "__cc_edges")
-    # Iterative loop with LINEAGE TRUNCATION: caching alone is not enough —
-    # each round's analyzed plan expands the previous round's view 3×, so
-    # the logical tree (and analysis time) grows 3^k even when execution
-    # hits the cache (measured 2.3s → 5s → 18s per round).  localCheckpoint
-    # materializes the round and replaces its plan with a shallow RDD scan,
-    # the standard iterative-graph pattern (use checkpoint(dir) on a real
+    # Convergence-asserted CC loop (dedup.cc_converged_labels): min-label
+    # propagation + pointer jump until a verified fixed point, rounds
+    # localCheckpoint'd for lineage truncation (without it the analyzed
+    # plan grows 3^k per round even when execution hits the cache —
+    # measured 2.3s → 5s → 18s per round; use checkpoint(dir) on a real
     # cluster for fault tolerance).
-    l = spark.sql(dedup.cc_label_ctes(SPARK, "__cc_edges")[0][1]).localCheckpoint()
-    l.createOrReplaceTempView("__cc_l0")
-    for i in range(1, dedup.CC_ITERS + 1):
-        l = spark.sql(
-            dedup.cc_iter_select(SPARK, f"__cc_l{i - 1}", "__cc_edges")
-        ).localCheckpoint()
-        l.createOrReplaceTempView(f"__cc_l{i}")
-    return f"__cc_l{dedup.CC_ITERS}"
+    return dedup.cc_converged_labels(spark, "__cc_edges", "__cc")
 
 
 def _staged_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,16 +866,8 @@ def _staged_edit_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_a, doc_b FROM pairs WHERE edit_dist <= {dedup.EDIT_MAX}",
     )
     _stage(spark.sql(edges_sql), "__edcc_edges")
-    l = spark.sql(dedup.cc_label_ctes(SPARK, "__edcc_edges")[0][1]).localCheckpoint()
-    l.createOrReplaceTempView("__edcc_l0")
-    for i in range(1, dedup.CC_ITERS + 1):
-        l = spark.sql(
-            dedup.cc_iter_select(SPARK, f"__edcc_l{i - 1}", "__edcc_edges")
-        ).localCheckpoint()
-        l.createOrReplaceTempView(f"__edcc_l{i}")
-    return spark.sql(
-        pipeline.survivors_final_select(SPARK, "documents", f"__edcc_l{dedup.CC_ITERS}")
-    )
+    labels = dedup.cc_converged_labels(spark, "__edcc_edges", "__edcc")
+    return spark.sql(pipeline.survivors_final_select(SPARK, "documents", labels))
 
 
 _staged_edit_survivors.__doc__ = dedup.edit_survivors_sql.__doc__
