@@ -61,6 +61,37 @@ def test_date_bin_in_sql(t):
     assert [r["n"] for r in df.collect()] == [2, 1, 1]
 
 
+def test_time_bucket_sql_path_is_native(t):
+    # VERDICT r04 #3 done-criterion: the SQL-text path compiles to native
+    # expressions — no BatchEvalPython / PythonUDF anywhere in the plan
+    df = t.execute_sql(
+        "SELECT time_bucket(t, 'P1M') AS bucket, count(*) AS n "
+        "FROM fx GROUP BY time_bucket(t, 'P1M')"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_date_bin_sql_path_is_native(t):
+    df = t.execute_sql(
+        "SELECT date_bin(60000, t, 0) AS b, count(*) AS n "
+        "FROM fx GROUP BY date_bin(60000, t, 0)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_rewrite_matches_python_model(t):
+    # the rewrite's native expression agrees with the independent pure-
+    # Python model for every period family (sub-day, D, W, M, Y)
+    from incubator_horaedb_spark.functions.sql_bindings import time_bucket_py
+
+    for period in ("PT30S", "PT5M", "PT1H", "P1D", "P2D", "P1W", "P1M", "P1Y"):
+        df = t.execute_sql(f"SELECT t, time_bucket(t, '{period}') AS b FROM fx")
+        for r in df.collect():
+            assert r["b"] == time_bucket_py(r["t"], period), (period, r)
+
+
 def test_thetasketch_distinct_in_sql(t):
     # rewritten to approx_count_distinct(x, 0.008); exact at tiny NDV
     df = t.execute_sql(
