@@ -206,32 +206,38 @@ DRIVER_ORDER = [
     "promql_rate", "promql_instant", "promql_sum_by_ts",
     "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_cluster_reps", "decontaminate_ngram",
+    "dedup_exact", "dedup_minhash_lsh",
+    "decontaminate_ngram",
     "sample_stratified",
     "ann_cosine_bruteforce",
-    "ivf_kmeans_train", "ann_ivf_trained", "ann_topk_blocked",
-    "embedding_rhp_lsh", "text_langid", "text_quality",
+    "ivf_kmeans_train", "ann_topk_blocked",
+    "embedding_rhp_lsh", "text_langid",
     "text_fingerprint",
     "funnel_conversion", "corpus_quality_filter",
-    "sessionize_events", "zorder_cluster", "asof_join_events",
-    "interval_join_sessions",
+    "sessionize_events", "asof_join_events",
     "multimodal_png_pixel_stats",
-    # round-4 window rotation: the four latent-HUGEINT oracles fixed this
-    # round (VERDICT r03 #2) plus representatives from the two families the
-    # driver has never verified (TPC-H completion, PromQL evaluator fns) —
-    # fixes and new families become externally visible while every family
-    # keeps at least one in-window representative.
-    "pivot_event_counts", "agg_filter_clause", "events_json_extract",
+    # round-5 window rotation (VERDICT r04 next-round #1): one never-
+    # driver-verified representative per round-4 family promoted into the
+    # top-50; the slots come from same-family variants that are already
+    # driver-green in r04 (dedup_simhash, dedup_cluster_reps,
+    # interval_join_sessions, promql_topk_series, text_quality,
+    # zorder_cluster, ann_ivf_trained, agg_filter_clause — demoted below,
+    # still locally gated every round).
+    "dedup_edit_distance", "dedup_containment", "nearest_join_events",
+    "promql_subquery_max_rate", "influxql_selectors", "text_tfidf_topk",
+    "pack_sequences", "embedding_power_iteration",
+    # round-4 rotation survivors (driver-green r04, kept in-window as
+    # their family's representative)
+    "pivot_event_counts", "events_json_extract",
     "join_full_outer",
-    "promql_histogram_quantile", "promql_topk_series",
+    "promql_histogram_quantile",
     "q5_local_supplier_volume", "q18_large_orders",
     # family variants — covered by a same-family representative above when
-    # the driver caps its check window (round-4 rotations out:
-    # dedup_ngram_jaccard, dedup_apply_survivors, holt_winters_smooth,
-    # text_token_count, text_bm25_topk, text_repetition, pii_scrub,
-    # cms_heavy_hitters — all driver-green in r03, still locally gated
-    # every round)
+    # the driver caps its check window (round-5 rotations out listed
+    # first; all driver-green in r04, still locally gated every round)
+    "dedup_simhash", "dedup_cluster_reps", "interval_join_sessions",
+    "promql_topk_series", "text_quality", "zorder_cluster",
+    "ann_ivf_trained", "agg_filter_clause",
     "dedup_ngram_jaccard", "dedup_apply_survivors", "holt_winters_smooth",
     "text_token_count", "text_bm25_topk", "text_repetition", "pii_scrub",
     "cms_heavy_hitters",
@@ -276,14 +282,13 @@ DRIVER_ORDER = [
     # round-3 continuation: PromQL evaluator functions over aligned vectors
     "promql_bottomk_series",
     "promql_count_values", "promql_clamp", "promql_label_replace",
-    # round-4 additions: edit-distance-verified near-dup dedup, cross-split
-    # leakage audit, token-budget sequence packing, BPE pair statistics
-    "dedup_edit_distance", "split_leakage_check", "pack_sequences",
-    "bpe_pair_counts", "text_bigram_surprisal", "embedding_power_iteration",
-    "dedup_containment", "text_tfidf_topk", "embedding_abtt_postprocess",
-    "nearest_join_events", "promql_subquery_max_rate",
+    # round-4 additions (family representatives promoted to the top-50
+    # above in the round-5 rotation)
+    "split_leakage_check",
+    "bpe_pair_counts", "text_bigram_surprisal",
+    "embedding_abtt_postprocess",
     "promql_binary_vector_ops", "promql_agg_quantile", "window_value_family",
-    "dedup_edit_survivors", "influxql_selectors", "influxql_derivative",
+    "dedup_edit_survivors", "influxql_derivative",
     "seasonal_profile", "anomaly_mad", "tsz_dod_compression",
     "ivf_medoids", "corpus_budget_select",
     "dedup_degree_histogram", "text_langid_confusion",
