@@ -25,7 +25,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.functions.hashing import regex_match, unique_id
@@ -70,6 +70,10 @@ class PromQuery:
     agg_op: str | None = None
     agg_by: list[str] | None = None  # None → no grouping clause
     agg_without: list[str] | None = None
+    # extended evaluator layer (parse_promql(..., extended=True) only):
+    wrap_fn: str | None = None  # topk | bottomk | clamp | clamp_min | clamp_max
+    wrap_args: tuple[float, ...] = ()
+    subquery: tuple[str, int, int] | None = None  # (agg fn, window_ms, step_ms)
 
 
 _SELECTOR_RE = re.compile(
@@ -80,8 +84,63 @@ _SELECTOR_RE = re.compile(
 _MATCHER_RE = re.compile(r'\s*([A-Za-z_][\w]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*')
 
 
-def parse_promql(query: str) -> PromQuery:
+_NUM = r"-?\d+(?:\.\d+)?"
+_WRAP_K_RE = re.compile(r"^(topk|bottomk)\s*\(\s*(\d+)\s*,\s*(.*)\)\s*$", re.I | re.S)
+_CLAMP_RE = re.compile(
+    rf"^clamp\s*\(\s*(.*)\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*$", re.I | re.S
+)
+_CLAMP1_RE = re.compile(
+    rf"^(clamp_min|clamp_max)\s*\(\s*(.*)\s*,\s*({_NUM})\s*\)\s*$", re.I | re.S
+)
+_SUBQ_RE = re.compile(
+    r"^(max|min|avg|sum)_over_time\s*\(\s*(.*)\s*\[(\w+):(\w+)\]\s*\)\s*$",
+    re.I | re.S,
+)
+
+
+def parse_promql(query: str, extended: bool = False) -> PromQuery:
+    """Parse PromQL text.
+
+    ``extended=False`` (default) accepts exactly the reference's pushdown
+    grammar (pushdown.rs:33-56) and REJECTS everything else — parity with
+    the reference, which forwards unsupported functions to an external
+    Prometheus evaluator.  ``extended=True`` additionally accepts the
+    evaluator-layer functions this engine implements distributed
+    (querybank/promql_fns.py): ``topk``/``bottomk``, ``clamp`` /
+    ``clamp_min`` / ``clamp_max``, and subqueries
+    ``{max,min,avg,sum}_over_time(<range expr>[window:step])`` — the
+    subquery step must equal the evaluation step (the inner grid IS the
+    subquery grid; promql_to_df enforces it)."""
     q = query.strip()
+
+    if extended:
+        m = _WRAP_K_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(3).strip(), extended=False)
+            inner.wrap_fn = m.group(1).lower()
+            inner.wrap_args = (float(m.group(2)),)
+            return inner
+        m = _CLAMP_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(1).strip(), extended=False)
+            inner.wrap_fn = "clamp"
+            inner.wrap_args = (float(m.group(2)), float(m.group(3)))
+            return inner
+        m = _CLAMP1_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner.wrap_fn = m.group(1).lower()
+            inner.wrap_args = (float(m.group(3)),)
+            return inner
+        m = _SUBQ_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner.subquery = (
+                m.group(1).lower(),
+                parse_duration_ms(m.group(3)),
+                parse_duration_ms(m.group(4)),
+            )
+            return inner
 
     # aggregation wrapper: op [by/without (labels)] (expr)  |  op (expr) by (labels)
     agg_m = re.match(
@@ -173,14 +232,22 @@ def promql_to_df(
     tag_cols: list[str] | None = None,
     default_field: str = "value",
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    extended: bool = False,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Compile a PromQL query to a DataFrame with columns
-    ``(*tags, ts, value)`` (aggregated: ``(*kept_tags, ts, value, uid)``).
+    ``(*tags, ts, value)`` (aggregated: ``(*kept_tags, ts, value, uid)``;
+    topk/bottomk add ``rn``; subqueries add ``subq_value``).
 
     The metric name is the table (measurement) name; ``tag_cols`` defaults
-    to every string column except the timestamp.
+    to every string column except the timestamp.  ``round_digits`` rounds
+    aligned values with the tie-proof floor form (floor(x·10^d + 0.5)/10^d
+    — cross-engine-deterministic, functions/detfloat.py) before any
+    evaluator layer, so parser-driven results hash-match the gated
+    oracles.  ``extended=True`` enables the evaluator-layer grammar
+    (topk/bottomk/clamp*/subqueries) — see parse_promql.
     """
-    pq = parse_promql(query) if isinstance(query, str) else query
+    pq = parse_promql(query, extended=extended) if isinstance(query, str) else query
     sel = pq.selector
     if sel.metric not in tables:
         raise KeyError(f"unknown metric {sel.metric!r}")
@@ -214,18 +281,69 @@ def promql_to_df(
         offset_ms=sel.offset_ms,
     )
 
-    if pq.agg_op is None:
-        return aligned.orderBy(*tags, "ts")
+    if round_digits is not None:
+        scale = float(10**round_digits)
+        aligned = aligned.withColumn(
+            "value",
+            F.floor(F.col("value") * F.lit(scale) + F.lit(0.5)).cast("double")
+            / F.lit(scale),
+        )
 
-    # aggregation grouped by (ts, kept tags) + unique_id projection + sort
-    # (convert.rs:270-345)
-    if pq.agg_by is not None:
-        keep = [t for t in tags if t in pq.agg_by]
-    elif pq.agg_without is not None:
-        keep = [t for t in tags if t not in pq.agg_without]
-    else:
-        keep = []
-    agg_fn = _AGG_OPS[pq.agg_op]
-    out = aligned.groupBy(*keep, "ts").agg(agg_fn("value").alias("value"))
-    uid = unique_id(keep) if keep else F.lit(0).cast("long")
-    return out.withColumn("uid", uid).orderBy("uid", "ts")
+    if pq.agg_op is not None:
+        # aggregation grouped by (ts, kept tags) + unique_id projection +
+        # sort (convert.rs:270-345)
+        if pq.agg_by is not None:
+            keep = [t for t in tags if t in pq.agg_by]
+        elif pq.agg_without is not None:
+            keep = [t for t in tags if t not in pq.agg_without]
+        else:
+            keep = []
+        agg_fn = _AGG_OPS[pq.agg_op]
+        out = aligned.groupBy(*keep, "ts").agg(agg_fn("value").alias("value"))
+        uid = unique_id(keep) if keep else F.lit(0).cast("long")
+        return out.withColumn("uid", uid).orderBy("uid", "ts")
+
+    if pq.subquery is not None:
+        # subquery = a range evaluation OVER the aligned range vector; the
+        # inner grid IS the subquery grid, so the outer aggregate is a
+        # time-RANGE window per series over the aligned output — no second
+        # explode, no re-alignment (the promql_subquery_max_rate shape)
+        fn, win_ms, sub_step = pq.subquery
+        if sub_step != step_ms:
+            raise ValueError(
+                f"subquery step {sub_step}ms must equal the evaluation step "
+                f"{step_ms}ms (the aligned grid is the subquery grid)"
+            )
+        w = (
+            Window.partitionBy(*tags)
+            .orderBy(F.unix_millis(ts_col))
+            .rangeBetween(-win_ms, 0)
+        )
+        outer = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum}[fn]
+        aligned = aligned.withColumn("subq_value", outer("value").over(w))
+
+    if pq.wrap_fn in ("topk", "bottomk"):
+        # per-timestamp series selection (functions.go topk/bottomk): one
+        # row_number window partitioned by the grid timestamp; ties break
+        # on the series labels identically on both engines
+        k = int(pq.wrap_args[0])
+        order = F.desc("value") if pq.wrap_fn == "topk" else F.asc("value")
+        w = Window.partitionBy("ts").orderBy(order, *[F.col(t) for t in tags])
+        aligned = aligned.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
+    elif pq.wrap_fn == "clamp":
+        lo, hi = pq.wrap_args
+        aligned = aligned.withColumn(
+            "value", F.greatest(F.least(F.col("value"), F.lit(hi)), F.lit(lo))
+        )
+    elif pq.wrap_fn == "clamp_min":
+        aligned = aligned.withColumn(
+            "value", F.greatest(F.col("value"), F.lit(pq.wrap_args[0]))
+        )
+    elif pq.wrap_fn == "clamp_max":
+        aligned = aligned.withColumn(
+            "value", F.least(F.col("value"), F.lit(pq.wrap_args[0]))
+        )
+
+    return aligned.orderBy(*tags, "ts")

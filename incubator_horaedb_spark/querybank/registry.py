@@ -295,6 +295,11 @@ DRIVER_ORDER = [
     "user_activity_percentiles", "time_to_conversion",
     "event_transition_matrix", "dedup_cross_source",
     "embedding_distance_histogram", "promql_wow_delta",
+    # round-5 additions: evaluator functions reachable from PromQL text
+    # (parse_promql extended=True), gated against the same oracles as the
+    # builder-composed forms
+    "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
+    "promql_parsed_subquery",
 ]
 
 

@@ -99,3 +99,80 @@ def test_unknown_label_rejected(spark):
             end_ms=60_000,
             step_ms=60_000,
         )
+
+
+# --- extended evaluator grammar (parse_promql extended=True) ---------------
+
+
+def test_extended_functions_rejected_by_default():
+    # parity with the reference: outside the pushdown set → error
+    from incubator_horaedb_spark.frontends.promql import parse_promql
+
+    for q in (
+        "topk(3, rate(m[5m]))",
+        "clamp(m, 1, 2)",
+        "max_over_time(rate(m[5m])[1h:5m])",
+    ):
+        with pytest.raises(ValueError):
+            parse_promql(q)
+
+
+def test_extended_parse_shapes():
+    from incubator_horaedb_spark.frontends.promql import parse_promql
+
+    pq = parse_promql('topk(3, rate(m{env="prod"}[5m]))', extended=True)
+    assert pq.wrap_fn == "topk" and pq.wrap_args == (3.0,)
+    assert pq.range_fn == "rate" and pq.selector.range_ms == 300_000
+    assert pq.selector.matchers[0].name == "env"
+
+    pq = parse_promql("clamp(m, 20, 100)", extended=True)
+    assert pq.wrap_fn == "clamp" and pq.wrap_args == (20.0, 100.0)
+    assert pq.range_fn is None
+
+    pq = parse_promql("clamp_min(rate(m[1m]), 0)", extended=True)
+    assert pq.wrap_fn == "clamp_min" and pq.wrap_args == (0.0,)
+
+    pq = parse_promql("max_over_time(rate(m[2h])[1h:5m])", extended=True)
+    assert pq.subquery == ("max", 3_600_000, 300_000)
+    assert pq.range_fn == "rate" and pq.selector.range_ms == 7_200_000
+
+
+def test_subquery_step_mismatch_rejected(spark):
+    with pytest.raises(ValueError, match="subquery step"):
+        promql_to_df(
+            "max_over_time(rate(cpu[2m])[10m:5m])",
+            {"cpu": _metric_df(spark)},
+            start_ms=0,
+            end_ms=60_000,
+            step_ms=60_000,
+            extended=True,
+        )
+
+
+def test_extended_topk_selects_per_timestamp(spark):
+    df = promql_to_df(
+        "topk(1, cpu)",
+        {"cpu": _metric_df(spark)},
+        start_ms=60_000,
+        end_ms=120_000,
+        step_ms=60_000,
+        extended=True,
+    )
+    rows = df.collect()
+    # one row per grid timestamp, the max-valued series, rn always 1
+    assert all(r["rn"] == 1 for r in rows)
+    by_ts = {r["ts"]: r for r in rows}
+    assert len(by_ts) == len(rows)
+
+
+def test_extended_clamp_bounds_values(spark):
+    df = promql_to_df(
+        "clamp(cpu, 5.5, 6.5)",
+        {"cpu": _metric_df(spark)},
+        start_ms=60_000,
+        end_ms=120_000,
+        step_ms=60_000,
+        extended=True,
+    )
+    vals = [r["value"] for r in df.collect()]
+    assert vals and all(5.5 <= v <= 6.5 for v in vals)
