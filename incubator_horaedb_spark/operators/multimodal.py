@@ -18,10 +18,14 @@ Design for 100 TB:
 - 16-bit PCM WAV **sample decode is REAL** (``audio_pcm_window_stats``:
   np.frombuffer over the data chunk, channel de-interleave, per-window
   peak/energy) — uncompressed PCM needs no codec library;
-- compressed pixel/sample decode (PIL/ffmpeg) is NOT in this container,
-  so payloads with no parseable container header fall back to
-  ``_fake_decode`` — a clearly marked deterministic stub keyed on the
-  byte length.  The Spark-side plumbing (schema contract, batch
+- **PNG pixel decode is REAL** (stdlib zlib inflate + scanline
+  un-filter, ``decode_png_pixel_stats``) and **baseline JPEG pixel
+  decode is REAL** (pure-numpy sequential-DCT codec, ``operators/
+  jpeg.py`` + ``decode_jpeg_pixel_stats``);
+- the only remaining stub is compressed VIDEO frame decode (MP4 needs a
+  full H.26x stack): payloads with no parseable container header fall
+  back to ``_fake_decode`` — a clearly marked deterministic stub keyed
+  on the byte length.  The Spark-side plumbing (schema contract, batch
   iteration, partitioning) is real and tested; a deployment swaps
   ``_fake_decode`` for the codec and nothing else moves.
 """
@@ -673,6 +677,66 @@ def _decode_png(b) -> "np.ndarray | None":
         else:
             raise ValueError(f"unsupported PNG filter {filt}")
     return img.reshape(h, w, 3).astype("int64")
+
+
+def synth_jpeg_full_payload(media_id: int) -> bytes:
+    """Complete, VALID sequential-baseline grayscale JPEG with real
+    entropy-coded pixel data (operators/jpeg.py — pure-numpy FDCT +
+    quantization + Annex-K Huffman coding, no codec libs).  Pixels are
+    CONSTANT within each 8×8 block: block (x, y) carries
+    ((id*7 + x*31 + y*53) % 256), with bw = 2 + id % 6 and
+    bh = 2 + id % 5 blocks — a closed form an SQL oracle can restate.
+    Block-constant content makes the lossy pipeline exact (the DCT of a
+    constant block is a pure integer DC with analytically-zero AC), so
+    decode bugs cannot hide behind codec loss; the AC/run-length paths
+    are exercised by round-trip unit tests on arbitrary images."""
+    import numpy as np
+
+    from incubator_horaedb_spark.operators.jpeg import encode_baseline_jpeg
+
+    bw = 2 + media_id % 6
+    bh = 2 + media_id % 5
+    x, y = np.meshgrid(np.arange(bw), np.arange(bh), indexing="xy")
+    blocks = (media_id * 7 + x * 31 + y * 53) % 256
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    return encode_baseline_jpeg(px)
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_lum", T.LongType(), True),
+    ]
+)
+
+
+def decode_jpeg_pixel_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL JPEG pixel decoding — numpy only: parse markers, build the
+    Huffman/quant tables FROM the stream, entropy-decode every MCU,
+    dequantize, IDCT, and emit per-image luminance pixel sums — exact
+    integers the oracle recomputes from the generator formula without
+    seeing bytes (operators/jpeg.py::decode_baseline_jpeg).
+
+    Scale: Arrow-batched mapInPandas, one pass per payload, no shuffle —
+    the same kernel shape as every decode in this module."""
+    from incubator_horaedb_spark.operators.jpeg import decode_baseline_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                px = decode_baseline_jpeg(bytes(b))
+                h, w = px.shape
+                rows.append((int(mid), w, h, int(px.sum())))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "sum_lum"])
+
+    return df.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)
 
 
 def resize_png_nearest_stats(

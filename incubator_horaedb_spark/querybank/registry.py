@@ -300,6 +300,8 @@ DRIVER_ORDER = [
     # builder-composed forms
     "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
     "promql_parsed_subquery",
+    # round-5: real baseline-JPEG pixel decode (pure numpy codec)
+    "multimodal_jpeg_pixel_stats",
 ]
 
 
