@@ -60,24 +60,29 @@ def main() -> None:
         .count()
     )
 
-    # Per query: discard warm-up runs, then report the MEDIAN of 3 timed
-    # runs (VERDICT r02 #8: single-shot / min-of-2 numbers moved ±10% with
-    # no code change, making round-over-round regression detection
-    # untrustworthy; the median damps one-off machine-load spikes).  The
-    # warm-up discard keeps per-query codegen/C2 compilation out of the
-    # median — the staged LSH queries evaluate interpreted hash-fold
-    # expressions whose evaluators only reach C2-compiled steady state
-    # around run 3-4 (measured 8.6 → 2.0 → 1.8 → 1.5s at sf0.1), so they
-    # discard 3.  Cached temp views are cleared between runs so every run
-    # re-does the work.
+    # Per query: discard warm-up runs, then report the MEDIAN of 5 timed
+    # runs as the headline plus MIN and SPREAD (max-min) as dispersion
+    # (VERDICT r02 #8: single-shot numbers moved ±10% with no code change;
+    # VERDICT r04 #5: a round-over-round delta is only interpretable next
+    # to the run-to-run variance band — the bursty-CPU VM makes adjacent
+    # medians disagree by >10% with zero code change).  The warm-up
+    # discard keeps per-query codegen/C2 compilation out of the numbers —
+    # the staged LSH queries evaluate interpreted hash-fold expressions
+    # whose evaluators only reach C2-compiled steady state around run 3-4
+    # (measured 8.6 → 2.0 → 1.8 → 1.5s at sf0.1), so they discard 3.
+    # Cached temp views are cleared between runs so every run re-does the
+    # work.
     import statistics
 
     WARMUPS = {"dedup_minhash_lsh": 3, "dedup_simhash": 3}
+    TIMED_RUNS = 5
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         warm = WARMUPS.get(name, 1)
         runs, n = [], 0
-        for i in range(warm + 3):
+        for i in range(warm + TIMED_RUNS):
             spark.catalog.clearCache()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -85,7 +90,13 @@ def main() -> None:
             if i >= warm:
                 runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
-        print(f"# {name}: {n} rows in {timings[name]}s (median of {len(runs)})", file=sys.stderr)
+        mins[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
+        print(
+            f"# {name}: {n} rows median {timings[name]}s min {mins[name]}s "
+            f"spread {spreads[name]}s (n={len(runs)})",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -95,6 +106,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "queries_spread": spreads,
+                "runs_per_query": TIMED_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
