@@ -104,6 +104,84 @@ def _extract_parens(s: str, open_idx: int) -> tuple[str, str]:
     raise ValueError("unbalanced parentheses")
 
 
+def _find_top_level(s: str, pattern: str, flags: int = re.I) -> re.Match | None:
+    """First regex match at paren-depth 0 outside string literals."""
+    depth, in_str = 0, None
+    rx = re.compile(pattern, flags)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(s, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _output_alias(item: str) -> str:
+    """Output column name of a top-level select-list item: explicit AS
+    alias, trailing bare identifier, or the last dotted segment."""
+    m = re.search(rf"\bAS\s+({_IDENT})\s*$", item, re.I)
+    if m:
+        return m.group(1)
+    m = re.match(rf"^({_IDENT})(\s*\.\s*({_IDENT}))?$", item.strip())
+    if m:
+        return m.group(3) or m.group(1)
+    raise ValueError(
+        f"QUALIFY rewrite: cannot derive an output name for select item "
+        f"{item!r} — alias it with AS"
+    )
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite the QUALIFY clause (window-function filtering — DuckDB /
+    BigQuery / Snowflake dialect; Spark SQL has no QUALIFY) into the
+    standard nested-subquery form:
+
+        SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+      → SELECT <names> FROM (SELECT <list>, (<pred>) AS __qualify FROM ...)
+        WHERE __qualify [ORDER BY ...] [LIMIT n]
+
+    The predicate is evaluated INSIDE the subquery, so its window
+    functions see the original FROM — exactly QUALIFY's semantics
+    (filter after windows, before ORDER/LIMIT).  Restrictions, enforced
+    loudly: the select list must not be bare ``*`` (output names must be
+    derivable) and every computed item needs an AS alias."""
+    q = _find_top_level(sql, r"\bQUALIFY\b")
+    if q is None:
+        return sql
+    head, rest = sql[: q.start()].rstrip(), sql[q.end() :]
+    t = _find_top_level(rest, r"\b(ORDER\s+BY|LIMIT)\b")
+    pred, tail = (rest[: t.start()], rest[t.start() :]) if t else (rest, "")
+    m = _find_top_level(head, r"\bSELECT\b")
+    if m is None or m.start() != 0 and head[: m.start()].strip():
+        raise ValueError("QUALIFY rewrite: statement must start with SELECT")
+    f = _find_top_level(head, r"\bFROM\b")
+    if f is None:
+        raise ValueError("QUALIFY rewrite: no top-level FROM")
+    select_list = head[m.end() : f.start()].strip()
+    if select_list == "*":
+        raise ValueError("QUALIFY rewrite: SELECT * is not supported — name columns")
+    names = ", ".join(_output_alias(i) for i in _split_top_level(select_list))
+    inner = (
+        f"SELECT {select_list}, ({pred.strip()}) AS __qualify "
+        f"{head[f.start():]}"
+    )
+    return f"SELECT {names} FROM (\n{inner}\n) __qualify_q WHERE __qualify {tail}".rstrip()
+
+
 _COLDEF_RE = re.compile(
     rf"^({_IDENT})\s+([A-Za-z][\w]*)(.*)$",
     re.S,
@@ -596,7 +674,9 @@ class Engine:
             stmt,
             flags=re.I,
         )
-        return self.spark.sql(self._coerce_ts_literals(rewrite_sql_functions(stmt)))
+        return self.spark.sql(
+            self._coerce_ts_literals(rewrite_qualify(rewrite_sql_functions(stmt)))
+        )
 
     def _explain_analyze(self, stmt: str) -> DataFrame:
         """EXPLAIN ANALYZE: run the query and return the executed plan with

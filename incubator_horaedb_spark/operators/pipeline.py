@@ -639,3 +639,27 @@ def budget_select_sql(
     FROM sel
     GROUP BY source""",
     )
+
+
+# ------------------------------------------- exact-dup inflation report --
+def dup_inflation_sql(d: Dialect, table: str = "documents") -> str:
+    """Per-source exact-duplicate inflation: raw doc count vs distinct
+    texts and the inflation ratio — the first corpus-health number a
+    data curator looks at (a source with inflation >> 1 is a crawler
+    trap or a mirror, and gets exact-dedup'd before any fuzzy pass
+    spends compute on it).  count(DISTINCT text) is one hash agg keyed
+    by (source, text) then by source — at 100 TB Spark plans this as
+    partial aggregation on the full string; swap `text` for a content
+    hash column to cut shuffle width when texts are large (the exact
+    dedup pipeline materializes that hash anyway)."""
+    r4 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    )
+    return f"""SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+           {r4('CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT text) AS DOUBLE)')}
+               AS inflation
+    FROM {table} GROUP BY source"""

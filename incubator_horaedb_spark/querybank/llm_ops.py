@@ -909,3 +909,7 @@ _sql_query("text_langid_confusion", text.langid_confusion_sql)
 _sql_query("dedup_cross_source", dedup.cross_source_sql)
 _sql_query("embedding_distance_histogram", similarity.distance_histogram_sql,
            _tables=("embeddings",))
+
+
+# --- round-5 additions ------------------------------------------------------
+_sql_query("dedup_inflation_report", pipeline.dup_inflation_sql)

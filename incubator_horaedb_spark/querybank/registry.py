@@ -302,6 +302,10 @@ DRIVER_ORDER = [
     "promql_parsed_subquery",
     # round-5: real baseline-JPEG pixel decode (pure numpy codec)
     "multimodal_jpeg_pixel_stats",
+    # round-5: series gap audit, CUSUM change points, session path mining,
+    # QUALIFY dialect support, RFM segmentation, dup-inflation report
+    "ts_gap_report", "changepoint_cusum", "event_path_topk",
+    "window_qualify_topn", "rfm_segmentation", "dedup_inflation_report",
 ]
 
 

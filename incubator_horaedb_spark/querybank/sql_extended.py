@@ -418,3 +418,73 @@ def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     all four (same partition + order → one sort)."""
     _views(spark, sf_dir, "events")
     return spark.sql(_VALUE_FAMILY_SQL)
+
+
+# --- QUALIFY clause (window filtering, round 5) -----------------------------
+_QUALIFY_SQL = """
+    SELECT o_custkey, o_orderkey,
+           (CAST(floor((o_totalprice) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 AS DOUBLE) / CAST(100 AS DOUBLE)) AS price
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """
+
+
+@register("window_qualify_topn", oracle=_QUALIFY_SQL)
+def window_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause support (DuckDB/BigQuery/Snowflake dialect — filter
+    on window functions without a subquery).  Spark SQL has no QUALIFY,
+    so the shim rewrites it textually into the standard nested-subquery
+    form (frontends/sql_shim.py::rewrite_qualify); DuckDB runs the
+    ORIGINAL statement natively as the oracle — the two paths agreeing is
+    the semantics proof.  Plan: identical to window_rownum_top2 (one
+    window shuffle + filter), so the rewrite adds nothing at scale."""
+    from incubator_horaedb_spark.frontends.sql_shim import rewrite_qualify
+
+    _views(spark, sf_dir, "orders")
+    return spark.sql(rewrite_qualify(_QUALIFY_SQL))
+
+
+# --- RFM customer segmentation (round 5) ------------------------------------
+def _rfm_sql(engine: str) -> str:
+    """RFM segmentation (recency / frequency / monetary quartiles — the
+    classic mail-order marketing model, public since Hughes 1994): per
+    customer, last order time, order count, and quantized spend; NTILE(4)
+    over each metric with the customer key as tie-break (total order →
+    identical quartile assignment on both engines); output is the 4×4×4
+    cell census.  Spend addends are dyadic-quantized (2^-10) so the
+    per-customer sums are exact in any aggregation order.  Shape: one
+    orders-scan hash agg, three windows over |customers| rows sharing one
+    sort each, a 64-row final agg."""
+    ems = "unix_millis(o_orderdate)" if engine == "spark" else "epoch_ms(o_orderdate)"
+    pq = "(CAST(floor((o_totalprice * 1024) + 0.5) AS DOUBLE) / 1024)"
+    return f"""
+    WITH a AS (
+      SELECT o_custkey,
+             max({ems}) AS last_t,
+             count(*)   AS freq,
+             sum({pq})  AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_t, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY freq, o_custkey)   AS f_q,
+             ntile(4) OVER (ORDER BY spend, o_custkey)  AS m_q
+      FROM a
+    )
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_cell,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(o_custkey) AS BIGINT) AS sample_custkey
+    FROM s GROUP BY r_q * 100 + f_q * 10 + m_q
+    """
+
+
+@register("rfm_segmentation", oracle=_rfm_sql("duckdb"))
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_rfm_sql("spark"))
+
+
+rfm_segmentation.__doc__ = _rfm_sql.__doc__

@@ -1269,3 +1269,171 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 event_transition_matrix.__doc__ = _transition_sql.__doc__
+
+
+# --- time-series gap report -------------------------------------------------
+def _gap_sql(engine: str) -> str:
+    """Per-series ingestion-gap audit: every inter-sample gap above a
+    threshold (15 min), with its bounds — the data-quality query run
+    before trusting any downsample/rate result (a gap that spans a window
+    silently deflates rates; the reference's TSDB model assumes dense
+    series per tsid).  One LAG window keyed by series — a single shuffle,
+    and the (t, event_id) tie-break makes equal-timestamp rows
+    order-stable on both engines.  At scale: linear, no joins."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    return f"""
+    SELECT event_type,
+           CAST(prev_t AS BIGINT) AS gap_start_ms,
+           CAST(t AS BIGINT)      AS gap_end_ms,
+           CAST(t - prev_t AS BIGINT) AS gap_ms
+    FROM (
+      SELECT event_type, {ems} AS t,
+             lag({ems}) OVER (PARTITION BY event_type ORDER BY {ems}, event_id)
+               AS prev_t
+      FROM events
+    ) g
+    WHERE prev_t IS NOT NULL AND t - prev_t > 900000
+    """
+
+
+@register("ts_gap_report", oracle=_gap_sql("duckdb"))
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gap_sql("spark"))
+
+
+ts_gap_report.__doc__ = _gap_sql.__doc__
+
+
+# --- CUSUM change-point detection -------------------------------------------
+def _cusum_sql(engine: str) -> str:
+    """CUSUM change-point detection per series (Page 1954): daily bucket
+    means, deviations from the series mean, running cumulative sum; the
+    |S|-extreme bucket is the estimated change point.  Determinism: every
+    addend that enters an order-free aggregate or a windowed running sum
+    is DYADIC-quantized first (2^-10 values, 2^-20 means/deviations), so
+    sums are exact integers-over-a-power-of-two in any association order
+    — DuckDB's segment-tree window aggregation and Spark's streaming
+    frame evaluation then agree bit-for-bit (functions/detfloat.py
+    rationale).  Shape: two tiny hash aggs + one per-series window over
+    (series × days) rows — nothing scales with raw row count past the
+    first agg."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
+    q20 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT event_type, (({ems}) {div} 86400000) AS day, {vq} AS v FROM events
+    ),
+    b AS (
+      SELECT event_type, day, {q20('avg(v)')} AS m
+      FROM q GROUP BY event_type, day
+    ),
+    g AS (
+      SELECT event_type, {q20('avg(m)')} AS mu FROM b GROUP BY event_type
+    ),
+    d AS (
+      SELECT b.event_type, b.day, {q20('b.m - g.mu')} AS dev
+      FROM b JOIN g ON g.event_type = b.event_type
+    ),
+    c AS (
+      SELECT event_type, day,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, day, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM c
+    )
+    SELECT event_type,
+           CAST(day AS BIGINT) AS change_day,
+           {r6('s')} AS cusum_extreme,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rn = 1
+    """
+
+
+@register("changepoint_cusum", oracle=_cusum_sql("duckdb"))
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cusum_sql("spark"))
+
+
+changepoint_cusum.__doc__ = _cusum_sql.__doc__
+
+
+# --- top-k session event paths ----------------------------------------------
+def _path_topk_sql(engine: str) -> str:
+    """Top-k opening event paths: sessionize (30-min gap), take each
+    session's first three events in (t, event_id) order, count identical
+    paths, keep the k most common — the product-analytics "what do users
+    do first" query (the path-mining sibling of funnel_conversion /
+    event_transition_matrix).  All three window passes share the user
+    key, so Spark plans ONE shuffle and reuses the partitioning; the
+    final count is |distinct paths| rows.  Ranking ties break on the
+    path string — total order on both engines."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, {ems} AS t FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, event_type, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g
+    ),
+    r AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY t, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             min(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             min(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM r WHERE rn <= 3
+      GROUP BY user_id, session_id
+      HAVING count(*) >= 3
+    ),
+    pc AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n_sessions
+      FROM p GROUP BY e1 || '>' || e2 || '>' || e3
+    )
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rnk
+    FROM pc
+    ORDER BY rnk
+    LIMIT 15
+    """
+
+
+@register("event_path_topk", oracle=_path_topk_sql("duckdb"))
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_path_topk_sql("spark"))
+
+
+event_path_topk.__doc__ = _path_topk_sql.__doc__

@@ -1,0 +1,143 @@
+"""Round-5 operators: QUALIFY rewrite, gap report, CUSUM, session paths,
+RFM, dup-inflation — semantics and rewrite-correctness tests (the value
+gate is the DuckDB oracle harness; these check invariants and the shim
+surface)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from incubator_horaedb_spark import querybank
+from incubator_horaedb_spark.frontends.sql_shim import rewrite_qualify
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return querybank.queries()
+
+
+# --- rewrite_qualify ---------------------------------------------------------
+
+
+def test_qualify_rewrite_basic():
+    out = rewrite_qualify(
+        "SELECT a, b AS bb FROM t QUALIFY row_number() OVER (ORDER BY c) = 1"
+    )
+    assert out.startswith("SELECT a, bb FROM (")
+    assert "(row_number() OVER (ORDER BY c) = 1) AS __qualify" in out
+    assert out.rstrip().endswith("WHERE __qualify")
+
+
+def test_qualify_rewrite_preserves_tail():
+    out = rewrite_qualify(
+        "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 2 ORDER BY a LIMIT 5"
+    )
+    assert "WHERE __qualify ORDER BY a LIMIT 5" in out
+
+
+def test_qualify_rewrite_noop_without_clause():
+    sql = "SELECT a FROM t WHERE b = 'QUALIFY inside a string is fine'"
+    assert rewrite_qualify(sql) == sql
+
+
+def test_qualify_rewrite_ignores_nested():
+    # QUALIFY inside a parenthesized subquery is not this statement's clause
+    sql = "SELECT a FROM (SELECT a FROM t) q WHERE a > 0"
+    assert rewrite_qualify(sql) == sql
+
+
+def test_qualify_rewrite_rejects_star():
+    with pytest.raises(ValueError, match="SELECT \\*"):
+        rewrite_qualify("SELECT * FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+
+
+def test_qualify_rewrite_rejects_unaliased_expression():
+    with pytest.raises(ValueError, match="alias it"):
+        rewrite_qualify("SELECT a + 1 FROM t QUALIFY rank() OVER (ORDER BY a) = 1")
+
+
+def test_qualify_through_engine(spark, tmp_path):
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+
+    e = Engine(spark, str(tmp_path / "store"))
+    e.execute_sql(
+        "CREATE TABLE qd (k string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE=Analytic WITH(enable_ttl='false')"
+    )
+    e.execute_sql(
+        "INSERT INTO qd (k, v, t) VALUES ('a', 1, 1000), ('a', 9, 2000), "
+        "('a', 5, 3000), ('b', 7, 4000)"
+    )
+    df = e.execute_sql(
+        "SELECT k, v FROM qd QUALIFY row_number() OVER "
+        "(PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k"
+    )
+    assert [(r["k"], r["v"]) for r in df.collect()] == [("a", 9.0), ("b", 7.0)]
+
+
+def test_qualify_plan_single_window_shuffle(spark, qs):
+    df = qs["window_qualify_topn"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rewrite compiles to the plain window + filter shape: exactly one
+    # exchange (the window's partition shuffle), no join, no extra sort pass
+    assert plan.count("Exchange") <= 2 and "Join" not in plan
+
+
+# --- semantics invariants ----------------------------------------------------
+
+
+def test_gap_report_gaps_exceed_threshold(spark, qs):
+    rows = qs["ts_gap_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["gap_ms"] == r["gap_end_ms"] - r["gap_start_ms"]
+        assert r["gap_ms"] > 900000
+
+
+def test_cusum_one_row_per_series_and_deterministic(spark, qs):
+    a = {(r["event_type"]): (r["change_day"], r["cusum_extreme"], r["n_days"])
+         for r in qs["changepoint_cusum"](spark, SF_DIR).collect()}
+    b = {(r["event_type"]): (r["change_day"], r["cusum_extreme"], r["n_days"])
+         for r in qs["changepoint_cusum"](spark, SF_DIR).collect()}
+    assert a and a == b  # bit-stable across runs (dyadic running sum)
+    for day, _s, n_days in a.values():
+        assert 0 < n_days and day >= 19723  # 2024-01-01 in epoch days
+
+
+def test_event_paths_ranked_and_bounded(spark, qs):
+    rows = qs["event_path_topk"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 15
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+
+
+def test_rfm_cells_are_quartile_coded(spark, qs):
+    rows = qs["rfm_segmentation"](spark, SF_DIR).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        cell = r["rfm_cell"]
+        rq, fq, mq = cell // 100, (cell // 10) % 10, cell % 10
+        assert 1 <= rq <= 4 and 1 <= fq <= 4 and 1 <= mq <= 4
+        total += r["n_customers"]
+    # every customer lands in exactly one cell
+    from incubator_horaedb_spark.querybank.registry import load
+
+    n_cust = load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert total == n_cust
+
+
+def test_inflation_report_consistency(spark, qs):
+    rows = qs["dedup_inflation_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_unique"] <= r["n_docs"]
+        assert r["n_dup_docs"] == r["n_docs"] - r["n_unique"]
+        assert r["inflation"] >= 1.0
