@@ -22,12 +22,15 @@ Design for 100 TB:
   un-filter, ``decode_png_pixel_stats``) and **baseline JPEG pixel
   decode is REAL** (pure-numpy sequential-DCT codec, ``operators/
   jpeg.py`` + ``decode_jpeg_pixel_stats``);
-- the only remaining stub is compressed VIDEO frame decode (MP4 needs a
-  full H.26x stack): payloads with no parseable container header fall
-  back to ``_fake_decode`` — a clearly marked deterministic stub keyed
-  on the byte length.  The Spark-side plumbing (schema contract, batch
-  iteration, partitioning) is real and tested; a deployment swaps
-  ``_fake_decode`` for the codec and nothing else moves.
+- **video FRAME decode is REAL for MJPEG**: RIFF/AVI demux
+  (``parse_avi_mjpeg_frames``) + per-frame baseline-JPEG decode
+  (``decode_video_frame_stats``); inter-frame-predicted codecs (H.26x
+  inside MP4) are the one remaining stub — payloads with no parseable
+  container header fall back to ``_fake_decode``, a clearly marked
+  deterministic stub keyed on the byte length.  The Spark-side plumbing
+  (schema contract, batch iteration, partitioning) is real and tested;
+  a deployment swaps ``_fake_decode`` for the codec and nothing else
+  moves.
 """
 
 from __future__ import annotations
@@ -766,3 +769,123 @@ def resize_png_nearest_stats(
             )
 
     return df.mapInPandas(kernel, schema=PIXEL_STATS_SCHEMA)
+
+
+def synth_avi_mjpeg_payload(media_id: int) -> bytes:
+    """Complete RIFF/AVI container carrying MJPEG video: n_frames =
+    2 + id % 4 frames, each a REAL sequential-baseline JPEG
+    (operators/jpeg.py) of (2 + id % 3) x (2 + id % 2) 8-px blocks where
+    block (x, y) of frame f carries ((id*7 + f*101 + x*31 + y*53) % 256)
+    — a closed form an SQL oracle can restate.  Layout per the public
+    AVI spec (RIFF 'AVI ' → LIST 'hdrl' (avih + strl) → LIST 'movi' with
+    one '00dc' chunk per frame → 'idx1'); written with struct.pack, so
+    writer and the chunk-walking reader are independent code paths."""
+    import struct
+
+    import numpy as np
+
+    from incubator_horaedb_spark.operators.jpeg import encode_baseline_jpeg
+
+    n_frames = 2 + media_id % 4
+    bw, bh = 2 + media_id % 3, 2 + media_id % 2
+    w, h = bw * 8, bh * 8
+
+    frames = []
+    for f in range(n_frames):
+        x, y = np.meshgrid(np.arange(bw), np.arange(bh), indexing="xy")
+        blocks = (media_id * 7 + f * 101 + x * 31 + y * 53) % 256
+        px = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        frames.append(encode_baseline_jpeg(px))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = chunk(
+        b"avih",
+        struct.pack("<IIIIIIIIIIIIII", 33333, 0, 0, 0x10, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 30, 0, n_frames, 0, 0, 0, 0),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """REAL video container demux, pure Python: walk RIFF/AVI chunks to
+    the 'movi' LIST and return each '00dc'/'00db' frame payload (the
+    JPEG bitstreams of an MJPEG stream).  Returns [] for non-AVI input."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return []
+
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            fourcc = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            data_lo, data_hi = i + 8, min(i + 8 + clen, hi)
+            if fourcc == b"LIST":
+                walk(data_lo + 4, data_hi)  # skip the list-kind fourcc
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload[data_lo:data_hi])
+            i = data_lo + clen + (clen & 1)
+
+    walk(12, len(payload))
+    return frames
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_lum", T.LongType(), True),
+    ]
+)
+
+
+def decode_video_frame_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL video FRAME decoding — the de-stubbed video path for MJPEG:
+    demux the AVI container (parse_avi_mjpeg_frames), decode every frame
+    with the pure-numpy baseline-JPEG decoder, and emit one row per frame
+    with exact luminance sums.  This is the frame-sampling + decode batch
+    shape of a multimodal training pipeline with the whole path real;
+    inter-frame-predicted codecs (H.26x) remain out of scope — a payload
+    that is not MJPEG-in-AVI yields no rows rather than fake ones.
+
+    Scale: Arrow-batched mapInPandas, one demux+decode pass per payload,
+    no shuffle; output is (payloads × frames) rows."""
+    from incubator_horaedb_spark.operators.jpeg import decode_baseline_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                for f, frame in enumerate(parse_avi_mjpeg_frames(bytes(b))):
+                    px = decode_baseline_jpeg(frame)
+                    h, w = px.shape
+                    rows.append((int(mid), f, w, h, int(px.sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "sum_lum"]
+            )
+
+    return df.mapInPandas(kernel, schema=VIDEO_FRAME_STATS_SCHEMA)

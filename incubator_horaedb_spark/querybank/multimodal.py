@@ -13,7 +13,9 @@ from incubator_horaedb_spark.operators.multimodal import (
     audio_windows,
     decode_jpeg_pixel_stats,
     decode_png_pixel_stats,
+    decode_video_frame_stats,
     resize_png_nearest_stats,
+    synth_avi_mjpeg_payload,
     synth_jpeg_full_payload,
     synth_png_full_payload,
     decode_audio_meta,
@@ -258,6 +260,44 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_payloads(docs, synth_jpeg_full_payload)
     return decode_jpeg_pixel_stats(media)
+
+
+@register(
+    "multimodal_video_frame_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nf, 2 + doc_id % 3 AS bw,
+             2 + doc_id % 2 AS bh
+      FROM documents
+    ), f AS (
+      SELECT doc_id, bw, bh, unnest(range(0, nf)) AS fi FROM dims
+    ), bx AS (
+      SELECT doc_id, bw, bh, fi, unnest(range(0, bw)) AS x FROM f
+    ), b AS (
+      SELECT doc_id, bw, bh, fi, x, unnest(range(0, bh)) AS y FROM bx
+    )
+    SELECT doc_id AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(sum(64 * ((doc_id * 7 + fi * 101 + x * 31 + y * 53) % 256))
+                AS BIGINT) AS sum_lum
+    FROM b GROUP BY doc_id, fi, bw, bh
+    """,
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video FRAME decoding (the de-stubbed video path, MJPEG): the
+    synthesized payloads are complete RIFF/AVI containers whose frames
+    are real baseline JPEGs; the kernel demuxes the container
+    (chunk-walking '00dc' frames out of the 'movi' LIST) and decodes
+    every frame with the pure-numpy JPEG decoder, emitting one row per
+    frame with exact luminance sums (operators/multimodal.py::
+    decode_video_frame_stats).  The oracle restates the per-frame sums
+    from the generator formula alone — a demux OR a decode bug cannot
+    hash-match.  Inter-frame codecs (H.26x) remain the one labeled stub."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_payloads(docs, synth_avi_mjpeg_payload)
+    return decode_video_frame_stats(media)
 
 
 @register(

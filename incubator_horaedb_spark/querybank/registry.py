@@ -306,6 +306,8 @@ DRIVER_ORDER = [
     # QUALIFY dialect support, RFM segmentation, dup-inflation report
     "ts_gap_report", "changepoint_cusum", "event_path_topk",
     "window_qualify_topn", "rfm_segmentation", "dedup_inflation_report",
+    # round-5: real MJPEG video frame decode (AVI demux + JPEG codec)
+    "multimodal_video_frame_stats",
 ]
 
 

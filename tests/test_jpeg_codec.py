@@ -99,3 +99,35 @@ def test_synth_payload_header_parses():
         codec, w, h = parse_image_header(payload)
         assert codec == "jpeg"
         assert w == (2 + mid % 6) * 8 and h == (2 + mid % 5) * 8
+
+
+# --- MJPEG-in-AVI demux (video frame decode) --------------------------------
+
+
+def test_avi_demux_and_frame_decode():
+    from incubator_horaedb_spark.operators.multimodal import (
+        parse_avi_mjpeg_frames,
+        synth_avi_mjpeg_payload,
+    )
+
+    for mid in (0, 3, 42):
+        payload = synth_avi_mjpeg_payload(mid)
+        frames = parse_avi_mjpeg_frames(payload)
+        assert len(frames) == 2 + mid % 4
+        for f, fr in enumerate(frames):
+            px = decode_baseline_jpeg(fr)
+            assert px.shape == ((2 + mid % 2) * 8, (2 + mid % 3) * 8)
+            # frame content differs frame-to-frame (f*101 term)
+            if f:
+                prev = decode_baseline_jpeg(frames[f - 1])
+                assert not np.array_equal(px, prev)
+
+
+def test_avi_demux_rejects_non_avi():
+    from incubator_horaedb_spark.operators.multimodal import (
+        parse_avi_mjpeg_frames,
+        synth_wav_payload,
+    )
+
+    assert parse_avi_mjpeg_frames(b"not a container") == []
+    assert parse_avi_mjpeg_frames(synth_wav_payload(7)) == []  # RIFF but WAVE
