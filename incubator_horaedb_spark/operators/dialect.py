@@ -48,6 +48,14 @@ class Dialect:
             f"({acc}, {var}) -> {body})"
         )
 
+    def fold_str(self, lst: str, var: str, acc: str, body: str) -> str:
+        """Left fold with an empty-STRING seed — for accumulators that
+        build a delimited string representation (e.g. BPE merge
+        application).  Same sequential-order guarantee as fold()."""
+        if self.engine == "spark":
+            return f"aggregate({lst}, CAST('' AS STRING), ({acc}, {var}) -> {body})"
+        return f"list_reduce(list_prepend('', {lst}), ({acc}, {var}) -> {body})"
+
     def range1(self, n: str) -> str:
         """[1..n] inclusive; EMPTY for n <= 0 on both engines.
 

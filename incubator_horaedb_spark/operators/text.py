@@ -1038,3 +1038,89 @@ def langid_confusion_sql(d: Dialect, table: str = "documents") -> str:
     FROM scored
     GROUP BY actual_lang, pred_lang""",
     )
+
+
+# ------------------------------------------- BPE merge training --
+BPE_ROUNDS = 3
+
+
+def bpe_apply_merge(d: Dialect, ws: str, a: str, b: str) -> str:
+    """Apply ONE BPE merge (a, b) to a '·'-joined symbol string — greedy
+    left-to-right non-overlapping, the original algorithm's semantics
+    (Sennrich et al. 2016): fold over the symbols building the new
+    representation; when the accumulator's LAST symbol is exactly ``a``
+    and the incoming symbol is ``b``, fuse them (the fused symbol a||b no
+    longer equals a, so overlapping occurrences like 'aaa' under (a,a)
+    merge pairwise exactly like the reference implementation).  The
+    '·' separator cannot appear inside symbols (word chars only), so the
+    ends-with test ('%·'||a — no wildcards in a) identifies the last
+    symbol unambiguously."""
+    syms = d.split_lit(ws, "·")
+    body = (
+        f"CASE WHEN acc = '' THEN s "
+        f"WHEN (acc = {a} OR acc LIKE '%·' || {a}) AND s = {b} "
+        f"THEN substr(acc, 1, length(acc) - length({a})) || {a} || {b} "
+        f"ELSE acc || '·' || s END"
+    )
+    return d.fold_str(syms, "s", "acc", body)
+
+
+def bpe_round_ctes(d: Dialect, prev: str, r: int) -> list[tuple[str, str]]:
+    """One BPE training round over the weighted symbolized vocabulary
+    ``prev`` (word_syms, wc): count adjacent symbol pairs, take the
+    argmax (count desc, pair asc — total order), apply the merge."""
+    syms = d.split_lit("word_syms", "·")
+    pair = f"({d.at(syms, 'i')}) || '·' || ({d.at(syms, 'i + 1')})"
+    pairs_arr = d.transform(d.range1(f"{d.size(syms)} - 1"), "i", pair)
+    return [
+        (f"p{r}", d.unnest_select("wc", pairs_arr, "pr", prev)),
+        (
+            f"m{r}",
+            f"""SELECT pr, sum(wc) AS pair_count,
+             {d.at(d.split_lit("pr", "·"), "1")} AS a,
+             {d.at(d.split_lit("pr", "·"), "2")} AS b
+      FROM p{r} GROUP BY pr ORDER BY sum(wc) DESC, pr LIMIT 1""",
+        ),
+        (
+            f"v{r}",
+            f"SELECT {bpe_apply_merge(d, 'word_syms', 'm.a', 'm.b')} AS word_syms, wc "
+            f"FROM {prev} CROSS JOIN m{r} m",
+        ),
+    ]
+
+
+def bpe_vocab_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
+    """Weighted word vocabulary, symbolized at the character level —
+    the classic BPE efficiency trick: train over DISTINCT words weighted
+    by frequency, never the raw corpus (one map-side-combinable word
+    count collapses 100 TB of text to a vocabulary-sized table; every
+    training round then runs on vocab rows only)."""
+    words = d.tokens("lower(text)")
+    chars = d.transform(d.range1("length(word)"), "j", "substr(word, j, 1)")
+    return [
+        ("w", d.unnest_select("doc_id", words, "word", table)),
+        (
+            "vocab",
+            "SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY word",
+        ),
+        ("v0", f"SELECT {d.join_arr(chars, '·')} AS word_syms, wc FROM vocab"),
+    ]
+
+
+def bpe_train_merges_sql(d: Dialect, table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
+    """One-shot rendering: BPE tokenizer training, ``rounds`` merge
+    iterations (Sennrich et al. 2016) — returns the learned merge table
+    (round, sym_a, sym_b, merged, pair_count), the artifact a tokenizer
+    ships.  Iterative-operator shape: each round is a vocab-sized explode
+    + tiny argmax + merge application; the Spark side executes the same
+    round templates imperatively with lineage truncation
+    (querybank/llm_ops.py), the oracle unrolls them in CTEs."""
+    ctes = bpe_vocab_ctes(d, table)
+    for r in range(1, rounds + 1):
+        ctes += bpe_round_ctes(d, f"v{r - 1}", r)
+    final = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, a || b AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return d.cte_query(ctes, final)

@@ -913,3 +913,41 @@ _sql_query("embedding_distance_histogram", similarity.distance_histogram_sql,
 
 # --- round-5 additions ------------------------------------------------------
 _sql_query("dedup_inflation_report", pipeline.dup_inflation_sql)
+
+
+def _staged_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative BPE training: stage the symbolized vocabulary once (the
+    # only corpus-sized step), then run each round's argmax + merge over
+    # the tiny vocab table with lineage truncation — the one-shot text
+    # would re-inline v{r-1} three times per round (3^R corpus explodes)
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    _stage(
+        spark.sql(SPARK.cte_query(text.bpe_vocab_ctes(SPARK, "documents")[:-1],
+                                  text.bpe_vocab_ctes(SPARK, "documents")[-1][1])),
+        "__bpe_v0",
+    )
+    merges = []
+    prev = "__bpe_v0"
+    for r in range(1, text.BPE_ROUNDS + 1):
+        p_cte, m_cte, v_cte = text.bpe_round_ctes(SPARK, prev, r)
+        spark.sql(p_cte[1]).createOrReplaceTempView(f"__bpe_p{r}")
+        m = spark.sql(m_cte[1].replace(f"FROM p{r}", f"FROM __bpe_p{r}")).localCheckpoint()
+        m.createOrReplaceTempView(f"__bpe_m{r}")
+        merges.append(f"__bpe_m{r}")
+        v = spark.sql(
+            v_cte[1].replace(f"CROSS JOIN m{r} m", f"CROSS JOIN __bpe_m{r} m")
+        ).localCheckpoint()
+        v.createOrReplaceTempView(f"__bpe_v{r}")
+        prev = f"__bpe_v{r}"
+    final = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, a || b AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM __bpe_m{r}"
+        for r in range(1, text.BPE_ROUNDS + 1)
+    )
+    return spark.sql(final)
+
+
+_staged_bpe_train.__doc__ = text.bpe_train_merges_sql.__doc__
+register("bpe_train_merges", oracle=text.bpe_train_merges_sql(DUCK))(_staged_bpe_train)

@@ -308,6 +308,8 @@ DRIVER_ORDER = [
     "window_qualify_topn", "rfm_segmentation", "dedup_inflation_report",
     # round-5: real MJPEG video frame decode (AVI demux + JPEG codec)
     "multimodal_video_frame_stats",
+    # round-5: iterative BPE tokenizer training (vocab-weighted merges)
+    "bpe_train_merges",
 ]
 
 

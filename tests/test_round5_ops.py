@@ -141,3 +141,68 @@ def test_inflation_report_consistency(spark, qs):
         assert r["n_unique"] <= r["n_docs"]
         assert r["n_dup_docs"] == r["n_docs"] - r["n_unique"]
         assert r["inflation"] >= 1.0
+
+
+# --- BPE merge application semantics ------------------------------------------
+
+
+def _bpe_merge_model(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping merge (the loop from
+    Sennrich et al. 2016's published implementation)."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def test_bpe_apply_merge_matches_model():
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from incubator_horaedb_spark.operators.dialect import DUCK
+    from incubator_horaedb_spark.operators.text import bpe_apply_merge
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        word=st.text(alphabet="ab", min_size=2, max_size=12),
+        pair=st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            st.text(alphabet="ab", min_size=1, max_size=2),
+        ),
+    )
+    def run(word, pair):
+        a, b = pair
+        symbols = list(word)
+        expr = bpe_apply_merge(DUCK, "ws", f"'{a}'", f"'{b}'")
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS ws) t", ["·".join(symbols)]
+        ).fetchone()[0]
+        assert got == "·".join(_bpe_merge_model(symbols, a, b)), (word, a, b, got)
+
+    run()
+
+
+def test_bpe_merges_deterministic_and_shaped(spark, qs):
+    rows = qs["bpe_train_merges"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    by_round = {r["round"]: r for r in rows}
+    assert sorted(by_round) == [1, 2, 3]
+    for r in rows:
+        assert r["merged"] == r["sym_a"] + r["sym_b"]
+        assert r["pair_count"] > 0
+    # argmax counts are monotone non-increasing across rounds: a merge can
+    # only shrink existing pair counts, and every newly-created pair
+    # (x, ab) / (ab, y) is bounded by the pre-merge (x, a) / (b, y) counts,
+    # which were themselves <= the previous argmax
+    assert by_round[1]["pair_count"] >= by_round[2]["pair_count"] >= by_round[3]["pair_count"]
+    rows2 = qs["bpe_train_merges"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
