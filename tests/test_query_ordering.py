@@ -25,21 +25,23 @@ def test_driver_order_covers_families_in_first_50():
         "dedup_latest_by_key", "time_range_scan", "promql_rate",
         "promql_instant", "opentsdb_downsample_groupby",
         "influxql_groupby_time_tag", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_cluster_reps",
         "ann_cosine_bruteforce", "ivf_kmeans_train",
-        "ann_ivf_trained", "ann_topk_blocked", "embedding_rhp_lsh",
-        "text_langid", "text_quality", "text_fingerprint",
+        "ann_topk_blocked", "embedding_rhp_lsh",
+        "text_langid", "text_fingerprint",
         "multimodal_png_pixel_stats", "funnel_conversion",
-        # round-4 rotations IN: the four formerly-latent HUGEINT oracles
-        # plus first reps of the TPC-H-completion and PromQL-evaluator
-        # families (never driver-verified before)
-        "pivot_event_counts", "agg_filter_clause", "events_json_extract",
-        "join_full_outer", "promql_histogram_quantile", "promql_topk_series",
+        # round-4 rotation survivors (TPC-H completion + PromQL evaluator
+        # family reps)
+        "pivot_event_counts", "events_json_extract",
+        "join_full_outer", "promql_histogram_quantile",
         "q5_local_supplier_volume", "q18_large_orders",
-        # rotated out in r3/r4 (families keep reps above): ann_cosine_ivf,
-        # multimodal_decode_meta, dedup_ngram_jaccard, dedup_apply_survivors,
-        # holt_winters_smooth, text_token_count, text_bm25_topk,
-        # text_repetition, pii_scrub, cms_heavy_hitters
+        # round-5 rotations IN: one never-driver-verified representative
+        # per round-4 family (VERDICT r04 next-round #1)
+        "dedup_edit_distance", "dedup_containment", "nearest_join_events",
+        "promql_subquery_max_rate", "influxql_selectors", "text_tfidf_topk",
+        "pack_sequences", "embedding_power_iteration",
+        # rotated out in r5 (families keep reps above): dedup_simhash,
+        # dedup_cluster_reps, interval_join_sessions, promql_topk_series,
+        # text_quality, zorder_cluster, ann_ivf_trained, agg_filter_clause
     ]:
         assert rep in first50, rep
 
