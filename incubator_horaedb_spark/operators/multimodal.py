@@ -168,10 +168,15 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """STUB decode — deterministic fake dimensions from the byte length,
-    for payloads that are not header-parseable images (audio/video: the
-    container has no codec libs).
+    for payloads with no parseable container header.  With PNG pixels,
+    baseline-JPEG pixels, PCM samples and MJPEG video frames all decoded
+    for REAL (operators/jpeg.py, decode_png_pixel_stats,
+    audio_pcm_window_stats, decode_video_frame_stats), this fallback now
+    stands in only for inter-frame-predicted video codecs (H.26x inside
+    MP4 — a full motion-compensation stack, no codec libs in the
+    container).
 
-    A real deployment replaces this with PIL/ffmpeg:
+    A real deployment replaces this with ffmpeg:
         raise NotImplementedError("install a codec and swap _fake_decode")
     The formulas are plain integer arithmetic so the correctness oracle can
     reproduce them in SQL.
