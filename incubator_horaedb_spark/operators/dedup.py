@@ -93,13 +93,14 @@ def shingle_hash_select(d: Dialect, table: str = "documents") -> str:
     return d.cte_query(_shingle_ctes(d, table), "SELECT doc_id, shs FROM hs")
 
 
-def tokh_select(d: Dialect, table: str = "documents") -> str:
-    """(doc_id, th): per-token hash list — the only O(chars) stage.
-    Deliberately per-char (hash_list), NOT chunked: tokens average ~5
-    chars, and the chunked variant's extra pad pass + per-token chunk
+def tokh_select(d: Dialect, table: str = "documents", extra_cols: str = "") -> str:
+    """(doc_id[, extra_cols], th): per-token hash list — the only O(chars)
+    stage.  Deliberately per-char (hash_list), NOT chunked: tokens average
+    ~5 chars, and the chunked variant's extra pad pass + per-token chunk
     setup measured SLOWER end-to-end (minhash 1.26→1.52s at sf0.1);
     chunking only pays on long strings (whole-doc fingerprints)."""
-    return f"SELECT doc_id, {d.hash_list(d.tokens('text'))} AS th FROM {table}"
+    extra = f", {extra_cols}" if extra_cols else ""
+    return f"SELECT doc_id{extra}, {d.hash_list(d.tokens('text'))} AS th FROM {table}"
 
 
 def hs_from_tokh_select(d: Dialect, tokh_src: str, k: int = 3) -> str:

@@ -1124,3 +1124,149 @@ def bpe_train_merges_sql(d: Dialect, table: str = "documents", rounds: int = BPE
         for r in range(1, rounds + 1)
     )
     return d.cte_query(ctes, final)
+
+
+# ------------------------------------------- winnow decontamination --
+def winnow_decontam_sql(
+    d: Dialect,
+    table: str = "documents",
+    tokh_src: str | None = None,
+    k: int = 3,
+    w: int = 4,
+    top_n: int = 20,
+) -> str:
+    """Exact-substring benchmark decontamination via winnowing (MOSS,
+    Schleimer et al. SIGMOD'03): any training doc sharing a token run of
+    >= w+k-1 tokens with a benchmark doc is GUARANTEED to share a winnow
+    fingerprint — the char/token-exact contamination detector that token
+    3-gram Jaccard (decontaminate_ngram) only approximates, at ~2/(w+1)
+    of the k-gram storage.
+
+    Benchmark slice = doc_id % 97 == 0 (the decontamination convention,
+    operators/pipeline.py::BENCH_MOD).  Scale shape: benchmark fingerprints
+    collapse to a DISTINCT vocabulary (tiny — broadcast at 100 TB); the
+    training side explodes its winnow fingerprints (already ~2/(w+1)
+    sparser than k-grams) into one equi-join + per-doc count.  Output is
+    the top-``top_n`` most-contaminated docs (share desc, doc_id — total
+    order), robust to corpus-dependent chance-overlap levels."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+    from incubator_horaedb_spark.operators.dialect import BASE, P
+
+    combo = "CAST(0 AS BIGINT)"
+    for i in range(k):
+        combo = f"(({combo}) * {BASE} + {d.at('th', f'i + {i}')}) % {P}"
+    kgrams = d.transform(d.range1(f"{d.size('th')} - {k - 1}"), "i", combo)
+    mins = d.transform(
+        d.range1(f"{d.size('kg')} - {w - 1}"), "i", d.arr_min(d.slice_("kg", "i", str(w)))
+    )
+    share = (
+        "(CAST(floor((CAST(n_shared AS DOUBLE) / CAST(n_fp AS DOUBLE))"
+        " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE))"
+    )
+    if tokh_src is None:
+        lead = [("tokh", tokh_select(d, table))]
+        tokh_src = "tokh"
+    else:
+        lead = []
+    return d.cte_query(
+        lead
+        + [
+            (
+                "kg",
+                f"SELECT doc_id, {kgrams} AS kg FROM {tokh_src} "
+                f"WHERE {d.size('th')} >= {k}",
+            ),
+            (
+                "wf",
+                f"SELECT doc_id, {d.distinct(mins)} AS wf FROM kg "
+                f"WHERE {d.size('kg')} >= {w}",
+            ),
+            (
+                "bfp",
+                f"SELECT DISTINCT fp FROM ("
+                f"{d.unnest_select('doc_id', 'wf', 'fp', 'wf')}"
+                f") b WHERE doc_id % 97 = 0",
+            ),
+            (
+                "tx",
+                f"SELECT doc_id, {d.size('wf')} AS n_fp, fp FROM ("
+                f"{d.unnest_select(f'doc_id, wf', 'wf', 'fp', 'wf')}"
+                f") t WHERE doc_id % 97 <> 0",
+            ),
+            (
+                "hit",
+                """SELECT tx.doc_id, tx.n_fp, count(*) AS n_shared
+      FROM tx JOIN bfp ON bfp.fp = tx.fp
+      GROUP BY tx.doc_id, tx.n_fp""",
+            ),
+            (
+                "ranked",
+                f"""SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
+             CAST(n_shared AS BIGINT) AS n_shared,
+             {share} AS shared_fp_share,
+             row_number() OVER (ORDER BY {share} DESC, doc_id) AS rn
+      FROM hit""",
+            ),
+        ],
+        f"SELECT doc_id, n_fp, n_shared, shared_fp_share FROM ranked WHERE rn <= {top_n}",
+    )
+
+
+# ------------------------------------------- source distribution drift --
+def source_divergence_sql(
+    d: Dialect, table: str = "documents", tokh_src: str | None = None
+) -> str:
+    """Per-source token-distribution drift: KL(p_source || p_corpus) over
+    token unigram distributions — the corpus-mixing health metric (a
+    source whose KL spikes has drifted from the mix it was weighted for;
+    public technique: distributionally-weighted data selection à la
+    DoReMi / CCNet domain scoring).
+
+    KL = Σ_t p_s(t) · ln(p_s(t) / p(t)); every term is quantized to a
+    2^-20 dyadic before the per-source sum, so summation order cannot
+    move the result (both engines' ln agree after quantization — the same
+    contract as the surprisal scorers).  Scale shape: one token explode
+    feeds BOTH the per-(source, token) and the corpus-token counts (a
+    second small agg over the first); the join keys are token hashes —
+    co-partitioned, broadcastable corpus side at 100 TB."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    q20 = 1 << 20
+    term = (
+        f"(CAST(floor(((CAST(st.c AS DOUBLE) / CAST(sn.n AS DOUBLE))"
+        f" * ln((CAST(st.c AS DOUBLE) / CAST(sn.n AS DOUBLE))"
+        f" / (CAST(ct.c AS DOUBLE) / CAST(cn.n AS DOUBLE))))"
+        f" * {q20} + 0.5) AS DOUBLE) / {q20})"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    if tokh_src is None:
+        lead = [("tokh", tokh_select(d, table, extra_cols="source"))]
+        tokh_src = "tokh"
+    else:
+        lead = []
+    return d.cte_query(
+        lead
+        + [
+            ("ex", d.unnest_select("doc_id, source", "th", "h", tokh_src)),
+            ("st", "SELECT source, h, count(*) AS c FROM ex GROUP BY source, h"),
+            ("sn", "SELECT source, sum(c) AS n FROM st GROUP BY source"),
+            ("ct", "SELECT h, sum(c) AS c FROM st GROUP BY h"),
+            ("cn", "SELECT sum(c) AS n FROM ct"),
+            (
+                "terms",
+                f"""SELECT st.source, {term} AS kl_term
+      FROM st
+      JOIN sn ON sn.source = st.source
+      JOIN ct ON ct.h = st.h
+      CROSS JOIN cn""",
+            ),
+        ],
+        f"""SELECT source,
+           {r6('sum(kl_term)')} AS kl_divergence,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens
+    FROM terms GROUP BY source""",
+    )

@@ -951,3 +951,25 @@ def _staged_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _staged_bpe_train.__doc__ = text.bpe_train_merges_sql.__doc__
 register("bpe_train_merges", oracle=text.bpe_train_merges_sql(DUCK))(_staged_bpe_train)
+
+_staged_tokh_query("decontaminate_winnow", text.winnow_decontam_sql)
+
+
+def _staged_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokh with the source label staged once; the KL pipeline references
+    # the exploded stream several times (per-source, corpus and total
+    # counts), so the O(chars) fold must not re-inline per reference
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    _stage(
+        spark.sql(dedup.tokh_select(SPARK, "documents", extra_cols="source")),
+        "__srcdiv_tokh",
+    )
+    return spark.sql(text.source_divergence_sql(SPARK, tokh_src="__srcdiv_tokh"))
+
+
+_staged_source_divergence.__doc__ = text.source_divergence_sql.__doc__
+register("corpus_source_divergence", oracle=text.source_divergence_sql(DUCK))(
+    _staged_source_divergence
+)

@@ -310,6 +310,9 @@ DRIVER_ORDER = [
     "multimodal_video_frame_stats",
     # round-5: iterative BPE tokenizer training (vocab-weighted merges)
     "bpe_train_merges",
+    # round-5: winnow exact-substring decontamination, per-series ACF,
+    # per-source KL token-distribution drift
+    "decontaminate_winnow", "ts_autocorrelation", "corpus_source_divergence",
 ]
 
 

@@ -1437,3 +1437,73 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 event_path_topk.__doc__ = _path_topk_sql.__doc__
+
+
+# --- per-series autocorrelation ---------------------------------------------
+def _acf_sql(engine: str) -> str:
+    """Autocorrelation (ACF) per series at lags 1h and 24h over hourly
+    bucket means — the seasonality detector run before choosing a
+    forecast model (a 24h spike means daily seasonality; the Box-Jenkins
+    identification step).  Biased estimator r_L = Σ dev_t·dev_{t+L} /
+    Σ dev_t² — the standard ACF normalization (denominator over ALL
+    buckets), so |r| <= 1.
+
+    Determinism: bucket means, the series mean, deviations AND each
+    lag-product are dyadic-quantized (2^-10 values, 2^-20 aggregates) so
+    every sum is exact in any aggregation/association order; the final
+    ratio is one IEEE division of bit-identical operands, rounded with
+    the floor form.  Shape: one raw-scan hash agg, then self-joins over
+    (series × hours) rows only — nothing downstream scales with raw row
+    count."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
+    q20 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    num = lambda lag: f"""SELECT a.event_type, {lag} AS lag,
+             sum({q20('a.dev * b.dev')}) AS num, count(*) AS n_pairs
+      FROM d a JOIN d b ON b.event_type = a.event_type AND b.hb = a.hb + {lag}
+      GROUP BY a.event_type"""
+    return f"""
+    WITH q AS (
+      SELECT event_type, (({ems}) {div} 3600000) AS hb, {vq} AS v FROM events
+    ),
+    b AS (
+      SELECT event_type, hb, {q20('avg(v)')} AS m FROM q GROUP BY event_type, hb
+    ),
+    g AS (
+      SELECT event_type, {q20('avg(m)')} AS mu FROM b GROUP BY event_type
+    ),
+    d AS (
+      SELECT b.event_type, b.hb, {q20('b.m - g.mu')} AS dev
+      FROM b JOIN g ON g.event_type = b.event_type
+    ),
+    den AS (
+      SELECT event_type, sum({q20('dev * dev')}) AS den FROM d GROUP BY event_type
+    ),
+    nums AS (
+      {num(1)}
+      UNION ALL
+      {num(24)}
+    )
+    SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+           {r6('n.num / den.den')} AS acf,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs
+    FROM nums n JOIN den ON den.event_type = n.event_type
+    WHERE den.den > 0
+    """
+
+
+@register("ts_autocorrelation", oracle=_acf_sql("duckdb"))
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_acf_sql("spark"))
+
+
+ts_autocorrelation.__doc__ = _acf_sql.__doc__

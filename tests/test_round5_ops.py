@@ -206,3 +206,62 @@ def test_bpe_merges_deterministic_and_shaped(spark, qs):
     assert by_round[1]["pair_count"] >= by_round[2]["pair_count"] >= by_round[3]["pair_count"]
     rows2 = qs["bpe_train_merges"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+# --- winnow decontamination / ACF / source divergence -------------------------
+
+
+def test_winnow_decontam_shares_bounded(spark, qs):
+    rows = qs["decontaminate_winnow"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0 < r["n_shared"] <= r["n_fp"]
+        assert 0.0 < r["shared_fp_share"] <= 1.0
+        assert r["doc_id"] % 97 != 0  # benchmark docs are never flagged
+
+
+def test_winnow_decontam_detects_planted_substring(spark):
+    # a training doc sharing a LONG token run with a benchmark doc is
+    # guaranteed a shared fingerprint (w + k - 1 = 6-token runs suffice)
+    import duckdb
+
+    from incubator_horaedb_spark.operators.dialect import DUCK
+    from incubator_horaedb_spark.operators.text import winnow_decontam_sql
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, bench_text),                                    # benchmark (0 % 97 == 0)
+        (1, "unrelated words entirely different tokens here pad pad pad"),
+        (2, "prefix noise alpha beta gamma delta epsilon zeta eta theta suffix"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = {r[0]: r for r in con.execute(winnow_decontam_sql(DUCK)).fetchall()}
+    assert 2 in got  # the contaminated doc is flagged
+    # doc 1 may appear with incidental low share or not at all, but doc 2
+    # must dominate any doc-1 share
+    if 1 in got:
+        assert got[2][3] > got[1][3]
+
+
+def test_acf_bounds_and_lags(spark, qs):
+    rows = qs["ts_autocorrelation"](spark, SF_DIR).collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        assert r["lag"] in (1, 24)
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] > 0
+        by_series.setdefault(r["event_type"], set()).add(r["lag"])
+    for lags in by_series.values():
+        assert lags == {1, 24}
+
+
+def test_source_divergence_nonnegative(spark, qs):
+    rows = qs["corpus_source_divergence"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # true KL >= 0; per-term dyadic quantization can dip a hair below
+        assert r["kl_divergence"] >= -0.001
+        assert r["n_distinct_tokens"] > 0
