@@ -1052,13 +1052,18 @@ def bpe_apply_merge(d: Dialect, ws: str, a: str, b: str) -> str:
     and the incoming symbol is ``b``, fuse them (the fused symbol a||b no
     longer equals a, so overlapping occurrences like 'aaa' under (a,a)
     merge pairwise exactly like the reference implementation).  The
-    '·' separator cannot appear inside symbols (word chars only), so the
-    ends-with test ('%·'||a — no wildcards in a) identifies the last
-    symbol unambiguously."""
+    '·' separator cannot appear inside symbols (word chars only), and the
+    last-symbol test is exact substring arithmetic — no LIKE, so symbols
+    containing pattern metacharacters cannot mis-match."""
     syms = d.split_lit(ws, "·")
+    ends_with_a = (
+        f"(acc = {a} OR (length(acc) > length({a}) "
+        f"AND substr(acc, length(acc) - length({a}), 1) = '·' "
+        f"AND substr(acc, length(acc) - length({a}) + 1) = {a}))"
+    )
     body = (
         f"CASE WHEN acc = '' THEN s "
-        f"WHEN (acc = {a} OR acc LIKE '%·' || {a}) AND s = {b} "
+        f"WHEN {ends_with_a} AND s = {b} "
         f"THEN substr(acc, 1, length(acc) - length({a})) || {a} || {b} "
         f"ELSE acc || '·' || s END"
     )
