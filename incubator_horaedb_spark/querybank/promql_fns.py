@@ -493,3 +493,86 @@ def promql_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.value").alias("rate_week_ago"),
         r6(F.col("n.value") - F.col("t.value")).alias("wow_delta"),
     )
+
+
+# --- many-to-one vector matching (on / group_left) ------------------------
+# Two classic group_left shapes in one evaluation:
+#   1. share-of-total: m / on() group_left sum(m)  — every series row
+#      (many) divides by the ONE per-timestamp total.
+#   2. info-metric label enrichment:
+#      m * on(event_type) group_left(owner) m_info — the
+#      node_exporter_build_info pattern; the right side has exactly one
+#      row per label set and group_left copies its extra label onto
+#      every matching left row.
+_GROUP_LEFT_SQL = f"""
+    WITH aligned AS ({{aligned}}),
+    tot AS (
+      SELECT ts, sum({{qval}}) AS total FROM aligned GROUP BY ts
+    ),
+    info AS (
+      SELECT DISTINCT event_type,
+             'team-' || substr(event_type, 1, 1) AS owner
+      FROM aligned
+    )
+    SELECT a.ts, a.event_type, i.owner, a.value,
+           CASE WHEN t.total = 0 THEN NULL
+                ELSE {r_out_sql('a.value / t.total', 6)}
+           END AS share_of_total
+    FROM aligned a
+    JOIN info i ON i.event_type = a.event_type
+    JOIN tot t ON t.ts = a.ts
+    """
+
+
+# 26 fraction bits for the total: aligned rates are small (<= ~1e2), so
+# the exactness bound value*2^26*series < 2^53 holds to ~10^6 series per
+# timestamp, while the quantization error (2^-27) stays far below the
+# 1e-6-rounded addends — shares of even tiny totals are accurate.
+_TOTAL_BITS = 26
+
+
+def _group_left_oracle() -> str:
+    from incubator_horaedb_spark.functions.detfloat import dyadic_sql
+
+    return _GROUP_LEFT_SQL.format(
+        aligned=_aligned_oracle("rate"), qval=dyadic_sql("value", _TOTAL_BITS)
+    )
+
+
+@register("promql_group_left", oracle=_group_left_oracle())
+def promql_group_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL many-to-one vector matching (promql/parser VectorMatching
+    with on/group_left; the reference evaluates binary expressions in
+    the Prometheus engine above its PromAlignNode remote-read split,
+    src/server/src/grpc/prom_query.rs — here the evaluator IS the
+    engine).  `rate(m[2h]) / on() group_left sum(rate(m[2h]))` is the
+    share-of-total shape: many left rows per grid ts match the single
+    per-ts total, and `* on(event_type) group_left(owner) info` copies
+    the info-metric's extra label onto every sample of its series.
+
+    Scale shape: ONE aligned evaluation (explode-to-grid + hash agg)
+    feeds everything; the total is a per-ts hash agg over O(series x
+    steps) rows whose output is O(steps) rows — broadcast to the join;
+    the info vector is O(series) rows — broadcast too.  Totals sum
+    dyadically-quantized addends (exact IEEE addition, order-proof);
+    the share divides two identical doubles on both engines, so the
+    floor-form 6-digit rounding agrees bit-for-bit.  Division by an
+    exactly-zero total pins to NULL on both engines."""
+    from incubator_horaedb_spark.functions.detfloat import dyadic
+
+    aligned = _rounded(prom_align(_load_range(spark, sf_dir), "rate", **_PARAMS))
+    tot = aligned.groupBy("ts").agg(F.sum(dyadic("value", _TOTAL_BITS)).alias("total"))
+    info = aligned.select("event_type").distinct().select(
+        "event_type",
+        F.concat(F.lit("team-"), F.substring("event_type", 1, 1)).alias("owner"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+    return (
+        aligned.join(F.broadcast(info), "event_type")
+        .join(F.broadcast(tot), "ts")
+        .select(
+            "ts", "event_type", "owner", "value",
+            F.when(F.col("total") != 0, r6(F.col("value") / F.col("total")))
+            .alias("share_of_total"),
+        )
+    )

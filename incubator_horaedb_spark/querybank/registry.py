@@ -313,6 +313,9 @@ DRIVER_ORDER = [
     # round-5: winnow exact-substring decontamination, per-series ACF,
     # per-source KL token-distribution drift
     "decontaminate_winnow", "ts_autocorrelation", "corpus_source_divergence",
+    # round-5: PromQL many-to-one vector matching (on/group_left), set-op
+    # ALL variants
+    "promql_group_left", "set_intersect_all", "set_except_all",
 ]
 
 

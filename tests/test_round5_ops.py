@@ -265,3 +265,55 @@ def test_source_divergence_nonnegative(spark, qs):
         # true KL >= 0; per-term dyadic quantization can dip a hair below
         assert r["kl_divergence"] >= -0.001
         assert r["n_distinct_tokens"] > 0
+
+
+# --- promql_group_left (many-to-one vector matching) -------------------------
+
+
+def test_group_left_shares_sum_to_one(spark, qs):
+    rows = qs["promql_group_left"](spark, SF_DIR).collect()
+    assert rows
+    # group_left copied the info label onto every row
+    assert all(r["owner"] == "team-" + r["event_type"][0] for r in rows)
+    # per-ts shares sum to ~1 wherever the total was nonzero (the dyadic
+    # 2^-20 quantization of the total introduces up to ~0.5% relative
+    # error on very small rates — semantics, not a bug)
+    by_ts = {}
+    for r in rows:
+        if r["share_of_total"] is not None:
+            by_ts.setdefault(r["ts"], []).append(r["share_of_total"])
+    assert by_ts
+    for shares in by_ts.values():
+        assert abs(sum(shares) - 1.0) < 0.02
+
+
+def test_group_left_broadcasts_both_sides(spark, qs):
+    plan = qs["promql_group_left"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# --- set-op ALL variants -----------------------------------------------------
+
+
+def test_intersect_all_multiset_semantics(spark, qs):
+    from incubator_horaedb_spark.querybank.registry import load
+
+    c = (
+        load(spark, SF_DIR, "customer")
+        .filter("c_acctbal > 9500")
+        .groupBy("c_nationkey").count().collect()
+    )
+    s = load(spark, SF_DIR, "supplier").groupBy("s_nationkey").count().collect()
+    cm = {r["c_nationkey"]: r["count"] for r in c}
+    sm = {r["s_nationkey"]: r["count"] for r in s}
+    got = {}
+    for r in qs["set_intersect_all"](spark, SF_DIR).collect():
+        got[r["nationkey"]] = got.get(r["nationkey"], 0) + 1
+    want = {k: min(v, sm.get(k, 0)) for k, v in cm.items() if min(v, sm.get(k, 0)) > 0}
+    assert got == want
+
+    got_e = {}
+    for r in qs["set_except_all"](spark, SF_DIR).collect():
+        got_e[r["nationkey"]] = got_e.get(r["nationkey"], 0) + 1
+    want_e = {k: v - sm.get(k, 0) for k, v in cm.items() if v - sm.get(k, 0) > 0}
+    assert got_e == want_e
