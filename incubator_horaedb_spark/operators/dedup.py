@@ -958,3 +958,131 @@ def cross_source_sql(d: Dialect, table: str = "documents") -> str:
     FROM pairs
     GROUP BY least(source_a, source_b), greatest(source_a, source_b)""",
     )
+
+
+# ------------------------------------------- duplicated n-gram span coverage
+DUPSPAN_K = 8
+
+
+def dupspan_occ_ctes(
+    d: Dialect, tokh_src: str, k: int = DUPSPAN_K
+) -> list[tuple[str, str]]:
+    """Stages kgt (per-doc ordered k-gram hash array + token count) and
+    occ (the POSITIONAL gram-occurrence stream (doc_id, source, ntok, i,
+    g), 1-based start positions) from a (doc_id, source, th) token-hash
+    source."""
+    combo = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        combo = f"(({combo}) * {BASE} + {d.at('th', f'i + {j}')}) % {P}"
+    kgrams = d.transform(d.range1(f"{d.size('th')} - {k - 1}"), "i", combo)
+    return [
+        (
+            "kgt",
+            f"SELECT doc_id, source, CAST({d.size('th')} AS BIGINT) AS ntok, "
+            f"{kgrams} AS kg FROM {tokh_src} WHERE {d.size('th')} >= {k}",
+        ),
+        ("occ", d.unnest_pos_select("doc_id, source, ntok", "kg", "g", "i", "kgt")),
+    ]
+
+
+def dupspan_report_from(
+    d: Dialect, occ_src: str, table: str = "documents", k: int = DUPSPAN_K
+) -> str:
+    """Report body from a materialized positional-occurrence stream —
+    staged on the Spark side because occ is referenced twice (document
+    frequency + the position join) and CTE inlining would recompute the
+    whole explode chain."""
+    q20 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return d.cte_query(
+        [
+            (
+                "dup",
+                f"SELECT g FROM (SELECT DISTINCT doc_id, g FROM {occ_src}) dg "
+                f"GROUP BY g HAVING count(*) >= 2",
+            ),
+            (
+                "docc",
+                f"SELECT DISTINCT o.doc_id, o.source, o.ntok, o.i "
+                f"FROM {occ_src} o JOIN dup ON dup.g = o.g",
+            ),
+            (
+                "nxt",
+                "SELECT doc_id, source, ntok, i, "
+                "lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nx FROM docc",
+            ),
+            (
+                "cov",
+                f"""SELECT doc_id, source, ntok,
+             sum(CASE WHEN nx IS NULL THEN {k} ELSE least({k}, nx - i) END)
+               AS covered
+      FROM nxt GROUP BY doc_id, source, ntok""",
+            ),
+            (
+                "frac",
+                "SELECT source, CAST(covered AS DOUBLE) / CAST(ntok AS DOUBLE) AS fr "
+                "FROM cov",
+            ),
+            (
+                "tot",
+                f"SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+                f"FROM {table} GROUP BY source",
+            ),
+        ],
+        f"""SELECT t.source, t.n_docs,
+           CAST(count(f.fr) AS BIGINT) AS n_docs_dup,
+           CAST(sum(CASE WHEN f.fr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_flagged,
+           {r6(f"sum({q20('f.fr')}) / CAST(count(f.fr) AS DOUBLE)")} AS mean_dup_cov,
+           {r6('max(f.fr)')} AS max_dup_cov
+    FROM tot t LEFT JOIN frac f ON f.source = t.source
+    GROUP BY t.source, t.n_docs
+    ORDER BY t.source""",
+    )
+
+
+def dupspan_report_sql(d: Dialect, table: str = "documents", k: int = DUPSPAN_K) -> str:
+    """Duplicated n-gram span coverage — the substring-level dedup signal
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022, public), at k-token gram granularity: for every
+    document, the fraction of its token positions covered by some k-gram
+    that also occurs in ANOTHER document.  Exact-duplicate detection
+    catches whole docs and MinHash catches high-Jaccard pairs; this
+    catches long VERBATIM PASSAGES embedded in otherwise-distinct
+    documents (licenses, templates, quoted articles), reported per
+    source as the share of affected docs + mean/max covered fraction —
+    the number that decides whether a source needs substring-level
+    scrubbing before training.
+
+    Coverage is an exact interval union: dup-gram start positions per
+    doc, sorted; each start contributes min(k, next_start - start)
+    tokens, the last contributes k — one lead() window per doc over DUP
+    OCCURRENCES ONLY (far sparser than the token stream).
+
+    Scale shape: the positional explode is O(tokens) rows — inherent to
+    substring-level analysis, same cost class as every shingle pipeline
+    here; df is a distinct + hash agg keyed by gram hash; the dup-gram
+    join is gram-keyed (hot boilerplate grams skew-handled by AQE); the
+    interval union shuffles dup occurrences once on doc_id.  Everything
+    after the first agg scales with DUP density, not corpus size.
+    All-integer until the final per-doc fraction; fractions are
+    dyadic-quantized before the mean (exact sums), max is order-proof."""
+    from incubator_horaedb_spark.operators.dialect import Dialect as _D  # noqa: F401
+
+    ctes = [("tokh", tokh_select(d, table, extra_cols="source"))] + dupspan_occ_ctes(
+        d, "tokh", k
+    )
+    # one-shot rendering: inline the report body's CTE chain after occ
+    body = dupspan_report_from(d, "occ", table, k)
+    if d.engine == "duckdb":
+        # merge: body starts with "WITH ..." — splice occ's chain in front
+        chain = ",\n    ".join(f"{n} AS MATERIALIZED (\n{b}\n    )" for n, b in ctes)
+        assert body.startswith("WITH ")
+        return f"WITH {chain},\n    {body[len('WITH '):]}"
+    return d.cte_query(ctes, body)

@@ -193,6 +193,22 @@ class Dialect:
         fn = "explode" if self.engine == "spark" else "unnest"
         return f"SELECT {cols}, {fn}({lst}) AS {alias} FROM {src}"
 
+    def unnest_pos_select(
+        self, cols: str, lst: str, val: str, pos: str, src: str
+    ) -> str:
+        """SELECT cols, <element> AS val, <1-based position> AS pos FROM src.
+        Spark's posexplode emits a 0-based ordinal — normalized to match
+        DuckDB's 1-based generate_subscripts."""
+        if self.engine == "spark":
+            return (
+                f"SELECT {cols}, {val}, {pos} + 1 AS {pos} FROM "
+                f"(SELECT {cols}, posexplode({lst}) AS ({pos}, {val}) FROM {src}) pe_"
+            )
+        return (
+            f"SELECT {cols}, unnest({lst}) AS {val}, "
+            f"generate_subscripts({lst}, 1) AS {pos} FROM {src}"
+        )
+
     def idiv(self, a: str, b: str) -> str:
         return f"(({a}) div ({b}))" if self.engine == "spark" else f"(({a}) // ({b}))"
 

@@ -973,3 +973,15 @@ _staged_source_divergence.__doc__ = text.source_divergence_sql.__doc__
 register("corpus_source_divergence", oracle=text.source_divergence_sql(DUCK))(
     _staged_source_divergence
 )
+
+
+def _staged_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
+    _stage(spark.sql(dedup.tokh_select(SPARK, "documents", extra_cols="source")), "__ds_tokh")
+    occ_ctes = dedup.dupspan_occ_ctes(SPARK, "__ds_tokh")
+    _stage(spark.sql(SPARK.cte_query(occ_ctes, "SELECT * FROM occ")), "__ds_occ")
+    return spark.sql(dedup.dupspan_report_from(SPARK, "__ds_occ"))
+
+
+_staged_dupspan.__doc__ = dedup.dupspan_report_sql.__doc__
+register("dedup_dupspan_report", oracle=dedup.dupspan_report_sql(DUCK))(_staged_dupspan)

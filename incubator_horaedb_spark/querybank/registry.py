@@ -316,6 +316,8 @@ DRIVER_ORDER = [
     # round-5: PromQL many-to-one vector matching (on/group_left), set-op
     # ALL variants
     "promql_group_left", "set_intersect_all", "set_except_all",
+    # round-5: lagged cross-correlation, duplicated n-gram span coverage
+    "ts_cross_correlation", "dedup_dupspan_report",
 ]
 
 

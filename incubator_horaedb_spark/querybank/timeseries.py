@@ -1507,3 +1507,69 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_autocorrelation.__doc__ = _acf_sql.__doc__
+
+
+# --- lagged cross-correlation between two series -----------------------------
+def _xcorr_sql(engine: str) -> str:
+    """Lagged cross-correlation of two metric series (error vs click
+    hourly volumes) at lags -3h..+3h — the lead/lag diagnostic run
+    before blaming one metric for another (a peak at +2 means errors
+    LEAD clicks by two hours).  Pearson correlation per lag from exact
+    integer moments over bucket COUNTS: every sum (n, Σx, Σy, Σx²,
+    Σxy, Σy²) is integer arithmetic, so the closed-form corr is one
+    identical IEEE expression on both engines (stats_corr_regr's
+    recipe applied per lag).
+
+    Shape: one raw-scan hash agg to hourly buckets (O(hours) rows out),
+    a 7-row lag list CROSS-joined to the x series, then an equi-join on
+    the shifted bucket id — nothing downstream of the first agg scales
+    with raw row count.  Zero-variance lags pin corr to NULL via CASE
+    on both engines."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    lag_rows = " UNION ALL ".join(f"SELECT {k} AS lag" for k in range(-3, 4))
+    n, sx, sy, sxx, sxy, syy = (
+        f"CAST({c} AS DOUBLE)" for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov_n = f"({n} * {sxy} - {sx} * {sy})"
+    var_x = f"({n} * {sxx} - {sx} * {sx})"
+    var_y = f"({n} * {syy} - {sy} * {sy})"
+    return f"""
+    WITH e AS (
+      SELECT event_type, (({ems}) {div} 3600000) AS hb FROM events
+      WHERE event_type IN ('error', 'click')
+    ),
+    x AS (SELECT hb, count(*) AS xv FROM e WHERE event_type = 'error' GROUP BY hb),
+    y AS (SELECT hb, count(*) AS yv FROM e WHERE event_type = 'click' GROUP BY hb),
+    lags AS ({lag_rows}),
+    p AS (
+      SELECT l.lag, x.xv, y.yv
+      FROM lags l CROSS JOIN x
+      JOIN y ON y.hb = x.hb + l.lag
+    ),
+    m AS (
+      SELECT lag, count(*) AS n,
+             sum(xv) AS sx, sum(yv) AS sy,
+             sum(xv * xv) AS sxx, sum(xv * yv) AS sxy, sum(yv * yv) AS syy
+      FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN {var_x} > 0 AND {var_y} > 0
+                THEN {r6(f'{cov_n} / sqrt({var_x} * {var_y})')}
+           END AS xcorr
+    FROM m
+    ORDER BY lag
+    """
+
+
+@register("ts_cross_correlation", oracle=_xcorr_sql("duckdb"))
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_xcorr_sql("spark"))
+
+
+ts_cross_correlation.__doc__ = _xcorr_sql.__doc__

@@ -317,3 +317,55 @@ def test_intersect_all_multiset_semantics(spark, qs):
         got_e[r["nationkey"]] = got_e.get(r["nationkey"], 0) + 1
     want_e = {k: v - sm.get(k, 0) for k, v in cm.items() if v - sm.get(k, 0) > 0}
     assert got_e == want_e
+
+
+# --- ts_cross_correlation ----------------------------------------------------
+
+
+def test_xcorr_bounded_and_symmetric_domain(spark, qs):
+    rows = qs["ts_cross_correlation"](spark, SF_DIR).collect()
+    assert rows
+    lags = sorted(r["lag"] for r in rows)
+    assert lags == sorted(set(lags)) and all(-3 <= l <= 3 for l in lags)
+    for r in rows:
+        if r["xcorr"] is not None:
+            assert -1.0 - 1e-9 <= r["xcorr"] <= 1.0 + 1e-9
+        assert r["n_pairs"] > 0
+
+
+# --- dedup_dupspan_report ----------------------------------------------------
+
+
+def test_dupspan_report_invariants(spark, qs):
+    rows = qs["dedup_dupspan_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_docs_dup"] <= r["n_docs"]
+        assert 0 <= r["n_docs_flagged"] <= r["n_docs_dup"]
+        if r["mean_dup_cov"] is not None:
+            # the dyadic quantization + floor-form output rounding can push
+            # the mean one 1e-6 output ulp above the rounded max
+            assert 0.0 <= r["mean_dup_cov"] <= r["max_dup_cov"] + 2e-6 <= 1.0 + 2e-6
+
+
+def test_dupspan_detects_planted_shared_passage(spark):
+    from incubator_horaedb_spark.operators import dedup
+    from incubator_horaedb_spark.operators.dialect import SPARK as SP
+
+    passage = " ".join(f"tok{i}" for i in range(12))  # 12 shared tokens > k=8
+    docs = [
+        (1, passage + " alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 0),
+        (2, "iota kappa lam mu nu xi omicron pi " + passage, "en", "s2", 0),
+        (3, "one two three four five six seven eight nine ten eleven twelve", "en", "s3", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = {r["source"]: r for r in spark.sql(dedup.dupspan_report_sql(SP)).collect()}
+    # both sharers have coverage; the 12-token passage yields 5 dup-gram
+    # starts covering 12 of 20 tokens = 0.6 -> flagged
+    assert out["s1"]["n_docs_dup"] == 1 and out["s2"]["n_docs_dup"] == 1
+    assert out["s1"]["n_docs_flagged"] == 1
+    assert abs(out["s1"]["mean_dup_cov"] - 0.6) < 1e-6
+    # the unrelated doc has no dup coverage
+    assert out["s3"]["n_docs_dup"] == 0 and out["s3"]["mean_dup_cov"] is None
