@@ -1070,10 +1070,15 @@ def bpe_apply_merge(d: Dialect, ws: str, a: str, b: str) -> str:
     return d.fold_str(syms, "s", "acc", body)
 
 
-def bpe_round_ctes(d: Dialect, prev: str, r: int) -> list[tuple[str, str]]:
+def bpe_round_ctes(
+    d: Dialect, prev: str, r: int, carry: str = "wc"
+) -> list[tuple[str, str]]:
     """One BPE training round over the weighted symbolized vocabulary
-    ``prev`` (word_syms, wc): count adjacent symbol pairs, take the
-    argmax (count desc, pair asc — total order), apply the merge."""
+    ``prev`` (word_syms, wc[, carry]): count adjacent symbol pairs, take
+    the argmax (count desc, pair asc — total order), apply the merge.
+    ``carry`` lists the columns propagated through the merge application
+    (the encode path carries ``word`` so the final table maps each vocab
+    word to its symbolization)."""
     syms = d.split_lit("word_syms", "·")
     pair = f"({d.at(syms, 'i')}) || '·' || ({d.at(syms, 'i + 1')})"
     pairs_arr = d.transform(d.range1(f"{d.size(syms)} - 1"), "i", pair)
@@ -1088,13 +1093,15 @@ def bpe_round_ctes(d: Dialect, prev: str, r: int) -> list[tuple[str, str]]:
         ),
         (
             f"v{r}",
-            f"SELECT {bpe_apply_merge(d, 'word_syms', 'm.a', 'm.b')} AS word_syms, wc "
+            f"SELECT {bpe_apply_merge(d, 'word_syms', 'm.a', 'm.b')} AS word_syms, {carry} "
             f"FROM {prev} CROSS JOIN m{r} m",
         ),
     ]
 
 
-def bpe_vocab_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
+def bpe_vocab_ctes(
+    d: Dialect, table: str, w_cols: str = "doc_id", carry: str = "wc"
+) -> list[tuple[str, str]]:
     """Weighted word vocabulary, symbolized at the character level —
     the classic BPE efficiency trick: train over DISTINCT words weighted
     by frequency, never the raw corpus (one map-side-combinable word
@@ -1103,12 +1110,12 @@ def bpe_vocab_ctes(d: Dialect, table: str) -> list[tuple[str, str]]:
     words = d.tokens("lower(text)")
     chars = d.transform(d.range1("length(word)"), "j", "substr(word, j, 1)")
     return [
-        ("w", d.unnest_select("doc_id", words, "word", table)),
+        ("w", d.unnest_select(w_cols, words, "word", table)),
         (
             "vocab",
             "SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY word",
         ),
-        ("v0", f"SELECT {d.join_arr(chars, '·')} AS word_syms, wc FROM vocab"),
+        ("v0", f"SELECT {d.join_arr(chars, '·')} AS word_syms, {carry} FROM vocab"),
     ]
 
 
@@ -1275,3 +1282,44 @@ def source_divergence_sql(
            CAST(count(*) AS BIGINT) AS n_distinct_tokens
     FROM terms GROUP BY source""",
     )
+
+
+def bpe_encode_report_from(d: Dialect, w_src: str, enc_src: str) -> str:
+    """Per-source encode report from a (doc_id, source, word) stream and a
+    (word, word_syms) final-symbolization table: word count, total chars,
+    total BPE tokens, compression ratio.  Words below the vocab length
+    floor (length 1) encode as themselves — the LEFT JOIN's NULL branch."""
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    n_sym = d.size(d.split_lit("e.word_syms", "·"))
+    return f"""SELECT w.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w.word)) AS BIGINT) AS n_chars,
+           CAST(sum(coalesce({n_sym}, 1)) AS BIGINT) AS n_tokens,
+           {r6(f"CAST(sum(length(w.word)) AS DOUBLE) / CAST(sum(coalesce({n_sym}, 1)) AS DOUBLE)")}
+               AS chars_per_token
+    FROM {w_src} w LEFT JOIN {enc_src} e ON e.word = w.word
+    GROUP BY w.source
+    ORDER BY w.source"""
+
+
+def bpe_encode_corpus_sql(d: Dialect, table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
+    """Corpus BPE encoding + compression report — the APPLY side of the
+    tokenizer lifecycle (bpe_train_merges learns the merge table; this
+    measures what shipping it buys): train ``rounds`` merges over the
+    weighted vocabulary, encode every word by its final symbolization,
+    and report per-source word/char/token totals and chars-per-token —
+    the number a tokenizer team tracks across corpus versions.
+
+    Scale shape: training runs on vocab rows (the corpus-collapses-to-
+    vocab trick); encoding is a LEFT JOIN of the (doc, word) stream
+    against the vocab-sized symbolization table — word-keyed, hot words
+    (stopwords) are exactly the skew AQE's join splitting handles, and
+    at real scale the symbolization table broadcasts.  All-integer
+    totals; the single ratio divides two exact integers."""
+    ctes = bpe_vocab_ctes(d, table, w_cols="doc_id, source", carry="word, wc")
+    for r in range(1, rounds + 1):
+        ctes += bpe_round_ctes(d, f"v{r - 1}", r, carry="word, wc")
+    return d.cte_query(ctes, bpe_encode_report_from(d, "w", f"v{rounds}"))

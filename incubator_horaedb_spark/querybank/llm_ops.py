@@ -985,3 +985,42 @@ def _staged_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _staged_dupspan.__doc__ = dedup.dupspan_report_sql.__doc__
 register("dedup_dupspan_report", oracle=dedup.dupspan_report_sql(DUCK))(_staged_dupspan)
+
+
+def _staged_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train over the staged vocab carrying the word column, then LEFT-JOIN
+    # the (doc, source, word) stream against the final symbolization —
+    # same staging discipline as _staged_bpe_train (lineage truncation per
+    # round; the w stream is referenced by vocab AND the report, so it is
+    # a cached view too)
+    widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    vocab_ctes = text.bpe_vocab_ctes(SPARK, "documents", w_cols="doc_id, source",
+                                     carry="word, wc")
+    _stage(spark.sql(vocab_ctes[0][1]), "__bpee_w")
+    _stage(
+        spark.sql(
+            SPARK.cte_query(
+                [("w", "SELECT * FROM __bpee_w")] + vocab_ctes[1:-1],
+                vocab_ctes[-1][1],
+            )
+        ),
+        "__bpee_v0",
+    )
+    prev = "__bpee_v0"
+    for r in range(1, text.BPE_ROUNDS + 1):
+        p_cte, m_cte, v_cte = text.bpe_round_ctes(SPARK, prev, r, carry="word, wc")
+        spark.sql(p_cte[1]).createOrReplaceTempView(f"__bpee_p{r}")
+        m = spark.sql(m_cte[1].replace(f"FROM p{r}", f"FROM __bpee_p{r}")).localCheckpoint()
+        m.createOrReplaceTempView(f"__bpee_m{r}")
+        v = spark.sql(
+            v_cte[1].replace(f"CROSS JOIN m{r} m", f"CROSS JOIN __bpee_m{r} m")
+        ).localCheckpoint()
+        v.createOrReplaceTempView(f"__bpee_v{r}")
+        prev = f"__bpee_v{r}"
+    return spark.sql(text.bpe_encode_report_from(SPARK, "__bpee_w", prev))
+
+
+_staged_bpe_encode.__doc__ = text.bpe_encode_corpus_sql.__doc__
+register("bpe_encode_corpus", oracle=text.bpe_encode_corpus_sql(DUCK))(_staged_bpe_encode)

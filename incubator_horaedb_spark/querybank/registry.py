@@ -318,6 +318,8 @@ DRIVER_ORDER = [
     "promql_group_left", "set_intersect_all", "set_except_all",
     # round-5: lagged cross-correlation, duplicated n-gram span coverage
     "ts_cross_correlation", "dedup_dupspan_report",
+    # round-5: corpus BPE encoding (the apply side of bpe_train_merges)
+    "bpe_encode_corpus",
 ]
 
 

@@ -369,3 +369,16 @@ def test_dupspan_detects_planted_shared_passage(spark):
     assert abs(out["s1"]["mean_dup_cov"] - 0.6) < 1e-6
     # the unrelated doc has no dup coverage
     assert out["s3"]["n_docs_dup"] == 0 and out["s3"]["mean_dup_cov"] is None
+
+
+# --- bpe_encode_corpus -------------------------------------------------------
+
+
+def test_bpe_encode_compression_bounds(spark, qs):
+    rows = qs["bpe_encode_corpus"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # merges only ever fuse symbols: tokens <= chars, and at least one
+        # token per word
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        assert r["chars_per_token"] >= 1.0
