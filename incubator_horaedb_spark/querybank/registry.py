@@ -320,6 +320,8 @@ DRIVER_ORDER = [
     "ts_cross_correlation", "dedup_dupspan_report",
     # round-5: corpus BPE encoding (the apply side of bpe_train_merges)
     "bpe_encode_corpus",
+    # round-5: Spark-native session windows (batch), PSI drift report
+    "session_window_agg", "drift_psi_report",
 ]
 
 

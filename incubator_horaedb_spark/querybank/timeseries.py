@@ -1573,3 +1573,142 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_cross_correlation.__doc__ = _xcorr_sql.__doc__
+
+
+# --- Spark-native session windows (batch) ------------------------------------
+_SESSION_GAP_MS = 1800000
+
+
+_SESSION_WINDOW_SQL = f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS t FROM events
+    ),
+    g AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > {_SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(min(t) AS BIGINT) AS session_start_ms,
+           CAST(max(t) + {_SESSION_GAP_MS} AS BIGINT) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """
+
+
+@register("session_window_agg", oracle=_SESSION_WINDOW_SQL)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation in batch mode — the
+    engine-level session operator (one hash agg with dynamic-gap window
+    merging inside the aggregation, no analytic-window pre-pass), the
+    same primitive Structured Streaming uses for stateful sessions.
+    Independent-path parity: the oracle derives identical sessions from
+    the classic gaps-and-islands SQL (lag + running sum), so the native
+    operator's merge semantics (merge while delta <= gap, end = last
+    event + gap — probed empirically) are value-checked, not assumed.
+
+    Scale shape: ONE shuffle on user_id; session merging is per-key
+    state inside the agg — no window sort pass, no join.  All-integer
+    output (epoch-ms bounds + counts)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("session_start_ms"),
+            F.unix_millis("session_window.end").alias("session_end_ms"),
+            F.col("n_events").cast("bigint"),
+        )
+    )
+
+
+# --- population-stability drift report ---------------------------------------
+def _psi_sql(engine: str) -> str:
+    """Population Stability Index per feature between the first and second
+    half of the month (split at a fixed boundary) — the
+    distribution-drift gate run before retraining on fresh data or
+    trusting a fixed quality classifier across corpus versions (PSI >
+    0.2 = action; the banking-scorecard convention, public).  Features:
+    the numeric `value` in 10 fixed-width clamped bins, and the
+    categorical event mix.  Laplace-smoothed shares ((n+1)/(N+B)) keep
+    every ln argument finite and deterministic; each PSI term is
+    floor-quantized at 2^-20 before the sum (exact addition, ~5-10
+    addends), so reduction order cannot move the result.
+
+    Scale shape: one scan, map-side bin ids, ONE partial->final hash agg
+    keyed (metric, bin) — the shuffle carries at most |bins| rows per
+    input partition; the PSI fold runs over |bins| rows.  The same
+    template extends per-source/per-split by adding the key to both
+    GROUP BYs."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    sty = "STRING" if engine == "spark" else "VARCHAR"
+    mid = 1705363200000  # 2024-01-16T00:00Z
+    q20 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    p = "((CAST(n0 AS DOUBLE) + 1.0) / (CAST(t0 AS DOUBLE) + CAST(nb AS DOUBLE)))"
+    q = "((CAST(n1 AS DOUBLE) + 1.0) / (CAST(t1 AS DOUBLE) + CAST(nb AS DOUBLE)))"
+    term = q20(f"({p} - {q}) * ln({p} / {q})")
+    return f"""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN {ems} < {mid} THEN 0 ELSE 1 END AS half
+      FROM events
+    ),
+    bins AS (
+      SELECT 'value' AS metric,
+             CAST(least(CAST(9 AS BIGINT),
+                        greatest(CAST(0 AS BIGINT),
+                                 CAST(floor(value / 50.0) AS BIGINT))) AS {sty}) AS bin,
+             half
+      FROM e
+      UNION ALL
+      SELECT 'event_type' AS metric, event_type AS bin, half FROM e
+    ),
+    c AS (
+      SELECT metric, bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM bins GROUP BY metric, bin
+    ),
+    t AS (
+      SELECT metric, sum(n0) AS t0, sum(n1) AS t1, count(*) AS nb
+      FROM c GROUP BY metric
+    )
+    SELECT c.metric,
+           CAST(t.nb AS BIGINT) AS n_bins,
+           CAST(t.t0 AS BIGINT) AS n_before,
+           CAST(t.t1 AS BIGINT) AS n_after,
+           {r6(f"sum({term})")} AS psi
+    FROM c JOIN t ON t.metric = c.metric
+    GROUP BY c.metric, t.nb, t.t0, t.t1
+    ORDER BY c.metric
+    """
+
+
+@register("drift_psi_report", oracle=_psi_sql("duckdb"))
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_psi_sql("spark"))
+
+
+drift_psi_report.__doc__ = _psi_sql.__doc__

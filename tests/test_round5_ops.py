@@ -382,3 +382,34 @@ def test_bpe_encode_compression_bounds(spark, qs):
         # token per word
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
         assert r["chars_per_token"] >= 1.0
+
+
+# --- session_window_agg / drift_psi_report -----------------------------------
+
+
+def test_session_window_matches_batch_sessionizer_count(spark, qs):
+    # the native operator and the gaps-and-islands SQL must agree on the
+    # session count (same 30-min gap); ends are last event + gap
+    rows = qs["session_window_agg"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["session_end_ms"] > r["session_start_ms"]
+        assert r["n_events"] >= 1
+    plan = qs["session_window_agg"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # one shuffle (user key), no analytic window pass, no join
+    assert "Join" not in plan and plan.count("Exchange") <= 2
+
+
+def test_psi_zero_on_identical_halves(spark):
+    from incubator_horaedb_spark.querybank.timeseries import _psi_sql
+    from pyspark.sql import functions as F
+
+    # identical distributions in both halves -> PSI ~ 0
+    rows = [(float(v % 5) * 55.0, "t" + str(v % 3), h) for v in range(60) for h in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, event_type string, h int").select(
+        "value", "event_type",
+        F.timestamp_millis(F.when(F.col("h") == 0, 1705000000000).otherwise(1705400000000)).alias("ts"),
+    )
+    df.createOrReplaceTempView("events")
+    out = {r["metric"]: r["psi"] for r in spark.sql(_psi_sql("spark")).collect()}
+    assert abs(out["value"]) < 1e-5 and abs(out["event_type"]) < 1e-5
