@@ -48,8 +48,11 @@ def _dot(d: Dialect, a: str, b: str) -> str:
     if d.engine == "spark":
         prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
         return f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    # iterate the ACTUAL length (zip_with parity): a fixed 1..DIM range
+    # yields NULL products past the end of shorter (e.g. MRL-truncated)
+    # vectors and silently nulls the whole sum
     prods = d.transform(
-        d.range1(str(DIM)),
+        d.range1(d.size(a)),
         "i",
         f"CAST({d.at(a, 'i')} AS DOUBLE) * CAST({d.at(b, 'i')} AS DOUBLE)",
     )
@@ -1324,3 +1327,78 @@ def distance_histogram_sql(
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY bin""",
     )
+
+
+# --- Matryoshka truncation eval -------------------------------------------
+MRL_DIM = 16
+
+
+def _bf_prefixed_ctes(
+    d: Dialect, qv_src: str, pfx: str, k: int, n_queries: int
+) -> list[tuple[str, str]]:
+    """Exact cosine top-k chain with ``pfx``-named stages, so two searches
+    (full-dim and truncated) compose in one query."""
+    cos = f"({_dot(d, 'q.qe', 'e.q')}) / (q.qnrm * e.nrm)"
+    return [
+        (
+            f"{pfx}q",
+            f"SELECT vec_id AS qid, q AS qe, nrm AS qnrm FROM {qv_src} "
+            f"WHERE vec_id < {n_queries}",
+        ),
+        (
+            f"{pfx}scored",
+            f"SELECT q.qid, e.vec_id, {_r6(cos)} AS cosine "
+            f"FROM {pfx}q q JOIN {qv_src} e ON e.vec_id <> q.qid",
+        ),
+        (
+            f"{pfx}ranked",
+            f"""SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM {pfx}scored""",
+        ),
+        (f"{pfx}topk", f"SELECT qid, vec_id FROM {pfx}ranked WHERE rn <= {k}"),
+    ]
+
+
+def mrl_trunc_select(d: Dialect, quant_src: str, dim: int = MRL_DIM) -> str:
+    """Truncate quantized vectors to the first ``dim`` dims and recompute
+    the norm — the Matryoshka prefix property under eval."""
+    tq = d.slice_("q", "1", str(dim))
+    return (
+        f"SELECT vec_id, tq AS q, sqrt({_dot(d, 'tq', 'tq')}) AS nrm "
+        f"FROM (SELECT vec_id, {tq} AS tq FROM {quant_src}) s"
+    )
+
+
+def mrl_recall_final(d: Dialect, k: int) -> str:
+    return f"""SELECT f.qid,
+           CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+           CAST({k} AS BIGINT) AS k
+    FROM f_topk f
+    LEFT JOIN t_topk t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid"""
+
+
+def mrl_truncation_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, n_queries: int = 10, dim: int = MRL_DIM
+) -> str:
+    """Matryoshka truncation eval (Kusupati et al., NeurIPS 2022, public):
+    recall@k of exact cosine search over the FIRST ``dim`` of DIM
+    dimensions against full-dimension exact search — the measurement that
+    decides whether a deployment can serve the cheap prefix (4x less
+    memory bandwidth and index footprint) and rerank with full vectors.
+    Truncation is a pure projection (array slice + new norm); both
+    searches run the same quantized exact-top-k template, so the delta is
+    attributable to truncation alone.
+
+    Scale shape: two scored joins over the same broadcast-small query set
+    (n_queries x N scored rows each — the brute-force eval harness, run
+    on a sample at corpus scale); integer recall output per query."""
+    ctes = [
+        ("qraw", km_quant_select(d, table)),
+        ("qv", km_qv_select(d, "qraw")),
+        ("tv", mrl_trunc_select(d, "qraw", dim)),
+    ]
+    ctes += _bf_prefixed_ctes(d, "qv", "f_", k, n_queries)
+    ctes += _bf_prefixed_ctes(d, "tv", "t_", k, n_queries)
+    return d.cte_query(ctes, mrl_recall_final(d, k))

@@ -1024,3 +1024,25 @@ def _staged_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _staged_bpe_encode.__doc__ = text.bpe_encode_corpus_sql.__doc__
 register("bpe_encode_corpus", oracle=text.bpe_encode_corpus_sql(DUCK))(_staged_bpe_encode)
+
+
+def _staged_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # qraw feeds both the full and the truncated view; qv/tv are each
+    # scanned twice (query set + corpus side of their scored join) —
+    # three cached views, then one query over the linear bf chains
+    widen_for_compute(load(spark, sf_dir, "embeddings")).createOrReplaceTempView(
+        "embeddings"
+    )
+    _stage(spark.sql(similarity.km_quant_select(SPARK, "embeddings")), "__mrl_qraw")
+    _stage(spark.sql(similarity.km_qv_select(SPARK, "__mrl_qraw")), "__mrl_qv")
+    _stage(spark.sql(similarity.mrl_trunc_select(SPARK, "__mrl_qraw")), "__mrl_tv")
+    ctes = similarity._bf_prefixed_ctes(SPARK, "__mrl_qv", "f_", 5, 10)
+    ctes += similarity._bf_prefixed_ctes(SPARK, "__mrl_tv", "t_", 5, 10)
+    return spark.sql(SPARK.cte_query(ctes, similarity.mrl_recall_final(SPARK, 5)))
+
+
+_staged_mrl_truncation.__doc__ = similarity.mrl_truncation_sql.__doc__
+register(
+    "embedding_mrl_truncation",
+    oracle=similarity.mrl_truncation_sql(DUCK, k=5, n_queries=10),
+)(_staged_mrl_truncation)

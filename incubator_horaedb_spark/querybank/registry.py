@@ -322,6 +322,8 @@ DRIVER_ORDER = [
     "bpe_encode_corpus",
     # round-5: Spark-native session windows (batch), PSI drift report
     "session_window_agg", "drift_psi_report",
+    # round-5: Matryoshka truncation recall eval
+    "embedding_mrl_truncation",
 ]
 
 

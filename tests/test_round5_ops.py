@@ -413,3 +413,28 @@ def test_psi_zero_on_identical_halves(spark):
     df.createOrReplaceTempView("events")
     out = {r["metric"]: r["psi"] for r in spark.sql(_psi_sql("spark")).collect()}
     assert abs(out["value"]) < 1e-5 and abs(out["event_type"]) < 1e-5
+
+
+# --- embedding_mrl_truncation ------------------------------------------------
+
+
+def test_mrl_recall_bounded_and_self_consistent(spark, qs):
+    rows = qs["embedding_mrl_truncation"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"] == 5
+
+
+def test_duck_dot_handles_short_vectors():
+    # regression: the oracle's fold must iterate the ACTUAL list length,
+    # not a fixed 1..DIM range (NULL products past the end of truncated
+    # vectors nulled the whole sum)
+    import duckdb
+
+    from incubator_horaedb_spark.operators.dialect import DUCK
+    from incubator_horaedb_spark.operators.similarity import _dot
+
+    got = duckdb.connect().execute(
+        f"SELECT {_dot(DUCK, 'a', 'a')} FROM (SELECT [1.0, 2.0, 3.0] AS a)"
+    ).fetchone()[0]
+    assert got == 14.0
