@@ -663,3 +663,74 @@ def dup_inflation_sql(d: Dialect, table: str = "documents") -> str:
            {r4('CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT text) AS DOUBLE)')}
                AS inflation
     FROM {table} GROUP BY source"""
+
+
+# ------------------------------------------- hybrid RRF retrieval fusion --
+def rrf_fusion_sql(
+    d, table: str = "documents", k_each: int = 20, k_out: int = 10, c: int = 60
+) -> str:
+    """Reciprocal Rank Fusion of a sparse (BM25) and a dense (embedding
+    cosine) retriever — the standard hybrid-search combiner (Cormack,
+    Clarke & Buettcher, SIGIR 2009, public; the formula Elasticsearch/
+    Vespa/OpenSearch ship): score(d) = Σ_r 1/(c + rank_r(d)) over the
+    retrievers that returned d in their top-``k_each``.  Rank fusion
+    needs no score calibration between retrievers — exactly why it wins
+    for corpus slicing where BM25 and cosine scores live on different
+    scales.  The dense query is the corpus vector keyed 0 (embeddings
+    and documents share the id space in this corpus); the sparse query
+    is bm25_sql's fixed term set.
+
+    Determinism: both ranks are integers from total-ordered row_numbers;
+    1/(c + rank) is one IEEE division, the two-term sum is a fixed
+    expression (not an aggregate), and the fused ordering re-ranks on
+    the rounded score with a doc_id tie-break.
+
+    Scale shape: each retriever's chain is its own proven shape (BM25:
+    one scan + tiny stats broadcast; dense: 1×N scored join); fusion is
+    a FULL OUTER JOIN of two k_each-row lists — driver-trivial at any
+    corpus size."""
+    from incubator_horaedb_spark.operators.similarity import (
+        km_quant_select,
+        km_qv_select,
+        _dot,
+        _r6,
+    )
+    from incubator_horaedb_spark.operators.text import bm25_ranked_ctes
+
+    cos = f"({_dot(d, 'dq.qe', 'e.q')}) / (dq.qnrm * e.nrm)"
+    rrf = (
+        f"(coalesce(1.0 / ({c}.0 + CAST(b.rn AS DOUBLE)), 0.0)"
+        f" + coalesce(1.0 / ({c}.0 + CAST(dn.rn AS DOUBLE)), 0.0))"
+    )
+    ctes = bm25_ranked_ctes(d, table) + [
+        ("qraw", km_quant_select(d, "embeddings")),
+        ("qv", km_qv_select(d, "qraw")),
+        ("dq", "SELECT q AS qe, nrm AS qnrm FROM qv WHERE vec_id = 0"),
+        (
+            "dscored",
+            f"SELECT e.vec_id AS doc_id, {_r6(cos)} AS cosine "
+            f"FROM dq CROSS JOIN qv e WHERE e.vec_id <> 0",
+        ),
+        (
+            "dranked",
+            """SELECT doc_id, cosine,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rn FROM dscored""",
+        ),
+        (
+            "fused",
+            f"""SELECT coalesce(b.doc_id, dn.doc_id) AS doc_id,
+             b.rn AS bm25_rank, dn.rn AS emb_rank,
+             {_r6(rrf)} AS rrf_score
+      FROM (SELECT doc_id, rn FROM ranked WHERE rn <= {k_each}) b
+      FULL OUTER JOIN (SELECT doc_id, rn FROM dranked WHERE rn <= {k_each}) dn
+        ON dn.doc_id = b.doc_id""",
+        ),
+    ]
+    return d.cte_query(
+        ctes,
+        f"""SELECT doc_id, bm25_rank, emb_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+    FROM fused
+    ORDER BY rnk
+    LIMIT {k_out}""",
+    )

@@ -92,6 +92,55 @@ def token_count_sql(d: Dialect, table: str = "documents") -> str:
     """
 
 
+def bm25_ranked_ctes(
+    d: Dialect,
+    table: str = "documents",
+    terms: tuple[str, ...] = ("window", "merge", "stream"),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, str]]:
+    """The BM25 scoring chain up to the ranked list (tf → stats → scored →
+    ranked) — shared by bm25_sql's top-k and the RRF fusion composition."""
+    toks = d.tokens("lower(text)")
+    tf_parts = []
+    for i, term in enumerate(terms):
+        cond = f"t = '{term}'"
+        tf_parts.append(f"{d.size(d.filter(toks, 't', cond))} AS tf_{i}")
+    tf_cols = ",\n             ".join(tf_parts)
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * {k1 + 1.0})"
+        f" / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return [
+        (
+            "tf",
+            f"""SELECT doc_id,
+             CAST({d.size(toks)} AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM {table}""",
+        ),
+        (
+            "stats",
+            f"SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM tf",
+        ),
+        (
+            "scored",
+            f"SELECT doc_id, (CAST(floor(({score}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS bm25 FROM tf CROSS JOIN stats s",
+        ),
+        (
+            "ranked",
+            """SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM scored""",
+        ),
+    ]
+
+
 def bm25_sql(
     d: Dialect,
     table: str = "documents",
@@ -109,45 +158,8 @@ def bm25_sql(
     CROSS JOIN; the score is fixed-arity per-row arithmetic — no shuffle
     besides the final top-k.  Scores are rounded to 6 digits (the same
     cross-engine transcendental tolerance as quality_sql's logistic)."""
-    toks = d.tokens("lower(text)")
-    tf_parts = []
-    for i, term in enumerate(terms):
-        cond = f"t = '{term}'"
-        tf_parts.append(f"{d.size(d.filter(toks, 't', cond))} AS tf_{i}")
-    tf_cols = ",\n             ".join(tf_parts)
-    df_cols = ", ".join(
-        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(terms))
-    )
-    score = " + ".join(
-        f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
-        f" * (tf_{i} * {k1 + 1.0})"
-        f" / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / s.avgdl))"
-        for i in range(len(terms))
-    )
     return d.cte_query(
-        [
-            (
-                "tf",
-                f"""SELECT doc_id,
-             CAST({d.size(toks)} AS DOUBLE) AS dl,
-             {tf_cols}
-      FROM {table}""",
-            ),
-            (
-                "stats",
-                f"SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM tf",
-            ),
-            (
-                "scored",
-                f"SELECT doc_id, (CAST(floor(({score}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS bm25 FROM tf CROSS JOIN stats s",
-            ),
-            (
-                "ranked",
-                """SELECT doc_id, bm25,
-             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM scored""",
-            ),
-        ],
+        bm25_ranked_ctes(d, table, terms, k1, b),
         f"SELECT doc_id, bm25 FROM ranked WHERE rn <= {k}",
     )
 

@@ -1046,3 +1046,7 @@ register(
     "embedding_mrl_truncation",
     oracle=similarity.mrl_truncation_sql(DUCK, k=5, n_queries=10),
 )(_staged_mrl_truncation)
+
+
+_sql_query("hybrid_rrf_fusion", pipeline.rrf_fusion_sql,
+           _tables=("documents", "embeddings"))

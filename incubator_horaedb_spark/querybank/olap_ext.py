@@ -544,3 +544,32 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_PARETO_SQL)
+
+
+# --- UNPIVOT (wide -> long reshaping) -------------------------------------
+_UNPIVOT_SQL = """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS price_cents
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM a UNPIVOT (val FOR metric IN (qty, n_rows, price_cents))
+    ORDER BY l_returnflag, metric
+    """
+
+
+@register("unpivot_metrics", oracle=_UNPIVOT_SQL)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI UNPIVOT — the wide-to-long reshaping operator (the inverse of
+    pivot_event_counts): per-flag integer aggregates unpivoted into
+    (metric, value) rows.  The SAME SQL text runs on both engines (the
+    `FROM t UNPIVOT (val FOR name IN (cols))` spelling parses in Spark 4
+    and DuckDB alike).  Unpivot is a zero-shuffle projection (each input
+    row expands to |cols| rows map-side); the only exchange is the
+    upstream agg's."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_UNPIVOT_SQL)

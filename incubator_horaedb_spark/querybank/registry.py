@@ -324,6 +324,8 @@ DRIVER_ORDER = [
     "session_window_agg", "drift_psi_report",
     # round-5: Matryoshka truncation recall eval
     "embedding_mrl_truncation",
+    # round-5: hybrid sparse+dense RRF fusion, ANSI UNPIVOT
+    "hybrid_rrf_fusion", "unpivot_metrics",
 ]
 
 

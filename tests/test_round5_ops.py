@@ -438,3 +438,30 @@ def test_duck_dot_handles_short_vectors():
         f"SELECT {_dot(DUCK, 'a', 'a')} FROM (SELECT [1.0, 2.0, 3.0] AS a)"
     ).fetchone()[0]
     assert got == 14.0
+
+
+# --- hybrid_rrf_fusion / unpivot_metrics -------------------------------------
+
+
+def test_rrf_fusion_scores_and_ranks(spark, qs):
+    rows = qs["hybrid_rrf_fusion"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        # every fused doc came from at least one retriever's top-20
+        assert r["bm25_rank"] is not None or r["emb_rank"] is not None
+        # score equals the RRF formula recomputed from the reported ranks
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (60.0 + r["bm25_rank"])
+        if r["emb_rank"] is not None:
+            want += 1.0 / (60.0 + r["emb_rank"])
+        assert abs(r["rrf_score"] - want) < 2e-6
+
+
+def test_unpivot_shape(spark, qs):
+    rows = qs["unpivot_metrics"](spark, SF_DIR).collect()
+    flags = {r["l_returnflag"] for r in rows}
+    # 3 metrics per flag, long format
+    assert len(rows) == 3 * len(flags)
+    assert {r["metric"] for r in rows} == {"qty", "n_rows", "price_cents"}
