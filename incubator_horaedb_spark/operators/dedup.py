@@ -1086,3 +1086,107 @@ def dupspan_report_sql(d: Dialect, table: str = "documents", k: int = DUPSPAN_K)
         assert body.startswith("WITH ")
         return f"WITH {chain},\n    {body[len('WITH '):]}"
     return d.cte_query(ctes, body)
+
+
+# ------------------------------------------- fixed-round PageRank ----------
+PR_ROUNDS = 3
+PR_DAMP_NUM = 85  # damping 0.85 rendered as exact decimal literals
+
+
+def pagerank_ctes(
+    d: Dialect, edges_src: str, rounds: int = PR_ROUNDS, pfx: str = ""
+) -> list[tuple[str, str]]:
+    """Fixed-round PageRank over an undirected edge list (doc_a, doc_b):
+    symmetrize, compute degrees, run ``rounds`` power-iteration steps
+    with per-contribution dyadic quantization (2^-20) so every
+    neighbor-sum is exact IEEE addition in any order.  The fixed round
+    count is part of the operator definition — both engines run the
+    same rounds, so results hash-match even before convergence (the
+    ivf_kmeans_train convention).  ``pfx`` prefixes stage names so the
+    Spark side can materialize them as temp views."""
+    q20 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    ctes = [
+        (
+            f"{pfx}dirs",
+            f"SELECT doc_a AS src, doc_b AS dst FROM {edges_src} "
+            f"UNION ALL SELECT doc_b AS src, doc_a AS dst FROM {edges_src}",
+        ),
+        (f"{pfx}degs", f"SELECT src AS v, count(*) AS deg FROM {pfx}dirs GROUP BY src"),
+        (f"{pfx}nn", f"SELECT count(*) AS n FROM {pfx}degs"),
+        (
+            f"{pfx}pr0",
+            f"SELECT v, deg, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS pr "
+            f"FROM {pfx}degs CROSS JOIN {pfx}nn",
+        ),
+    ]
+    for r in range(1, rounds + 1):
+        ctes += [
+            (
+                f"{pfx}ctr{r}",
+                f"SELECT e.dst AS v, "
+                f"sum({q20('p.pr / CAST(p.deg AS DOUBLE)')}) AS inp "
+                f"FROM {pfx}dirs e JOIN {pfx}pr{r - 1} p ON p.v = e.src "
+                f"GROUP BY e.dst",
+            ),
+            (
+                f"{pfx}pr{r}",
+                f"SELECT d.v, d.deg, "
+                f"(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE))"
+                f" + CAST(0.85 AS DOUBLE) * coalesce(c.inp, CAST(0.0 AS DOUBLE)) AS pr "
+                f"FROM {pfx}degs d CROSS JOIN {pfx}nn "
+                f"LEFT JOIN {pfx}ctr{r} c ON c.v = d.v",
+            ),
+        ]
+    return ctes
+
+
+def pagerank_final_select(d: Dialect, last_src: str, k: int = 15) -> str:
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    # top-k FIRST (TakeOrderedAndProject — distributed), then rank the k
+    # survivors; a global row_number over all nodes would single-partition
+    # the whole node set
+    return f"""SELECT doc_id, degree, pagerank,
+           CAST(row_number() OVER (ORDER BY pagerank DESC, doc_id) AS BIGINT) AS rnk
+    FROM (
+      SELECT CAST(v AS BIGINT) AS doc_id, CAST(deg AS BIGINT) AS degree,
+             {r6('pr')} AS pagerank
+      FROM {last_src}
+      ORDER BY pagerank DESC, doc_id
+      LIMIT {k}
+    ) topk
+    ORDER BY rnk"""
+
+
+def pagerank_sql(
+    d: Dialect, table: str = "documents", threshold: float = 0.8, rounds: int = PR_ROUNDS
+) -> str:
+    """Fixed-round PageRank over the near-dup candidate graph — ranks the
+    most-central documents of duplicate neighborhoods (the canonical-
+    representative picker when clusters should keep their hub, e.g. the
+    syndication original, rather than the lowest id; also the influence
+    measure over citation/link graphs generally — Brin & Page 1998,
+    public).  Graph = the SAME verified minhash-LSH pairs the CC
+    clustering consumes, so the whole candidate machinery (bucket caps,
+    skew gates) is shared.
+
+    Scale shape per round: one edge-keyed join carrying O(|E|) rows and
+    one hash agg — the textbook distributed PageRank step; degrees and
+    the node count stay materialized; contributions are dyadic-quantized
+    so reduction order cannot move a single bit."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {_sig_cols()}\n      FROM ex GROUP BY doc_id"),
+        ]
+        + _pairs_ctes(d, "hs", "sig")
+        + [("edges", cc_edges_select(d, "verified", threshold))]
+        + pagerank_ctes(d, "edges", rounds)
+    )
+    return d.cte_query(ctes, pagerank_final_select(d, f"pr{rounds}"))

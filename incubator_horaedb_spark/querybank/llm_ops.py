@@ -184,10 +184,10 @@ register("dedup_simhash", oracle=dedup.simhash_pairs_sql(DUCK))(_staged_simhash)
 _staged_ngram.__doc__ = dedup.ngram_jaccard_sql.__doc__
 register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0.8))(_staged_ngram)
 
-def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> str:
-    """Build the staged minhash-LSH → verified pairs → fixed-k CC label
-    views; returns the converged label view name.  Shared by the cluster
-    summary and the survivor-selection (dedup APPLY) queries."""
+def _staged_nd_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Build the staged minhash-LSH → verified pairs → edge-list views;
+    returns the edge view name.  Shared by the CC labeling chain and the
+    near-dup PageRank."""
     _staged_shingles(spark, sf_dir, "__cc_hs", materialize=False)
     _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__cc_hs"), "__cc_sig")
     gated = _gated_src(
@@ -211,6 +211,13 @@ def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> str:
         )
     pairs.createOrReplaceTempView("__cc_pairs")
     _stage(spark.sql(dedup.cc_edges_select(SPARK, "__cc_pairs", 0.8)), "__cc_edges")
+    return "__cc_edges"
+
+
+def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> str:
+    """Staged edges → converged CC label view name.  Shared by the cluster
+    summary and the survivor-selection (dedup APPLY) queries."""
+    _staged_nd_edges(spark, sf_dir)
     # Convergence-asserted CC loop (dedup.cc_converged_labels): min-label
     # propagation + pointer jump until a verified fixed point, rounds
     # localCheckpoint'd for lineage truncation (without it the analyzed
@@ -1050,3 +1057,24 @@ register(
 
 _sql_query("hybrid_rrf_fusion", pipeline.rrf_fusion_sql,
            _tables=("documents", "embeddings"))
+
+
+def _staged_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edges from the shared minhash-LSH machinery; dirs/degs/nn are
+    # referenced every round -> cached views; each round's contribution +
+    # rank views chain linearly with localCheckpoint lineage truncation
+    # (the cc_converged_labels discipline)
+    edges = _staged_nd_edges(spark, sf_dir)
+    ctes = dict(dedup.pagerank_ctes(SPARK, edges, pfx="__prk_"))
+    for name in ("__prk_dirs", "__prk_degs", "__prk_nn", "__prk_pr0"):
+        _stage(spark.sql(ctes[name]), name)
+    for r in range(1, dedup.PR_ROUNDS + 1):
+        for name in (f"__prk_ctr{r}", f"__prk_pr{r}"):
+            spark.sql(ctes[name]).localCheckpoint().createOrReplaceTempView(name)
+    return spark.sql(
+        dedup.pagerank_final_select(SPARK, f"__prk_pr{dedup.PR_ROUNDS}")
+    )
+
+
+_staged_pagerank.__doc__ = dedup.pagerank_sql.__doc__
+register("dedup_graph_pagerank", oracle=dedup.pagerank_sql(DUCK))(_staged_pagerank)

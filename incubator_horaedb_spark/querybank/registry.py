@@ -326,6 +326,8 @@ DRIVER_ORDER = [
     "embedding_mrl_truncation",
     # round-5: hybrid sparse+dense RRF fusion, ANSI UNPIVOT
     "hybrid_rrf_fusion", "unpivot_metrics",
+    # round-5: pairwise series correlation matrix, near-dup-graph PageRank
+    "ts_correlation_matrix", "dedup_graph_pagerank",
 ]
 
 

@@ -1712,3 +1712,64 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 drift_psi_report.__doc__ = _psi_sql.__doc__
+
+
+# --- pairwise metric correlation matrix --------------------------------------
+def _corrmat_sql(engine: str) -> str:
+    """Pairwise Pearson correlation matrix of hourly event volumes over
+    all series pairs — the metric-similarity audit (observability UIs
+    cluster dashboards with it; pipelines use it to drop redundant
+    signals before modeling).  Pairwise-complete semantics: each pair
+    correlates over the hours where BOTH series have samples (the inner
+    join), with the hour count reported so sparse pairs are visible.
+
+    Exact integer moments per pair (counts in, Σx/Σy/Σx²/Σxy/Σy² as
+    int64), one closed-form IEEE expression out — stats_corr_regr's
+    recipe applied to the |series|²/2 self-join of the bucketed table.
+    Scale shape: one raw-scan hash agg to O(series × hours) rows, one
+    hb-keyed self-join (each hour produces |series|² pair rows — fine
+    while the series count is dashboard-sized; sample series first when
+    it is not), one per-pair agg."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        f"CAST({c} AS DOUBLE)" for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov_n = f"({n} * {sxy} - {sx} * {sy})"
+    var_x = f"({n} * {sxx} - {sx} * {sx})"
+    var_y = f"({n} * {syy} - {sy} * {sy})"
+    return f"""
+    WITH b AS (
+      SELECT event_type, (({ems}) {div} 3600000) AS hb, count(*) AS v
+      FROM events GROUP BY event_type, (({ems}) {div} 3600000)
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, c.event_type AS type_b, a.v AS xv, c.v AS yv
+      FROM b a JOIN b c ON c.hb = a.hb AND a.event_type < c.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, count(*) AS n,
+             sum(xv) AS sx, sum(yv) AS sy,
+             sum(xv * xv) AS sxx, sum(xv * yv) AS sxy, sum(yv * yv) AS syy
+      FROM p GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+           CASE WHEN {var_x} > 0 AND {var_y} > 0
+                THEN {r6(f'{cov_n} / sqrt({var_x} * {var_y})')}
+           END AS corr
+    FROM m
+    ORDER BY type_a, type_b
+    """
+
+
+@register("ts_correlation_matrix", oracle=_corrmat_sql("duckdb"))
+def ts_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_corrmat_sql("spark"))
+
+
+ts_correlation_matrix.__doc__ = _corrmat_sql.__doc__

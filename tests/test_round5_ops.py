@@ -465,3 +465,46 @@ def test_unpivot_shape(spark, qs):
     # 3 metrics per flag, long format
     assert len(rows) == 3 * len(flags)
     assert {r["metric"] for r in rows} == {"qty", "n_rows", "price_cents"}
+
+
+# --- ts_correlation_matrix / dedup_graph_pagerank ----------------------------
+
+
+def test_corr_matrix_pairs_and_bounds(spark, qs):
+    rows = qs["ts_correlation_matrix"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]  # upper triangle only
+        assert r["n_hours"] > 0
+        if r["corr"] is not None:
+            assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+
+
+def test_pagerank_path_graph_center_wins(spark):
+    from incubator_horaedb_spark.operators import dedup
+    from incubator_horaedb_spark.operators.dialect import SPARK as SP
+
+    # path graph 1-2-3: the center node gets the highest PageRank
+    spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    ).createOrReplaceTempView("__t_edges")
+    sql = SP.cte_query(
+        dedup.pagerank_ctes(SP, "__t_edges", pfx="t_"),
+        dedup.pagerank_final_select(SP, f"t_pr{dedup.PR_ROUNDS}", k=3),
+    )
+    rows = spark.sql(sql).collect()
+    assert [r["doc_id"] for r in rows] == [2, 1, 3] or [r["doc_id"] for r in rows] == [2, 3, 1]
+    assert rows[0]["degree"] == 2
+    # mass conservation: symmetric graph, no dangling nodes
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-3
+
+
+def test_pagerank_corpus_invariants(spark, qs):
+    rows = qs["dedup_graph_pagerank"](spark, SF_DIR).collect()
+    if not rows:  # no near-dup edges at this SF is legitimate
+        return
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    prs = [r["pagerank"] for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    for r in rows:
+        assert r["degree"] >= 1 and r["pagerank"] > 0
