@@ -76,6 +76,22 @@ class PromQuery:
     subquery: tuple[str, int, int] | None = None  # (agg fn, window_ms, step_ms)
 
 
+@dataclass
+class BinExpr:
+    """A vector-vector binary expression with explicit matching
+    (parse_promql extended=True): lhs op rhs [on(..)/ignoring(..)]
+    [group_left].  Division by an exactly-zero right side pins to NULL on
+    both engines (the promql_binary_vector_ops convention — safer for
+    cross-engine hashing than IEEE Inf)."""
+
+    lhs: PromQuery
+    op: str  # + - * /
+    rhs: PromQuery
+    on: list[str] | None = None  # on(): [] ; absent: None
+    ignoring: list[str] | None = None
+    group_left: bool = False
+
+
 _SELECTOR_RE = re.compile(
     r"^\s*([A-Za-z_:][\w:]*)\s*(\{([^}]*)\})?\s*(\[([\w]+)\])?"
     r"\s*(offset\s+([\w]+))?\s*$",
@@ -98,6 +114,33 @@ _SUBQ_RE = re.compile(
 )
 
 
+def _split_top_level_binop(q: str):
+    """Find the first arithmetic operator at paren/brace/bracket depth 0
+    and split ``lhs op [matching-clause] rhs``.  Returns None when the
+    expression has no top-level operator.  The matching clause
+    (on/ignoring + group_left) is whatever sits between the operator and
+    the first character that can start an expression operand."""
+    depth = 0
+    for i, ch in enumerate(q):
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif depth == 0 and ch in "+-*/" and i > 0:
+            lhs = q[:i].strip()
+            if not lhs:
+                continue
+            rest = q[i + 1 :].lstrip()
+            # peel the optional matching clause token by token
+            mm = re.match(
+                r"^((?:(?:on|ignoring)\s*\([^)]*\)\s*)?(?:group_left(?:\s*\(\s*\))?\s*)?)(.*)$",
+                rest,
+                re.I | re.S,
+            )
+            return lhs, ch, mm.group(1).strip(), mm.group(2).strip()
+    return None
+
+
 def parse_promql(query: str, extended: bool = False) -> PromQuery:
     """Parse PromQL text.
 
@@ -114,6 +157,34 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
     q = query.strip()
 
     if extended:
+        b = _split_top_level_binop(q)
+        if b is not None:
+            lhs_txt, op, match_txt, rhs_txt = b
+            on = ignoring = None
+            group_left = False
+            mm = re.match(
+                r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?(group_left(?:\s*\(\s*\))?)?\s*$",
+                match_txt,
+                re.I,
+            )
+            if not mm:
+                raise ValueError(f"cannot parse vector matching {match_txt!r}")
+            if mm.group(1):
+                labels = [x.strip() for x in mm.group(2).split(",") if x.strip()]
+                if mm.group(1).lower() == "on":
+                    on = labels
+                else:
+                    ignoring = labels
+            if mm.group(3):
+                group_left = True
+            return BinExpr(
+                lhs=parse_promql(lhs_txt, extended=True),
+                op=op,
+                rhs=parse_promql(rhs_txt, extended=True),
+                on=on,
+                ignoring=ignoring,
+                group_left=group_left,
+            )
         m = _WRAP_K_RE.match(q)
         if m:
             inner = parse_promql(m.group(3).strip(), extended=False)
@@ -248,6 +319,47 @@ def promql_to_df(
     (topk/bottomk/clamp*/subqueries) — see parse_promql.
     """
     pq = parse_promql(query, extended=extended) if isinstance(query, str) else query
+
+    if isinstance(pq, BinExpr):
+        # vector-vector binary op with explicit matching: evaluate both
+        # sides on the SAME grid (one aligned evaluation each), then an
+        # equi-join on ts + the matching labels.  At scale both inputs are
+        # aligned (series × steps) rows — never raw samples — and an
+        # aggregated side is O(steps), broadcast-sized.
+        kw = dict(
+            tables=tables, start_ms=start_ms, end_ms=end_ms, step_ms=step_ms,
+            ts_col=ts_col, tag_cols=tag_cols, default_field=default_field,
+            lookback_ms=lookback_ms, extended=extended, round_digits=round_digits,
+        )
+        ldf = promql_to_df(pq.lhs, **kw)
+        rdf = promql_to_df(pq.rhs, **kw)
+        aux = {"ts", "value", "uid", "rn", "subq_value"}
+        llabels = [c for c in ldf.columns if c not in aux]
+        rlabels = [c for c in rdf.columns if c not in aux]
+        if pq.on is not None:
+            keys = ["ts"] + [l for l in pq.on if l in llabels and l in rlabels]
+        else:
+            shared = [l for l in llabels if l in rlabels]
+            if pq.ignoring:
+                shared = [l for l in shared if l not in pq.ignoring]
+            keys = ["ts"] + shared
+        l = ldf.select(*llabels, "ts", F.col("value").alias("__vl"))
+        r = rdf.select(
+            *[c for c in rlabels if c not in llabels or c in keys], "ts",
+            F.col("value").alias("__vr"),
+        )
+        j = l.join(r, keys)
+        vl, vr = F.col("__vl"), F.col("__vr")
+        if pq.op == "/":
+            value = F.when(vr != 0, vl / vr)  # zero divisor → NULL, both engines
+        else:
+            value = {"+": vl + vr, "-": vl - vr, "*": vl * vr}[pq.op]
+        if round_digits is not None:
+            scale = float(10**round_digits)
+            value = F.floor(value * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
+        out = j.select(*llabels, "ts", value.alias("value"))
+        return out.orderBy(*llabels, "ts")
+
     sel = pq.selector
     if sel.metric not in tables:
         raise KeyError(f"unknown metric {sel.metric!r}")
@@ -299,7 +411,18 @@ def promql_to_df(
         else:
             keep = []
         agg_fn = _AGG_OPS[pq.agg_op]
-        out = aligned.groupBy(*keep, "ts").agg(agg_fn("value").alias("value"))
+        agg_in: object = "value"
+        if round_digits is not None and pq.agg_op in ("sum", "avg"):
+            # determinism mode (the gated-query path): quantize addends to
+            # the 2^-26 dyadic grid so the reduction is exact in any order
+            # — the promql_sum_by_ts oracle convention; 26 fraction bits
+            # keep exactness to ~10^6 series per group at rate magnitudes
+            scale = 1 << 26
+            agg_in = (
+                F.floor(F.col("value") * F.lit(float(scale)) + F.lit(0.5)).cast("double")
+                / F.lit(float(scale))
+            )
+        out = aligned.groupBy(*keep, "ts").agg(agg_fn(agg_in).alias("value"))
         uid = unique_id(keep) if keep else F.lit(0).cast("long")
         return out.withColumn("uid", uid).orderBy("uid", "ts")
 

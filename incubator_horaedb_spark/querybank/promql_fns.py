@@ -576,3 +576,64 @@ def promql_group_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_of_total"),
         )
     )
+
+
+# --- parsed binary vector expressions -------------------------------------
+def _parsed_share_oracle() -> str:
+    from incubator_horaedb_spark.functions.detfloat import dyadic_sql
+
+    return f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    tot AS (
+      SELECT ts, sum({dyadic_sql("value", 26)}) AS total FROM aligned GROUP BY ts
+    )
+    SELECT a.event_type, a.ts,
+           CASE WHEN t.total = 0 THEN NULL
+                ELSE {r_out_sql('a.value / t.total', 6)}
+           END AS value
+    FROM aligned a JOIN tot t ON t.ts = a.ts
+    """
+
+
+@register("promql_parsed_share", oracle=_parsed_share_oracle())
+def promql_parsed_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) / on() group_left sum(rate(events[2h]))` through
+    the TEXT parser — the share-of-total many-to-one matching shape
+    reachable from PromQL text (parse_promql extended=True BinExpr).
+    Both sides share the grid; the aggregated side is O(steps) rows; the
+    sum quantizes addends on the 2^-26 dyadic grid (exact reduction) and
+    zero totals pin the division to NULL on both engines."""
+    out = _parsed(
+        spark, sf_dir,
+        "rate(events[2h]) / on() group_left sum(rate(events[2h]))",
+    )
+    return out.select("event_type", "ts", "value")
+
+
+def _parsed_ratio_oracle() -> str:
+    return f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    e AS (SELECT ts, value FROM aligned WHERE event_type = 'error'),
+    c AS (SELECT ts, value FROM aligned WHERE event_type = 'click')
+    SELECT 'error' AS event_type, e.ts,
+           CASE WHEN c.value = 0 THEN NULL
+                ELSE {r_out_sql('e.value / c.value', 6)}
+           END AS value
+    FROM e JOIN c ON c.ts = e.ts
+    """
+
+
+@register("promql_parsed_ratio", oracle=_parsed_ratio_oracle())
+def promql_parsed_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events{event_type="error"}[2h]) / ignoring(event_type)
+    rate(events{event_type="click"}[2h])` through the text parser —
+    one-to-one matching with ignoring(): the joined label is excluded
+    from the match keys, so the two differently-labeled series pair up
+    per timestamp (the error-per-click alerting ratio; builder twin:
+    promql_binary_vector_ops)."""
+    out = _parsed(
+        spark, sf_dir,
+        'rate(events{event_type="error"}[2h]) / ignoring(event_type) '
+        'rate(events{event_type="click"}[2h])',
+    )
+    return out.select("event_type", "ts", "value")

@@ -328,6 +328,8 @@ DRIVER_ORDER = [
     "hybrid_rrf_fusion", "unpivot_metrics",
     # round-5: pairwise series correlation matrix, near-dup-graph PageRank
     "ts_correlation_matrix", "dedup_graph_pagerank",
+    # round-5: binary vector expressions through the text parser
+    "promql_parsed_share", "promql_parsed_ratio",
 ]
 
 

@@ -508,3 +508,39 @@ def test_pagerank_corpus_invariants(spark, qs):
     assert prs == sorted(prs, reverse=True)
     for r in rows:
         assert r["degree"] >= 1 and r["pagerank"] > 0
+
+
+# --- parsed PromQL binary expressions ------------------------------------------
+
+
+def test_parse_binexpr_shapes():
+    from incubator_horaedb_spark.frontends.promql import BinExpr, parse_promql
+
+    b = parse_promql(
+        "rate(events[2h]) / on() group_left sum(rate(events[2h]))", extended=True
+    )
+    assert isinstance(b, BinExpr) and b.op == "/" and b.on == [] and b.group_left
+    assert b.lhs.range_fn == "rate" and b.rhs.agg_op == "sum"
+
+    b2 = parse_promql(
+        'rate(m{t="a"}[5m]) * ignoring(t) rate(m{t="b"}[5m])', extended=True
+    )
+    assert b2.ignoring == ["t"] and b2.op == "*" and not b2.group_left
+
+    # default grammar still rejects binary expressions (reference parity)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_promql("rate(m[5m]) / rate(n[5m])")
+
+
+def test_parsed_share_sums_to_one(spark, qs):
+    rows = qs["promql_parsed_share"](spark, SF_DIR).collect()
+    assert rows
+    by_ts = {}
+    for r in rows:
+        if r["value"] is not None:
+            by_ts.setdefault(r["ts"], []).append(r["value"])
+    assert by_ts
+    for shares in by_ts.values():
+        assert abs(sum(shares) - 1.0) < 0.02
