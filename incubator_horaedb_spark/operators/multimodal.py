@@ -894,3 +894,133 @@ def decode_video_frame_stats(
             )
 
     return df.mapInPandas(kernel, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
+# ------------------------------------------------------- EXIF APP1 / TIFF --
+def synth_jpeg_exif_payload(media_id: int) -> bytes:
+    """Deterministic JPEG with a REAL Exif APP1 segment: SOI + APP1
+    ("Exif\\0\\0" + a TIFF structure whose byte order ALTERNATES by id —
+    little-endian "II" for even ids, big-endian "MM" for odd — so the
+    parser must honor the declared order) + EOI.  IFD0 carries
+    Orientation (inline SHORT), XResolution (offset RATIONAL — exercises
+    the value-offset indirection) and DateTime (offset ASCII).  All tag
+    values derive from the id formula, so the oracle can state the
+    expected parse without seeing the bytes (the writer/parser
+    independence convention of the header round-trips)."""
+    import struct
+
+    le = media_id % 2 == 0
+    e = "<" if le else ">"
+    orientation = 1 + media_id % 8
+    xres_num = 72 + media_id % 100
+    day = 1 + media_id % 28
+    dt = f"2024:01:{day:02d} 00:00:00\x00".encode()  # 20 bytes incl. NUL
+
+    # TIFF layout (offsets relative to TIFF header start):
+    # 0: byte order + 42 + IFD0 offset (8)
+    # 8: entry count (3), 10: 3*12 entry bytes, 46: next-IFD (0) -> ends 50
+    # 50: XResolution RATIONAL (8 bytes); 58: DateTime ASCII (20 bytes)
+    entries = b""
+    entries += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "H", orientation) + b"\x00\x00"
+    entries += struct.pack(e + "HHI", 0x011A, 5, 1) + struct.pack(e + "I", 50)
+    entries += struct.pack(e + "HHI", 0x0132, 2, len(dt)) + struct.pack(e + "I", 58)
+    tiff = (
+        (b"II" if le else b"MM")
+        + struct.pack(e + "HI", 42, 8)
+        + struct.pack(e + "H", 3)
+        + entries
+        + struct.pack(e + "I", 0)
+        + struct.pack(e + "II", xres_num, 1)
+        + dt
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+
+def parse_exif(payload: bytes):
+    """Walk JPEG markers to APP1/Exif, then parse the TIFF IFD0 honoring
+    the declared byte order: returns (byte_order, orientation, xres_num,
+    shot_day) or Nones.  Independent of the writer (manual unpacking +
+    marker walk vs struct-pack composition)."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return (None, None, None, None)
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            t = body[6:]
+            if t[:2] == b"II":
+                e = "<"
+            elif t[:2] == b"MM":
+                e = ">"
+            else:
+                return (None, None, None, None)
+            if struct.unpack(e + "H", t[2:4])[0] != 42:
+                return (None, None, None, None)
+            ifd0 = struct.unpack(e + "I", t[4:8])[0]
+            n = struct.unpack(e + "H", t[ifd0 : ifd0 + 2])[0]
+            orientation = xres = day = None
+            for k in range(n):
+                off = ifd0 + 2 + 12 * k
+                tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
+                val = t[off + 8 : off + 12]
+                if tag == 0x0112 and typ == 3:
+                    orientation = struct.unpack(e + "H", val[:2])[0]
+                elif tag == 0x011A and typ == 5:
+                    voff = struct.unpack(e + "I", val)[0]
+                    num, den = struct.unpack(e + "II", t[voff : voff + 8])
+                    xres = num if den == 1 else num // max(den, 1)
+                elif tag == 0x0132 and typ == 2:
+                    voff = struct.unpack(e + "I", val)[0]
+                    s = t[voff : voff + cnt].rstrip(b"\x00").decode("ascii", "replace")
+                    # "YYYY:MM:DD hh:mm:ss"
+                    try:
+                        day = int(s[8:10])
+                    except ValueError:
+                        day = None
+            return (t[:2].decode("ascii"), orientation, xres, day)
+        i += 2 + seg_len
+    return (None, None, None, None)
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_order", T.StringType(), True),
+        T.StructField("orientation", T.LongType(), True),
+        T.StructField("xres", T.LongType(), True),
+        T.StructField("shot_day", T.LongType(), True),
+    ]
+)
+
+
+def decode_exif_meta(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """EXIF metadata extraction via Arrow-batched mapInPandas."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                parse_exif(bytes(b)) if b is not None else (None, None, None, None)
+                for b in pdf[media_col]
+            ]
+            out = pd.DataFrame(
+                decoded, columns=["byte_order", "orientation", "xres", "shot_day"]
+            )
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(kernel, schema=EXIF_SCHEMA)
+
+
+def synthesize_exif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, media) frame of synthesized Exif-JPEG payloads."""
+    return synthesize_payloads(df, synth_jpeg_exif_payload, id_col)

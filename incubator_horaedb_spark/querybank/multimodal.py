@@ -327,3 +327,32 @@ def multimodal_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_payloads(docs, synth_png_full_payload)
     return resize_png_nearest_stats(media, factor=2)
+
+
+@register(
+    "multimodal_exif_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + doc_id % 8 AS BIGINT)   AS orientation,
+           CAST(72 + doc_id % 100 AS BIGINT) AS xres,
+           CAST(1 + doc_id % 28 AS BIGINT)  AS shot_day
+    FROM documents
+    """,
+)
+def multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF metadata round-trip: synthesize a JPEG whose APP1 segment
+    carries a TIFF IFD0 (byte order alternating II/MM by id, inline SHORT
+    orientation, offset-RATIONAL XResolution, offset-ASCII DateTime) and
+    recover the tags by walking markers + parsing the IFD honoring the
+    declared byte order (operators/multimodal.py parse_exif).  The oracle
+    states every tag from the id formulas alone — a parser bug cannot
+    cancel a writer bug.  Arrow-batched mapInPandas; one scan, no
+    shuffle."""
+    from incubator_horaedb_spark.operators.multimodal import (
+        decode_exif_meta,
+        synthesize_exif_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_exif_meta(synthesize_exif_payloads(docs))

@@ -330,6 +330,8 @@ DRIVER_ORDER = [
     "ts_correlation_matrix", "dedup_graph_pagerank",
     # round-5: binary vector expressions through the text parser
     "promql_parsed_share", "promql_parsed_ratio",
+    # round-5: EXIF APP1/TIFF metadata round-trip
+    "multimodal_exif_meta",
 ]
 
 

@@ -544,3 +544,31 @@ def test_parsed_share_sums_to_one(spark, qs):
     assert by_ts
     for shares in by_ts.values():
         assert abs(sum(shares) - 1.0) < 0.02
+
+
+# --- multimodal_exif_meta ----------------------------------------------------
+
+
+def test_exif_round_trip_both_byte_orders():
+    from incubator_horaedb_spark.operators.multimodal import (
+        parse_exif,
+        synth_jpeg_exif_payload,
+    )
+
+    for mid in (0, 1, 8, 27, 99, 100, 4095):
+        bo, orient, xres, day = parse_exif(synth_jpeg_exif_payload(mid))
+        assert bo == ("II" if mid % 2 == 0 else "MM")
+        assert orient == 1 + mid % 8
+        assert xres == 72 + mid % 100
+        assert day == 1 + mid % 28
+
+
+def test_exif_parser_rejects_garbage():
+    from incubator_horaedb_spark.operators.multimodal import parse_exif
+
+    assert parse_exif(b"") == (None, None, None, None)
+    assert parse_exif(b"\xff\xd8\xff\xd9") == (None, None, None, None)
+    # APP1 that is not Exif
+    assert parse_exif(b"\xff\xd8\xff\xe1\x00\x08notex\xff\xd9") == (
+        None, None, None, None,
+    )
