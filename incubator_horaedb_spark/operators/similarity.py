@@ -1402,3 +1402,81 @@ def mrl_truncation_sql(
     ctes += _bf_prefixed_ctes(d, "qv", "f_", k, n_queries)
     ctes += _bf_prefixed_ctes(d, "tv", "t_", k, n_queries)
     return d.cte_query(ctes, mrl_recall_final(d, k))
+
+
+# --- two-stage retrieval: PQ candidates + exact refine --------------------
+def _l2sq_full(d: Dialect, a: str, b: str) -> str:
+    """Exact squared L2 over FULL-dimension dyadic vectors (the _l2sq
+    subvector fold generalized): sequential fold, actual-length iteration
+    on both engines (zip_with parity)."""
+    if d.engine == "spark":
+        diffs = (
+            f"zip_with({a}, {b}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+        )
+        return f"aggregate({diffs}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    diffs = d.transform(
+        d.range1(d.size(a)),
+        "i",
+        f"(CAST({d.at(a, 'i')} AS DOUBLE) - CAST({d.at(b, 'i')} AS DOUBLE)) "
+        f"* (CAST({d.at(a, 'i')} AS DOUBLE) - CAST({d.at(b, 'i')} AS DOUBLE))",
+    )
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), (acc, x) -> acc + x)"
+
+
+def refine_ctes(
+    d: Dialect, cand_src: str, qv_src: str, k: int
+) -> list[tuple[str, str]]:
+    """Exact-rerank stage: read the FULL vectors for the candidate set
+    only (|queries| × m rows — the refine step of FAISS's IndexRefine),
+    compute exact quantized L2 and keep the top-``k``."""
+    edist = _l2sq_full(d, "a.q", "b.q")
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return [
+        (
+            "exd",
+            f"""SELECT c.qid, c.vec_id, {r6(edist)} AS exact_dist
+      FROM {cand_src} c
+      JOIN {qv_src} a ON a.vec_id = c.qid
+      JOIN {qv_src} b ON b.vec_id = c.vec_id""",
+        ),
+        (
+            "rr",
+            """SELECT qid, vec_id, exact_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY exact_dist ASC, vec_id) AS rn2
+      FROM exd""",
+        ),
+    ]
+
+
+def ann_refine_sql(
+    d: Dialect, table: str = "embeddings", k: int = 5, m: int = 20, n_queries: int = 10
+) -> str:
+    """Two-stage retrieval (FAISS IndexRefine shape, public): PQ ADC
+    generates ``m`` cheap candidates per query from the 8-byte codes —
+    the corpus vectors are never scanned — then the refine stage reads
+    FULL vectors for the |queries| × m candidate set only and reranks by
+    exact (quantized) L2, returning the top-``k``.  The production
+    compressed-index pattern: ADC recall errors from 8x compression are
+    repaired by exact distances on a set 4 orders of magnitude smaller
+    than the corpus.
+
+    Scale shape: candidate generation is the proven ADC plan (broadcast
+    LUT, codes join); the refine join touches m rows per query keyed by
+    vec_id — a broadcast-sized probe against the vector table at any
+    corpus size."""
+    ctes = pq_train_ctes(d, table) + [
+        ("codes", f"SELECT vec_id, subsp, cid FROM pa{PQ_ROUNDS}"),
+    ]
+    ctes += pq_adc_ctes(d, "codes", f"cb{PQ_ROUNDS}", "sub", m, n_queries)
+    ctes += [("cand", f"SELECT qid, vec_id FROM ranked WHERE rn <= {m}")]
+    ctes += refine_ctes(d, "cand", "qv", k)
+    return d.cte_query(
+        ctes,
+        f"""SELECT qid, vec_id, exact_dist, CAST(rn2 AS BIGINT) AS rnk
+    FROM rr WHERE rn2 <= {k}
+    ORDER BY qid, rnk""",
+    )

@@ -1078,3 +1078,27 @@ def _staged_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _staged_pagerank.__doc__ = dedup.pagerank_sql.__doc__
 register("dedup_graph_pagerank", oracle=dedup.pagerank_sql(DUCK))(_staged_pagerank)
+
+
+def _staged_ann_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ training staged once (__pqr_*); candidates + refine chain
+    # linearly over the cached views (qv referenced twice: query + corpus
+    # side of the refine join)
+    sub, cb, pa = _pq_stage_common(spark, sf_dir, "__pqr")
+    _stage(spark.sql(f"SELECT vec_id, subsp, cid FROM {pa}"), "__pqr_codes")
+    ctes = similarity.pq_adc_ctes(SPARK, "__pqr_codes", cb, sub, 20, 10)
+    ctes += [("cand", "SELECT qid, vec_id FROM ranked WHERE rn <= 20")]
+    ctes += similarity.refine_ctes(SPARK, "cand", "__pqr_qv", 5)
+    return spark.sql(
+        SPARK.cte_query(
+            ctes,
+            "SELECT qid, vec_id, exact_dist, CAST(rn2 AS BIGINT) AS rnk "
+            "FROM rr WHERE rn2 <= 5 ORDER BY qid, rnk",
+        )
+    )
+
+
+_staged_ann_refine.__doc__ = similarity.ann_refine_sql.__doc__
+register(
+    "ann_refine_rerank", oracle=similarity.ann_refine_sql(DUCK, k=5, m=20, n_queries=10)
+)(_staged_ann_refine)

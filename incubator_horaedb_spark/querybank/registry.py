@@ -332,6 +332,8 @@ DRIVER_ORDER = [
     "promql_parsed_share", "promql_parsed_ratio",
     # round-5: EXIF APP1/TIFF metadata round-trip
     "multimodal_exif_meta",
+    # round-5: two-stage PQ-candidates + exact-refine retrieval
+    "ann_refine_rerank",
 ]
 
 

@@ -572,3 +572,20 @@ def test_exif_parser_rejects_garbage():
     assert parse_exif(b"\xff\xd8\xff\xe1\x00\x08notex\xff\xd9") == (
         None, None, None, None,
     )
+
+
+# --- ann_refine_rerank -------------------------------------------------------
+
+
+def test_refine_ranks_exact_and_bounded(spark, qs):
+    rows = qs["ann_refine_rerank"](spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, lst in by_q.items():
+        assert len(lst) <= 5
+        assert [r["rnk"] for r in lst] == list(range(1, len(lst) + 1))
+        dists = [r["exact_dist"] for r in lst]
+        assert dists == sorted(dists)
+        assert all(r["vec_id"] != q for r in lst)

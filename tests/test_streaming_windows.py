@@ -162,3 +162,44 @@ def test_stream_static_enrichment(spark, tmp_path):
     out = _run_stream(spark, joined, "enriched")
     got = {r["user_id"]: r["tier"] for r in out.collect()}
     assert got == {1: "gold", 2: "silver", 9: None}
+
+
+def test_session_window_stream(spark, tmp_path):
+    # Spark's NATIVE session_window in streaming mode — the same operator
+    # the batch-gated session_window_agg runs, with watermark-driven
+    # session finalization (complements the applyInPandasWithState
+    # sessionizer: engine-level merging vs custom state logic)
+    path = str(tmp_path / "sw_src")
+    base = 1_700_000_000_000
+    rows = [
+        (1, base + 1_000, 1.0),
+        (1, base + 10_000, 1.0),          # same session (gap 9s < 30s)
+        (1, base + 120_000, 1.0),         # new session (gap 110s > 30s)
+        (2, base + 5_000, 1.0),
+        (9, base + 3_600_000, 1.0),       # watermark pusher: closes all above
+    ]
+    _write_events(spark, path, rows)
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .parquet(path)
+        .withWatermark("ts", "1 minute")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("s"),
+            F.unix_millis("session_window.end").alias("e"),
+            "n",
+        )
+    )
+    out = _run_stream(spark, agg, "sw_sessions")
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in out.collect()
+        if r["user_id"] != 9
+    }
+    assert (1, base + 1_000, base + 40_000, 2) in got       # merged pair
+    assert (1, base + 120_000, base + 150_000, 1) in got    # second session
+    assert (2, base + 5_000, base + 35_000, 1) in got
