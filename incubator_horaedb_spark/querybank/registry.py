@@ -206,7 +206,7 @@ DRIVER_ORDER = [
     "promql_rate", "promql_instant", "promql_sum_by_ts",
     "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_lsh",
     "decontaminate_ngram",
     "sample_stratified",
     "ann_cosine_bruteforce",
@@ -214,8 +214,17 @@ DRIVER_ORDER = [
     "embedding_rhp_lsh", "text_langid",
     "text_fingerprint",
     "funnel_conversion", "corpus_quality_filter",
-    "sessionize_events", "asof_join_events",
+    "asof_join_events",
     "multimodal_png_pixel_stats",
+    # round-5 session swap: three never-driver-verified round-5 families
+    # promoted (PromQL many-to-one matching, substring-span dedup, native
+    # session windows); the slots come from driver-green same-family
+    # variants (dedup_exact — anchor green since r01, family covered by
+    # minhash/edit/containment; sessionize_events — session family now
+    # represented by the native operator; promql_histogram_quantile —
+    # evaluator family represented by promql_subquery_max_rate; all three
+    # demoted below, still locally gated every round)
+    "promql_group_left", "dedup_dupspan_report", "session_window_agg",
     # round-5 window rotation (VERDICT r04 next-round #1): one never-
     # driver-verified representative per round-4 family promoted into the
     # top-50; the slots come from same-family variants that are already
@@ -230,8 +239,9 @@ DRIVER_ORDER = [
     # their family's representative)
     "pivot_event_counts", "events_json_extract",
     "join_full_outer",
-    "promql_histogram_quantile",
     "q5_local_supplier_volume", "q18_large_orders",
+    # demoted in the round-5 session swap (driver-green, locally gated)
+    "dedup_exact", "sessionize_events", "promql_histogram_quantile",
     # family variants — covered by a same-family representative above when
     # the driver caps its check window (round-5 rotations out listed
     # first; all driver-green in r04, still locally gated every round)
@@ -313,15 +323,17 @@ DRIVER_ORDER = [
     # round-5: winnow exact-substring decontamination, per-series ACF,
     # per-source KL token-distribution drift
     "decontaminate_winnow", "ts_autocorrelation", "corpus_source_divergence",
-    # round-5: PromQL many-to-one vector matching (on/group_left), set-op
-    # ALL variants
-    "promql_group_left", "set_intersect_all", "set_except_all",
-    # round-5: lagged cross-correlation, duplicated n-gram span coverage
-    "ts_cross_correlation", "dedup_dupspan_report",
+    # round-5: set-op ALL variants (promql_group_left promoted to the
+    # top-50 in the session swap above)
+    "set_intersect_all", "set_except_all",
+    # round-5: lagged cross-correlation (dedup_dupspan_report promoted to
+    # the top-50 in the session swap above)
+    "ts_cross_correlation",
     # round-5: corpus BPE encoding (the apply side of bpe_train_merges)
     "bpe_encode_corpus",
-    # round-5: Spark-native session windows (batch), PSI drift report
-    "session_window_agg", "drift_psi_report",
+    # round-5: PSI drift report (session_window_agg promoted to the
+    # top-50 in the session swap above)
+    "drift_psi_report",
     # round-5: Matryoshka truncation recall eval
     "embedding_mrl_truncation",
     # round-5: hybrid sparse+dense RRF fusion, ANSI UNPIVOT
