@@ -389,3 +389,62 @@ def parse_line_protocol(text: str) -> dict[str, list[dict[str, Any]]]:
     """Flat rendering of :func:`parse_line_protocol_typed` (measurement →
     row dicts) for callers that don't need the tag/field split."""
     return {m: b.rows for m, b in parse_line_protocol_typed(text).items()}
+
+
+_SHOW_TAG_VALUES_RE = re.compile(
+    r'^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*$',
+    re.I,
+)
+_SHOW_FIELD_KEYS_RE = re.compile(r'^\s*SHOW\s+FIELD\s+KEYS\s+FROM\s+"?(\w+)"?\s*$', re.I)
+
+
+def show_tag_values(
+    tables: dict[str, DataFrame], measurement: str, key: str
+) -> DataFrame:
+    """InfluxQL ``SHOW TAG VALUES FROM m WITH KEY = k`` (beyond-reference:
+    the reference's InfluxQL planner supports only SELECT and SHOW
+    MEASUREMENTS, planner.rs:166-205; this is the InfluxDB-standard
+    metadata statement).  Distributed distinct over the tag column — at
+    scale a partial/final agg whose output is NDV-sized."""
+    if measurement not in tables:
+        raise KeyError(f"unknown measurement {measurement!r}")
+    df = tables[measurement]
+    if key not in df.columns:
+        raise ValueError(f"unknown tag key {key!r}")
+    return (
+        df.select(F.lit(key).alias("key"), F.col(key).alias("value"))
+        .distinct()
+        .orderBy("value")
+    )
+
+
+def show_field_keys(tables: dict[str, DataFrame], measurement: str) -> list[tuple[str, str]]:
+    """InfluxQL ``SHOW FIELD KEYS FROM m``: numeric (non-tag, non-time)
+    columns with their Influx type names — schema metadata, driver-side."""
+    if measurement not in tables:
+        raise KeyError(f"unknown measurement {measurement!r}")
+    out = []
+    for f_ in tables[measurement].schema.fields:
+        t = f_.dataType.typeName()
+        if t in ("double", "float"):
+            out.append((f_.name, "float"))
+        elif t in ("long", "integer", "short", "byte"):
+            out.append((f_.name, "integer"))
+        elif t == "boolean":
+            out.append((f_.name, "boolean"))
+    return sorted(out)
+
+
+def influxql_metadata(q: str, tables: dict[str, DataFrame]):
+    """Dispatch InfluxQL metadata statements (SHOW MEASUREMENTS / TAG
+    VALUES / FIELD KEYS); returns None for non-metadata statements so the
+    caller can fall through to influxql_to_df."""
+    if re.match(r"^\s*SHOW\s+MEASUREMENTS\s*$", q, re.I):
+        return show_measurements(tables)
+    m = _SHOW_TAG_VALUES_RE.match(q)
+    if m:
+        return show_tag_values(tables, m.group(1), m.group(2))
+    m = _SHOW_FIELD_KEYS_RE.match(q)
+    if m:
+        return show_field_keys(tables, m.group(1))
+    return None

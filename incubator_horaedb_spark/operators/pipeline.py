@@ -734,3 +734,33 @@ def rrf_fusion_sql(
     ORDER BY rnk
     LIMIT {k_out}""",
     )
+
+
+# ------------------------------------------- exact-k per-stratum sample --
+def sample_topk_per_group_sql(
+    d: Dialect, table: str = "documents", k: int = 5
+) -> str:
+    """Deterministic EXACT-k sample per stratum — the distributed
+    reservoir: rank documents within each source by their multiplicative
+    hash (a fixed pseudo-random total order, no RNG) and keep the k
+    smallest.  Bernoulli sampling (sample_stratified) gives ~pct% with
+    binomial variance; pipelines that need exactly-k-per-bucket
+    (few-shot exemplars, per-source eval panels, stratified golden sets)
+    use this.  Reproducible across engines/runs by construction.
+
+    Scale shape: ONE window shuffle keyed by the stratum; rank ties are
+    impossible for distinct ids below the modulus, but doc_id breaks
+    them anyway (total order).  Equivalent to a per-key TakeOrdered at
+    scale — the window never materializes more than its partition."""
+    h = sample_hash_expr("doc_id")
+    return f"""
+    SELECT source, doc_id, hrank
+    FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id)
+                  AS BIGINT) AS hrank
+      FROM {table}
+    ) r
+    WHERE hrank <= {k}
+    ORDER BY source, hrank
+    """

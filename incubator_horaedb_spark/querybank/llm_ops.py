@@ -1102,3 +1102,6 @@ _staged_ann_refine.__doc__ = similarity.ann_refine_sql.__doc__
 register(
     "ann_refine_rerank", oracle=similarity.ann_refine_sql(DUCK, k=5, m=20, n_queries=10)
 )(_staged_ann_refine)
+
+
+_sql_query("sample_topk_per_group", pipeline.sample_topk_per_group_sql)

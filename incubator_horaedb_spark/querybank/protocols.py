@@ -275,3 +275,24 @@ def influxql_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "time", "event_type", r_out("derivative_value", 6).alias("derivative_value")
     )
+
+
+@register(
+    "influxql_show_tag_values",
+    oracle="""
+    SELECT 'event_type' AS key, event_type AS value
+    FROM events GROUP BY event_type ORDER BY value
+    """,
+)
+def influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SHOW TAG VALUES FROM events WITH KEY = event_type`` through the
+    InfluxQL metadata dispatcher (frontends/influxql.py — the
+    InfluxDB-standard statement beyond the reference's SELECT + SHOW
+    MEASUREMENTS surface).  Distributed distinct; output is NDV-sized."""
+    from incubator_horaedb_spark.frontends.influxql import influxql_metadata
+
+    ev = load(spark, sf_dir, "events")
+    out = influxql_metadata(
+        'SHOW TAG VALUES FROM "events" WITH KEY = "event_type"', {"events": ev}
+    )
+    return out

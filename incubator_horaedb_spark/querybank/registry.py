@@ -346,6 +346,8 @@ DRIVER_ORDER = [
     "multimodal_exif_meta",
     # round-5: two-stage PQ-candidates + exact-refine retrieval
     "ann_refine_rerank",
+    # round-5: exact-k per-stratum sample, InfluxQL metadata statements
+    "sample_topk_per_group", "influxql_show_tag_values",
 ]
 
 

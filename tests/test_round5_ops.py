@@ -589,3 +589,40 @@ def test_refine_ranks_exact_and_bounded(spark, qs):
         dists = [r["exact_dist"] for r in lst]
         assert dists == sorted(dists)
         assert all(r["vec_id"] != q for r in lst)
+
+
+# --- sample_topk_per_group / influxql metadata -------------------------------
+
+
+def test_topk_per_group_exact_k_and_stable(spark, qs):
+    rows = qs["sample_topk_per_group"](spark, SF_DIR).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, lst in by_src.items():
+        assert len(lst) <= 5
+        assert [r["hrank"] for r in sorted(lst, key=lambda r: r["hrank"])] == list(
+            range(1, len(lst) + 1)
+        )
+    # deterministic: second run picks the identical sample
+    rows2 = qs["sample_topk_per_group"](spark, SF_DIR).collect()
+    assert {(r["source"], r["doc_id"]) for r in rows} == {
+        (r["source"], r["doc_id"]) for r in rows2
+    }
+
+
+def test_influxql_metadata_dispatch(spark):
+    from incubator_horaedb_spark.frontends.influxql import influxql_metadata
+    from incubator_horaedb_spark.querybank.registry import load
+
+    ev = load(spark, SF_DIR, "events")
+    tables = {"events": ev}
+    assert influxql_metadata("SHOW MEASUREMENTS", tables) == ["events"]
+    fk = influxql_metadata('SHOW FIELD KEYS FROM "events"', tables)
+    assert ("value", "float") in fk and ("event_id", "integer") in fk
+    assert influxql_metadata('SELECT * FROM "events"', tables) is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        influxql_metadata('SHOW TAG VALUES FROM "events" WITH KEY = "nope"', tables)
