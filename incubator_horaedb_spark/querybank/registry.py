@@ -348,6 +348,8 @@ DRIVER_ORDER = [
     "ann_refine_rerank",
     # round-5: exact-k per-stratum sample, InfluxQL metadata statements
     "sample_topk_per_group", "influxql_show_tag_values",
+    # round-5: Gorilla XOR value-compression estimate
+    "tsz_xor_compression",
 ]
 
 

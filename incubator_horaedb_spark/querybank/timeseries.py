@@ -1773,3 +1773,83 @@ def ts_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_correlation_matrix.__doc__ = _corrmat_sql.__doc__
+
+
+# --- Gorilla XOR value-compression estimate ----------------------------------
+def _xor_sql(engine: str) -> str:
+    """Gorilla VALUE-compression bit-budget estimate (Pelkonen et al.,
+    VLDB 2015 §4.1.2 — the XOR half; tsz_dod_compression covers the
+    timestamp half): per series, XOR each quantized value with its
+    predecessor; identical values cost 1 control bit, changed values
+    cost control + window descriptor + the meaningful-bit span
+    (highest set bit .. lowest set bit of the XOR).  The estimate
+    assumes a fresh window per changed value (a stated upper bound —
+    real Gorilla reuses windows), so it is conservative and exactly
+    computable in integer SQL: bit positions come from hex-length
+    arithmetic (4·(len−1) + nibble width of the leading digit) and
+    popcounts from bit_count — both engines agree bit-for-bit.  The
+    number feeds the same ingest-planning decision as the DoD estimate:
+    what a TSZ codec would pay per value on THIS data.
+
+    Shape: one series-keyed window pass (shared sort), one tiny agg."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    x = "xor(v, pv)" if engine == "duckdb" else "(v ^ pv)"
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    # bit length of a POSITIVE bigint from its minimal hex rendering
+    bl = (
+        lambda h: f"(4 * (length({h}) - 1) + CASE substr({h}, 1, 1) "
+        f"WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        f"WHEN '4' THEN 3 WHEN '5' THEN 3 WHEN '6' THEN 3 WHEN '7' THEN 3 "
+        f"ELSE 4 END)"
+    )
+    # meaningful span = bl(x) - bl(x & -x) + 1; cost model per changed
+    # value: 2 control bits + 5 leading-zero + 6 length + span
+    return f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(value * 1024 + 0.5) AS BIGINT) AS v,
+             {ems} AS t, event_id
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, v,
+             lag(v) OVER (PARTITION BY event_type ORDER BY t, event_id) AS pv
+      FROM s
+    ),
+    xr AS (
+      SELECT event_type, {x} AS xv
+      FROM l WHERE pv IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, xv,
+             CASE WHEN xv = 0 THEN 0 ELSE bit_count(xv) END AS pc,
+             CASE WHEN xv = 0 THEN 1
+                  ELSE 13 + ({bl("upper(hex(xv))")}
+                             - {bl("upper(hex((xv & -xv)))")} + 1)
+             END AS bits
+      FROM xr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_deltas,
+           CAST(sum(CASE WHEN xv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_xor,
+           CAST(sum(pc) AS BIGINT) AS sum_popcount,
+           {r6('CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)')}
+               AS est_bits_per_value,
+           {r6('64.0 * CAST(count(*) AS DOUBLE) / CAST(sum(bits) AS DOUBLE)')}
+               AS compression_ratio
+    FROM b
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register("tsz_xor_compression", oracle=_xor_sql("duckdb"))
+def tsz_xor_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_xor_sql("spark"))
+
+
+tsz_xor_compression.__doc__ = _xor_sql.__doc__

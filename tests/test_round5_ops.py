@@ -626,3 +626,37 @@ def test_influxql_metadata_dispatch(spark):
 
     with _pt.raises(ValueError):
         influxql_metadata('SHOW TAG VALUES FROM "events" WITH KEY = "nope"', tables)
+
+
+# --- tsz_xor_compression -----------------------------------------------------
+
+
+def test_xor_bits_model_hand_computed():
+    # bit-length arithmetic check against a hand-computed case via DuckDB
+    import duckdb
+
+    from incubator_horaedb_spark.querybank.timeseries import _xor_sql
+
+    con = duckdb.connect()
+    # series with values 1.0, 1.0 (zero XOR -> 1 bit), then 2.0:
+    # q(1.0)=1024, q(2.0)=2048; xor(1024,2048)=3072=0b110000000000
+    # span = bl(3072)=12 minus bl(lowest=1024)=11 plus 1 = 2 -> bits 15
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "('a', 1.0, TIMESTAMP '2024-01-01 00:00:00', 1),"
+        "('a', 1.0, TIMESTAMP '2024-01-01 00:01:00', 2),"
+        "('a', 2.0, TIMESTAMP '2024-01-01 00:02:00', 3)"
+        ") t(event_type, value, ts, event_id)"
+    )
+    r = con.execute(_xor_sql("duckdb")).fetchall()
+    assert r == [("a", 2, 1, 2, 8.0, 8.0)]
+    # n_deltas=2, zero-xor=1 (1 bit), changed (15 bits) -> avg 8, ratio 64*2/16=8
+
+
+def test_xor_compression_invariants(spark, qs):
+    rows = qs["tsz_xor_compression"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_zero_xor"] <= r["n_deltas"]
+        assert 1.0 <= r["est_bits_per_value"] <= 64.0
+        assert r["compression_ratio"] >= 1.0
