@@ -57,6 +57,7 @@ class OpenTsdbSubQuery:
     downsample_agg: str = "avg"
     filters: list[OpenTsdbFilter] = field(default_factory=list)
     group_by_tags: list[str] = field(default_factory=list)
+    rate: bool = False  # OpenTSDB "rate" option: per-series delta/second
 
 
 @dataclass
@@ -90,11 +91,35 @@ def subquery_to_df(
         group_cols.append(date_bin(sub.downsample_ms, ts_col).alias(ts_col))
     else:
         group_cols.append(F.col(ts_col))
-    return (
+    out = (
         df.groupBy(*group_cols)
         .agg(agg_fn(value_col).alias(value_col))
-        .orderBy(ts_col)
     )
+    if sub.rate:
+        # OpenTSDB `rate` option (beyond-reference: the reference's
+        # SubQuery type carries no rate flag): per-series first
+        # difference per second over the downsampled series — emitted
+        # from the second point, like OpenTSDB.  One window sharing the
+        # series key; bucket timestamps are exact integers.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            *[F.col(t) for t in sub.group_by_tags]
+        ).orderBy(F.unix_millis(F.col(ts_col)))
+        prev_v = F.lag(value_col).over(w)
+        prev_ms = F.lag(F.unix_millis(F.col(ts_col))).over(w)
+        out = (
+            out.withColumn("__pv", prev_v)
+            .withColumn("__pms", prev_ms)
+            .filter(F.col("__pv").isNotNull())
+            .withColumn(
+                value_col,
+                (F.col(value_col) - F.col("__pv"))
+                / ((F.unix_millis(F.col(ts_col)) - F.col("__pms")) / F.lit(1000.0)),
+            )
+            .drop("__pv", "__pms")
+        )
+    return out.orderBy(ts_col)
 
 
 def query_to_dfs(table: DataFrame, request: dict[str, Any] | OpenTsdbQueryRequest, **kw) -> list[DataFrame]:
@@ -118,6 +143,7 @@ def parse_query_request(payload: dict[str, Any]) -> OpenTsdbQueryRequest:
             OpenTsdbSubQuery(
                 metric=q["metric"],
                 aggregator=q.get("aggregator", "none"),
+                rate=bool(q.get("rate", False)),
                 downsample_ms=ds_ms,
                 downsample_agg=ds_agg,
                 filters=[

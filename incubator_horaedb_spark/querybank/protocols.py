@@ -296,3 +296,64 @@ def influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         'SHOW TAG VALUES FROM "events" WITH KEY = "event_type"', {"events": ev}
     )
     return out
+
+
+@register(
+    "opentsdb_rate_query",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             {date_bin_sql(21600000, 'ts')} AS ts,
+             avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576) AS v
+      FROM events
+      WHERE epoch_ms(ts) >= {_START} AND epoch_ms(ts) <= {_END}
+      GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, ts, v,
+             lag(v)  OVER (PARTITION BY event_type ORDER BY ts) AS pv,
+             lag(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS pms
+      FROM d
+    )
+    SELECT event_type, ts,
+           (CAST(floor(((v - pv) / ((epoch_ms(ts) - pms) / 1000.0))
+                 * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(100000000 AS DOUBLE)) AS value
+    FROM l WHERE pv IS NOT NULL
+    """,
+)
+def opentsdb_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTSDB /api/query with the ``rate`` option (the OpenTSDB-standard
+    counter view; beyond-reference — the reference's SubQuery type
+    carries no rate flag): 6h-avg downsample grouped by tag, then
+    per-series first difference per second, emitted from the second
+    bucket.  One series-keyed window over the downsampled (not raw)
+    rows.  Dyadic input quantization makes the bucket means exact, so
+    the rate divides bit-identical operands on both engines."""
+    request = parse_query_request(
+        {
+            "start": _START,
+            "end": _END,
+            "queries": [
+                {
+                    "metric": "events",
+                    "aggregator": "avg",
+                    "rate": True,
+                    "downsample": "6h-avg",
+                    "filters": [
+                        {
+                            "type": "literal_or",
+                            "tagk": "event_type",
+                            "filter": "click|view|error|purchase|signup",
+                            "groupBy": True,
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    (df,) = query_to_dfs(ev, request)
+    return df.select("event_type", "ts", r_out("value", 8).alias("value"))

@@ -350,6 +350,8 @@ DRIVER_ORDER = [
     "sample_topk_per_group", "influxql_show_tag_values",
     # round-5: Gorilla XOR value-compression estimate
     "tsz_xor_compression",
+    # round-5: OpenTSDB rate option
+    "opentsdb_rate_query",
 ]
 
 
