@@ -352,6 +352,9 @@ DRIVER_ORDER = [
     "tsz_xor_compression",
     # round-5: OpenTSDB rate option
     "opentsdb_rate_query",
+    # round-5: LATERAL correlated subquery, ordered-set aggregates,
+    # ordered string aggregation
+    "lateral_topk_per_key", "percentile_disc_group", "string_agg_ordered",
 ]
 
 

@@ -488,3 +488,85 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rfm_segmentation.__doc__ = _rfm_sql.__doc__
+
+
+# --- LATERAL correlated subquery ------------------------------------------
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey,
+           (CAST(floor((o.o_totalprice) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS DOUBLE) / CAST(100 AS DOUBLE)) AS totalprice
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 50) c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    ORDER BY c.c_custkey, totalprice DESC, o.o_orderkey
+    """
+
+
+@register("lateral_topk_per_key", oracle=_LATERAL_SQL)
+def lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-key top-k expressed as a
+    dependent join instead of a window (the SQL:1999 surface DataFusion
+    and Spark 4 both plan as DomainJoin/rewritten window).  The SAME SQL
+    text runs on both engines.  Catalyst decorrelates the LATERAL into a
+    ranked join, so at scale this is the window top-k plan, not N
+    correlated executions; ORDER BY ties break on o_orderkey (total
+    order)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# --- ordered-set aggregates (WITHIN GROUP) --------------------------------
+_PDISC_SQL = """
+    SELECT o_orderstatus,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p25,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p50,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p75
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+
+
+@register("percentile_disc_group", oracle=_PDISC_SQL)
+def percentile_disc_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate `percentile_disc(...) WITHIN GROUP` — the
+    discontinuous quantile that RETURNS AN ACTUAL ELEMENT (no
+    interpolation), so it is deterministic across engines on raw
+    doubles where percentile_cont's interpolation trees are not.  Same
+    SQL text on both engines; one sort-based ordered-set agg per
+    group."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_PDISC_SQL)
+
+
+# --- ordered string aggregation -------------------------------------------
+def _stragg_sql(engine: str) -> str:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP / string_agg
+    ORDER BY): nations per region, name-ordered — deterministic because
+    the intra-group order is total.  One hash agg with sort-based
+    aggregation buffers; output is |regions| rows."""
+    if engine == "spark":
+        agg = "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+    else:
+        agg = "string_agg(n_name, ',' ORDER BY n_name)"
+    return f"""
+    SELECT r.r_name, {agg} AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """
+
+
+@register("string_agg_ordered", oracle=_stragg_sql("duckdb"))
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "region", "nation")
+    return spark.sql(_stragg_sql("spark"))
+
+
+string_agg_ordered.__doc__ = _stragg_sql.__doc__

@@ -660,3 +660,46 @@ def test_xor_compression_invariants(spark, qs):
         assert 0 <= r["n_zero_xor"] <= r["n_deltas"]
         assert 1.0 <= r["est_bits_per_value"] <= 64.0
         assert r["compression_ratio"] >= 1.0
+
+
+# --- LATERAL / WITHIN GROUP / listagg ----------------------------------------
+
+
+def test_lateral_decorrelated_to_ranked_join(spark, qs):
+    df = qs["lateral_topk_per_key"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst decorrelates the LATERAL — no nested-loop per-row execution
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["c_custkey"], []).append(r["totalprice"])
+    for k, prices in per_key.items():
+        assert len(prices) <= 2
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_percentile_disc_returns_actual_elements(spark, qs):
+    from incubator_horaedb_spark.querybank.registry import load
+
+    rows = qs["percentile_disc_group"](spark, SF_DIR).collect()
+    vals = {
+        r["o_orderstatus"]: (r["p25"], r["p50"], r["p75"]) for r in rows
+    }
+    orders = load(spark, SF_DIR, "orders").select("o_orderstatus", "o_totalprice").collect()
+    by_status = {}
+    for r in orders:
+        by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
+    for st, (p25, p50, p75) in vals.items():
+        pool = set(by_status[st])
+        assert {p25, p50, p75} <= pool  # discontinuous: actual elements
+        assert p25 <= p50 <= p75
+
+
+def test_string_agg_name_ordered(spark, qs):
+    rows = qs["string_agg_ordered"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # TPC-H regions
+    for r in rows:
+        parts = r["nations"].split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r["n_nations"]
