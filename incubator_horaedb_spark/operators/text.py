@@ -1335,3 +1335,82 @@ def bpe_encode_corpus_sql(d: Dialect, table: str = "documents", rounds: int = BP
     for r in range(1, rounds + 1):
         ctes += bpe_round_ctes(d, f"v{r - 1}", r, carry="word, wc")
     return d.cte_query(ctes, bpe_encode_report_from(d, "w", f"v{rounds}"))
+
+
+def doc_cluster_quality_sql(d: Dialect, table: str = "documents", k: int = 4) -> str:
+    """Cluster-quality report for the doc_cluster_assign pass: per
+    cluster, the mean SIMPLIFIED SILHOUETTE s = (d2 − d1)/max(d1, d2)
+    (Hruschka et al.'s centroid-distance variant of Rousseeuw 1987,
+    public — d1 = distance to the assigned centroid, d2 = to the
+    second-nearest) plus mean assigned distance — the eval that decides
+    whether k fits the corpus before per-cluster sampling trusts the
+    buckets (the clustering twin of ann_recall_at_k).
+
+    Determinism: distances are exact dyadic sums (doc_cluster_sql's
+    quantized features), the silhouette divides identical doubles, and
+    per-doc silhouettes are 2^-20-quantized before the mean (exact
+    addition).  Shape: identical to the assignment pass (broadcast k-row
+    centroid table, per-doc top-2 instead of top-1) + one k-row agg."""
+    from incubator_horaedb_spark.operators.dedup import tokh_select
+
+    q20 = 1 << 20
+    fcols = ",\n             ".join(
+        f"CAST({d.size(d.filter('th', 't', f't % {FEATURE_DIM} = {j}'))} AS BIGINT) AS f{j}"
+        for j in range(FEATURE_DIM)
+    )
+    gcols = ",\n             ".join(
+        f"(CAST(floor((CAST(f{j} AS DOUBLE) / n_tokens) * {q20} + 0.5) AS DOUBLE) / {q20}) AS g{j}"
+        for j in range(FEATURE_DIM)
+    )
+    ccols = ", ".join(f"g{j} AS c{j}" for j in range(FEATURE_DIM))
+    dist = " + ".join(
+        f"(g.g{j} - c.c{j}) * (g.g{j} - c.c{j})" for j in range(FEATURE_DIM)
+    )
+    qz = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    sil = "CASE WHEN greatest(d1, d2) = 0 THEN 0.0 ELSE (d2 - d1) / greatest(d1, d2) END"
+    return d.cte_query(
+        [
+            ("tokh", tokh_select(d, table)),
+            (
+                "feats",
+                f"""SELECT doc_id, CAST({d.size('th')} AS BIGINT) AS n_tokens,
+             {fcols}
+      FROM tokh WHERE {d.size('th')} > 0""",
+            ),
+            (
+                "g",
+                f"""SELECT doc_id,
+             {gcols}
+      FROM feats""",
+            ),
+            ("cent", f"SELECT doc_id AS cid, {ccols} FROM g WHERE doc_id < {k}"),
+            (
+                "pick",
+                f"""SELECT g.doc_id, c.cid, {dist} AS dst,
+             row_number() OVER (PARTITION BY g.doc_id
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM g CROSS JOIN cent c""",
+            ),
+            (
+                "dd",
+                """SELECT doc_id,
+             min(CASE WHEN rn = 1 THEN cid END) AS cid,
+             min(CASE WHEN rn = 1 THEN dst END) AS d1,
+             min(CASE WHEN rn = 2 THEN dst END) AS d2
+      FROM pick WHERE rn <= 2 GROUP BY doc_id""",
+            ),
+        ],
+        f"""SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           {r6(f"sum({qz(sil)}) / CAST(count(*) AS DOUBLE)")} AS mean_silhouette,
+           {r6(f"sum({qz('d1')}) / CAST(count(*) AS DOUBLE)")} AS mean_d1
+    FROM dd GROUP BY cid
+    ORDER BY cid""",
+    )

@@ -1105,3 +1105,6 @@ register(
 
 
 _sql_query("sample_topk_per_group", pipeline.sample_topk_per_group_sql)
+
+
+_sql_query("doc_cluster_quality", text.doc_cluster_quality_sql)

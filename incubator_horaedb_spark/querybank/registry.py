@@ -355,6 +355,8 @@ DRIVER_ORDER = [
     # round-5: LATERAL correlated subquery, ordered-set aggregates,
     # ordered string aggregation
     "lateral_topk_per_key", "percentile_disc_group", "string_agg_ordered",
+    # round-5: simplified-silhouette cluster quality eval
+    "doc_cluster_quality",
 ]
 
 

@@ -703,3 +703,18 @@ def test_string_agg_name_ordered(spark, qs):
         parts = r["nations"].split(",")
         assert parts == sorted(parts)
         assert len(parts) == r["n_nations"]
+
+
+# --- doc_cluster_quality -----------------------------------------------------
+
+
+def test_cluster_quality_silhouette_bounds(spark, qs):
+    rows = qs["doc_cluster_quality"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_members"] for r in rows)
+    assign = qs["doc_cluster_assign"](spark, SF_DIR).collect()
+    assert total == sum(r["n_members"] for r in assign)
+    for r in rows:
+        # d1 <= d2 by construction -> simplified silhouette in [0, 1]
+        assert -1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+        assert r["mean_d1"] >= 0.0
