@@ -637,3 +637,24 @@ def promql_parsed_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         'rate(events{event_type="click"}[2h])',
     )
     return out.select("event_type", "ts", "value")
+
+
+def _parsed_sum_oracle() -> str:
+    from incubator_horaedb_spark.functions.detfloat import dyadic_sql
+
+    return f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, sum({dyadic_sql("value", 26)}) AS value
+    FROM aligned GROUP BY ts
+    """
+
+
+@register("promql_parsed_sum", oracle=_parsed_sum_oracle())
+def promql_parsed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum(rate(events[2h]))` through the TEXT parser — the aggregation
+    path of promql_to_df in determinism mode (2^-26 dyadic addends,
+    exact reduction), gated against the independent oracle; the builder
+    twin is promql_sum_by_ts.  The sum of exact dyadic rationals is
+    bit-identical unrounded on both engines."""
+    out = _parsed(spark, sf_dir, "sum(rate(events[2h]))")
+    return out.select("ts", "value")

@@ -357,6 +357,8 @@ DRIVER_ORDER = [
     "lateral_topk_per_key", "percentile_disc_group", "string_agg_ordered",
     # round-5: simplified-silhouette cluster quality eval
     "doc_cluster_quality",
+    # round-5: parser-driven PromQL aggregation
+    "promql_parsed_sum",
 ]
 
 
