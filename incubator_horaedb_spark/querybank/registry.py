@@ -359,6 +359,8 @@ DRIVER_ORDER = [
     "doc_cluster_quality",
     # round-5: parser-driven PromQL aggregation
     "promql_parsed_sum",
+    # round-5: classical seasonal decomposition report
+    "ts_seasonal_decompose",
 ]
 
 

@@ -1853,3 +1853,111 @@ def tsz_xor_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tsz_xor_compression.__doc__ = _xor_sql.__doc__
+
+
+# --- classical seasonal decomposition ---------------------------------------
+def _seasonal_decomp_sql(engine: str) -> str:
+    """Classical additive seasonal decomposition of daily volumes per
+    series (trend = centered 7-day moving average over full windows,
+    seasonal = day-of-week means of the detrended series normalized to
+    zero mean, residual = remainder) reduced to the decomposition
+    REPORT: per series, the seasonal-strength statistic
+    max(0, 1 − Var(residual)/Var(detrended)) (Hyndman & Athanasopoulos,
+    FPP3 §4.5, public) and the peak day-of-week — the numbers that
+    decide whether a forecast model needs a weekly seasonal term
+    (complementing ts_autocorrelation's lag evidence).
+
+    Determinism: daily counts are integers; the 7-day mean divides an
+    exact integer sum by 7 (identical IEEE); every derived addend is
+    2^-20-quantized before the sums behind the variances (exact
+    addition; products of identical doubles are identical before their
+    own quantization); day-of-week from pure epoch-day arithmetic (dow
+    builtins disagree across engines).  Peak ties break on dow.
+
+    Shape: one raw-scan hash agg to (series, day) — O(series × days)
+    rows out; two window passes and two tiny per-(series, dow) aggs all
+    share the series key; the report is |series| rows."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    q = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    w7 = (
+        "OVER (PARTITION BY event_type ORDER BY ed "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    )
+    var = (
+        lambda sx, sxx, n: f"((CAST({n} AS DOUBLE) * {sxx} - {sx} * {sx})"
+        f" / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type, (({ems}) {div} 86400000) AS ed,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, (({ems}) {div} 86400000)
+    ),
+    t AS (
+      SELECT event_type, ed, y,
+             CASE WHEN count(*) {w7} = 7
+                  THEN {q(f"CAST(sum(y) {w7} AS DOUBLE) / 7.0")}
+             END AS trend
+      FROM d
+    ),
+    dt AS (
+      SELECT event_type, ed, ((ed + 4) % 7) AS dow,
+             {q('CAST(y AS DOUBLE) - trend')} AS dtv
+      FROM t WHERE trend IS NOT NULL
+    ),
+    sdow AS (
+      SELECT event_type, dow,
+             {q(f"sum({q('dtv')}) / CAST(count(*) AS DOUBLE)")} AS m
+      FROM dt GROUP BY event_type, dow
+    ),
+    snorm AS (
+      SELECT s.event_type, s.dow,
+             {q(f"s.m - g.mm")} AS seas
+      FROM sdow s JOIN (
+        SELECT event_type,
+               {q(f"sum({q('m')}) / CAST(count(*) AS DOUBLE)")} AS mm
+        FROM sdow GROUP BY event_type
+      ) g ON g.event_type = s.event_type
+    ),
+    r AS (
+      SELECT dt.event_type, dt.dtv,
+             {q('dt.dtv - sn.seas')} AS res
+      FROM dt JOIN snorm sn
+        ON sn.event_type = dt.event_type AND sn.dow = dt.dow
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             sum({q('dtv')}) AS sd, sum({q('dtv * dtv')}) AS sdd,
+             sum({q('res')}) AS sr, sum({q('res * res')}) AS srr
+      FROM r GROUP BY event_type
+    ),
+    pk AS (
+      SELECT event_type, dow,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY seas DESC, dow) AS rn
+      FROM snorm
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n_days,
+           {r6(f"greatest(CAST(0.0 AS DOUBLE), 1.0 - {var('sr', 'srr', 'm.n')} / {var('sd', 'sdd', 'm.n')})")}
+               AS seasonal_strength,
+           CAST(pk.dow AS BIGINT) AS peak_dow
+    FROM m JOIN pk ON pk.event_type = m.event_type AND pk.rn = 1
+    ORDER BY m.event_type
+    """
+
+
+@register("ts_seasonal_decompose", oracle=_seasonal_decomp_sql("duckdb"))
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_seasonal_decomp_sql("spark"))
+
+
+ts_seasonal_decompose.__doc__ = _seasonal_decomp_sql.__doc__

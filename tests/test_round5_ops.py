@@ -718,3 +718,48 @@ def test_cluster_quality_silhouette_bounds(spark, qs):
         # d1 <= d2 by construction -> simplified silhouette in [0, 1]
         assert -1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
         assert r["mean_d1"] >= 0.0
+
+
+def test_binop_splitter_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from incubator_horaedb_spark.frontends.promql import _split_top_level_binop
+
+    # operands: balanced expressions with NO top-level operator; operator
+    # chars may appear inside braces/brackets/parens (matcher values,
+    # durations, nested calls) and must never split there
+    operand = st.sampled_from([
+        'rate(events[2h])',
+        'sum(rate(events[5m]))',
+        'events{event_type="a+b-c"}',
+        'clamp(events, -1, 2)',
+        'max_over_time(rate(m[2h])[1h:5m])',
+        'irate(m{x="1/2"}[30s])',
+    ])
+    op = st.sampled_from(list("+-*/"))
+    clause = st.sampled_from(["", "on() ", "ignoring(a, b) ", "on(x) group_left ",
+                              "group_left() "])
+
+    @settings(max_examples=80, deadline=None)
+    @given(lhs=operand, o=op, cl=clause, rhs=operand)
+    def run(lhs, o, cl, rhs):
+        got = _split_top_level_binop(f"{lhs} {o} {cl}{rhs}")
+        assert got is not None
+        glhs, gop, gcl, grhs = got
+        assert glhs == lhs and gop == o and grhs == rhs
+        assert gcl == cl.strip()
+        # operands alone never split
+        assert _split_top_level_binop(lhs) is None
+        assert _split_top_level_binop(rhs) is None
+
+    run()
+
+
+def test_seasonal_decompose_bounds(spark, qs):
+    rows = qs["ts_seasonal_decompose"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["seasonal_strength"] <= 1.0 + 1e-9
+        assert 0 <= r["peak_dow"] <= 6
+        assert r["n_days"] >= 7
