@@ -573,3 +573,57 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream agg's."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_UNPIVOT_SQL)
+
+
+# --- market-basket co-occurrence ------------------------------------------
+_BASKET_SQL = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM b GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, count(*) AS n_ab
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, c.l_partkey
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_ab,
+             pa.n_p AS n_a, pb.n_p AS n_b,
+             (CAST(floor(((CAST(p.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+               / (CAST(pa.n_p AS DOUBLE) * CAST(pb.n_p AS DOUBLE)))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+              / CAST(1000000 AS DOUBLE)) AS lift
+      FROM pairs p
+      JOIN pc pa ON pa.l_partkey = p.part_a
+      JOIN pc pb ON pb.l_partkey = p.part_b
+      CROSS JOIN n
+      WHERE p.n_ab >= 2
+    )
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS BIGINT)
+               AS rnk
+    FROM (SELECT * FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 20) t
+    ORDER BY rnk
+    """
+
+
+@register("market_basket_pairs", oracle=_BASKET_SQL)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (Agrawal et al.'s
+    association-rule support/lift statistics, SIGMOD 1993, public):
+    which part pairs appear in the same order more often than
+    independence predicts.  The recommender/assortment primitive every
+    retail OLAP stack ships.
+
+    Scale shape: baskets dedupe to DISTINCT (order, item); pair
+    generation is an order-keyed SELF-JOIN whose blowup is bounded by
+    the per-basket line count (TPC-H: <= 7 lines, so <= 21 pairs per
+    order — never corpus-quadratic); item counts broadcast back; lift
+    divides exact integers and the min-support filter (n_ab >= 2) keeps
+    the scored set sparse.  Top-k is taken distributed (ORDER/LIMIT)
+    before the 20-row ranking window."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_BASKET_SQL)

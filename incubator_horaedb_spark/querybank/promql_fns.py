@@ -658,3 +658,13 @@ def promql_parsed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical unrounded on both engines."""
     out = _parsed(spark, sf_dir, "sum(rate(events[2h]))")
     return out.select("ts", "value")
+
+
+@register("promql_parsed_sum_without", oracle=_parsed_sum_oracle())
+def promql_parsed_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum without (event_type) (rate(events[2h]))` through the text
+    parser — the without() label-dropping path; removing the only tag
+    is definitionally the all-series sum, so the promql_parsed_sum
+    oracle gates it (distinct code path, same semantics)."""
+    out = _parsed(spark, sf_dir, "sum without (event_type) (rate(events[2h]))")
+    return out.select("ts", "value")

@@ -361,6 +361,8 @@ DRIVER_ORDER = [
     "promql_parsed_sum",
     # round-5: classical seasonal decomposition report
     "ts_seasonal_decompose",
+    # round-5: without() agg path, market-basket lift
+    "promql_parsed_sum_without", "market_basket_pairs",
 ]
 
 

@@ -763,3 +763,18 @@ def test_seasonal_decompose_bounds(spark, qs):
         assert 0.0 <= r["seasonal_strength"] <= 1.0 + 1e-9
         assert 0 <= r["peak_dow"] <= 6
         assert r["n_days"] >= 7
+
+
+def test_market_basket_lift_recomputable(spark, qs):
+    rows = qs["market_basket_pairs"](spark, SF_DIR).collect()
+    if not rows:  # tiny SFs can have no pair with support >= 2
+        return
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    from incubator_horaedb_spark.querybank.registry import load
+
+    n_orders = load(spark, SF_DIR, "lineitem").select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 2 <= r["n_ab"] <= min(r["n_a"], r["n_b"])
+        want = r["n_ab"] * n_orders / (r["n_a"] * r["n_b"])
+        assert abs(r["lift"] - want) < 1e-5
