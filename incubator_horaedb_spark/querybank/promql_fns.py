@@ -668,3 +668,35 @@ def promql_parsed_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle gates it (distinct code path, same semantics)."""
     out = _parsed(spark, sf_dir, "sum without (event_type) (rate(events[2h]))")
     return out.select("ts", "value")
+
+
+_PARSED_COUNT_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, CAST(count(*) AS DOUBLE) AS value
+    FROM aligned GROUP BY ts
+    """
+
+
+@register("promql_parsed_count", oracle=_PARSED_COUNT_SQL)
+def promql_parsed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`count(rate(events[2h]))` through the text parser — series count
+    per grid timestamp (PromQL count returns float); integer-exact, no
+    quantization needed."""
+    out = _parsed(spark, sf_dir, "count(rate(events[2h]))")
+    return out.select("ts", F.col("value").cast("double").alias("value"))
+
+
+_PARSED_MAX_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, max(value) AS value
+    FROM aligned GROUP BY ts
+    """
+
+
+@register("promql_parsed_max", oracle=_PARSED_MAX_SQL)
+def promql_parsed_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max(rate(events[2h]))` through the text parser — max over the
+    6-digit-rounded aligned values is reduction-order-proof (selection,
+    not summation), so it gates without quantization."""
+    out = _parsed(spark, sf_dir, "max(rate(events[2h]))")
+    return out.select("ts", "value")

@@ -363,6 +363,8 @@ DRIVER_ORDER = [
     "ts_seasonal_decompose",
     # round-5: without() agg path, market-basket lift
     "promql_parsed_sum_without", "market_basket_pairs",
+    # round-5: remaining parser aggregation ops
+    "promql_parsed_count", "promql_parsed_max",
 ]
 
 
