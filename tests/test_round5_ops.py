@@ -778,3 +778,58 @@ def test_market_basket_lift_recomputable(spark, qs):
         assert 2 <= r["n_ab"] <= min(r["n_a"], r["n_b"])
         want = r["n_ab"] * n_orders / (r["n_a"] * r["n_b"])
         assert abs(r["lift"] - want) < 1e-5
+
+
+# --- line-protocol escape property test --------------------------------------
+
+
+def test_line_protocol_escapes_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from incubator_horaedb_spark.frontends.influxql import parse_line_protocol
+
+    # tag values may contain escaped spaces/commas/equals; string field
+    # values live in quotes with escaped quotes
+    tagval = st.text(alphabet="ab ,=", min_size=1, max_size=8)
+    strval = st.text(alphabet='xy"z', min_size=0, max_size=8)
+    num = st.integers(min_value=-1000, max_value=1000)
+
+    def esc_tag(s: str) -> str:
+        return s.replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+
+    @settings(max_examples=60, deadline=None)
+    @given(tv=tagval, sv=strval, n=num)
+    def run(tv, sv, n):
+        line = (
+            f"m,host={esc_tag(tv)} "
+            f'v={n}i,s="{sv.replace(chr(92), "").replace(chr(34), chr(92) + chr(34))}" '
+            f"1700000000000000000"
+        )
+        rows = parse_line_protocol(line)["m"]
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["host"] == tv
+        assert r["v"] == n
+        assert r["s"] == sv.replace("\\", "").replace('"', '"')
+
+    run()
+
+
+def test_psi_detects_planted_drift(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.querybank.timeseries import _psi_sql
+
+    # first half: values near 0; second half: values near 450 — hard drift
+    rows = [(5.0 if h == 0 else 455.0, "t" + str(v % 2), h) for v in range(80) for h in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, event_type string, h int").select(
+        "value", "event_type",
+        F.timestamp_millis(
+            F.when(F.col("h") == 0, 1705000000000).otherwise(1705400000000)
+        ).alias("ts"),
+    )
+    df.createOrReplaceTempView("events")
+    out = {r["metric"]: r["psi"] for r in spark.sql(_psi_sql("spark")).collect()}
+    assert out["value"] > 0.5  # far beyond the 0.2 action threshold
+    assert abs(out["event_type"]) < 1e-5  # categorical mix unchanged
