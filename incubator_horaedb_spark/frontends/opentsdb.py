@@ -82,6 +82,15 @@ def subquery_to_df(
         df = df.filter(flt.to_column())
 
     if sub.aggregator == "none":
+        if sub.rate:
+            # raw-sample rate needs a per-source-series identity this
+            # engine derives from group_by tags; refuse loudly rather
+            # than return unrated samples
+            raise ValueError(
+                "rate with aggregator 'none' is not supported — use an "
+                "aggregator with groupBy tag filters (rate applies per "
+                "grouped series after downsampling)"
+            )
         # default_sort_exprs (mod.rs:163-166): plain time-ordered samples.
         return df.orderBy(ts_col)
 

@@ -90,6 +90,7 @@ class BinExpr:
     on: list[str] | None = None  # on(): [] ; absent: None
     ignoring: list[str] | None = None
     group_left: bool = False
+    group_left_labels: list[str] = field(default_factory=list)  # copied from rhs
 
 
 _SELECTOR_RE = re.compile(
@@ -115,29 +116,55 @@ _SUBQ_RE = re.compile(
 
 
 def _split_top_level_binop(q: str):
-    """Find the first arithmetic operator at paren/brace/bracket depth 0
-    and split ``lhs op [matching-clause] rhs``.  Returns None when the
-    expression has no top-level operator.  The matching clause
-    (on/ignoring + group_left) is whatever sits between the operator and
-    the first character that can start an expression operand."""
+    """Split ``lhs op [matching-clause] rhs`` at a top-level arithmetic
+    operator, honoring PromQL precedence (+/- bind looser than */) and
+    left-associativity (same-precedence chains split at the LAST
+    top-level operator, so the left subtree is the bigger one: a-b+c →
+    (a-b)+c).  Depth tracking skips quoted matcher values, so operator
+    or bracket characters inside label-value strings never split or
+    corrupt the depth count.  Returns None when the expression has no
+    top-level operator.  The matching clause (on/ignoring +
+    group_left[(labels)]) is whatever sits between the operator and the
+    first character of the right operand."""
     depth = 0
-    for i, ch in enumerate(q):
-        if ch in "({[":
+    in_str = False
+    add_ops: list[int] = []  # top-level + - positions
+    mul_ops: list[int] = []  # top-level * / positions
+    prev_nonspace = ""
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch in "({[":
             depth += 1
         elif ch in ")}]":
             depth -= 1
-        elif depth == 0 and ch in "+-*/" and i > 0:
-            lhs = q[:i].strip()
-            if not lhs:
-                continue
-            rest = q[i + 1 :].lstrip()
-            # peel the optional matching clause token by token
-            mm = re.match(
-                r"^((?:(?:on|ignoring)\s*\([^)]*\)\s*)?(?:group_left(?:\s*\(\s*\))?\s*)?)(.*)$",
-                rest,
-                re.I | re.S,
-            )
-            return lhs, ch, mm.group(1).strip(), mm.group(2).strip()
+        elif depth == 0 and ch in "+-*/" and i > 0 and prev_nonspace not in "+-*/(":
+            (add_ops if ch in "+-" else mul_ops).append(i)
+        if not ch.isspace():
+            prev_nonspace = ch
+        i += 1
+    ops = add_ops or mul_ops  # lowest precedence first; last = left-assoc
+    for pos in reversed(ops):
+        lhs = q[:pos].strip()
+        if not lhs:
+            continue
+        rest = q[pos + 1 :].lstrip()
+        # peel the optional matching clause token by token
+        mm = re.match(
+            r"^((?:(?:on|ignoring)\s*\([^)]*\)\s*)?"
+            r"(?:group_left(?:\s*\([^)]*\))?\s*)?)(.*)$",
+            rest,
+            re.I | re.S,
+        )
+        return lhs, q[pos], mm.group(1).strip(), mm.group(2).strip()
     return None
 
 
@@ -162,21 +189,29 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
             lhs_txt, op, match_txt, rhs_txt = b
             on = ignoring = None
             group_left = False
+            gl_labels: list[str] = []
             mm = re.match(
-                r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?(group_left(?:\s*\(\s*\))?)?\s*$",
+                r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?"
+                r"(group_left)(?:\s*\(([^)]*)\))?\s*$|"
+                r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?$",
                 match_txt,
                 re.I,
             )
             if not mm:
                 raise ValueError(f"cannot parse vector matching {match_txt!r}")
-            if mm.group(1):
-                labels = [x.strip() for x in mm.group(2).split(",") if x.strip()]
-                if mm.group(1).lower() == "on":
+            kind, labels_raw = (
+                (mm.group(1), mm.group(2)) if mm.group(1) else (mm.group(5), mm.group(6))
+            )
+            if kind:
+                labels = [x.strip() for x in labels_raw.split(",") if x.strip()]
+                if kind.lower() == "on":
                     on = labels
                 else:
                     ignoring = labels
             if mm.group(3):
                 group_left = True
+                if mm.group(4):
+                    gl_labels = [x.strip() for x in mm.group(4).split(",") if x.strip()]
             return BinExpr(
                 lhs=parse_promql(lhs_txt, extended=True),
                 op=op,
@@ -184,6 +219,7 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
                 on=on,
                 ignoring=ignoring,
                 group_left=group_left,
+                group_left_labels=gl_labels,
             )
         m = _WRAP_K_RE.match(q)
         if m:
@@ -332,20 +368,48 @@ def promql_to_df(
             lookback_ms=lookback_ms, extended=extended, round_digits=round_digits,
         )
         ldf = promql_to_df(pq.lhs, **kw)
-        rdf = promql_to_df(pq.rhs, **kw)
+        rkw = dict(kw)
+        if pq.group_left_labels and tag_cols is not None:
+            # the copied info labels must ride through the rhs evaluation
+            # as series labels (functionally dependent on the match keys
+            # for a well-formed info metric)
+            rkw["tag_cols"] = list(tag_cols) + [
+                l for l in pq.group_left_labels if l not in tag_cols
+            ]
+        rdf = promql_to_df(pq.rhs, **rkw)
         aux = {"ts", "value", "uid", "rn", "subq_value"}
         llabels = [c for c in ldf.columns if c not in aux]
         rlabels = [c for c in rdf.columns if c not in aux]
         if pq.on is not None:
-            keys = ["ts"] + [l for l in pq.on if l in llabels and l in rlabels]
+            # an on() label absent from either side is a user error — a
+            # silent drop would widen the join to a per-ts cross-match
+            # where Prometheus returns no matches
+            missing = [l for l in pq.on if l not in llabels or l not in rlabels]
+            if missing:
+                raise ValueError(
+                    f"on({', '.join(pq.on)}): label(s) {missing} not present on "
+                    f"both sides (lhs has {llabels}, rhs has {rlabels})"
+                )
+            keys = ["ts"] + list(pq.on)
         else:
             shared = [l for l in llabels if l in rlabels]
             if pq.ignoring:
                 shared = [l for l in shared if l not in pq.ignoring]
             keys = ["ts"] + shared
+        copy_labels = []
+        if pq.group_left_labels:
+            missing = [l for l in pq.group_left_labels if l not in rlabels]
+            if missing:
+                raise ValueError(
+                    f"group_left({', '.join(pq.group_left_labels)}): label(s) "
+                    f"{missing} not present on the right side ({rlabels})"
+                )
+            copy_labels = [l for l in pq.group_left_labels if l not in llabels]
         l = ldf.select(*llabels, "ts", F.col("value").alias("__vl"))
         r = rdf.select(
-            *[c for c in rlabels if c not in llabels or c in keys], "ts",
+            *sorted(
+                {c for c in rlabels if c in keys} | set(copy_labels)
+            ), "ts",
             F.col("value").alias("__vr"),
         )
         j = l.join(r, keys)
@@ -357,8 +421,8 @@ def promql_to_df(
         if round_digits is not None:
             scale = float(10**round_digits)
             value = F.floor(value * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
-        out = j.select(*llabels, "ts", value.alias("value"))
-        return out.orderBy(*llabels, "ts")
+        out = j.select(*llabels, *copy_labels, "ts", value.alias("value"))
+        return out.orderBy(*llabels, *copy_labels, "ts")
 
     sel = pq.selector
     if sel.metric not in tables:

@@ -1073,8 +1073,6 @@ def dupspan_report_sql(d: Dialect, table: str = "documents", k: int = DUPSPAN_K)
     after the first agg scales with DUP density, not corpus size.
     All-integer until the final per-doc fraction; fractions are
     dyadic-quantized before the mean (exact sums), max is order-proof."""
-    from incubator_horaedb_spark.operators.dialect import Dialect as _D  # noqa: F401
-
     ctes = [("tokh", tokh_select(d, table, extra_cols="source"))] + dupspan_occ_ctes(
         d, "tokh", k
     )
@@ -1090,7 +1088,6 @@ def dupspan_report_sql(d: Dialect, table: str = "documents", k: int = DUPSPAN_K)
 
 # ------------------------------------------- fixed-round PageRank ----------
 PR_ROUNDS = 3
-PR_DAMP_NUM = 85  # damping 0.85 rendered as exact decimal literals
 
 
 def pagerank_ctes(

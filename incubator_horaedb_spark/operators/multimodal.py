@@ -957,37 +957,43 @@ def parse_exif(payload: bytes):
         seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
         body = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
-            t = body[6:]
-            if t[:2] == b"II":
-                e = "<"
-            elif t[:2] == b"MM":
-                e = ">"
-            else:
+            # truncated/corrupt TIFF data must degrade to Nones, never
+            # throw — a struct.error inside the mapInPandas kernel would
+            # fail the whole task on one bad payload
+            try:
+                t = body[6:]
+                if t[:2] == b"II":
+                    e = "<"
+                elif t[:2] == b"MM":
+                    e = ">"
+                else:
+                    return (None, None, None, None)
+                if struct.unpack(e + "H", t[2:4])[0] != 42:
+                    return (None, None, None, None)
+                ifd0 = struct.unpack(e + "I", t[4:8])[0]
+                n = struct.unpack(e + "H", t[ifd0 : ifd0 + 2])[0]
+                orientation = xres = day = None
+                for k in range(n):
+                    off = ifd0 + 2 + 12 * k
+                    tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
+                    val = t[off + 8 : off + 12]
+                    if tag == 0x0112 and typ == 3:
+                        orientation = struct.unpack(e + "H", val[:2])[0]
+                    elif tag == 0x011A and typ == 5:
+                        voff = struct.unpack(e + "I", val)[0]
+                        num, den = struct.unpack(e + "II", t[voff : voff + 8])
+                        xres = num if den == 1 else num // max(den, 1)
+                    elif tag == 0x0132 and typ == 2:
+                        voff = struct.unpack(e + "I", val)[0]
+                        s = t[voff : voff + cnt].rstrip(b"\x00").decode("ascii", "replace")
+                        # "YYYY:MM:DD hh:mm:ss"
+                        try:
+                            day = int(s[8:10])
+                        except ValueError:
+                            day = None
+                return (t[:2].decode("ascii"), orientation, xres, day)
+            except (struct.error, IndexError):
                 return (None, None, None, None)
-            if struct.unpack(e + "H", t[2:4])[0] != 42:
-                return (None, None, None, None)
-            ifd0 = struct.unpack(e + "I", t[4:8])[0]
-            n = struct.unpack(e + "H", t[ifd0 : ifd0 + 2])[0]
-            orientation = xres = day = None
-            for k in range(n):
-                off = ifd0 + 2 + 12 * k
-                tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
-                val = t[off + 8 : off + 12]
-                if tag == 0x0112 and typ == 3:
-                    orientation = struct.unpack(e + "H", val[:2])[0]
-                elif tag == 0x011A and typ == 5:
-                    voff = struct.unpack(e + "I", val)[0]
-                    num, den = struct.unpack(e + "II", t[voff : voff + 8])
-                    xres = num if den == 1 else num // max(den, 1)
-                elif tag == 0x0132 and typ == 2:
-                    voff = struct.unpack(e + "I", val)[0]
-                    s = t[voff : voff + cnt].rstrip(b"\x00").decode("ascii", "replace")
-                    # "YYYY:MM:DD hh:mm:ss"
-                    try:
-                        day = int(s[8:10])
-                    except ValueError:
-                        day = None
-            return (t[:2].decode("ascii"), orientation, xres, day)
         i += 2 + seg_len
     return (None, None, None, None)
 

@@ -1946,8 +1946,9 @@ def _seasonal_decomp_sql(engine: str) -> str:
       FROM snorm
     )
     SELECT m.event_type, CAST(m.n AS BIGINT) AS n_days,
-           {r6(f"greatest(CAST(0.0 AS DOUBLE), 1.0 - {var('sr', 'srr', 'm.n')} / {var('sd', 'sdd', 'm.n')})")}
-               AS seasonal_strength,
+           CASE WHEN {var('sd', 'sdd', 'm.n')} > 0
+                THEN {r6(f"greatest(CAST(0.0 AS DOUBLE), 1.0 - {var('sr', 'srr', 'm.n')} / {var('sd', 'sdd', 'm.n')})")}
+           END AS seasonal_strength,
            CAST(pk.dow AS BIGINT) AS peak_dow
     FROM m JOIN pk ON pk.event_type = m.event_type AND pk.rn = 1
     ORDER BY m.event_type

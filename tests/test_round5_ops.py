@@ -833,3 +833,103 @@ def test_psi_detects_planted_drift(spark):
     out = {r["metric"]: r["psi"] for r in spark.sql(_psi_sql("spark")).collect()}
     assert out["value"] > 0.5  # far beyond the 0.2 action threshold
     assert abs(out["event_type"]) < 1e-5  # categorical mix unchanged
+
+
+# --- review fixes: binop precedence/quotes, group_left labels, guards --------
+
+
+def test_binop_precedence_and_associativity():
+    from incubator_horaedb_spark.frontends.promql import BinExpr, parse_promql
+
+    # * binds tighter than +: a * b + c = (a*b) + c
+    b = parse_promql(
+        "rate(a[5m]) * rate(b[5m]) + rate(c[5m])", extended=True
+    )
+    assert b.op == "+" and isinstance(b.lhs, BinExpr) and b.lhs.op == "*"
+    assert not isinstance(b.rhs, BinExpr)
+    # left associativity: a - b + c = (a-b) + c
+    b2 = parse_promql(
+        "rate(a[5m]) - rate(b[5m]) + rate(c[5m])", extended=True
+    )
+    assert b2.op == "+" and isinstance(b2.lhs, BinExpr) and b2.lhs.op == "-"
+
+
+def test_binop_split_ignores_quoted_metacharacters():
+    from incubator_horaedb_spark.frontends.promql import BinExpr, parse_promql
+
+    b = parse_promql(
+        'rate(m{path="/a(b"}[5m]) / rate(n{q="x)y"}[5m])', extended=True
+    )
+    assert isinstance(b, BinExpr) and b.op == "/"
+    assert b.lhs.selector.metric == "m" and b.rhs.selector.metric == "n"
+
+
+def test_group_left_label_copy(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.frontends.promql import promql_to_df
+
+    df = spark.createDataFrame(
+        [("a", "t1", 1_000, 2.0), ("b", "t2", 1_000, 3.0)],
+        "host string, owner string, ms long, value double",
+    ).select("host", "owner", F.timestamp_millis("ms").alias("ts"), "value")
+    out = promql_to_df(
+        "m * on(host) group_left(owner) m",
+        {"m": df},
+        start_ms=1_000, end_ms=1_000, step_ms=1_000,
+        tag_cols=["host"],  # owner is the info label, not a match key
+        extended=True,
+    ).collect()
+    got = {(r["host"], r["owner"], r["value"]) for r in out}
+    assert got == {("a", "t1", 4.0), ("b", "t2", 9.0)}
+
+
+def test_binop_on_missing_label_raises(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pt
+
+    from incubator_horaedb_spark.frontends.promql import promql_to_df
+
+    df = spark.createDataFrame(
+        [("a", 1_000, 2.0)], "host string, ms long, value double"
+    ).select("host", F.timestamp_millis("ms").alias("ts"), "value")
+    with _pt.raises(ValueError, match="not present on"):
+        promql_to_df(
+            "m * on(nolabel) m", {"m": df},
+            start_ms=1_000, end_ms=1_000, step_ms=1_000,
+            tag_cols=["host"], extended=True,
+        )
+
+
+def test_opentsdb_rate_with_none_aggregator_raises(spark):
+    import pytest as _pt
+
+    from incubator_horaedb_spark.frontends.opentsdb import (
+        parse_query_request,
+        query_to_dfs,
+    )
+    from incubator_horaedb_spark.querybank.registry import load
+
+    req = parse_query_request(
+        {"start": 0, "end": 2_000_000_000_000,
+         "queries": [{"metric": "events", "aggregator": "none", "rate": True}]}
+    )
+    ev = load(spark, SF_DIR, "events")
+    with _pt.raises(ValueError, match="rate with aggregator"):
+        query_to_dfs(ev, req)
+
+
+def test_exif_truncated_tiff_degrades_to_nones():
+    import struct
+
+    from incubator_horaedb_spark.operators.multimodal import parse_exif
+
+    # valid Exif APP1 prologue, truncated before the IFD
+    body = b"Exif\x00\x00II" + struct.pack("<HI", 42, 8)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    assert parse_exif(b"\xff\xd8" + app1 + b"\xff\xd9") == (None, None, None, None)
+    # ifd0 offset pointing past the segment
+    body2 = b"Exif\x00\x00MM" + struct.pack(">HI", 42, 9999)
+    app2 = b"\xff\xe1" + struct.pack(">H", len(body2) + 2) + body2
+    assert parse_exif(b"\xff\xd8" + app2 + b"\xff\xd9") == (None, None, None, None)

@@ -36,11 +36,6 @@ def digest(plan: str) -> dict[str, object]:
         "exchanges": plan.count("Exchange "),
         "broadcasts": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
-        "codegen_spans": len(
-            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
-            | set(re.findall(r"\*\((\d+)\)", plan))
-        ),
-        "partial_final": bool(re.search(r"partial_", plan) or "HashAggregate" in plan),
         "cartesian": plan.count("CartesianProduct"),
         "python_eval": plan.count("BatchEvalPython"),
         "arrow_eval": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
@@ -52,7 +47,6 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from incubator_horaedb_spark import querybank
-    from incubator_horaedb_spark.plans.inspect import explain_str
 
     md = sys.argv[sys.argv.index("--md") + 1] if "--md" in sys.argv else "PLANS.md"
     spark = (
