@@ -1187,3 +1187,78 @@ def pagerank_sql(
         + pagerank_ctes(d, "edges", rounds)
     )
     return d.cte_query(ctes, pagerank_final_select(d, f"pr{rounds}"))
+
+
+# ------------------------------------------- threshold-sweep calibration --
+_SWEEP_BANDS = ((90, 0.9), (80, 0.8), (70, 0.7), (50, 0.5))
+
+
+def threshold_band_case() -> str:
+    branches = " ".join(
+        f"WHEN jaccard >= {thr} THEN {pct}" for pct, thr in _SWEEP_BANDS[:-1]
+    )
+    return f"CASE {branches} ELSE {_SWEEP_BANDS[-1][0]} END"
+
+
+def threshold_sweep_from(d: Dialect, pairs_src: str) -> str:
+    """Band-count report from a materialized verified-pairs source
+    (doc_a, doc_b, jaccard; already filtered to >= the lowest band)."""
+    return d.cte_query(
+        [
+            (
+                "vb",
+                f"SELECT doc_a, doc_b, jaccard, {threshold_band_case()} AS band "
+                f"FROM {pairs_src}",
+            ),
+            (
+                "du",
+                "SELECT band, doc_a AS doc FROM vb "
+                "UNION SELECT band, doc_b AS doc FROM vb",
+            ),
+            (
+                "pc",
+                "SELECT band, count(*) AS n_pairs FROM vb GROUP BY band",
+            ),
+            (
+                "dc",
+                "SELECT band, count(*) AS n_docs FROM du GROUP BY band",
+            ),
+        ],
+        """SELECT CAST(pc.band AS BIGINT) AS band_lo_pct,
+           CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+           CAST(dc.n_docs AS BIGINT) AS n_docs_touched
+    FROM pc JOIN dc ON dc.band = pc.band
+    ORDER BY band_lo_pct""",
+    )
+
+
+def threshold_sweep_sql(d: Dialect, table: str = "documents") -> str:
+    """Dedup threshold calibration: verified near-dup pair counts and
+    touched-document counts per Jaccard band (0.5-0.7-0.8-0.9 ladder) in
+    ONE candidate-generation pass — the report that picks the removal
+    threshold before a fuzzy-dedup run commits to one (raising the
+    threshold from 0.8 to 0.9 keeps how many pairs?).  The exact-Jaccard
+    verification is the same rational arithmetic as the LSH operators
+    (integer set sizes), so band assignment is engine-stable; candidate
+    recall below the LSH design threshold decays along the S-curve — the
+    bands measure the VERIFIED pairs the index surfaces, stated in the
+    docstring so the numbers are read correctly.
+
+    Scale shape: identical to dedup_minhash_lsh (banded equi-join with
+    bucket caps) plus two tiny band-keyed aggs."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {_sig_cols()}\n      FROM ex GROUP BY doc_id"),
+        ]
+        + _pairs_ctes(d, "hs", "sig")
+        + [("swept", "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5")]
+    )
+    body = threshold_sweep_from(d, "swept")
+    if d.engine == "duckdb":
+        # body is itself a WITH chain — splice the candidate chain in front
+        chain = ",\n    ".join(f"{n} AS MATERIALIZED (\n{b}\n    )" for n, b in ctes)
+        assert body.startswith("WITH ")
+        return f"WITH {chain},\n    {body[len('WITH '):]}"
+    return d.cte_query(ctes, body)

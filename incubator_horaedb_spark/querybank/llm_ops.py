@@ -1108,3 +1108,35 @@ _sql_query("sample_topk_per_group", pipeline.sample_topk_per_group_sql)
 
 
 _sql_query("doc_cluster_quality", text.doc_cluster_quality_sql)
+
+
+def _staged_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same staged LSH machinery as dedup_minhash_lsh, verification kept
+    # down to the lowest band (0.5); the band report is two tiny aggs
+    _staged_shingles(spark, sf_dir, "__sweep_hs", materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__sweep_hs"), "__sweep_sig")
+    gated = _gated_src(
+        spark,
+        dedup.bands_select(SPARK, "__sweep_sig"),
+        ["band_idx", "band_key"],
+        "__sweep_bands",
+        dedup.BAND_BUCKET_CAP,
+    )
+    if gated:
+        pairs = spark.sql(
+            dedup.minhash_pairs_from_bands_select(SPARK, "__sweep_hs", gated, 0.5,
+                                                  bucket_cap=None)
+        )
+    else:
+        pairs = spark.sql(
+            dedup.minhash_pairs_select(SPARK, "__sweep_hs", "__sweep_sig", 0.5,
+                                       bucket_cap=None)
+        )
+    pairs.createOrReplaceTempView("__sweep_pairs")
+    return spark.sql(dedup.threshold_sweep_from(SPARK, "__sweep_pairs"))
+
+
+_staged_threshold_sweep.__doc__ = dedup.threshold_sweep_sql.__doc__
+register("dedup_threshold_sweep", oracle=dedup.threshold_sweep_sql(DUCK))(
+    _staged_threshold_sweep
+)

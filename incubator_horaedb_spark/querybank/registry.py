@@ -365,6 +365,8 @@ DRIVER_ORDER = [
     "promql_parsed_sum_without", "market_basket_pairs",
     # round-5: remaining parser aggregation ops
     "promql_parsed_count", "promql_parsed_max",
+    # round-5: dedup threshold-calibration sweep
+    "dedup_threshold_sweep",
 ]
 
 

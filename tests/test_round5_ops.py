@@ -933,3 +933,17 @@ def test_exif_truncated_tiff_degrades_to_nones():
     body2 = b"Exif\x00\x00MM" + struct.pack(">HI", 42, 9999)
     app2 = b"\xff\xe1" + struct.pack(">H", len(body2) + 2) + body2
     assert parse_exif(b"\xff\xd8" + app2 + b"\xff\xd9") == (None, None, None, None)
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, qs):
+    rows = {r["band_lo_pct"]: r for r in qs["dedup_threshold_sweep"](spark, SF_DIR).collect()}
+    if not rows:
+        return
+    for band, r in rows.items():
+        assert r["n_pairs"] >= 1
+        # a pair touches 2 docs; distinct docs <= 2 * pairs
+        assert r["n_docs_touched"] <= 2 * r["n_pairs"]
+    # the >= 0.8 bands together must equal dedup_minhash_lsh's pair count
+    lsh_pairs = qs["dedup_minhash_lsh"](spark, SF_DIR).count()
+    high = sum(r["n_pairs"] for b, r in rows.items() if b >= 80)
+    assert high == lsh_pairs
