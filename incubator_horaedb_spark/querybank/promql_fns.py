@@ -700,3 +700,37 @@ def promql_parsed_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     not summation), so it gates without quantization."""
     out = _parsed(spark, sf_dir, "max(rate(events[2h]))")
     return out.select("ts", "value")
+
+
+@register(
+    "promql_parsed_offset",
+    oracle=prom_align_oracle_sql(
+        "rate", offset_ms=600_000, round_digits=6, **_ORACLE_PARAMS
+    ),
+)
+def promql_parsed_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h] offset 10m)` through the text parser — the offset
+    modifier parsed from text (builder twin: promql_rate_offset); the
+    scan widens by the offset so the earliest grid steps see their
+    shifted windows."""
+    from incubator_horaedb_spark.frontends.promql import promql_to_df
+    from incubator_horaedb_spark.querybank.promql import (
+        END_MS,
+        LOOKBACK_MS,
+        START_MS,
+        STEP_MS,
+    )
+    from incubator_horaedb_spark.querybank.registry import load_time_range
+
+    ev = load_time_range(
+        spark, sf_dir, "events", "ts",
+        lo=START_MS - LOOKBACK_MS - 600_000, hi=END_MS,
+    )
+    out = promql_to_df(
+        "rate(events[2h] offset 10m)",
+        {"events": ev},
+        start_ms=START_MS, end_ms=END_MS, step_ms=STEP_MS,
+        tag_cols=["event_type"], lookback_ms=LOOKBACK_MS,
+        extended=True, round_digits=6,
+    )
+    return out.select("event_type", "ts", "value")

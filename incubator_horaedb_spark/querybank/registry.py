@@ -367,6 +367,8 @@ DRIVER_ORDER = [
     "promql_parsed_count", "promql_parsed_max",
     # round-5: dedup threshold-calibration sweep
     "dedup_threshold_sweep",
+    # round-5: parsed offset modifier, embedding norm audit
+    "promql_parsed_offset", "embedding_norm_audit",
 ]
 
 

@@ -570,3 +570,64 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 string_agg_ordered.__doc__ = _stragg_sql.__doc__
+
+
+# --- embedding norm audit --------------------------------------------------
+def _norm_audit_sql(engine: str) -> str:
+    """Embedding-norm quality audit per label: count, mean L2 norm, and
+    outlier counts outside fixed norm bounds — collapsed (near-zero) or
+    exploded norms flag bad encoder batches before they poison an index
+    build (the vector-pipeline twin of column_profile).  Norms come from
+    the same 2^-20-quantized dot products as every similarity operator
+    (exact dyadic sums → identical sqrt inputs); per-norm addends are
+    re-quantized before the mean."""
+    if engine == "spark":
+        dot = (
+            "aggregate(zip_with(q, q, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        quant = (
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576 + 0.5) "
+            "AS DOUBLE) / 1048576)"
+        )
+    else:
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, len(q) + 1), i -> "
+            "CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        )
+        quant = (
+            "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576 + 0.5) "
+            "AS DOUBLE) / 1048576)"
+        )
+    q20 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    )
+    r6 = (
+        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return f"""
+    WITH n AS (
+      SELECT label, sqrt({dot}) AS nrm
+      FROM (SELECT label, {quant} AS q FROM embeddings) s
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {r6(f"sum({q20('nrm')}) / CAST(count(*) AS DOUBLE)")} AS mean_norm,
+           CAST(sum(CASE WHEN nrm < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
+           CAST(sum(CASE WHEN nrm > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exploded
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+@register("embedding_norm_audit", oracle=_norm_audit_sql("duckdb"))
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_norm_audit_sql("spark"))
+
+
+embedding_norm_audit.__doc__ = _norm_audit_sql.__doc__
