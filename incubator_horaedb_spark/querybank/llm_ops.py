@@ -1140,3 +1140,43 @@ _staged_threshold_sweep.__doc__ = dedup.threshold_sweep_sql.__doc__
 register("dedup_threshold_sweep", oracle=dedup.threshold_sweep_sql(DUCK))(
     _staged_threshold_sweep
 )
+
+
+_INTEGRITY_SQL = """
+    WITH d AS (SELECT DISTINCT doc_id FROM documents),
+    e AS (SELECT DISTINCT vec_id FROM embeddings),
+    only_d AS (
+      SELECT count(*) AS n FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+      WHERE e.vec_id IS NULL
+    ),
+    only_e AS (
+      SELECT count(*) AS n FROM e LEFT JOIN d ON d.doc_id = e.vec_id
+      WHERE d.doc_id IS NULL
+    ),
+    both_t AS (
+      SELECT count(*) AS n FROM d JOIN e ON e.vec_id = d.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vecs,
+           CAST(both_t.n AS BIGINT) AS n_matched,
+           CAST(only_d.n AS BIGINT) AS n_docs_without_vec,
+           CAST(only_e.n AS BIGINT) AS n_vecs_without_doc
+    FROM both_t CROSS JOIN only_d CROSS JOIN only_e
+    """
+
+
+def _integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit between the document corpus
+    and its embedding table (documents.doc_id vs embeddings.vec_id):
+    matched counts plus dangling rows in each direction — the pipeline
+    invariant checked before any doc↔vector join (RRF fusion, SemDeDup,
+    cluster sampling) is trusted; a nonzero dangling count means the
+    embedding job lagged or doubled.  Two distinct-projections, two
+    anti-join counts, all id-keyed — no wide columns move."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_INTEGRITY_SQL)
+
+
+_integrity.__name__ = "corpus_embedding_integrity"
+register("corpus_embedding_integrity", oracle=_INTEGRITY_SQL)(_integrity)

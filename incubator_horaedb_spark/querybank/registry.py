@@ -369,6 +369,8 @@ DRIVER_ORDER = [
     "dedup_threshold_sweep",
     # round-5: parsed offset modifier, embedding norm audit
     "promql_parsed_offset", "embedding_norm_audit",
+    # round-5: doc-embedding referential-integrity audit
+    "corpus_embedding_integrity",
 ]
 
 
