@@ -702,7 +702,7 @@ def rrf_fusion_sql(
         f"(coalesce(1.0 / ({c}.0 + CAST(b.rn AS DOUBLE)), 0.0)"
         f" + coalesce(1.0 / ({c}.0 + CAST(dn.rn AS DOUBLE)), 0.0))"
     )
-    ctes = bm25_ranked_ctes(d, table) + [
+    ctes = bm25_ranked_ctes(d, table, k_cap=k_each) + [
         ("qraw", km_quant_select(d, "embeddings")),
         ("qv", km_qv_select(d, "qraw")),
         ("dq", "SELECT q AS qe, nrm AS qnrm FROM qv WHERE vec_id = 0"),
@@ -713,8 +713,10 @@ def rrf_fusion_sql(
         ),
         (
             "dranked",
-            """SELECT doc_id, cosine,
-             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rn FROM dscored""",
+            f"""SELECT doc_id, cosine,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rn
+      FROM (SELECT doc_id, cosine FROM dscored
+            ORDER BY cosine DESC, doc_id LIMIT {k_each}) dtopk_""",
         ),
         (
             "fused",

@@ -98,9 +98,13 @@ def bm25_ranked_ctes(
     terms: tuple[str, ...] = ("window", "merge", "stream"),
     k1: float = 1.2,
     b: float = 0.75,
+    k_cap: int = 20,
 ) -> list[tuple[str, str]]:
     """The BM25 scoring chain up to the ranked list (tf → stats → scored →
-    ranked) — shared by bm25_sql's top-k and the RRF fusion composition."""
+    ranked) — shared by bm25_sql's top-k and the RRF fusion composition.
+    ``ranked`` takes the top-``k_cap`` DISTRIBUTED (ORDER/LIMIT →
+    TakeOrdered) before the row_number — a bare global window would
+    single-partition every scored document at corpus scale."""
     toks = d.tokens("lower(text)")
     tf_parts = []
     for i, term in enumerate(terms):
@@ -135,8 +139,10 @@ def bm25_ranked_ctes(
         ),
         (
             "ranked",
-            """SELECT doc_id, bm25,
-             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM scored""",
+            f"""SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM (SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT {k_cap}) topk_""",
         ),
     ]
 
@@ -159,7 +165,7 @@ def bm25_sql(
     besides the final top-k.  Scores are rounded to 6 digits (the same
     cross-engine transcendental tolerance as quality_sql's logistic)."""
     return d.cte_query(
-        bm25_ranked_ctes(d, table, terms, k1, b),
+        bm25_ranked_ctes(d, table, terms, k1, b, k_cap=k),
         f"SELECT doc_id, bm25 FROM ranked WHERE rn <= {k}",
     )
 

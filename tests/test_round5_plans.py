@@ -67,3 +67,17 @@ def test_exif_single_scan_no_shuffle(spark, sf_dir, qs):
     df = qs["multimodal_exif_meta"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_rrf_ranks_after_distributed_topk(spark, sf_dir, qs):
+    df = qs["hybrid_rrf_fusion"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every ranking window must sit ABOVE a TakeOrderedAndProject — a bare
+    # global row_number would single-partition the scored corpus
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_bm25_ranks_after_distributed_topk(spark, sf_dir, qs):
+    df = qs["text_bm25_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
