@@ -797,8 +797,10 @@ def cms_heavy_hitters_sql(
             ),
             (
                 "ranked",
-                """SELECT h, exact_cnt, est_cnt,
-             row_number() OVER (ORDER BY est_cnt DESC, h) AS rn FROM est""",
+                f"""SELECT h, exact_cnt, est_cnt,
+             row_number() OVER (ORDER BY est_cnt DESC, h) AS rn
+      FROM (SELECT h, exact_cnt, est_cnt FROM est
+            ORDER BY est_cnt DESC, h LIMIT {k}) topk_""",
             ),
         ],
         f"""SELECT CAST(h AS BIGINT) AS token_hash,
@@ -1232,11 +1234,13 @@ def winnow_decontam_sql(
             ),
             (
                 "ranked",
-                f"""SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
-             CAST(n_shared AS BIGINT) AS n_shared,
-             {share} AS shared_fp_share,
-             row_number() OVER (ORDER BY {share} DESC, doc_id) AS rn
-      FROM hit""",
+                f"""SELECT doc_id, n_fp, n_shared, shared_fp_share,
+             row_number() OVER (ORDER BY shared_fp_share DESC, doc_id) AS rn
+      FROM (SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   {share} AS shared_fp_share
+            FROM hit
+            ORDER BY {share} DESC, doc_id LIMIT {top_n}) topk_""",
             ),
         ],
         f"SELECT doc_id, n_fp, n_shared, shared_fp_share FROM ranked WHERE rn <= {top_n}",
