@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import random
 
+from incubator_horaedb_spark.functions.detfloat import dyadic_sql, r_out_sql
 from incubator_horaedb_spark.operators.dialect import BASE, P, Dialect
 
 NUM_PERM = 16
@@ -716,10 +717,7 @@ def minhash_accuracy_ctes(
 
 
 def minhash_accuracy_final(d: Dialect) -> str:
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     return f"""SELECT CAST(floor(abs(est - jacc) * 10) AS BIGINT) AS err_decile,
            CAST(count(*) AS BIGINT) AS n_pairs,
            {r6('sum(est) / count(*)')} AS mean_est,
@@ -992,14 +990,8 @@ def dupspan_report_from(
     staged on the Spark side because occ is referenced twice (document
     frequency + the position join) and CTE inlining would recompute the
     whole explode chain."""
-    q20 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    q20 = lambda e: dyadic_sql(e, 20)
+    r6 = lambda e: r_out_sql(e, 6)
     return d.cte_query(
         [
             (
@@ -1101,10 +1093,7 @@ def pagerank_ctes(
     same rounds, so results hash-match even before convergence (the
     ivf_kmeans_train convention).  ``pfx`` prefixes stage names so the
     Spark side can materialize them as temp views."""
-    q20 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
+    q20 = lambda e: dyadic_sql(e, 20)
     ctes = [
         (
             f"{pfx}dirs",
@@ -1141,10 +1130,7 @@ def pagerank_ctes(
 
 
 def pagerank_final_select(d: Dialect, last_src: str, k: int = 15) -> str:
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     # top-k FIRST (TakeOrderedAndProject — distributed), then rank the k
     # survivors; a global row_number over all nodes would single-partition
     # the whole node set

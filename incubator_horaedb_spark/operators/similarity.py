@@ -15,6 +15,8 @@ not three.
 
 from __future__ import annotations
 
+from incubator_horaedb_spark.functions.detfloat import dyadic_sql, r_out_sql
+
 import random
 
 from incubator_horaedb_spark.operators.dialect import Dialect
@@ -998,10 +1000,7 @@ def pq_adc_sql(
         ("codes", f"SELECT vec_id, subsp, cid FROM pa{PQ_ROUNDS}"),
     ]
     ctes += pq_adc_ctes(d, "codes", f"cb{PQ_ROUNDS}", "sub", k, n_queries)
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     return d.cte_query(
         ctes,
         f"""SELECT qid, vec_id, {r6('adist')} AS adc_dist
@@ -1079,10 +1078,7 @@ def ann_ivfpq_sql(
         d, "codes", f"cb{PQ_ROUNDS}", "sub", "qv", f"cent{KM_ROUNDS}",
         f"a{KM_ROUNDS}", n_probe, n_queries,
     )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     return d.cte_query(
         ctes,
         f"SELECT qid, vec_id, {r6('adist')} AS adc_dist FROM ranked WHERE rn <= {k}",
@@ -1431,10 +1427,7 @@ def refine_ctes(
     only (|queries| × m rows — the refine step of FAISS's IndexRefine),
     compute exact quantized L2 and keep the top-``k``."""
     edist = _l2sq_full(d, "a.q", "b.q")
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     return [
         (
             "exd",

@@ -9,6 +9,8 @@ scan speed inside whole-stage codegen.
 
 from __future__ import annotations
 
+from incubator_horaedb_spark.functions.detfloat import dyadic_sql, r_out_sql
+
 from incubator_horaedb_spark.operators.dialect import Dialect
 
 STOPWORDS = {
@@ -600,10 +602,7 @@ def classifier_score_sql(d: Dialect, table: str = "documents", lead_ctes: list |
     score = f"({z} / (1.0 + abs({z})))"
     q20 = 1 << 20
     score_q = f"(CAST(floor(({score}) * {q20} + 0.5) AS DOUBLE) / {q20})"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     return d.cte_query(
         list(lead_ctes or [])
         + [
@@ -642,10 +641,7 @@ def gopher_rules_sql(d: Dialect, table: str = "documents") -> str:
     stop_hits = _stop_hits(d, "toks", "en")
     hashes = "length(text) - length(replace(text, '#', ''))"
     ellipses = d.size(d.regexp_extract_all("text", r"\.\.\."))
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     return d.cte_query(
         [
             ("t", f"SELECT doc_id, source, {toks} AS toks, text FROM {table}"),
@@ -705,10 +701,7 @@ def surprisal_sql(d: Dialect, table: str = "documents", tokh_src: str | None = N
 
     q20 = 1 << 20
     surp = f"(CAST(floor((-ln(CAST(f.cnt AS DOUBLE) / s.total)) * {q20} + 0.5) AS DOUBLE) / {q20})"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     if tokh_src is None:
         lead = [("tokh", tokh_select(d, table))]
         tokh_src = "tokh"
@@ -1273,10 +1266,7 @@ def source_divergence_sql(
         f" / (CAST(ct.c AS DOUBLE) / CAST(cn.n AS DOUBLE))))"
         f" * {q20} + 0.5) AS DOUBLE) / {q20})"
     )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     if tokh_src is None:
         lead = [("tokh", tokh_select(d, table, extra_cols="source"))]
         tokh_src = "tokh"
@@ -1311,10 +1301,7 @@ def bpe_encode_report_from(d: Dialect, w_src: str, enc_src: str) -> str:
     (word, word_syms) final-symbolization table: word count, total chars,
     total BPE tokens, compression ratio.  Words below the vocab length
     floor (length 1) encode as themselves — the LEFT JOIN's NULL branch."""
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     n_sym = d.size(d.split_lit("e.word_syms", "·"))
     return f"""SELECT w.source,
            CAST(count(*) AS BIGINT) AS n_words,
@@ -1376,14 +1363,8 @@ def doc_cluster_quality_sql(d: Dialect, table: str = "documents", k: int = 4) ->
     dist = " + ".join(
         f"(g.g{j} - c.c{j}) * (g.g{j} - c.c{j})" for j in range(FEATURE_DIM)
     )
-    qz = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    qz = lambda e: dyadic_sql(e, 20)
+    r6 = lambda e: r_out_sql(e, 6)
     sil = "CASE WHEN greatest(d1, d2) = 0 THEN 0.0 ELSE (d2 - d1) / greatest(d1, d2) END"
     return d.cte_query(
         [

@@ -794,10 +794,7 @@ def _hw_sql(engine: str) -> str:
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     to_ts = "timestamp_millis({ms})" if engine == "spark" else "make_timestamp(({ms}) * 1000)"
     bucket_ts = to_ts.format(ms=f"b * {stride}")
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     if engine == "spark":
         vals = (
             "transform(sort_array(collect_list(struct(okey, vq))), x -> x.vq)"
@@ -880,10 +877,7 @@ def _zscore_sql(engine: str) -> str:
     of the raw stream."""
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     mean = "(m.sum_v / m.n)"
     var = f"greatest(m.sum_v2 / m.n - {mean} * {mean}, 0.0)"
     z = f"((e.vq - {mean}) / sqrt({var}))"
@@ -1021,10 +1015,7 @@ def _mad_sql(engine: str) -> str:
     two rank-window passes per series + a tiny per-series table joined
     back; emits only flagged rows."""
     vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     # rank midpoints via INTEGER division — (n+1)/2 on DuckDB is float
     # division whose CAST rounds (Spark's truncates), shifting the median
     # rank by one on even-sized series
@@ -1321,14 +1312,8 @@ def _cusum_sql(engine: str) -> str:
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     div = "DIV" if engine == "spark" else "//"
     vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
-    q20 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    q20 = lambda e: dyadic_sql(e, 20)
+    r6 = lambda e: r_out_sql(e, 6)
     return f"""
     WITH q AS (
       SELECT event_type, (({ems}) {div} 86400000) AS day, {vq} AS v FROM events
@@ -1458,14 +1443,8 @@ def _acf_sql(engine: str) -> str:
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     div = "DIV" if engine == "spark" else "//"
     vq = "(CAST(floor((value * 1024) + 0.5) AS DOUBLE) / 1024)"
-    q20 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    q20 = lambda e: dyadic_sql(e, 20)
+    r6 = lambda e: r_out_sql(e, 6)
     num = lambda lag: f"""SELECT a.event_type, {lag} AS lag,
              sum({q20('a.dev * b.dev')}) AS num, count(*) AS n_pairs
       FROM d a JOIN d b ON b.event_type = a.event_type AND b.hb = a.hb + {lag}
@@ -1527,10 +1506,7 @@ def _xcorr_sql(engine: str) -> str:
     on both engines."""
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     div = "DIV" if engine == "spark" else "//"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     lag_rows = " UNION ALL ".join(f"SELECT {k} AS lag" for k in range(-3, 4))
     n, sx, sy, sxx, sxy, syy = (
         f"CAST({c} AS DOUBLE)" for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
@@ -1657,14 +1633,8 @@ def _psi_sql(engine: str) -> str:
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     sty = "STRING" if engine == "spark" else "VARCHAR"
     mid = 1705363200000  # 2024-01-16T00:00Z
-    q20 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    q20 = lambda e: dyadic_sql(e, 20)
+    r6 = lambda e: r_out_sql(e, 6)
     p = "((CAST(n0 AS DOUBLE) + 1.0) / (CAST(t0 AS DOUBLE) + CAST(nb AS DOUBLE)))"
     q = "((CAST(n1 AS DOUBLE) + 1.0) / (CAST(t1 AS DOUBLE) + CAST(nb AS DOUBLE)))"
     term = q20(f"({p} - {q}) * ln({p} / {q})")
@@ -1732,10 +1702,7 @@ def _corrmat_sql(engine: str) -> str:
     it is not), one per-pair agg."""
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     div = "DIV" if engine == "spark" else "//"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     n, sx, sy, sxx, sxy, syy = (
         f"CAST({c} AS DOUBLE)" for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
     )
@@ -1794,10 +1761,7 @@ def _xor_sql(engine: str) -> str:
     Shape: one series-keyed window pass (shared sort), one tiny agg."""
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     x = "xor(v, pv)" if engine == "duckdb" else "(v ^ pv)"
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    r6 = lambda e: r_out_sql(e, 6)
     # bit length of a POSITIVE bigint from its minimal hex rendering
     bl = (
         lambda h: f"(4 * (length({h}) - 1) + CASE substr({h}, 1, 1) "
@@ -1879,14 +1843,8 @@ def _seasonal_decomp_sql(engine: str) -> str:
     share the series key; the report is |series| rows."""
     ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
     div = "DIV" if engine == "spark" else "//"
-    q = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1048576 AS DOUBLE)"
-        f" + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1048576 AS DOUBLE))"
-    )
-    r6 = (
-        lambda e: f"(CAST(floor(({e}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        f" AS DOUBLE) / CAST(1000000 AS DOUBLE))"
-    )
+    q = lambda e: dyadic_sql(e, 20)
+    r6 = lambda e: r_out_sql(e, 6)
     w7 = (
         "OVER (PARTITION BY event_type ORDER BY ed "
         "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
