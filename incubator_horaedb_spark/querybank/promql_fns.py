@@ -734,3 +734,14 @@ def promql_parsed_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         extended=True, round_digits=6,
     )
     return out.select("event_type", "ts", "value")
+
+
+@register(
+    "promql_parsed_instant",
+    oracle=prom_align_oracle_sql("instant", round_digits=6, **_ORACLE_PARAMS),
+)
+def promql_parsed_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A bare selector (`events`) through the text parser — the instant
+    vector with the standard lookback (builder twin: promql_instant)."""
+    out = _parsed(spark, sf_dir, "events")
+    return out.select("event_type", "ts", "value")

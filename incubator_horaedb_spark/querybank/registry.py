@@ -371,6 +371,8 @@ DRIVER_ORDER = [
     "promql_parsed_offset", "embedding_norm_audit",
     # round-5: doc-embedding referential-integrity audit
     "corpus_embedding_integrity",
+    # round-5: parsed instant selector, DAU/WAU stickiness
+    "promql_parsed_instant", "dau_wau_stickiness",
 ]
 
 

@@ -1920,3 +1920,59 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_seasonal_decompose.__doc__ = _seasonal_decomp_sql.__doc__
+
+
+# --- DAU / WAU stickiness ----------------------------------------------------
+def _stickiness_sql(engine: str) -> str:
+    """DAU/WAU stickiness per day — the product-engagement ratio (daily
+    actives over trailing-7-day actives; DAU/MAU is the same template
+    with 30).  Exact trailing distinct counts WITHOUT a windowed
+    count-distinct (no engine supports that frame): each (user, day)
+    activity contributes to the 7 target days it is visible from, via a
+    7-row offset explode — the O(7x) blowup is the price of exactness
+    and is data-parallel; the per-target-day distinct collapses in one
+    hash agg.  Ratio of two exact integers; first 6 days are excluded
+    (incomplete trailing window).
+
+    Shape: daily-active dedup (one shuffle), offset explode map-side,
+    one (day)-keyed distinct agg, one join of two O(days) tables."""
+    ems = "unix_millis(ts)" if engine == "spark" else "epoch_ms(ts)"
+    div = "DIV" if engine == "spark" else "//"
+    off = (
+        "(SELECT explode(sequence(0, 6)) AS o)" if engine == "spark"
+        else "(SELECT unnest(range(0, 7)) AS o)"
+    )
+    r6 = lambda e: r_out_sql(e, 6)
+    return f"""
+    WITH da AS (
+      SELECT DISTINCT user_id, (({ems}) {div} 86400000) AS ed FROM events
+    ),
+    dau AS (SELECT ed, count(*) AS n_dau FROM da GROUP BY ed),
+    bounds AS (SELECT min(ed) AS lo FROM da),
+    w AS (
+      SELECT da.user_id, da.ed + o.o AS target_ed
+      FROM da CROSS JOIN {off} o
+    ),
+    wau AS (
+      SELECT target_ed AS ed, count(DISTINCT user_id) AS n_wau
+      FROM w GROUP BY target_ed
+    )
+    SELECT CAST(d.ed AS BIGINT) AS epoch_day,
+           CAST(d.n_dau AS BIGINT) AS n_dau,
+           CAST(u.n_wau AS BIGINT) AS n_wau,
+           {r6('CAST(d.n_dau AS DOUBLE) / CAST(u.n_wau AS DOUBLE)')} AS stickiness
+    FROM dau d
+    JOIN wau u ON u.ed = d.ed
+    CROSS JOIN bounds b
+    WHERE d.ed >= b.lo + 6
+    ORDER BY epoch_day
+    """
+
+
+@register("dau_wau_stickiness", oracle=_stickiness_sql("duckdb"))
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_stickiness_sql("spark"))
+
+
+dau_wau_stickiness.__doc__ = _stickiness_sql.__doc__

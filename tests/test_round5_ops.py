@@ -947,3 +947,14 @@ def test_threshold_sweep_monotone_and_consistent(spark, qs):
     lsh_pairs = qs["dedup_minhash_lsh"](spark, SF_DIR).count()
     high = sum(r["n_pairs"] for b, r in rows.items() if b >= 80)
     assert high == lsh_pairs
+
+
+def test_stickiness_bounds_and_window(spark, qs):
+    rows = qs["dau_wau_stickiness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # DAU is a subset of the trailing-7-day actives
+        assert 0 < r["n_dau"] <= r["n_wau"]
+        assert 0.0 < r["stickiness"] <= 1.0 + 1e-9
+    days = [r["epoch_day"] for r in rows]
+    assert days == sorted(days)
