@@ -373,6 +373,8 @@ DRIVER_ORDER = [
     "corpus_embedding_integrity",
     # round-5: parsed instant selector, DAU/WAU stickiness
     "promql_parsed_instant", "dau_wau_stickiness",
+    # round-5: NOT IN three-valued-logic semantics
+    "subquery_not_in_null_semantics",
 ]
 
 

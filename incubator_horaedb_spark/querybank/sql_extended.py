@@ -631,3 +631,31 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embedding_norm_audit.__doc__ = _norm_audit_sql.__doc__
+
+
+# --- NOT IN three-valued-logic semantics ----------------------------------
+_NOT_IN_NULL_SQL = """
+    SELECT
+      (SELECT count(*) FROM supplier
+       WHERE s_nationkey NOT IN (
+         SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_nationkey END
+         FROM customer)) AS n_with_nulls,
+      (SELECT count(*) FROM supplier
+       WHERE s_nationkey NOT IN (
+         SELECT c_nationkey FROM customer WHERE c_acctbal >= 9000))
+        AS n_without_nulls,
+      (SELECT count(*) FROM supplier) AS n_suppliers
+    """
+
+
+@register("subquery_not_in_null_semantics", oracle=_NOT_IN_NULL_SQL)
+def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN three-valued logic — the classic correctness trap: a
+    NULL anywhere in the IN-list makes `x NOT IN (...)` never TRUE
+    (FALSE or UNKNOWN), so the first count is 0 BY SEMANTICS while the
+    null-filtered variant counts normally.  Both engines must agree on
+    the null-aware anti-join rewrite (Spark plans
+    NullAwareAntiJoin/BroadcastNestedLoop for exactly this).  Same SQL
+    text on both engines; the counts pin the behavior."""
+    _views(spark, sf_dir, "supplier", "customer")
+    return spark.sql(_NOT_IN_NULL_SQL)

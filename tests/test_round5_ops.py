@@ -958,3 +958,11 @@ def test_stickiness_bounds_and_window(spark, qs):
         assert 0.0 < r["stickiness"] <= 1.0 + 1e-9
     days = [r["epoch_day"] for r in rows]
     assert days == sorted(days)
+
+
+def test_not_in_null_semantics(spark, qs):
+    r = qs["subquery_not_in_null_semantics"](spark, SF_DIR).collect()[0]
+    # a NULL in the IN-list makes NOT IN never TRUE (three-valued logic)
+    assert r["n_with_nulls"] == 0
+    # the null-filtered variant counts normally and differs
+    assert 0 < r["n_without_nulls"] <= r["n_suppliers"]
