@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 
 from incubator_horaedb_spark.functions.sketches import THETASKETCH_ERROR_RATE
 from incubator_horaedb_spark.functions.time_bucket import _SUBDAY_SECONDS, parse_period
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
 
 _EPOCH = datetime.datetime(1970, 1, 1)
 
@@ -237,7 +238,7 @@ def _rewrite_date_bin(sql: str) -> str:
     def sub(m: re.Match) -> str:
         stride_ms = int(m.group(1)) * _INTERVAL_MS[m.group(2).lower()]
         origin = datetime.datetime.fromisoformat(m.group(4).replace("Z", "+00:00"))
-        origin_ms = int(origin.timestamp() * 1000)
+        origin_ms = epoch_ms(origin)
         return f"date_bin({stride_ms}, {m.group(3)}, {origin_ms})"
 
     return _DATE_BIN_RE.sub(sub, sql)

@@ -38,15 +38,14 @@ from pyspark.sql import DataFrame
 
 from incubator_horaedb_spark.frontends.influxql import parse_line_protocol_typed
 from incubator_horaedb_spark.frontends.opentsdb import parse_put_typed
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
 from incubator_horaedb_spark.serving import QueryDedup
 
 
 def _json_cell(v):
     if isinstance(v, datetime.datetime):
         # Datum::Timestamp serializes as ms epoch (http/sql.rs via datum.rs)
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=datetime.timezone.utc)
-        return int(v.timestamp() * 1000)
+        return epoch_ms(v)
     if isinstance(v, (bytes, bytearray)):
         return v.decode("utf-8", errors="replace")
     return v

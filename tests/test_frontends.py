@@ -9,6 +9,8 @@ from incubator_horaedb_spark.frontends.influxql import (
 )
 from incubator_horaedb_spark.frontends.opentsdb import parse_put, parse_query_request
 
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
+
 
 def test_parse_influxql():
     q = parse_influxql(
@@ -117,7 +119,7 @@ def test_influxql_fill_grid_golden(spark):
     def run(q):
         df = influxql_to_df(q, {"h2o_feet": h2o})
         return [
-            (int(r["time"].timestamp() * 1000), r["location"], r["count_water_level"])
+            (epoch_ms(r["time"]), r["location"], r["count_water_level"])
             for r in df.collect()
         ]
 
@@ -192,7 +194,7 @@ def test_opentsdb_basic_golden(spark):
     assert [r["value"] for r in tagged] == [8.12, 8.005, 7.887]
 
     summed = run({"aggregator": "sum", "metric": "t", "tags": {}}).collect()
-    dps = {int(r["ts"].timestamp() * 1000): round(r["value"], 6) for r in summed}
+    dps = {epoch_ms(r["ts"]): round(r["value"], 6) for r in summed}
     assert dps == {1439827200000: 10.184, 1439827560000: 10.121, 1439827620000: 9.915}
 
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.operators.prom_align import prom_align
 
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
+
 
 def _series(spark, samples):
     """samples: list of (ts_ms, value) for a single series 's'."""
@@ -28,7 +30,7 @@ def _run(spark, samples, func, start, end, step, lookback):
         step_ms=step,
         lookback_ms=lookback,
     )
-    return {int(r["ts"].timestamp() * 1000): r["value"] for r in df.collect()}
+    return {epoch_ms(r["ts"]): r["value"] for r in df.collect()}
 
 
 def test_delta_extrapolation_full_window(spark):

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.operators.prom_align import prom_align
 
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
+
 START_MS = 1_600_000_000_000
 
 
@@ -136,7 +138,7 @@ def test_prom_align_matches_reference_model(spark, func, points, step_s, lookbac
     ).select("name", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "value")
 
     got = {
-        int(r["ts"].timestamp() * 1000): r["value"]
+        epoch_ms(r["ts"]): r["value"]
         for r in prom_align(
             df,
             func,

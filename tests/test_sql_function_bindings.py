@@ -8,6 +8,8 @@ import pytest
 
 from incubator_horaedb_spark.frontends.sql_shim import Engine
 
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
+
 
 @pytest.fixture()
 def engine(spark, tmp_path):
@@ -130,7 +132,7 @@ def corpus_t(engine):
 def _ms(dt):
     import datetime
 
-    return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    return epoch_ms(dt)
 
 
 def test_time_bucket_corpus_golden(corpus_t):

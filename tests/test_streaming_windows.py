@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
 from incubator_horaedb_spark.streaming.windows import (
     sessionize,
     streaming_dedup,
@@ -80,7 +81,7 @@ def test_streaming_dedup(spark, tmp_path):
     deduped = streaming_dedup(stream, ["user_id", "ts"], "ts", watermark="1 minute")
     out = _run_stream(spark, deduped, "dedup_out")
     got = sorted(
-        (r["user_id"], int(r["ts"].timestamp() * 1000)) for r in out.collect()
+        (r["user_id"], epoch_ms(r["ts"])) for r in out.collect()
     )
     assert got == [(1, base), (1, base + 5_000), (2, base + 1_000)]
 

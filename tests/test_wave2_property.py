@@ -21,6 +21,8 @@ from incubator_horaedb_spark.operators.text import (
 )
 from incubator_horaedb_spark.querybank.timeseries import _funnel_sql, _retention_sql
 
+from incubator_horaedb_spark.functions.timeutil import epoch_ms
+
 _SETTINGS = dict(
     max_examples=25,
     deadline=None,
@@ -294,7 +296,7 @@ def test_lttb_matches_model(duck, events):
     for _etype, _bts, ts, value in duck.execute(
         _lttb_sql("duckdb") + " ORDER BY bucket_ts"
     ).fetchall():
-        ems = int(ts.timestamp() * 1000)
+        ems = epoch_ms(ts)
         got[ems // (15 * 60 * 1000)] = (ems, math_floor_q(value))
     want = {
         b: (ems, math_floor_q(v)) for b, (ems, v) in _lttb_model(events).items()
@@ -369,7 +371,7 @@ def test_gapfill_interp_matches_model(duck, events):
     )
     got = {}
     for _etype, bts, value, gap in duck.execute(_gapfill_interp_sql("duckdb")).fetchall():
-        k = (int(bts.timestamp() * 1000) - 1704067200000) // 600_000
+        k = (epoch_ms(bts) - 1704067200000) // 600_000
         got[k] = (value, gap)
     want = _interp_model(events)
     assert got == want
