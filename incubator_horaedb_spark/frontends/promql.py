@@ -66,14 +66,26 @@ class Selector:
 @dataclass
 class PromQuery:
     selector: Selector
-    range_fn: str | None = None  # rate/irate/delta/idelta/increase
+    # rate/irate/delta/idelta/increase, or (extended) any OVER_TIME_FUNCS
+    # member or absent_over_time
+    range_fn: str | None = None
+    # extra positional args of the range function (quantile_over_time's φ,
+    # predict_linear's horizon seconds)
+    fn_args: tuple[float, ...] = ()
     agg_op: str | None = None
     agg_by: list[str] | None = None  # None → no grouping clause
     agg_without: list[str] | None = None
     # extended evaluator layer (parse_promql(..., extended=True) only):
-    wrap_fn: str | None = None  # topk | bottomk | clamp | clamp_min | clamp_max
+    # topk | bottomk | clamp | clamp_min | clamp_max | histogram_quantile
+    # | count_values — applied AFTER the aggregation stage when both are set
+    wrap_fn: str | None = None
     wrap_args: tuple[float, ...] = ()
+    wrap_label: str | None = None  # count_values' output label name
     subquery: tuple[str, int, int] | None = None  # (agg fn, window_ms, step_ms)
+    # label-set rewriting stages, innermost first: ("replace", dst, repl,
+    # src, regex) | ("join", dst, sep, [src, ...]) — functions.go
+    # label_replace / label_join; map-side, applied last
+    label_ops: list[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -113,6 +125,54 @@ _SUBQ_RE = re.compile(
     r"^(max|min|avg|sum)_over_time\s*\(\s*(.*)\s*\[(\w+):(\w+)\]\s*\)\s*$",
     re.I | re.S,
 )
+_STR = r'"((?:[^"\\]|\\.)*)"'
+# direct range functions over a range selector (the full OVER_TIME_FUNCS
+# surface of operators/prom_align.py, plus absence detection)
+_OVER_TIME_RE = re.compile(
+    r"^(avg_over_time|min_over_time|max_over_time|sum_over_time|count_over_time"
+    r"|last_over_time|stddev_over_time|stdvar_over_time|changes|resets|deriv"
+    r"|absent_over_time)\s*\(\s*(.*)\)\s*$",
+    re.I | re.S,
+)
+_QOT_RE = re.compile(
+    rf"^quantile_over_time\s*\(\s*({_NUM})\s*,\s*(.*)\)\s*$", re.I | re.S
+)
+_PREDICT_RE = re.compile(
+    rf"^predict_linear\s*\(\s*(.*)\s*,\s*({_NUM})\s*\)\s*$", re.I | re.S
+)
+_HISTQ_RE = re.compile(
+    rf"^histogram_quantile\s*\(\s*({_NUM})\s*,\s*(.*)\)\s*$", re.I | re.S
+)
+_COUNT_VALUES_RE = re.compile(
+    rf"^count_values\s*\(\s*{_STR}\s*,\s*(.*)\)\s*$", re.I | re.S
+)
+_LABEL_REPLACE_RE = re.compile(
+    rf"^label_replace\s*\(\s*(.*)\s*,\s*{_STR}\s*,\s*{_STR}\s*,\s*{_STR}"
+    rf"\s*,\s*{_STR}\s*\)\s*$",
+    re.I | re.S,
+)
+_LABEL_JOIN_RE = re.compile(
+    rf"^label_join\s*\(\s*(.*?)\s*,\s*{_STR}\s*,\s*{_STR}((?:\s*,\s*{_STR})+)\s*\)\s*$",
+    re.I | re.S,
+)
+
+
+def _unq(s: str) -> str:
+    return s.replace('\\"', '"')
+
+
+def _as_range_fn(inner: "PromQuery", fn: str, args: tuple) -> "PromQuery":
+    """Attach a direct range function (the *_over_time family) to a parsed
+    range selector — refuses composition the evaluator cannot express."""
+    if inner.range_fn is not None or inner.agg_op is not None:
+        raise ValueError(
+            f"{fn}() expects a plain range selector, not a nested function"
+        )
+    if inner.selector.range_ms is None:
+        raise ValueError(f"{fn}() requires a range selector, e.g. metric[5m]")
+    inner.range_fn = fn
+    inner.fn_args = args
+    return inner
 
 
 def _split_top_level_binop(q: str):
@@ -158,9 +218,12 @@ def _split_top_level_binop(q: str):
             continue
         rest = q[pos + 1 :].lstrip()
         # peel the optional matching clause token by token
+        # group_left(?![\w]) — an identifier merely *starting* with
+        # "group_left" (a metric named group_left_total) is an operand,
+        # not a matching modifier
         mm = re.match(
             r"^((?:(?:on|ignoring)\s*\([^)]*\)\s*)?"
-            r"(?:group_left(?:\s*\([^)]*\))?\s*)?)(.*)$",
+            r"(?:group_left(?![\w])(?:\s*\([^)]*\))?\s*)?)(.*)$",
             rest,
             re.I | re.S,
         )
@@ -192,7 +255,7 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
             gl_labels: list[str] = []
             mm = re.match(
                 r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?"
-                r"(group_left)(?:\s*\(([^)]*)\))?\s*$|"
+                r"(group_left)(?![\w])(?:\s*\(([^)]*)\))?\s*$|"
                 r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?$",
                 match_txt,
                 re.I,
@@ -247,6 +310,47 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
                 parse_duration_ms(m.group(3)),
                 parse_duration_ms(m.group(4)),
             )
+            return inner
+        m = _QOT_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=False)
+            return _as_range_fn(inner, "quantile_over_time", (float(m.group(1)),))
+        m = _PREDICT_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(1).strip(), extended=False)
+            return _as_range_fn(inner, "predict_linear", (float(m.group(2)),))
+        m = _OVER_TIME_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=False)
+            return _as_range_fn(inner, m.group(1).lower(), ())
+        m = _HISTQ_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner.wrap_fn = "histogram_quantile"
+            inner.wrap_args = (float(m.group(1)),)
+            return inner
+        m = _COUNT_VALUES_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner.wrap_fn = "count_values"
+            inner.wrap_label = _unq(m.group(1))
+            return inner
+        m = _LABEL_REPLACE_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(1).strip(), extended=True)
+            if not isinstance(inner, PromQuery):
+                raise ValueError("label_replace over a binary expression is not supported")
+            inner.label_ops.append(
+                ("replace", _unq(m.group(2)), _unq(m.group(3)), _unq(m.group(4)), _unq(m.group(5)))
+            )
+            return inner
+        m = _LABEL_JOIN_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(1).strip(), extended=True)
+            if not isinstance(inner, PromQuery):
+                raise ValueError("label_join over a binary expression is not supported")
+            srcs = [_unq(s) for s in re.findall(_STR, m.group(4))]
+            inner.label_ops.append(("join", _unq(m.group(2)), _unq(m.group(3)), srcs))
             return inner
 
     # aggregation wrapper: op [by/without (labels)] (expr)  |  op (expr) by (labels)
@@ -412,6 +516,25 @@ def promql_to_df(
             ), "ts",
             F.col("value").alias("__vr"),
         )
+        if pq.group_left:
+            # many-to-one requires the "one" side unique per (ts, match
+            # keys); a malformed info metric would silently duplicate left
+            # rows where Prometheus raises a many-to-many matching error.
+            # A count window + conditional raise_error keeps the check
+            # lazy (no extra job) and fails loudly at execution.
+            wcnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            r = r.withColumn(
+                "__vr",
+                F.when(
+                    wcnt > 1,
+                    F.raise_error(
+                        F.lit(
+                            "group_left: found duplicate series on the right "
+                            f"side for match keys {keys}"
+                        )
+                    ).cast("double"),
+                ).otherwise(F.col("__vr")),
+            )
         j = l.join(r, keys)
         vl, vr = F.col("__vl"), F.col("__vr")
         if pq.op == "/":
@@ -444,6 +567,30 @@ def promql_to_df(
     # PromAlign: range function, or Instant alignment for bare selectors
     func = pq.range_fn or "instant"
     lookback = sel.range_ms if pq.range_fn else lookback_ms
+
+    if func == "absent_over_time":
+        # 1 for every step whose range window holds no sample of any
+        # matching series (functions.go absentOverTime).  The present-step
+        # set comes from the same explode-to-grid align plan; the absent
+        # set is the step grid anti-joined against it — the grid side is
+        # O(steps), so the anti-join broadcasts it at any scale.
+        n_steps = (end_ms - start_ms) // step_ms
+        present = prom_align(
+            df, "count_over_time", series_cols=tags, ts_col=ts_col,
+            value_col=value_col, start_ms=start_ms, end_ms=end_ms,
+            step_ms=step_ms, lookback_ms=lookback, offset_ms=sel.offset_ms,
+        ).select("ts").distinct()
+        grid = df.sparkSession.range(0, n_steps + 1).select(
+            F.timestamp_millis(
+                (F.lit(start_ms) + F.col("id") * step_ms).cast("long")
+            ).alias("ts")
+        )
+        return (
+            grid.join(present, "ts", "left_anti")
+            .select("ts", F.lit(1.0).alias("value"))
+            .orderBy("ts")
+        )
+
     aligned = prom_align(
         df,
         func,
@@ -455,16 +602,26 @@ def promql_to_df(
         step_ms=step_ms,
         lookback_ms=lookback,
         offset_ms=sel.offset_ms,
+        quantile=(pq.fn_args[0] if func == "quantile_over_time" and pq.fn_args else 0.75),
+        predict_offset_s=(
+            int(pq.fn_args[0]) if func == "predict_linear" and pq.fn_args else None
+        ),
     )
 
-    if round_digits is not None:
+    def _r(col):
+        if round_digits is None:
+            return col
         scale = float(10**round_digits)
-        aligned = aligned.withColumn(
-            "value",
-            F.floor(F.col("value") * F.lit(scale) + F.lit(0.5)).cast("double")
-            / F.lit(scale),
-        )
+        return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
 
+    if round_digits is not None:
+        aligned = aligned.withColumn("value", _r(F.col("value")))
+
+    # evaluator stages run OVER the aggregation when both are present
+    # (topk(3, sum by (h) (rate(m[5m]))) selects among the aggregated
+    # series) — the aggregate narrows the series labels to the kept set
+    series_labels = list(tags)
+    keep: list[str] = []
     if pq.agg_op is not None:
         # aggregation grouped by (ts, kept tags) + unique_id projection +
         # sort (convert.rs:270-345)
@@ -472,8 +629,6 @@ def promql_to_df(
             keep = [t for t in tags if t in pq.agg_by]
         elif pq.agg_without is not None:
             keep = [t for t in tags if t not in pq.agg_without]
-        else:
-            keep = []
         agg_fn = _AGG_OPS[pq.agg_op]
         agg_in: object = "value"
         if round_digits is not None and pq.agg_op in ("sum", "avg"):
@@ -486,9 +641,8 @@ def promql_to_df(
                 F.floor(F.col("value") * F.lit(float(scale)) + F.lit(0.5)).cast("double")
                 / F.lit(float(scale))
             )
-        out = aligned.groupBy(*keep, "ts").agg(agg_fn(agg_in).alias("value"))
-        uid = unique_id(keep) if keep else F.lit(0).cast("long")
-        return out.withColumn("uid", uid).orderBy("uid", "ts")
+        aligned = aligned.groupBy(*keep, "ts").agg(agg_fn(agg_in).alias("value"))
+        series_labels = list(keep)
 
     if pq.subquery is not None:
         # subquery = a range evaluation OVER the aligned range vector; the
@@ -502,8 +656,8 @@ def promql_to_df(
                 f"{step_ms}ms (the aligned grid is the subquery grid)"
             )
         w = (
-            Window.partitionBy(*tags)
-            .orderBy(F.unix_millis(ts_col))
+            Window.partitionBy(*series_labels)
+            .orderBy(F.unix_millis("ts"))
             .rangeBetween(-win_ms, 0)
         )
         outer = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum}[fn]
@@ -515,7 +669,7 @@ def promql_to_df(
         # on the series labels identically on both engines
         k = int(pq.wrap_args[0])
         order = F.desc("value") if pq.wrap_fn == "topk" else F.asc("value")
-        w = Window.partitionBy("ts").orderBy(order, *[F.col(t) for t in tags])
+        w = Window.partitionBy("ts").orderBy(order, *[F.col(t) for t in series_labels])
         aligned = aligned.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= k
         )
@@ -532,5 +686,84 @@ def promql_to_df(
         aligned = aligned.withColumn(
             "value", F.least(F.col("value"), F.lit(pq.wrap_args[0]))
         )
+    elif pq.wrap_fn == "histogram_quantile":
+        # bucketQuantile (promql/quantile.go): the vector's `le` label
+        # carries cumulative bucket counts; per (other labels, ts) pick the
+        # first bucket whose cumulative count reaches φ·total and
+        # interpolate inside it (first bucket from lower bound 0; a rank in
+        # the +Inf bucket clamps to the last finite le).  Two windows over
+        # the (series × buckets × steps) aligned rows — never raw samples.
+        phi = float(pq.wrap_args[0])
+        if "le" not in series_labels:
+            raise ValueError("histogram_quantile requires an 'le' label")
+        hkeys = [t for t in series_labels if t != "le"]
+        inf = float("inf")
+        le_num = F.when(
+            F.upper(F.col("le")).isin("+INF", "INF"), F.lit(inf)
+        ).otherwise(F.col("le").cast("double"))
+        wp = Window.partitionBy(*hkeys, "ts")
+        wo = wp.orderBy("__le")
+        h = (
+            aligned.withColumn("__le", le_num)
+            .withColumn(
+                "__total", F.max(F.when(F.col("__le") == inf, F.col("value"))).over(wp)
+            )
+            .withColumn(
+                "__max_le", F.max(F.when(F.col("__le") != inf, F.col("__le"))).over(wp)
+            )
+            .withColumn("__prev_cum", F.lag("value").over(wo))
+            .withColumn("__prev_le", F.lag("__le").over(wo))
+        )
+        rank = F.lit(phi) * F.col("__total")
+        first_hit = (F.col("value") >= rank) & (
+            F.col("__prev_cum").isNull() | (F.col("__prev_cum") < rank)
+        )
+        lo_le = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+        lo_cum = F.coalesce(F.col("__prev_cum"), F.lit(0.0))
+        q = F.when(F.col("__le") == inf, F.col("__max_le")).otherwise(
+            lo_le
+            + (F.col("__le") - lo_le) * (rank - lo_cum) / (F.col("value") - lo_cum)
+        )
+        aligned = (
+            h.filter((F.col("__total") > 0) & first_hit)
+            .select(*hkeys, "ts", _r(q).alias("value"))
+        )
+        series_labels = hkeys
+    elif pq.wrap_fn == "count_values":
+        # series count per distinct aligned value per timestamp
+        # (functions.go count_values); values were floor-rounded above, so
+        # grouping keys are engine-stable doubles
+        lbl = pq.wrap_label or "value"
+        aligned = aligned.groupBy("ts", F.col("value").alias(lbl)).agg(
+            F.count(F.lit(1)).alias("n_series")
+        )
+        series_labels = [lbl]
 
-    return aligned.orderBy(*tags, "ts")
+    # label-set rewriting last (functions.go label_replace / label_join) —
+    # pure map-side string expressions; series identity is never merged
+    for op in pq.label_ops:
+        if op[0] == "replace":
+            _, dst, repl, src, regex = op
+            src_col = (
+                F.col(src) if src in aligned.columns else F.lit("")
+            )
+            anchored = f"^(?:{regex})$"
+            new_val = F.regexp_replace(src_col, anchored, repl)
+            existing = F.col(dst) if dst in aligned.columns else F.lit("")
+            aligned = aligned.withColumn(
+                dst, F.when(src_col.rlike(anchored), new_val).otherwise(existing)
+            )
+        else:
+            _, dst, sep, srcs = op
+            parts = [
+                F.coalesce(F.col(s), F.lit("")) if s in aligned.columns else F.lit("")
+                for s in srcs
+            ]
+            aligned = aligned.withColumn(dst, F.concat_ws(sep, *parts))
+        if dst not in series_labels:
+            series_labels.append(dst)
+
+    if pq.agg_op is not None and pq.wrap_fn not in ("histogram_quantile", "count_values"):
+        uid = unique_id(keep) if keep else F.lit(0).cast("long")
+        return aligned.withColumn("uid", uid).orderBy("uid", "ts")
+    return aligned.orderBy(*series_labels, "ts")

@@ -108,6 +108,7 @@ def prom_align(
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
     offset_ms: int = 0,
     quantile: float = 0.75,
+    predict_offset_s: int | None = None,
 ) -> DataFrame:
     """Evaluate ``func`` per series on the aligned grid.
 
@@ -286,7 +287,9 @@ def prom_align(
             if func == "quantile_over_time"
             else None,
             "deriv": F.expr(_linreg_value_sql("deriv")),
-            "predict_linear": F.expr(_linreg_value_sql("predict_linear")),
+            "predict_linear": F.expr(
+                _linreg_value_sql("predict_linear", offset_s=predict_offset_s)
+            ),
         }[func]
         result = agg.withColumn("value", out_val)
         if func in ("deriv", "predict_linear"):
@@ -395,6 +398,7 @@ def prom_align_oracle_sql(
     round_digits: int | None = 6,
     series_filter_sql: str = "TRUE",
     quantile: float = 0.75,
+    predict_offset_s: int | None = None,
 ) -> str:
     """DuckDB SQL computing the identical PromAlign result — generated from
     the same parameters so the Spark pipeline and the oracle cannot drift.
@@ -468,7 +472,9 @@ def prom_align_oracle_sql(
             "stddev_over_time": f"sqrt({_VAR_SQL})",
             "quantile_over_time": _quantile_expr_sql("duckdb", quantile),
             "deriv": _linreg_value_sql("deriv"),
-            "predict_linear": _linreg_value_sql("predict_linear"),
+            "predict_linear": _linreg_value_sql(
+                "predict_linear", offset_s=predict_offset_s
+            ),
         }[func]
         where_sql = (
             _LINREG_GUARD_SQL if func in ("deriv", "predict_linear") else "TRUE"
