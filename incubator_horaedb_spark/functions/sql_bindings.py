@@ -128,8 +128,9 @@ def _rewrite_calls(sql: str, name: str, render) -> str:
     balanced-paren scan, iterated to a fixpoint so nested calls resolve.
     ``render`` may return None to leave a call untouched."""
     pat = re.compile(rf"\b{name}\s*\(", re.I)
-    for _ in range(32):  # fixpoint cap — each pass rewrites ≥1 call
-        m = pat.search(sql)
+    pos = 0
+    for _ in range(128):  # cap — every iteration rewrites a call or advances pos
+        m = pat.search(sql, pos)
         if not m:
             return sql
         depth, i, n = 1, m.end(), len(sql)
@@ -148,8 +149,14 @@ def _rewrite_calls(sql: str, name: str, render) -> str:
         args = _split_top_level_args(sql[m.end() : i - 1])
         repl = render(args)
         if repl is None:
-            return sql
+            # this call is unresolvable at rewrite time (e.g. non-literal
+            # period) — skip past it so later rewritable calls in the same
+            # statement still resolve; the loud failure stays with the one
+            # genuinely unresolvable call at analysis
+            pos = m.end()
+            continue
         sql = sql[: m.start()] + repl + sql[i:]
+        pos = m.start()  # nested calls inside the rendered args re-scan here
     return sql
 
 

@@ -182,3 +182,17 @@ def test_date_bin_corpus_golden(corpus_t):
     got = [_ms(r["time"]) for r in df.collect()]
     assert got == [1656777600000, 1659484800000, 1659571200000, 1659577320000,
                    1659577410000, 1659577410000]
+
+
+def test_rewrite_continues_past_unrewritable_call():
+    """An unresolvable call (non-literal period) must not abort the pass:
+    later rewritable calls in the same statement still rewrite (r05 ADVICE)."""
+    from incubator_horaedb_spark.functions.sql_bindings import (
+        _render_time_bucket,
+        _rewrite_calls,
+    )
+
+    sql = "SELECT time_bucket(ts, p) AS a, time_bucket(ts, 'PT1M') AS b FROM t"
+    out = _rewrite_calls(sql, "time_bucket", _render_time_bucket)
+    assert "time_bucket(ts, p)" in out
+    assert "'PT1M'" not in out and "timestamp_millis" in out
