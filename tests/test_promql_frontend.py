@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.frontends.promql import (
     FIELD_LABEL,
+    BinExpr,
     parse_duration_ms,
     parse_promql,
     promql_to_df,
@@ -176,3 +177,103 @@ def test_extended_clamp_bounds_values(spark):
     )
     vals = [r["value"] for r in df.collect()]
     assert vals and all(5.5 <= v <= 6.5 for v in vals)
+
+
+def test_parse_new_evaluator_functions():
+    """Round-6 grammar: direct *_over_time forms, absent, histogram,
+    count_values, label ops — all reachable from text."""
+    pq = parse_promql("avg_over_time(cpu[5m])", extended=True)
+    assert pq.range_fn == "avg_over_time" and pq.selector.range_ms == 300_000
+    pq = parse_promql("quantile_over_time(0.75, cpu[5m])", extended=True)
+    assert pq.range_fn == "quantile_over_time" and pq.fn_args == (0.75,)
+    pq = parse_promql("predict_linear(cpu[5m], 600)", extended=True)
+    assert pq.range_fn == "predict_linear" and pq.fn_args == (600.0,)
+    pq = parse_promql("absent_over_time(cpu[5m])", extended=True)
+    assert pq.range_fn == "absent_over_time"
+    pq = parse_promql("histogram_quantile(0.9, cpu_bucket)", extended=True)
+    assert pq.wrap_fn == "histogram_quantile" and pq.wrap_args == (0.9,)
+    pq = parse_promql('count_values("v", cpu)', extended=True)
+    assert pq.wrap_fn == "count_values" and pq.wrap_label == "v"
+    pq = parse_promql(
+        'label_join(label_replace(cpu, "shard", "$1", "host", "(.).*"),'
+        ' "j", "-", "host", "shard")',
+        extended=True,
+    )
+    assert pq.label_ops == [
+        ("replace", "shard", "$1", "host", "(.).*"),
+        ("join", "j", "-", ["host", "shard"]),
+    ]
+    # direct over-time forms still reject non-range selectors
+    with pytest.raises(ValueError):
+        parse_promql("avg_over_time(cpu)", extended=True)
+
+
+def test_parse_agg_with_wrap_records_both():
+    """topk over an aggregation keeps BOTH stages (r05 ADVICE: the agg
+    branch previously returned early, silently dropping the wrap)."""
+    pq = parse_promql("topk(3, sum by (host) (rate(cpu[5m])))", extended=True)
+    assert pq.agg_op == "sum" and pq.agg_by == ["host"] and pq.wrap_fn == "topk"
+
+
+def test_group_left_prefix_is_operand():
+    """A metric merely starting with group_left parses as an operand
+    (r05 ADVICE: the peel regex consumed it as a matching modifier)."""
+    b = parse_promql("rate(a[5m]) / group_left_total", extended=True)
+    assert isinstance(b, BinExpr)
+    assert b.rhs.selector.metric == "group_left_total" and not b.group_left
+
+
+def test_topk_over_sum_applies_after_agg(spark):
+    df = promql_to_df(
+        "topk(1, sum by (host) (rate(cpu[2m])))",
+        {"cpu": _metric_df(spark)},
+        start_ms=60_000,
+        end_ms=120_000,
+        step_ms=60_000,
+        extended=True,
+    )
+    rows = df.collect()
+    assert rows and all(r["rn"] == 1 for r in rows)
+    # one winner per timestamp among the aggregated (host) series
+    assert len({r["ts"] for r in rows}) == len(rows)
+
+
+def test_group_left_duplicate_rhs_raises(spark):
+    """Duplicate right-side series per (ts, match keys) must raise, not
+    silently duplicate left rows (r05 ADVICE)."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    left = _metric_df(spark)
+    # two distinct env series per host: unique per (host, env, ts) so they
+    # survive alignment, but duplicates per the on(host) match keys
+    dup = left.select(
+        "host", F.concat(F.col("env"), F.lit("2")).alias("env"), "ts", "value"
+    ).unionAll(left.select("host", "env", "ts", "value"))
+    with pytest.raises(Exception, match="duplicate series"):
+        promql_to_df(
+            BinExpr(
+                lhs=parse_promql("cpu", extended=True),
+                op="*",
+                rhs=parse_promql("info", extended=True),
+                on=["host"],
+                group_left=True,
+            ),
+            {"cpu": left, "info": dup},
+            start_ms=60_000,
+            end_ms=120_000,
+            step_ms=60_000,
+            extended=True,
+        ).collect()
+
+
+def test_absent_over_time_grid(spark):
+    df = promql_to_df(
+        'absent_over_time(cpu{host="nosuch"}[1m])',
+        {"cpu": _metric_df(spark)},
+        start_ms=0,
+        end_ms=120_000,
+        step_ms=60_000,
+        extended=True,
+    )
+    rows = df.collect()
+    assert [r["value"] for r in rows] == [1.0, 1.0, 1.0]
