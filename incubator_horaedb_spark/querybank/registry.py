@@ -216,30 +216,36 @@ DRIVER_ORDER = [
     "funnel_conversion", "corpus_quality_filter",
     "asof_join_events",
     "multimodal_png_pixel_stats",
-    # round-5 session swap: three never-driver-verified round-5 families
-    # promoted (PromQL many-to-one matching, substring-span dedup, native
-    # session windows); the slots come from driver-green same-family
-    # variants (dedup_exact — anchor green since r01, family covered by
-    # minhash/edit/containment; sessionize_events — session family now
-    # represented by the native operator; promql_histogram_quantile —
-    # evaluator family represented by promql_subquery_max_rate; all three
-    # demoted below, still locally gated every round)
-    "promql_group_left", "dedup_dupspan_report", "session_window_agg",
-    # round-5 window rotation (VERDICT r04 next-round #1): one never-
-    # driver-verified representative per round-4 family promoted into the
-    # top-50; the slots come from same-family variants that are already
-    # driver-green in r04 (dedup_simhash, dedup_cluster_reps,
-    # interval_join_sessions, promql_topk_series, text_quality,
-    # zorder_cluster, ann_ivf_trained, agg_filter_clause — demoted below,
-    # still locally gated every round).
-    "dedup_edit_distance", "dedup_containment", "nearest_join_events",
-    "promql_subquery_max_rate", "influxql_selectors", "text_tfidf_topk",
-    "pack_sequences", "embedding_power_iteration",
-    # round-4 rotation survivors (driver-green r04, kept in-window as
+    # round-5 rotation survivors (driver-green r05, kept in-window as
     # their family's representative)
-    "pivot_event_counts", "events_json_extract",
-    "join_full_outer",
-    "q5_local_supplier_volume", "q18_large_orders",
+    "promql_group_left", "dedup_dupspan_report", "session_window_agg",
+    "pack_sequences",
+    # round-6 rotation (VERDICT r05 next-round #2): ten never-driver-
+    # verified representatives promoted — round-5 families (iterative BPE
+    # training, JPEG pixel codec, winnow decontamination, market-basket
+    # lift, DAU/WAU stickiness, LATERAL correlated subquery, parsed
+    # binary-vector expressions) plus the round-6 parser-evaluator layer
+    # (parsed subquery twin, histogram_quantile through the text path,
+    # the topk-over-sum aggregation+wrap composition).  Slots come from
+    # driver-green same-family variants, demoted below and still locally
+    # gated every round: promql_subquery_max_rate (its parsed twin shares
+    # the oracle), dedup_edit_distance + dedup_containment (minhash /
+    # dupspan cover the family), influxql_selectors (groupby_time_tag
+    # covers), nearest_join_events (asof covers), embedding_power_iteration
+    # (rhp-lsh / ivf cover), text_tfidf_topk (langid / fingerprint cover),
+    # events_json_extract, q5_local_supplier_volume (q1 / q18 cover),
+    # pivot_event_counts.
+    "bpe_train_merges", "multimodal_jpeg_pixel_stats", "decontaminate_winnow",
+    "market_basket_pairs", "dau_wau_stickiness", "lateral_topk_per_key",
+    "promql_parsed_share", "promql_parsed_subquery",
+    "promql_parsed_histogram_quantile", "promql_parsed_topk_sum",
+    # round-4 rotation survivors (driver-green, kept in-window)
+    "join_full_outer", "q18_large_orders",
+    # round-6 demotions (driver-green r05, locally gated every round)
+    "promql_subquery_max_rate", "dedup_edit_distance", "dedup_containment",
+    "influxql_selectors", "nearest_join_events", "embedding_power_iteration",
+    "text_tfidf_topk", "events_json_extract", "q5_local_supplier_volume",
+    "pivot_event_counts",
     # demoted in the round-5 session swap (driver-green, locally gated)
     "dedup_exact", "sessionize_events", "promql_histogram_quantile",
     # family variants — covered by a same-family representative above when
@@ -309,9 +315,7 @@ DRIVER_ORDER = [
     # (parse_promql extended=True), gated against the same oracles as the
     # builder-composed forms
     "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
-    "promql_parsed_subquery",
     # round-5: real baseline-JPEG pixel decode (pure numpy codec)
-    "multimodal_jpeg_pixel_stats",
     # round-5: series gap audit, CUSUM change points, session path mining,
     # QUALIFY dialect support, RFM segmentation, dup-inflation report
     "ts_gap_report", "changepoint_cusum", "event_path_topk",
@@ -319,10 +323,9 @@ DRIVER_ORDER = [
     # round-5: real MJPEG video frame decode (AVI demux + JPEG codec)
     "multimodal_video_frame_stats",
     # round-5: iterative BPE tokenizer training (vocab-weighted merges)
-    "bpe_train_merges",
     # round-5: winnow exact-substring decontamination, per-series ACF,
     # per-source KL token-distribution drift
-    "decontaminate_winnow", "ts_autocorrelation", "corpus_source_divergence",
+    "ts_autocorrelation", "corpus_source_divergence",
     # round-5: set-op ALL variants (promql_group_left promoted to the
     # top-50 in the session swap above)
     "set_intersect_all", "set_except_all",
@@ -341,7 +344,7 @@ DRIVER_ORDER = [
     # round-5: pairwise series correlation matrix, near-dup-graph PageRank
     "ts_correlation_matrix", "dedup_graph_pagerank",
     # round-5: binary vector expressions through the text parser
-    "promql_parsed_share", "promql_parsed_ratio",
+    "promql_parsed_ratio",
     # round-5: EXIF APP1/TIFF metadata round-trip
     "multimodal_exif_meta",
     # round-5: two-stage PQ-candidates + exact-refine retrieval
@@ -354,7 +357,7 @@ DRIVER_ORDER = [
     "opentsdb_rate_query",
     # round-5: LATERAL correlated subquery, ordered-set aggregates,
     # ordered string aggregation
-    "lateral_topk_per_key", "percentile_disc_group", "string_agg_ordered",
+    "percentile_disc_group", "string_agg_ordered",
     # round-5: simplified-silhouette cluster quality eval
     "doc_cluster_quality",
     # round-5: parser-driven PromQL aggregation
@@ -362,8 +365,7 @@ DRIVER_ORDER = [
     # round-5: classical seasonal decomposition report
     "ts_seasonal_decompose",
     # round-5: without() agg path, market-basket lift
-    "promql_parsed_sum_without", "market_basket_pairs",
-    # round-5: remaining parser aggregation ops
+    "promql_parsed_sum_without", # round-5: remaining parser aggregation ops
     "promql_parsed_count", "promql_parsed_max",
     # round-5: dedup threshold-calibration sweep
     "dedup_threshold_sweep",
@@ -371,10 +373,18 @@ DRIVER_ORDER = [
     "promql_parsed_offset", "embedding_norm_audit",
     # round-5: doc-embedding referential-integrity audit
     "corpus_embedding_integrity",
-    # round-5: parsed instant selector, DAU/WAU stickiness
-    "promql_parsed_instant", "dau_wau_stickiness",
+    # round-5: parsed instant selector
+    "promql_parsed_instant",
     # round-5: NOT IN three-valued-logic semantics
     "subquery_not_in_null_semantics",
+    # round-6: evaluator functions reachable from PromQL text — the direct
+    # *_over_time family, absence detection, count_values, nested label
+    # rewriting (parser twins of the builder-composed queries; the
+    # histogram_quantile and topk-over-sum twins sit in the top-50 above)
+    "promql_parsed_avg_over_time", "promql_parsed_quantile_over_time",
+    "promql_parsed_deriv", "promql_parsed_predict_linear",
+    "promql_parsed_changes", "promql_parsed_absent",
+    "promql_parsed_count_values", "promql_parsed_label_replace",
 ]
 
 

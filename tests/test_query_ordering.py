@@ -29,24 +29,22 @@ def test_driver_order_covers_families_in_first_50():
         "ann_topk_blocked", "embedding_rhp_lsh",
         "text_langid", "text_fingerprint",
         "multimodal_png_pixel_stats", "funnel_conversion",
-        # round-4 rotation survivors (TPC-H completion + PromQL evaluator
-        # family reps)
-        "pivot_event_counts", "events_json_extract",
-        "join_full_outer",
-        "q5_local_supplier_volume", "q18_large_orders",
-        # round-5 rotations IN: one never-driver-verified representative
-        # per round-4 family (VERDICT r04 next-round #1)
-        "dedup_edit_distance", "dedup_containment", "nearest_join_events",
-        "promql_subquery_max_rate", "influxql_selectors", "text_tfidf_topk",
-        "pack_sequences", "embedding_power_iteration",
-        # round-5 session swap IN: never-driver-verified round-5 families
+        # round-4/5 rotation survivors
+        "join_full_outer", "q18_large_orders", "pack_sequences",
         "promql_group_left", "dedup_dupspan_report", "session_window_agg",
-        # rotated out in r5 (families keep reps above): dedup_simhash,
-        # dedup_cluster_reps, interval_join_sessions, promql_topk_series,
-        # text_quality, zorder_cluster, ann_ivf_trained, agg_filter_clause;
-        # session swap out: dedup_exact (minhash/edit/containment cover the
-        # family), sessionize_events (native session_window_agg covers),
-        # promql_histogram_quantile (promql_subquery_max_rate covers)
+        # round-6 rotations IN (VERDICT r05 next-round #2): ten never-
+        # driver-verified representatives — round-5 families plus the
+        # round-6 parser-evaluator layer
+        "bpe_train_merges", "multimodal_jpeg_pixel_stats",
+        "decontaminate_winnow", "market_basket_pairs", "dau_wau_stickiness",
+        "lateral_topk_per_key", "promql_parsed_share",
+        "promql_parsed_subquery", "promql_parsed_histogram_quantile",
+        "promql_parsed_topk_sum",
+        # rotated out in r6 (families keep reps above, all driver-green
+        # r05): promql_subquery_max_rate, dedup_edit_distance,
+        # dedup_containment, influxql_selectors, nearest_join_events,
+        # embedding_power_iteration, text_tfidf_topk, events_json_extract,
+        # q5_local_supplier_volume, pivot_event_counts
     ]:
         assert rep in first50, rep
 
