@@ -51,27 +51,48 @@ def _stage(df: DataFrame, view: str) -> DataFrame:
     return df
 
 
+_SHINGLE_STATE: dict = {"sf_dir": None}
+
+
 def _staged_shingles(
-    spark: SparkSession, sf_dir: str, view: str, materialize: bool = True
-) -> None:
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> str:
     """Materialize documents → token hashes → distinct shingle hashes as
-    cached view ``view``.  Two stages, because CTE inlining would otherwise
-    re-evaluate the O(chars) token-hash expression at each reference
-    (measured 1.8s → 0.57s for the stage at sf0.1).  The scan is widened
-    first — the token-hash fold is interpreted per-char work that must not
-    run on one input split (widen_for_compute docstring).
+    ONE SHARED cached view pair (``__shingle_tokh``/``__shingle_hs``) and
+    return the hs view name.  Two stages, because CTE inlining would
+    otherwise re-evaluate the O(chars) token-hash expression at each
+    reference (measured 1.8s → 0.57s for the stage at sf0.1).  The scan is
+    widened first — the token-hash fold is interpreted per-char work that
+    must not run on one input split (widen_for_compute docstring).
+
+    The stage content is IDENTICAL for every dedup family (same tokenizer,
+    same shingle k), so minhash, simhash, ngram-Jaccard, the CC pipeline,
+    decontamination and curation all consume the same views — a session
+    that runs several dedup passes (the curation norm at 100 TB: shingle
+    once, dedup many ways) pays the token-hash scan ONCE.  Rebuilt only
+    when ``sf_dir`` changes or the cache was dropped (bench cold-start).
 
     ``materialize=False`` skips the eager count on the FINAL stage only:
     callers whose next action scans the shingle view exactly once (the
     skew-detection agg) let that action fill the cache instead — one fewer
     job.  The tokh stage always materializes eagerly (hs references it 4×;
     concurrent scans of an unfilled cache race and recompute)."""
+    hs, tokh = "__shingle_hs", "__shingle_tokh"
+    if _SHINGLE_STATE.get("sf_dir") == sf_dir:
+        try:
+            if spark.catalog.isCached(hs) and spark.catalog.isCached(tokh):
+                return hs
+        except Exception:
+            pass  # view gone (new session) — rebuild below
+    _SHINGLE_STATE["sf_dir"] = None
     widen_for_compute(load(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
-    _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), f"{view}_tokh")
-    df = spark.sql(dedup.hs_from_tokh_select(SPARK, f"{view}_tokh")).cache()
-    df.createOrReplaceTempView(view)
+    _stage(spark.sql(dedup.tokh_select(SPARK, "documents")), tokh)
+    df = spark.sql(dedup.hs_from_tokh_select(SPARK, tokh)).cache()
+    df.createOrReplaceTempView(hs)
     if materialize:
         df.count()
+    _SHINGLE_STATE["sf_dir"] = sf_dir
+    return hs
 
 
 def _stage_lazy(spark: SparkSession, sql: str, view: str) -> DataFrame:
@@ -116,8 +137,8 @@ def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands → sig → hs in one sequential chain (bands_select is a single
     # inline() scan), filling both caches as a side effect — the detection
     # pass replaces the two count() jobs instead of adding one.
-    _staged_shingles(spark, sf_dir, "__minhash_hs", materialize=False)
-    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__minhash_hs"), "__minhash_sig")
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, hs), "__minhash_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__minhash_sig"),
@@ -128,12 +149,12 @@ def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if gated:
         return spark.sql(
             dedup.minhash_pairs_from_bands_select(
-                SPARK, "__minhash_hs", gated, 0.8, bucket_cap=None
+                SPARK, hs, gated, 0.8, bucket_cap=None
             )
         )
     return spark.sql(
         dedup.minhash_pairs_select(
-            SPARK, "__minhash_hs", "__minhash_sig", 0.8, bucket_cap=None
+            SPARK, hs, "__minhash_sig", 0.8, bucket_cap=None
         )
     )
 
@@ -141,8 +162,8 @@ def _staged_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same lazy-fill pattern as _staged_minhash: detection scans
     # bands → sh → hs once and fills both caches
-    _staged_shingles(spark, sf_dir, "__simhash_hs", materialize=False)
-    _stage_lazy(spark, dedup.simhash_from_hs_select(SPARK, "__simhash_hs"), "__simhash_sh")
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    _stage_lazy(spark, dedup.simhash_from_hs_select(SPARK, hs), "__simhash_sh")
     gated = _gated_src(
         spark,
         dedup.simhash_bands_select(SPARK, "__simhash_sh"),
@@ -161,16 +182,16 @@ def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detection explodes hs once → fills the hs cache (lazy-fill pattern)
-    _staged_shingles(spark, sf_dir, "__ngram_hs", materialize=False)
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
     gated = _gated_src(
         spark,
-        SPARK.unnest_select("doc_id", "shs", "h", "__ngram_hs"),
+        SPARK.unnest_select("doc_id", "shs", "h", hs),
         ["h"],
         "__ngram_ex",
         dedup.HOT_SHINGLE_DF_CAP,
     )
     return spark.sql(
-        dedup.ngram_pairs_from(SPARK, "__ngram_hs", 0.8, df_cap=None, ex_src=gated)
+        dedup.ngram_pairs_from(SPARK, hs, 0.8, df_cap=None, ex_src=gated)
     )
 
 
@@ -188,8 +209,8 @@ def _staged_nd_edges(spark: SparkSession, sf_dir: str) -> str:
     """Build the staged minhash-LSH → verified pairs → edge-list views;
     returns the edge view name.  Shared by the CC labeling chain and the
     near-dup PageRank."""
-    _staged_shingles(spark, sf_dir, "__cc_hs", materialize=False)
-    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__cc_hs"), "__cc_sig")
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, hs), "__cc_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__cc_sig"),
@@ -200,13 +221,13 @@ def _staged_nd_edges(spark: SparkSession, sf_dir: str) -> str:
     if gated:
         pairs = spark.sql(
             dedup.minhash_pairs_from_bands_select(
-                SPARK, "__cc_hs", gated, 0.8, bucket_cap=None
+                SPARK, hs, gated, 0.8, bucket_cap=None
             )
         )
     else:
         pairs = spark.sql(
             dedup.minhash_pairs_select(
-                SPARK, "__cc_hs", "__cc_sig", 0.8, bucket_cap=None
+                SPARK, hs, "__cc_sig", 0.8, bucket_cap=None
             )
         )
     pairs.createOrReplaceTempView("__cc_pairs")
@@ -251,8 +272,8 @@ register("dedup_apply_survivors", oracle=pipeline.dedup_survivors_sql(DUCK, thre
 
 
 def _staged_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_shingles(spark, sf_dir, "__decon_hs")
-    return spark.sql(pipeline.decontaminate_from_hs_select(SPARK, "__decon_hs"))
+    hs = _staged_shingles(spark, sf_dir)
+    return spark.sql(pipeline.decontaminate_from_hs_select(SPARK, hs))
 
 
 _staged_decontaminate.__doc__ = pipeline.decontaminate_sql.__doc__
@@ -261,8 +282,8 @@ register("decontaminate_ngram", oracle=pipeline.decontaminate_sql(DUCK))(
 )
 
 def _staged_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_shingles(spark, sf_dir, "__bloom_hs")
-    return spark.sql(pipeline.bloom_decontaminate_from_hs_select(SPARK, "__bloom_hs"))
+    hs = _staged_shingles(spark, sf_dir)
+    return spark.sql(pipeline.bloom_decontaminate_from_hs_select(SPARK, hs))
 
 
 _staged_bloom_decontaminate.__doc__ = pipeline.bloom_decontaminate_sql.__doc__
@@ -598,10 +619,10 @@ _sql_query("embedding_int8_quantize", similarity.int8_quantize_sql, _tables=("em
 def _staged_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the two expensive shared inputs: lowercased tokens (quality
     # gate references it 2x) and shingle hashes (decontam references 3x)
-    _staged_shingles(spark, sf_dir, "__cur_hs")
+    hs = _staged_shingles(spark, sf_dir)
     _stage(spark.sql(text.qf_tokens_select(SPARK, "documents")), "__cur_t")
     return spark.sql(
-        pipeline.curation_from(SPARK, "documents", "__cur_t", "__cur_hs")
+        pipeline.curation_from(SPARK, "documents", "__cur_t", hs)
     )
 
 
@@ -610,8 +631,8 @@ register("corpus_curation_e2e", oracle=pipeline.curation_e2e_sql(DUCK))(_staged_
 
 
 def _staged_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_shingles(spark, sf_dir, "__acc_hs")
-    _stage(spark.sql(dedup.minhash_sig_select(SPARK, "__acc_hs")), "__acc_sig")
+    hs = _staged_shingles(spark, sf_dir)
+    _stage(spark.sql(dedup.minhash_sig_select(SPARK, hs)), "__acc_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__acc_sig"),
@@ -622,7 +643,7 @@ def _staged_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not gated:
         _stage(spark.sql(dedup.bands_select(SPARK, "__acc_sig")), "__acc_bands_all")
         gated = "__acc_bands_all"
-    return spark.sql(dedup.minhash_accuracy_from(SPARK, "__acc_hs", "__acc_sig", gated))
+    return spark.sql(dedup.minhash_accuracy_from(SPARK, hs, "__acc_sig", gated))
 
 
 _staged_minhash_accuracy.__doc__ = dedup.minhash_accuracy_sql.__doc__
@@ -794,8 +815,8 @@ register(
 def _staged_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same staging as _staged_minhash (the candidate machinery is shared);
     # only the verify step differs (asymmetric containment vs jaccard)
-    _staged_shingles(spark, sf_dir, "__cont_hs", materialize=False)
-    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__cont_hs"), "__cont_sig")
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, hs), "__cont_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__cont_sig"),
@@ -808,7 +829,7 @@ def _staged_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_lazy(spark, dedup.bands_select(SPARK, "__cont_sig"), src)
     return spark.sql(
         dedup.containment_pairs_from_bands_select(
-            SPARK, "__cont_hs", src, bucket_cap=None
+            SPARK, hs, src, bucket_cap=None
         )
     )
 
@@ -1113,8 +1134,8 @@ _sql_query("doc_cluster_quality", text.doc_cluster_quality_sql)
 def _staged_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same staged LSH machinery as dedup_minhash_lsh, verification kept
     # down to the lowest band (0.5); the band report is two tiny aggs
-    _staged_shingles(spark, sf_dir, "__sweep_hs", materialize=False)
-    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__sweep_hs"), "__sweep_sig")
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, hs), "__sweep_sig")
     gated = _gated_src(
         spark,
         dedup.bands_select(SPARK, "__sweep_sig"),
@@ -1124,12 +1145,12 @@ def _staged_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if gated:
         pairs = spark.sql(
-            dedup.minhash_pairs_from_bands_select(SPARK, "__sweep_hs", gated, 0.5,
+            dedup.minhash_pairs_from_bands_select(SPARK, hs, gated, 0.5,
                                                   bucket_cap=None)
         )
     else:
         pairs = spark.sql(
-            dedup.minhash_pairs_select(SPARK, "__sweep_hs", "__sweep_sig", 0.5,
+            dedup.minhash_pairs_select(SPARK, hs, "__sweep_sig", 0.5,
                                        bucket_cap=None)
         )
     pairs.createOrReplaceTempView("__sweep_pairs")
