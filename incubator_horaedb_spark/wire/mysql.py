@@ -137,12 +137,21 @@ class MySQLServer:
     """Threaded MySQL-protocol endpoint over an Engine (service.rs
     analogue; one worker per connection like MysqlService::loop_accept)."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self, engine, host: str = "127.0.0.1", port: int = 0,
+        idle_timeout: float | None = 600.0,
+    ):
         self.engine = engine
+        self.idle_timeout = idle_timeout
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
+                # a frame header may claim up to 16 MB the peer never
+                # sends; without a timeout that recv blocks forever and
+                # the worker thread leaks (socket.timeout is an OSError,
+                # so the except below closes the connection cleanly)
+                self.request.settimeout(outer.idle_timeout)
                 conn = _Conn(self.request)
                 try:
                     outer._handshake(conn)

@@ -72,11 +72,20 @@ class _Conn:
             buf += chunk
         return buf
 
+    # frame-length sanity caps: a malformed length field must neither
+    # underflow the body read nor commit this thread to receiving
+    # gigabytes that never arrive (hang).  Startup is tiny by protocol;
+    # regular messages are capped like MySQL's 16 MB max frame.
+    MAX_STARTUP = 1 << 20
+    MAX_MESSAGE = 16 << 20
+
     def read_startup(self) -> tuple[int, bytes] | None:
         head = self._read_n(4)
         if head is None:
             return None
         (length,) = struct.unpack("!I", head)
+        if length < 8 or length > self.MAX_STARTUP:
+            return None  # malformed frame — close the connection
         body = self._read_n(length - 4)
         if body is None or len(body) < 4:
             return None
@@ -88,6 +97,8 @@ class _Conn:
         if head is None:
             return None
         mtype, length = head[:1], struct.unpack("!I", head[1:])[0]
+        if length < 4 or length > self.MAX_MESSAGE:
+            return None  # malformed frame — close the connection
         body = self._read_n(length - 4)
         return (mtype, body if body is not None else b"")
 
@@ -121,12 +132,19 @@ class PostgresServer:
     """Threaded PostgreSQL-protocol endpoint over an Engine (service.rs
     analogue; one handler per connection)."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self, engine, host: str = "127.0.0.1", port: int = 0,
+        idle_timeout: float | None = 600.0,
+    ):
         self.engine = engine
+        self.idle_timeout = idle_timeout
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
+                # see MySQLServer: bounds partial-frame recv so a worker
+                # thread can never block forever on a peer that stalls
+                self.request.settimeout(outer.idle_timeout)
                 conn = _Conn(self.request)
                 try:
                     if not outer._startup(conn):

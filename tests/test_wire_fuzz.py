@@ -1,0 +1,248 @@
+"""Wire-protocol error-path fuzz (VERDICT r05 next-round #7): malformed
+frames — truncated packets, garbage bytes, oversized/undersized length
+fields, bad UTF-8 — must neither crash the accept loop nor hang a worker
+thread.  After every malformed exchange the same server must still answer
+a well-formed session.
+
+Runs against a stub engine (no Spark): the frames under test never reach
+SQL execution, and the aliveness probe only needs execute_sql to return.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from incubator_horaedb_spark.wire.mysql import MySQLServer
+from incubator_horaedb_spark.wire.postgresql import PostgresServer
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class StubEngine:
+    def execute_sql(self, sql: str):
+        return 1  # affected-rows path: OK packet / CommandComplete
+
+
+@pytest.fixture(scope="module")
+def mysql_srv():
+    srv = MySQLServer(StubEngine(), idle_timeout=2.0).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def pg_srv():
+    srv = PostgresServer(StubEngine(), idle_timeout=2.0).start()
+    yield srv
+    srv.stop()
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _drain_until_closed(sock: socket.socket, limit: int = 1 << 20) -> bytes:
+    """Read until the server closes (or our timeout proves it hung)."""
+    got = b""
+    while len(got) < limit:
+        try:
+            chunk = sock.recv(65536)
+        except socket.timeout:
+            return got
+        if not chunk:
+            return got
+        got += chunk
+    return got
+
+
+def _mysql_alive(port: int) -> None:
+    """Full well-formed session: handshake + COM_QUERY + COM_QUIT."""
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+        s.settimeout(5)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))  # greeting
+        payload = (
+            struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 0x21)
+            + b"\x00" * 23
+            + b"root\x00\x00"
+        )
+        _send_mysql(s, 1, payload)
+        head = _read_n(s, 4)
+        ok = _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        assert ok[0] == 0x00
+        _send_mysql(s, 0, b"\x03INSERT INTO t VALUES (1)")
+        head = _read_n(s, 4)
+        resp = _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        assert resp[0] == 0x00  # OK with affected_rows from the stub
+        _send_mysql(s, 0, b"\x01")
+
+
+def _read_n(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("closed")
+        buf += chunk
+    return buf
+
+
+def _send_mysql(sock: socket.socket, seq: int, payload: bytes) -> None:
+    sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload)
+
+
+def _pg_alive(port: int) -> None:
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+        s.settimeout(5)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        body = b"INSERT INTO t VALUES (1)\x00"
+        s.sendall(b"Q" + struct.pack("!I", 4 + len(body)) + body)
+        _pg_read_until_ready(s)
+        s.sendall(b"X" + struct.pack("!I", 4))
+
+
+def _pg_read_until_ready(sock: socket.socket) -> list[bytes]:
+    msgs = []
+    while True:
+        mtype = _read_n(sock, 1)
+        (length,) = struct.unpack("!I", _read_n(sock, 4))
+        body = _read_n(sock, length - 4) if length > 4 else b""
+        msgs.append(mtype + body)
+        if mtype == b"Z":
+            return msgs
+
+
+# ------------------------------------------------------------------ MySQL
+
+
+@settings(**_SETTINGS)
+@given(garbage=st.binary(min_size=0, max_size=300))
+def test_mysql_garbage_handshake_response(mysql_srv, garbage):
+    """Arbitrary bytes in place of HandshakeResponse41 must not kill the
+    server; the connection ends (error or close), the next is served."""
+    with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        s.sendall(garbage)
+        s.shutdown(socket.SHUT_WR)
+        _drain_until_closed(s)
+    _mysql_alive(mysql_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(cmd=st.integers(min_value=0, max_value=255), body=st.binary(max_size=64))
+def test_mysql_unknown_command_gets_error_not_crash(mysql_srv, cmd, body):
+    with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        payload = (
+            struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 0x21)
+            + b"\x00" * 23
+            + b"root\x00\x00"
+        )
+        _send_mysql(s, 1, payload)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        _send_mysql(s, 0, bytes([cmd]) + body)
+        # server must answer (OK/ERR/resultset) or close — never hang;
+        # COM_QUIT (0x01) and empty-close paths just end the connection
+        try:
+            head = _read_n(s, 4)
+            _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        except ConnectionError:
+            pass
+    _mysql_alive(mysql_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(claimed=st.integers(min_value=1, max_value=0xFFFFFF))
+def test_mysql_truncated_frame_times_out_not_hangs(mysql_srv, claimed):
+    """A header claiming more bytes than we send: the 2 s idle timeout
+    must close the connection instead of blocking the worker forever."""
+    with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
+        s.settimeout(8)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        s.sendall(struct.pack("<I", claimed)[:3] + b"\x01")  # header only
+        # do NOT close our side — the server's timeout has to fire
+        got = _drain_until_closed(s)
+        assert got == b"" or got  # returned within our 8 s window either way
+    _mysql_alive(mysql_srv.port)
+
+
+# --------------------------------------------------------------- Postgres
+
+
+@settings(**_SETTINGS)
+@given(garbage=st.binary(min_size=0, max_size=300))
+def test_pg_garbage_startup(pg_srv, garbage):
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        s.sendall(garbage)
+        s.shutdown(socket.SHUT_WR)
+        _drain_until_closed(s)
+    _pg_alive(pg_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(length=st.one_of(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=(1 << 20) + 1, max_value=0xFFFFFFFF),
+))
+def test_pg_bad_startup_length_closes(pg_srv, length):
+    """Undersized or oversized startup length fields must close the
+    connection promptly (no gigabyte recv, no negative-length confusion)."""
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(8)
+        s.sendall(struct.pack("!I", length))
+        got = _drain_until_closed(s)
+        assert got == b""  # closed without a protocol response
+    _pg_alive(pg_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(
+    mtype=st.binary(min_size=1, max_size=1),
+    body=st.binary(max_size=64),
+)
+def test_pg_unknown_message_gets_error_not_crash(pg_srv, mtype, body):
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        s.sendall(mtype + struct.pack("!I", 4 + len(body)) + body)
+        if mtype != b"X":  # Terminate closes silently by protocol
+            try:
+                _pg_read_until_ready(s)  # ErrorResponse …, ReadyForQuery
+            except ConnectionError:
+                pass
+    _pg_alive(pg_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(sql=st.text(max_size=200))
+def test_pg_arbitrary_query_text_answered(pg_srv, sql):
+    """Any query text (including NULs and non-UTF8-able chars) gets a
+    response cycle ending in ReadyForQuery."""
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        body = sql.encode("utf-8", "replace") + b"\x00"
+        s.sendall(b"Q" + struct.pack("!I", 4 + len(body)) + body)
+        msgs = _pg_read_until_ready(s)
+        assert msgs[-1].startswith(b"Z")

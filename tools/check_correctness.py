@@ -96,7 +96,12 @@ def main() -> int:
         spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            # partial tiers (the generated sf1 dir ships a table subset);
+            # only queries touching the absent table will fail, loudly
+            pass
 
     qs, os_ = querybank.queries(), querybank.oracles()
     tols = querybank.tolerance_oracles()
