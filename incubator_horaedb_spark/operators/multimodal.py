@@ -169,12 +169,11 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """STUB decode — deterministic fake dimensions from the byte length,
     for payloads with no parseable container header.  With PNG pixels,
-    baseline-JPEG pixels, PCM samples and MJPEG video frames all decoded
-    for REAL (operators/jpeg.py, decode_png_pixel_stats,
-    audio_pcm_window_stats, decode_video_frame_stats), this fallback now
-    stands in only for inter-frame-predicted video codecs (H.26x inside
-    MP4 — a full motion-compensation stack, no codec libs in the
-    container).
+    baseline-JPEG pixels, PCM samples, MJPEG video frames AND H.264
+    I-frames (DC-only Baseline subset, operators/h264.py) all decoded
+    for REAL, this fallback now stands in only for motion-compensated
+    (inter-frame) and full-AC H.26x streams inside MP4 — the residual
+    out-of-scope surface recorded in COVERAGE.md.
 
     A real deployment replaces this with ffmpeg:
         raise NotImplementedError("install a codec and swap _fake_decode")
@@ -1030,3 +1029,54 @@ def decode_exif_meta(df: DataFrame, media_col: str = "media", id_col: str = "med
 def synthesize_exif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, media) frame of synthesized Exif-JPEG payloads."""
     return synthesize_payloads(df, synth_jpeg_exif_payload, id_col)
+
+
+def synth_h264_payload(media_id: int) -> bytes:
+    """Complete, VALID Annex-B H.264 Baseline IDR stream in the DC-only
+    subset (operators/h264.py — real NAL/Exp-Golomb/CAVLC/Hadamard
+    machinery, no codec libs): macroblock (x, y) carries the constant
+    luma ((id*7 + x*31 + y*53) % 256) with bw = 1 + id % 4 and
+    bh = 1 + id % 3 macroblocks — a closed form an SQL oracle can
+    restate.  MB-constant content makes the DC-only pipeline bit-exact
+    at the stream's QP (verified for every residual in [-255, 255]), so
+    an entropy, prediction, or dequant bug cannot hide behind codec
+    loss."""
+    import numpy as np
+
+    from incubator_horaedb_spark.operators.h264 import encode_h264_iframe
+
+    bw = 1 + media_id % 4
+    bh = 1 + media_id % 3
+    x, y = np.meshgrid(np.arange(bw), np.arange(bh), indexing="xy")
+    blocks = (media_id * 7 + x * 31 + y * 53) % 256
+    px = np.kron(blocks, np.ones((16, 16), dtype=np.int64)).astype(np.uint8)
+    return encode_h264_iframe(px)
+
+
+def decode_h264_pixel_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL H.264 I-frame luma decoding (DC-only Baseline subset): parse
+    NAL units (emulation-prevention unescape), SPS/PPS/slice headers,
+    CAVLC-decode each macroblock's DC level, reproduce Intra16x16 DC
+    prediction and the Hadamard dequant path, and emit per-stream
+    luminance sums — exact integers the oracle recomputes from the
+    generator formula without seeing bytes
+    (operators/h264.py::decode_h264_iframe).
+
+    Scale: Arrow-batched mapInPandas, one pass per payload, no shuffle —
+    the same kernel shape as every decode in this module."""
+    from incubator_horaedb_spark.operators.h264 import decode_h264_iframe
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                px = decode_h264_iframe(bytes(b))
+                h, w = px.shape
+                rows.append((int(mid), w, h, int(px.sum())))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "sum_lum"])
+
+    return df.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)

@@ -91,6 +91,20 @@ OVER_TIME_FUNCS = (
 )
 # predict_linear horizon (seconds ahead of the step timestamp)
 PREDICT_LINEAR_OFFSET_S = 600
+# Functions whose math reads an ORDER among samples (first/last extraction,
+# lag-based predecessor pairs): duplicate-timestamp samples within a series
+# make that order engine-dependent (Spark's min_by/lag and DuckDB's
+# arg_min/lag tie-break differently — found by the sf1 sweep, where the 10×
+# events table carries duplicate (series, ts) pairs).  For these functions
+# the series is DEDUPED first: samples sharing (series, ts) merge to their
+# MAX value — the deterministic surrogate for the reference's
+# last-writer-wins merge iterator (table.py dedup-on-read; raw parquet has
+# no __seq).  Order-symmetric aggregates (sums/counts/min/max/sorted
+# quantiles) are reduction-order-independent and read the raw multiset.
+_DEDUP_FUNCS = frozenset(
+    ("rate", "increase", "delta", "irate", "idelta", "instant",
+     "last_over_time", "changes", "resets")
+)
 _Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
 _Q2 = 1 << 10  # coarser grid for squared addends (exactness bound above)
 
@@ -139,12 +153,26 @@ def prom_align(
         (F.col("__ts") >= F.lit(start_ms - lookback_ms)) & (F.col("__ts") <= F.lit(end_ms))
     )
 
+    # Duplicate-timestamp dedup for order-sensitive functions (_DEDUP_FUNCS
+    # rationale above): the last row of each (series, ts) group under a
+    # (ts, value) sort is the max-value survivor, and the lead() trick
+    # keeps this at ONE series-keyed exchange — the lag window below reuses
+    # the same partitioning and sort prefix.
+    if func in _DEDUP_FUNCS:
+        w0 = Window.partitionBy(*series_cols).orderBy("__ts", "__val")
+        base = (
+            base.withColumn("__lead_ts", F.lead("__ts").over(w0))
+            .filter(F.col("__lead_ts").isNull() | (F.col("__lead_ts") != F.col("__ts")))
+            .drop("__lead_ts")
+        )
+
     # Per-series lag: previous sample's (ts, value).  In-window sample sets
     # are contiguous per series, so the in-window predecessor of a sample is
     # exactly its series predecessor when that predecessor's ts >= mint.
     # Only counter/instant-pair/changes families read the predecessor —
     # for everything else the window (a full series-keyed shuffle + sort)
-    # is skipped outright.
+    # is skipped outright.  Timestamps are unique per series here (dedup
+    # above), so the sort key is unambiguous.
     if func in ("rate", "increase", "irate", "idelta", "changes", "resets"):
         w = Window.partitionBy(*series_cols).orderBy("__ts")
         base = base.withColumn("__prev_ts", F.lag("__ts").over(w)).withColumn(
@@ -411,7 +439,29 @@ def prom_align_oracle_sql(
     series = ", ".join(series_cols)
     shifted = f"(epoch_ms({ts_col}) + {offset_ms})"
 
-    base = f"""
+    if func in _DEDUP_FUNCS:
+        # identical duplicate-timestamp dedup as the Spark side: the
+        # last row of each (series, sts) group under a (sts, val) sort
+        # survives (max value), then lag runs over the deduped series
+        src = f"""(
+      SELECT {series}, sts, val FROM (
+        SELECT {series}, {shifted} AS sts, CAST({value_col} AS DOUBLE) AS val,
+               lead({shifted}) OVER (PARTITION BY {series}
+                 ORDER BY {shifted}, CAST({value_col} AS DOUBLE)) AS lead_ts
+        FROM {table}
+        WHERE {shifted} >= {start_ms - lookback_ms} AND {shifted} <= {end_ms}
+          AND ({series_filter_sql})
+      ) __d WHERE lead_ts IS NULL OR lead_ts <> sts
+    )"""
+        base = f"""
+    WITH base AS (
+      SELECT {series}, sts, val,
+             lag(sts) OVER (PARTITION BY {series} ORDER BY sts) AS prev_ts,
+             lag(val) OVER (PARTITION BY {series} ORDER BY sts) AS prev_val
+      FROM {src} __s
+    ), exploded AS ("""
+    else:
+        base = f"""
     WITH base AS (
       SELECT {series},
              {shifted} AS sts,
@@ -421,7 +471,8 @@ def prom_align_oracle_sql(
       FROM {table}
       WHERE {shifted} >= {start_ms - lookback_ms} AND {shifted} <= {end_ms}
         AND ({series_filter_sql})
-    ), exploded AS (
+    ), exploded AS ("""
+    base += f"""
       SELECT b.*, ({start_ms} + k.k * {step_ms}) AS t
       FROM base b
       JOIN (SELECT unnest(range(0, {n_steps + 1})) AS k) k

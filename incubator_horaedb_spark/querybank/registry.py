@@ -385,6 +385,8 @@ DRIVER_ORDER = [
     "promql_parsed_deriv", "promql_parsed_predict_linear",
     "promql_parsed_changes", "promql_parsed_absent",
     "promql_parsed_count_values", "promql_parsed_label_replace",
+    # round-6: real H.264 I-frame decode (DC-only Baseline subset codec)
+    "multimodal_h264_iframe_stats",
 ]
 
 

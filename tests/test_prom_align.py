@@ -136,3 +136,34 @@ def test_offset_parses_in_frontend(spark):
     pq = parse_promql('rate(events{event_type="click"}[5m] offset 1h)')
     assert pq.selector.offset_ms == 3_600_000 and pq.selector.range_ms == 300_000
     assert parse_promql("events{}").selector.offset_ms == 0
+
+
+def test_duplicate_timestamp_samples_deduped_max_wins(spark):
+    """Duplicate (series, ts) samples merge to the max value for
+    order-sensitive functions (the sf1-sweep divergence: lag/min_by ties
+    are engine-dependent) — instant must pick the max survivor, and rate
+    must see ONE sample per timestamp."""
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.operators.prom_align import prom_align
+
+    rows = [
+        ("a", 0, 5.0), ("a", 0, 9.0),          # duplicate ts: max 9 wins
+        ("a", 60_000, 11.0), ("a", 60_000, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, ms long, value double").select(
+        "s", F.timestamp_millis("ms").alias("ts"), "value"
+    )
+    out = prom_align(
+        df, "instant", series_cols=["s"], ts_col="ts", value_col="value",
+        start_ms=0, end_ms=60_000, step_ms=60_000, lookback_ms=60_000,
+    ).collect()
+    vals = {int(r["ts"].timestamp()): r["value"] for r in out}
+    assert vals == {0: 9.0, 60: 11.0}
+
+    # count_over_time is order-symmetric: raw multiset, duplicates counted
+    cnt = prom_align(
+        df, "count_over_time", series_cols=["s"], ts_col="ts", value_col="value",
+        start_ms=60_000, end_ms=60_000, step_ms=60_000, lookback_ms=60_000,
+    ).collect()
+    assert cnt[0]["value"] == 4.0
