@@ -180,6 +180,25 @@ def gen_lineitem(out: str, factor: int) -> None:
     pq.write_table(pa.concat_tables(parts), f"{out}/lineitem.parquet")
 
 
+def gen_orders(out: str, factor: int) -> None:
+    # tile the shipped sf0.1 orders with shifted order AND customer keys:
+    # per-customer order counts (the window_rownum_top2 partition size)
+    # stay constant, so the ratio measures scaling, not skew growth
+    base = pq.read_table(f"{BASE}/orders.parquet")
+    n_orders, n_cust = 150_000, 15_000
+    parts = []
+    for t in range(factor):
+        cols = {c: base.column(c) for c in base.column_names}
+        cols["o_orderkey"] = pa.array(
+            base.column("o_orderkey").to_numpy() + t * n_orders, pa.int64()
+        )
+        cols["o_custkey"] = pa.array(
+            base.column("o_custkey").to_numpy() + t * n_cust, pa.int64()
+        )
+        parts.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(parts), f"{out}/orders.parquet")
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -190,7 +209,8 @@ def main() -> None:
     gen_events(out, factor, rng, prof)
     gen_embeddings(out, factor, rng)
     gen_lineitem(out, factor)
-    for t in ("documents", "events", "embeddings", "lineitem"):
+    gen_orders(out, factor)
+    for t in ("documents", "events", "embeddings", "lineitem", "orders"):
         meta = pq.read_metadata(f"{out}/{t}.parquet")
         print(f"{t}: {meta.num_rows} rows, {os.path.getsize(f'{out}/{t}.parquet') >> 20} MB")
 
