@@ -158,13 +158,28 @@ def prom_align(
     # (ts, value) sort is the max-value survivor, and the lead() trick
     # keeps this at ONE series-keyed exchange — the lag window below reuses
     # the same partitioning and sort prefix.
+    needs_lag = func in ("rate", "increase", "irate", "idelta", "changes", "resets")
     if func in _DEDUP_FUNCS:
-        w0 = Window.partitionBy(*series_cols).orderBy("__ts", "__val")
-        base = (
-            base.withColumn("__lead_ts", F.lead("__ts").over(w0))
-            .filter(F.col("__lead_ts").isNull() | (F.col("__lead_ts") != F.col("__ts")))
-            .drop("__lead_ts")
-        )
+        if needs_lag:
+            # the lag window below needs a (series)-keyed sort anyway, so
+            # dedup rides the same exchange: the last row of each
+            # (series, ts) group under a (ts, value) sort is the
+            # max-value survivor
+            w0 = Window.partitionBy(*series_cols).orderBy("__ts", "__val")
+            base = (
+                base.withColumn("__lead_ts", F.lead("__ts").over(w0))
+                .filter(
+                    F.col("__lead_ts").isNull() | (F.col("__lead_ts") != F.col("__ts"))
+                )
+                .drop("__lead_ts")
+            )
+        else:
+            # no lag needed (instant / last_over_time): a partial/final
+            # hash agg dedups without any sort — map-side combine keeps
+            # the extra exchange cheap at scale
+            base = base.groupBy(*series_cols, "__ts").agg(
+                F.max("__val").alias("__val")
+            )
 
     # Per-series lag: previous sample's (ts, value).  In-window sample sets
     # are contiguous per series, so the in-window predecessor of a sample is
@@ -173,7 +188,7 @@ def prom_align(
     # for everything else the window (a full series-keyed shuffle + sort)
     # is skipped outright.  Timestamps are unique per series here (dedup
     # above), so the sort key is unambiguous.
-    if func in ("rate", "increase", "irate", "idelta", "changes", "resets"):
+    if needs_lag:
         w = Window.partitionBy(*series_cols).orderBy("__ts")
         base = base.withColumn("__prev_ts", F.lag("__ts").over(w)).withColumn(
             "__prev_val", F.lag("__val").over(w)
