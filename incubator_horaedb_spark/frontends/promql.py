@@ -86,6 +86,13 @@ class PromQuery:
     # src, regex) | ("join", dst, sep, [src, ...]) — functions.go
     # label_replace / label_join; map-side, applied last
     label_ops: list[tuple] = field(default_factory=list)
+    # unary math functions (abs/ceil/floor/exp/ln/sqrt), innermost first —
+    # outermost layers only (functions.go simpleFunc); map-side
+    unary_fns: list[str] = field(default_factory=list)
+    # scalar comparison filter: (op, threshold, bool_modifier) — PromQL
+    # vector-scalar comparisons drop non-matching samples; with `bool`
+    # the value becomes 0/1 instead
+    cmp: tuple[str, float, bool] | None = None
 
 
 @dataclass
@@ -154,6 +161,13 @@ _LABEL_REPLACE_RE = re.compile(
 _LABEL_JOIN_RE = re.compile(
     rf"^label_join\s*\(\s*(.*?)\s*,\s*{_STR}\s*,\s*{_STR}((?:\s*,\s*{_STR})+)\s*\)\s*$",
     re.I | re.S,
+)
+_UNARY_FN_RE = re.compile(
+    r"^(abs|ceil|floor|exp|ln|sqrt)\s*\(\s*(.*)\)\s*$", re.I | re.S
+)
+# vector-scalar comparison at the outermost level: expr OP [bool] scalar
+_CMP_RE = re.compile(
+    rf"^(.*?)\s*(==|!=|>=|<=|>|<)\s*(bool\s+)?({_NUM})\s*$", re.I | re.S
 )
 
 
@@ -247,6 +261,13 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
     q = query.strip()
 
     if extended:
+        m = _CMP_RE.match(q)
+        if m and m.group(1).strip():
+            inner = parse_promql(m.group(1).strip(), extended=True)
+            if not isinstance(inner, PromQuery):
+                raise ValueError("comparison over a binary expression is not supported")
+            inner.cmp = (m.group(2), float(m.group(4)), bool(m.group(3)))
+            return inner
         b = _split_top_level_binop(q)
         if b is not None:
             lhs_txt, op, match_txt, rhs_txt = b
@@ -351,6 +372,13 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
                 raise ValueError("label_join over a binary expression is not supported")
             srcs = [_unq(s) for s in re.findall(_STR, m.group(4))]
             inner.label_ops.append(("join", _unq(m.group(2)), _unq(m.group(3)), srcs))
+            return inner
+        m = _UNARY_FN_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=True)
+            if not isinstance(inner, PromQuery):
+                raise ValueError("unary functions over a binary expression are not supported")
+            inner.unary_fns.append(m.group(1).lower())
             return inner
 
     # aggregation wrapper: op [by/without (labels)] (expr)  |  op (expr) by (labels)
@@ -762,6 +790,37 @@ def promql_to_df(
             aligned = aligned.withColumn(dst, F.concat_ws(sep, *parts))
         if dst not in series_labels:
             series_labels.append(dst)
+
+    # unary math functions, innermost first (functions.go simpleFunc) —
+    # pure map-side expressions; ln/sqrt of out-of-domain values pin to
+    # NULL on both engines (safer for cross-engine hashing than ±Inf/NaN)
+    for fn in pq.unary_fns:
+        v = F.col("value")
+        expr = {
+            "abs": F.abs(v),
+            "ceil": F.ceil(v).cast("double"),
+            "floor": F.floor(v).cast("double"),
+            "exp": F.exp(v),
+            "ln": F.when(v > 0, F.log(v)),
+            "sqrt": F.when(v >= 0, F.sqrt(v)),
+        }[fn]
+        aligned = aligned.withColumn("value", _r(expr))
+
+    if pq.cmp is not None:
+        # vector-scalar comparison: drop non-matching samples, or emit
+        # 0/1 with the `bool` modifier (PromQL comparison semantics)
+        op, thr, as_bool = pq.cmp
+        v = F.col("value")
+        cond = {
+            ">": v > thr, "<": v < thr, ">=": v >= thr,
+            "<=": v <= thr, "==": v == thr, "!=": v != thr,
+        }[op]
+        if as_bool:
+            aligned = aligned.withColumn(
+                "value", F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            )
+        else:
+            aligned = aligned.filter(cond)
 
     if pq.agg_op is not None and pq.wrap_fn not in ("histogram_quantile", "count_values"):
         uid = unique_id(keep) if keep else F.lit(0).cast("long")

@@ -1023,3 +1023,71 @@ def promql_parsed_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFr
         extended=True, round_digits=6,
     )
     return out.select("event_type", "ts", "value")
+
+
+# --- round-6 continuation: unary math + scalar-comparison parser layer ----
+_ABS_DELTA_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("delta")})
+    SELECT ts, event_type, {r_out_sql("abs(value)", 6)} AS value
+    FROM aligned
+    """
+
+
+@register("promql_parsed_abs_delta", oracle=_ABS_DELTA_SQL)
+def promql_parsed_abs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`abs(delta(events[2h]))` through the text parser — the unary math
+    layer (functions.go simpleFunc) as a pure map-side stage over the
+    aligned vector, floor-form re-rounded so both engines hash the same
+    doubles."""
+    out = _parsed(spark, sf_dir, "abs(delta(events[2h]))")
+    return out.select("event_type", "ts", "value")
+
+
+_LN_RATE_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, event_type,
+           {r_out_sql("CASE WHEN value > 0 THEN ln(value) END", 6)} AS value
+    FROM aligned
+    """
+
+
+@register("promql_parsed_ln_rate", oracle=_LN_RATE_SQL)
+def promql_parsed_ln_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ln(rate(events[2h]))` through the text parser — transcendental
+    unary over identical rounded doubles (the accepted ln + floor-form
+    pattern); out-of-domain inputs pin to NULL on both engines."""
+    out = _parsed(spark, sf_dir, "ln(rate(events[2h]))")
+    return out.select("event_type", "ts", "value")
+
+
+_THRESH_BOOL_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, event_type,
+           CASE WHEN value > 0.04 THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS value
+    FROM aligned
+    """
+
+
+@register("promql_parsed_threshold_bool", oracle=_THRESH_BOOL_SQL)
+def promql_parsed_threshold_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) > bool 0.04` through the text parser — vector-scalar
+    comparison with the bool modifier (0/1 output, no sample dropped)."""
+    out = _parsed(spark, sf_dir, "rate(events[2h]) > bool 0.04")
+    return out.select("event_type", "ts", "value")
+
+
+_THRESH_FILTER_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT ts, event_type, value
+    FROM aligned WHERE value > 0.04
+    """
+
+
+@register("promql_parsed_threshold_filter", oracle=_THRESH_FILTER_SQL)
+def promql_parsed_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) > 0.04` through the text parser — the filtering form
+    of the comparison: non-matching samples drop from the vector (PromQL
+    comparison semantics without bool)."""
+    out = _parsed(spark, sf_dir, "rate(events[2h]) > 0.04")
+    return out.select("event_type", "ts", "value")

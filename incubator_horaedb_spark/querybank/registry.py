@@ -387,6 +387,9 @@ DRIVER_ORDER = [
     "promql_parsed_count_values", "promql_parsed_label_replace",
     # round-6: real H.264 I-frame decode (DC-only Baseline subset codec)
     "multimodal_h264_iframe_stats",
+    # round-6: unary math + vector-scalar comparison parser layer
+    "promql_parsed_abs_delta", "promql_parsed_ln_rate",
+    "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
 ]
 
 

@@ -277,3 +277,38 @@ def test_absent_over_time_grid(spark):
     )
     rows = df.collect()
     assert [r["value"] for r in rows] == [1.0, 1.0, 1.0]
+
+
+def test_parse_unary_and_comparison():
+    pq = parse_promql("sqrt(abs(delta(cpu[5m])))", extended=True)
+    assert pq.unary_fns == ["abs", "sqrt"] and pq.range_fn == "delta"
+    pq = parse_promql("rate(cpu[5m]) >= bool 0.5", extended=True)
+    assert pq.cmp == (">=", 0.5, True)
+    # comparison chars inside matcher strings are not the operator
+    pq = parse_promql('cpu{env=">"} > 5', extended=True)
+    assert pq.cmp == (">", 5.0, False) and pq.selector.matchers[0].value == ">"
+
+
+def test_comparison_filters_samples(spark):
+    df = promql_to_df(
+        "cpu > 6",
+        {"cpu": _metric_df(spark)},
+        start_ms=60_000,
+        end_ms=120_000,
+        step_ms=60_000,
+        extended=True,
+    )
+    vals = [r["value"] for r in df.collect()]
+    assert vals and all(v > 6 for v in vals)
+
+
+def test_unary_abs_applies(spark):
+    df = promql_to_df(
+        "abs(delta(cpu[2m]))",
+        {"cpu": _metric_df(spark)},
+        start_ms=60_000,
+        end_ms=120_000,
+        step_ms=60_000,
+        extended=True,
+    )
+    assert all(r["value"] >= 0 for r in df.collect())
