@@ -204,17 +204,22 @@ def _split_top_level_binop(q: str):
     in_str = False
     add_ops: list[int] = []  # top-level + - positions
     mul_ops: list[int] = []  # top-level * / positions
+    top_level: list[bool] = []  # per-char: depth 0 and outside strings
     prev_nonspace = ""
     i = 0
     while i < len(q):
         ch = q[i]
         if in_str:
+            top_level.append(False)
             if ch == "\\":
+                top_level.append(False)
                 i += 2
                 continue
             if ch == '"':
                 in_str = False
-        elif ch == '"':
+            i += 1
+            continue
+        if ch == '"':
             in_str = True
         elif ch in "({[":
             depth += 1
@@ -222,15 +227,15 @@ def _split_top_level_binop(q: str):
             depth -= 1
         elif depth == 0 and ch in "+-*/" and i > 0 and prev_nonspace not in "+-*/(":
             (add_ops if ch in "+-" else mul_ops).append(i)
+        top_level.append(depth == 0 and ch not in "({[")
         if not ch.isspace():
             prev_nonspace = ch
         i += 1
-    ops = add_ops or mul_ops  # lowest precedence first; last = left-assoc
-    for pos in reversed(ops):
+    def _peel(pos: int, op: str, op_len: int):
         lhs = q[:pos].strip()
         if not lhs:
-            continue
-        rest = q[pos + 1 :].lstrip()
+            return None
+        rest = q[pos + op_len :].lstrip()
         # peel the optional matching clause token by token
         # group_left(?![\w]) — an identifier merely *starting* with
         # "group_left" (a metric named group_left_total) is an operand,
@@ -241,7 +246,27 @@ def _split_top_level_binop(q: str):
             rest,
             re.I | re.S,
         )
-        return lhs, q[pos], mm.group(1).strip(), mm.group(2).strip()
+        return lhs, op, mm.group(1).strip(), mm.group(2).strip()
+
+    # set operators bind loosest (PromQL precedence: or, then and/unless,
+    # then arithmetic); split at the last top-level occurrence
+    word_ops = [
+        (m.start(), m.group(1).lower(), len(m.group(1)))
+        for m in re.finditer(r"\b(or|and|unless)\b", q, re.I)
+        if m.start() < len(top_level) and top_level[m.start()]
+    ]
+    for wanted in (("or",), ("and", "unless")):
+        cands = [w for w in word_ops if w[1] in wanted]
+        for pos, op, ln in reversed(cands):
+            got = _peel(pos, op, ln)
+            if got is not None:
+                return got
+
+    ops = add_ops or mul_ops  # lowest precedence first; last = left-assoc
+    for pos in reversed(ops):
+        got = _peel(pos, q[pos], 1)
+        if got is not None:
+            return got
     return None
 
 
@@ -296,6 +321,8 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
                 group_left = True
                 if mm.group(4):
                     gl_labels = [x.strip() for x in mm.group(4).split(",") if x.strip()]
+            if op in ("and", "or", "unless") and group_left:
+                raise ValueError("grouping modifiers are not allowed with set operators")
             return BinExpr(
                 lhs=parse_promql(lhs_txt, extended=True),
                 op=op,
@@ -528,6 +555,30 @@ def promql_to_df(
             if pq.ignoring:
                 shared = [l for l in shared if l not in pq.ignoring]
             keys = ["ts"] + shared
+        if pq.op in ("and", "unless"):
+            # set operators (PromQL one-to-one set matching): `and` keeps
+            # lhs samples whose (ts, match labels) exist on the right —
+            # a semi join; `unless` is the anti join.  Values and labels
+            # come from the left side only.
+            l = ldf.select(*llabels, "ts", "value")
+            r = rdf.select(*[c for c in rlabels if c in keys], "ts")
+            how = "left_semi" if pq.op == "and" else "left_anti"
+            return l.join(r, keys, how).orderBy(*llabels, "ts")
+        if pq.op == "or":
+            # lhs plus the rhs samples with no lhs partner at that
+            # (ts, match labels); both sides must carry the same label
+            # schema for the DataFrame union to be well-formed
+            if sorted(llabels) != sorted(rlabels):
+                raise ValueError(
+                    f"or: label sets must match (lhs {llabels}, rhs {rlabels})"
+                )
+            l = ldf.select(*llabels, "ts", "value")
+            extra = rdf.select(*llabels, "ts", "value").join(
+                l.select(*[c for c in llabels if c in keys], "ts"),
+                keys,
+                "left_anti",
+            )
+            return l.unionByName(extra).orderBy(*llabels, "ts")
         copy_labels = []
         if pq.group_left_labels:
             missing = [l for l in pq.group_left_labels if l not in rlabels]

@@ -1091,3 +1091,74 @@ def promql_parsed_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFram
     comparison semantics without bool)."""
     out = _parsed(spark, sf_dir, "rate(events[2h]) > 0.04")
     return out.select("event_type", "ts", "value")
+
+
+# --- round-6 continuation: vector set operators (and / unless / or) -------
+_SETOP_RHS_SQL = prom_align_oracle_sql(
+    "instant", round_digits=6, series_filter_sql="event_type LIKE 'cl%'",
+    **_ORACLE_PARAMS,
+)
+
+_AND_SQL = f"""
+    WITH a AS ({_aligned_oracle("rate")}),
+    b AS ({_SETOP_RHS_SQL})
+    SELECT a.ts, a.event_type, a.value FROM a
+    WHERE EXISTS (SELECT 1 FROM b
+                  WHERE b.ts = a.ts AND b.event_type = a.event_type)
+    """
+
+
+@register("promql_parsed_and", oracle=_AND_SQL)
+def promql_parsed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) and events{event_type=~"cl.*"}` through the text
+    parser — PromQL set matching: keep left samples whose (ts, labels)
+    exist on the right, a semi join on the shared label set (values and
+    labels from the left side only)."""
+    out = _parsed(
+        spark, sf_dir, 'rate(events[2h]) and events{event_type=~"cl.*"}'
+    )
+    return out.select("ts", "event_type", "value")
+
+
+_UNLESS_SQL = f"""
+    WITH a AS ({_aligned_oracle("rate")}),
+    b AS ({_SETOP_RHS_SQL})
+    SELECT a.ts, a.event_type, a.value FROM a
+    WHERE NOT EXISTS (SELECT 1 FROM b
+                      WHERE b.ts = a.ts AND b.event_type = a.event_type)
+    """
+
+
+@register("promql_parsed_unless", oracle=_UNLESS_SQL)
+def promql_parsed_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) unless events{event_type=~"cl.*"}` — the anti
+    form of set matching: drop left samples with a right partner."""
+    out = _parsed(
+        spark, sf_dir, 'rate(events[2h]) unless events{event_type=~"cl.*"}'
+    )
+    return out.select("ts", "event_type", "value")
+
+
+_OR_SQL = f"""
+    WITH a AS ({_aligned_oracle("rate")}),
+    l AS (SELECT ts, event_type, greatest(value, CAST(1.0 AS DOUBLE)) AS value
+          FROM a WHERE event_type = 'click')
+    SELECT * FROM l
+    UNION ALL
+    SELECT a.ts, a.event_type, a.value FROM a
+    WHERE NOT EXISTS (SELECT 1 FROM l
+                      WHERE l.ts = a.ts AND l.event_type = a.event_type)
+    """
+
+
+@register("promql_parsed_or", oracle=_OR_SQL)
+def promql_parsed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clamp_min(rate(events{event_type="click"}[2h]), 1) or
+    rate(events[2h])` — union matching: left samples win, right samples
+    fill the (ts, labels) pairs the left lacks; the clamp makes the two
+    sides' values distinguishable so precedence is actually asserted."""
+    out = _parsed(
+        spark, sf_dir,
+        'clamp_min(rate(events{event_type="click"}[2h]), 1) or rate(events[2h])',
+    )
+    return out.select("ts", "event_type", "value")

@@ -390,6 +390,8 @@ DRIVER_ORDER = [
     # round-6: unary math + vector-scalar comparison parser layer
     "promql_parsed_abs_delta", "promql_parsed_ln_rate",
     "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
+    # round-6: vector set operators through the text parser
+    "promql_parsed_and", "promql_parsed_unless", "promql_parsed_or",
 ]
 
 

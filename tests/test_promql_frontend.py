@@ -312,3 +312,30 @@ def test_unary_abs_applies(spark):
         extended=True,
     )
     assert all(r["value"] >= 0 for r in df.collect())
+
+
+def test_parse_set_operators():
+    b = parse_promql('rate(a[5m]) unless on(host) up', extended=True)
+    assert isinstance(b, BinExpr) and b.op == "unless" and b.on == ["host"]
+    # set-op keywords inside identifiers or matcher strings do not split
+    assert not isinstance(parse_promql("errors_and_total", extended=True), BinExpr)
+    assert not isinstance(parse_promql('m{x="a and b"}', extended=True), BinExpr)
+    with pytest.raises(ValueError, match="grouping"):
+        parse_promql("a and group_left b", extended=True)
+
+
+def test_set_operators_evaluate(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    both = promql_to_df('cpu and cpu{host="a"}', {"cpu": cpu}, **kw).collect()
+    assert {r["host"] for r in both} == {"a"}
+    rest = promql_to_df('cpu unless cpu{host="a"}', {"cpu": cpu}, **kw).collect()
+    assert {r["host"] for r in rest} == {"b"}
+    merged = promql_to_df(
+        'clamp_min(cpu{host="a"}, 100) or cpu', {"cpu": cpu}, **kw
+    ).collect()
+    by_host = {}
+    for r in merged:
+        by_host.setdefault(r["host"], []).append(r["value"])
+    assert all(v == 100.0 for v in by_host["a"])  # lhs wins for host a
+    assert all(v < 100.0 for v in by_host["b"])  # rhs fills host b
