@@ -61,6 +61,10 @@ class Selector:
     range_ms: int | None = None  # [5m] range selector
     field_name: str | None = None  # via __horaedb_field__
     offset_ms: int = 0  # `offset 1h` modifier (convert.rs Selector.offset)
+    # `@ <ts>` modifier (extended grammar): pin the evaluation time — every
+    # output step carries the value evaluated at this fixed instant
+    at_s: float | None = None  # `@ 1704067200` (epoch seconds)
+    at_ref: str | None = None  # `@ start()` / `@ end()`
 
 
 @dataclass
@@ -103,13 +107,42 @@ class BinExpr:
     both engines (the promql_binary_vector_ops convention — safer for
     cross-engine hashing than IEEE Inf)."""
 
-    lhs: PromQuery
+    lhs: "PromQuery | ScalarExpr"
     op: str  # + - * /
-    rhs: PromQuery
+    rhs: "PromQuery | ScalarExpr"
     on: list[str] | None = None  # on(): [] ; absent: None
     ignoring: list[str] | None = None
     group_left: bool = False
-    group_left_labels: list[str] = field(default_factory=list)  # copied from rhs
+    group_right: bool = False  # mirror: the "many" side is the RIGHT one
+    # labels copied from the "one" side (rhs under group_left, lhs under
+    # group_right) onto the output rows
+    group_left_labels: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ScalarExpr:
+    """A scalar-typed operand/query (extended grammar): a numeric literal,
+    ``time()`` (the evaluation timestamp in seconds), or ``scalar(<vector
+    expr>)`` (the single sample's value per step — NULL when the inner
+    vector does not hold exactly one series at that step, PromQL's NaN
+    pinned to NULL for cross-engine hashing).  In a binary expression a
+    scalar side applies map-side to every sample of the vector side — no
+    join, no matching clause (Prometheus rejects on()/group_* with scalar
+    operands, and so does promql_to_df)."""
+
+    kind: str  # "lit" | "time" | "scalar_of"
+    value: float = 0.0
+    inner: "PromQuery | None" = None
+
+
+@dataclass
+class VectorLit:
+    """``vector(<number>)`` (extended grammar): a label-less vector whose
+    value is the literal at every evaluation step — the PromQL idiom for
+    always-present series (``vector(0)`` fallbacks).  Evaluates to the
+    step grid itself, O(steps) rows."""
+
+    value: float
 
 
 _SELECTOR_RE = re.compile(
@@ -242,7 +275,7 @@ def _split_top_level_binop(q: str):
         # not a matching modifier
         mm = re.match(
             r"^((?:(?:on|ignoring)\s*\([^)]*\)\s*)?"
-            r"(?:group_left(?![\w])(?:\s*\([^)]*\))?\s*)?)(.*)$",
+            r"(?:group_(?:left|right)(?![\w])(?:\s*\([^)]*\))?\s*)?)(.*)$",
             rest,
             re.I | re.S,
         )
@@ -286,11 +319,17 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
     q = query.strip()
 
     if extended:
+        if re.match(rf"^{_NUM}$", q):
+            return ScalarExpr("lit", value=float(q))
+        if re.match(r"^time\s*\(\s*\)$", q, re.I):
+            return ScalarExpr("time")
         m = _CMP_RE.match(q)
         if m and m.group(1).strip():
             inner = parse_promql(m.group(1).strip(), extended=True)
             if not isinstance(inner, PromQuery):
-                raise ValueError("comparison over a binary expression is not supported")
+                raise ValueError(
+                    "comparison is only supported over a vector expression"
+                )
             inner.cmp = (m.group(2), float(m.group(4)), bool(m.group(3)))
             return inner
         b = _split_top_level_binop(q)
@@ -301,7 +340,7 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
             gl_labels: list[str] = []
             mm = re.match(
                 r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?"
-                r"(group_left)(?![\w])(?:\s*\(([^)]*)\))?\s*$|"
+                r"(group_left|group_right)(?![\w])(?:\s*\(([^)]*)\))?\s*$|"
                 r"^(?:(on|ignoring)\s*\(([^)]*)\)\s*)?$",
                 match_txt,
                 re.I,
@@ -317,21 +356,44 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
                     on = labels
                 else:
                     ignoring = labels
+            group_right = False
             if mm.group(3):
-                group_left = True
+                if mm.group(3).lower() == "group_right":
+                    group_right = True
+                else:
+                    group_left = True
                 if mm.group(4):
                     gl_labels = [x.strip() for x in mm.group(4).split(",") if x.strip()]
-            if op in ("and", "or", "unless") and group_left:
+            if op in ("and", "or", "unless") and (group_left or group_right):
                 raise ValueError("grouping modifiers are not allowed with set operators")
+            lhs_pq = parse_promql(lhs_txt, extended=True)
+            rhs_pq = parse_promql(rhs_txt, extended=True)
+            if isinstance(lhs_pq, ScalarExpr) or isinstance(rhs_pq, ScalarExpr):
+                if on is not None or ignoring or group_left or group_right:
+                    raise ValueError(
+                        "vector matching is not allowed with scalar operands"
+                    )
+                if op in ("and", "or", "unless"):
+                    raise ValueError("set operators require vector operands")
             return BinExpr(
-                lhs=parse_promql(lhs_txt, extended=True),
+                lhs=lhs_pq,
                 op=op,
-                rhs=parse_promql(rhs_txt, extended=True),
+                rhs=rhs_pq,
                 on=on,
                 ignoring=ignoring,
                 group_left=group_left,
+                group_right=group_right,
                 group_left_labels=gl_labels,
             )
+        m = re.match(r"^scalar\s*\(\s*(.*)\)\s*$", q, re.I | re.S)
+        if m:
+            inner = parse_promql(m.group(1).strip(), extended=True)
+            if not isinstance(inner, PromQuery):
+                raise ValueError("scalar() expects a vector expression")
+            return ScalarExpr("scalar_of", inner=inner)
+        m = re.match(rf"^vector\s*\(\s*({_NUM})\s*\)\s*$", q, re.I)
+        if m:
+            return VectorLit(float(m.group(1)))
         m = _WRAP_K_RE.match(q)
         if m:
             inner = parse_promql(m.group(3).strip(), extended=False)
@@ -444,6 +506,26 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
     if re.search(r"[+\-*/]\s*[A-Za-z_(\d]", q.split("{")[0]):
         raise ValueError("binary expressions are not supported")  # convert.rs:346-350
 
+    # `@ <ts>` modifier (extended grammar only): peel it off the selector
+    # text — it may sit before or after `offset`; start()/end() resolve to
+    # the evaluation range at compile time (promql_to_df)
+    at_s = at_ref = None
+    if extended:
+        m_at = re.match(
+            r"^(.*?)\s*@\s*(\d+(?:\.\d+)?|start\(\s*\)|end\(\s*\))\s*(.*)$",
+            q,
+            re.S,
+        )
+        if m_at:
+            spec = m_at.group(2)
+            if spec.startswith("start"):
+                at_ref = "start"
+            elif spec.startswith("end"):
+                at_ref = "end"
+            else:
+                at_s = float(spec)
+            q = (m_at.group(1) + " " + m_at.group(3)).strip()
+
     sel_m = _SELECTOR_RE.match(q)
     if not sel_m:
         raise ValueError(f"cannot parse selector {q!r}")
@@ -469,11 +551,24 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
             range_ms=range_ms,
             field_name=field_name,
             offset_ms=offset_ms,
+            at_s=at_s,
+            at_ref=at_ref,
         ),
         range_fn=range_fn,
         agg_op=agg_op,
         agg_by=agg_by,
         agg_without=agg_without,
+    )
+
+
+def _step_grid(spark, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:
+    """The evaluation-step grid as a DataFrame (ts) — O(steps) rows, always
+    broadcast-sized regardless of data scale."""
+    n_steps = (end_ms - start_ms) // step_ms
+    return spark.range(0, n_steps + 1).select(
+        F.timestamp_millis(
+            (F.lit(start_ms) + F.col("id") * step_ms).cast("long")
+        ).alias("ts")
     )
 
 
@@ -515,6 +610,43 @@ def promql_to_df(
     """
     pq = parse_promql(query, extended=extended) if isinstance(query, str) else query
 
+    def _round_col(col):
+        if round_digits is None:
+            return col
+        scale = float(10**round_digits)
+        return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
+
+    if isinstance(pq, (ScalarExpr, VectorLit)):
+        # standalone scalar-typed query / vector literal: the step grid
+        # itself carries the result — O(steps) rows, no table scan except
+        # for scalar_of's inner vector
+        spark = next(iter(tables.values())).sparkSession
+        grid = _step_grid(spark, start_ms, end_ms, step_ms)
+        if isinstance(pq, VectorLit):
+            return grid.select("ts", F.lit(pq.value).alias("value")).orderBy("ts")
+        if pq.kind == "lit":
+            return grid.select("ts", F.lit(pq.value).alias("value")).orderBy("ts")
+        if pq.kind == "time":
+            val = F.unix_millis("ts").cast("double") / F.lit(1000.0)
+            return grid.select("ts", val.alias("value")).orderBy("ts")
+        idf = promql_to_df(
+            pq.inner, tables, start_ms=start_ms, end_ms=end_ms, step_ms=step_ms,
+            ts_col=ts_col, tag_cols=tag_cols, default_field=default_field,
+            lookback_ms=lookback_ms, extended=extended, round_digits=round_digits,
+        )
+        # scalar(v): the single sample's value per step; NULL when the
+        # inner vector holds != 1 series (PromQL NaN pinned to NULL)
+        sdf = idf.groupBy("ts").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("value").alias("__m")
+        )
+        return (
+            grid.join(F.broadcast(sdf), "ts", "left")
+            .select(
+                "ts", F.when(F.col("__n") == 1, F.col("__m")).alias("value")
+            )
+            .orderBy("ts")
+        )
+
     if isinstance(pq, BinExpr):
         # vector-vector binary op with explicit matching: evaluate both
         # sides on the SAME grid (one aligned evaluation each), then an
@@ -526,15 +658,60 @@ def promql_to_df(
             ts_col=ts_col, tag_cols=tag_cols, default_field=default_field,
             lookback_ms=lookback_ms, extended=extended, round_digits=round_digits,
         )
-        ldf = promql_to_df(pq.lhs, **kw)
-        rkw = dict(kw)
+        lsc = isinstance(pq.lhs, ScalarExpr)
+        rsc = isinstance(pq.rhs, ScalarExpr)
+        if lsc and rsc:
+            raise ValueError(
+                "scalar-scalar expressions are not supported; wrap one side "
+                "in vector()"
+            )
+        if lsc or rsc:
+            # vector-scalar arithmetic: applied map-side to every sample of
+            # the vector side — no join, no shuffle (a scalar_of side adds
+            # one broadcast join on the O(steps) per-ts scalar)
+            vdf = promql_to_df(pq.rhs if lsc else pq.lhs, **kw)
+            sc = pq.lhs if lsc else pq.rhs
+            aux = {"ts", "value", "uid", "rn", "subq_value"}
+            labels = [c for c in vdf.columns if c not in aux]
+            if sc.kind == "lit":
+                scol = F.lit(sc.value)
+            elif sc.kind == "time":
+                scol = F.unix_millis("ts").cast("double") / F.lit(1000.0)
+            else:
+                idf = promql_to_df(sc.inner, **kw)
+                sdf = idf.groupBy("ts").agg(
+                    F.count(F.lit(1)).alias("__n"), F.min("value").alias("__m")
+                ).select(
+                    "ts", F.when(F.col("__n") == 1, F.col("__m")).alias("__s")
+                )
+                vdf = vdf.join(F.broadcast(sdf), "ts")
+                scol = F.col("__s")
+            vl = scol if lsc else F.col("value")
+            vr = F.col("value") if lsc else scol
+            if pq.op == "/":
+                value = F.when(vr != 0, vl / vr)  # zero divisor → NULL
+            else:
+                value = {"+": vl + vr, "-": vl - vr, "*": vl * vr}[pq.op]
+            if round_digits is not None:
+                scale = float(10**round_digits)
+                value = (
+                    F.floor(value * F.lit(scale) + F.lit(0.5)).cast("double")
+                    / F.lit(scale)
+                )
+            return vdf.select(*labels, "ts", value.alias("value")).orderBy(
+                *labels, "ts"
+            )
+        lkw, rkw = dict(kw), dict(kw)
         if pq.group_left_labels and tag_cols is not None:
-            # the copied info labels must ride through the rhs evaluation
-            # as series labels (functionally dependent on the match keys
-            # for a well-formed info metric)
-            rkw["tag_cols"] = list(tag_cols) + [
+            # the copied info labels must ride through the "one" side's
+            # evaluation as series labels (functionally dependent on the
+            # match keys for a well-formed info metric): the rhs under
+            # group_left, the lhs under group_right
+            side_kw = lkw if pq.group_right else rkw
+            side_kw["tag_cols"] = list(tag_cols) + [
                 l for l in pq.group_left_labels if l not in tag_cols
             ]
+        ldf = promql_to_df(pq.lhs, **lkw)
         rdf = promql_to_df(pq.rhs, **rkw)
         aux = {"ts", "value", "uid", "rn", "subq_value"}
         llabels = [c for c in ldf.columns if c not in aux]
@@ -579,41 +756,59 @@ def promql_to_df(
                 "left_anti",
             )
             return l.unionByName(extra).orderBy(*llabels, "ts")
+        # the "one" side of a grouped match (rhs under group_left, lhs
+        # under group_right, rhs in the plain one-to-one case) keeps only
+        # its match-key labels + any copied labels; the "many" side keeps
+        # its full label set, which becomes the output identity
+        one_labels = llabels if pq.group_right else rlabels
+        many_labels = rlabels if pq.group_right else llabels
         copy_labels = []
         if pq.group_left_labels:
-            missing = [l for l in pq.group_left_labels if l not in rlabels]
+            mod = "group_right" if pq.group_right else "group_left"
+            missing = [l for l in pq.group_left_labels if l not in one_labels]
             if missing:
                 raise ValueError(
-                    f"group_left({', '.join(pq.group_left_labels)}): label(s) "
-                    f"{missing} not present on the right side ({rlabels})"
+                    f"{mod}({', '.join(pq.group_left_labels)}): label(s) "
+                    f"{missing} not present on the one side ({one_labels})"
                 )
-            copy_labels = [l for l in pq.group_left_labels if l not in llabels]
-        l = ldf.select(*llabels, "ts", F.col("value").alias("__vl"))
-        r = rdf.select(
-            *sorted(
-                {c for c in rlabels if c in keys} | set(copy_labels)
-            ), "ts",
-            F.col("value").alias("__vr"),
-        )
-        if pq.group_left:
-            # many-to-one requires the "one" side unique per (ts, match
-            # keys); a malformed info metric would silently duplicate left
-            # rows where Prometheus raises a many-to-many matching error.
-            # A count window + conditional raise_error keeps the check
-            # lazy (no extra job) and fails loudly at execution.
-            wcnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-            r = r.withColumn(
-                "__vr",
-                F.when(
-                    wcnt > 1,
-                    F.raise_error(
-                        F.lit(
-                            "group_left: found duplicate series on the right "
-                            f"side for match keys {keys}"
-                        )
-                    ).cast("double"),
-                ).otherwise(F.col("__vr")),
+            copy_labels = [l for l in pq.group_left_labels if l not in many_labels]
+        if pq.group_right:
+            l = ldf.select(
+                *sorted({c for c in llabels if c in keys} | set(copy_labels)),
+                "ts",
+                F.col("value").alias("__vl"),
             )
+            r = rdf.select(*rlabels, "ts", F.col("value").alias("__vr"))
+        else:
+            l = ldf.select(*llabels, "ts", F.col("value").alias("__vl"))
+            r = rdf.select(
+                *sorted({c for c in rlabels if c in keys} | set(copy_labels)),
+                "ts",
+                F.col("value").alias("__vr"),
+            )
+        if pq.group_left or pq.group_right:
+            # many-to-one requires the "one" side unique per (ts, match
+            # keys); a malformed info metric would silently duplicate many-
+            # side rows where Prometheus raises a many-to-many matching
+            # error.  A count window + conditional raise_error keeps the
+            # check lazy (no extra job) and fails loudly at execution.
+            mod = "group_left" if pq.group_left else "group_right"
+            side = "right" if pq.group_left else "left"
+            wcnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            err = F.raise_error(
+                F.lit(
+                    f"{mod}: found duplicate series on the {side} "
+                    f"side for match keys {keys}"
+                )
+            ).cast("double")
+            if pq.group_left:
+                r = r.withColumn(
+                    "__vr", F.when(wcnt > 1, err).otherwise(F.col("__vr"))
+                )
+            else:
+                l = l.withColumn(
+                    "__vl", F.when(wcnt > 1, err).otherwise(F.col("__vl"))
+                )
         j = l.join(r, keys)
         vl, vr = F.col("__vl"), F.col("__vr")
         if pq.op == "/":
@@ -623,8 +818,8 @@ def promql_to_df(
         if round_digits is not None:
             scale = float(10**round_digits)
             value = F.floor(value * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
-        out = j.select(*llabels, *copy_labels, "ts", value.alias("value"))
-        return out.orderBy(*llabels, *copy_labels, "ts")
+        out = j.select(*many_labels, *copy_labels, "ts", value.alias("value"))
+        return out.orderBy(*many_labels, *copy_labels, "ts")
 
     sel = pq.selector
     if sel.metric not in tables:
@@ -647,23 +842,31 @@ def promql_to_df(
     func = pq.range_fn or "instant"
     lookback = sel.range_ms if pq.range_fn else lookback_ms
 
+    # `@` modifier: pin the evaluation instant — align on the single fixed
+    # step, then replicate across the output grid (the grid is O(steps),
+    # broadcast-sized at any data scale)
+    at_ms = None
+    if sel.at_ref == "start":
+        at_ms = start_ms
+    elif sel.at_ref == "end":
+        at_ms = end_ms
+    elif sel.at_s is not None:
+        at_ms = int(sel.at_s * 1000)
+    if at_ms is not None and func == "absent_over_time":
+        raise ValueError("@ modifier is not supported with absent_over_time")
+
     if func == "absent_over_time":
         # 1 for every step whose range window holds no sample of any
         # matching series (functions.go absentOverTime).  The present-step
         # set comes from the same explode-to-grid align plan; the absent
         # set is the step grid anti-joined against it — the grid side is
         # O(steps), so the anti-join broadcasts it at any scale.
-        n_steps = (end_ms - start_ms) // step_ms
         present = prom_align(
             df, "count_over_time", series_cols=tags, ts_col=ts_col,
             value_col=value_col, start_ms=start_ms, end_ms=end_ms,
             step_ms=step_ms, lookback_ms=lookback, offset_ms=sel.offset_ms,
         ).select("ts").distinct()
-        grid = df.sparkSession.range(0, n_steps + 1).select(
-            F.timestamp_millis(
-                (F.lit(start_ms) + F.col("id") * step_ms).cast("long")
-            ).alias("ts")
-        )
+        grid = _step_grid(df.sparkSession, start_ms, end_ms, step_ms)
         return (
             grid.join(present, "ts", "left_anti")
             .select("ts", F.lit(1.0).alias("value"))
@@ -676,8 +879,8 @@ def promql_to_df(
         series_cols=tags,
         ts_col=ts_col,
         value_col=value_col,
-        start_ms=start_ms,
-        end_ms=end_ms,
+        start_ms=at_ms if at_ms is not None else start_ms,
+        end_ms=at_ms if at_ms is not None else end_ms,
         step_ms=step_ms,
         lookback_ms=lookback,
         offset_ms=sel.offset_ms,
@@ -686,6 +889,9 @@ def promql_to_df(
             int(pq.fn_args[0]) if func == "predict_linear" and pq.fn_args else None
         ),
     )
+    if at_ms is not None:
+        grid = _step_grid(df.sparkSession, start_ms, end_ms, step_ms)
+        aligned = aligned.drop("ts").crossJoin(F.broadcast(grid))
 
     def _r(col):
         if round_digits is None:

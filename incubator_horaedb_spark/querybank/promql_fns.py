@@ -1162,3 +1162,140 @@ def promql_parsed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         'clamp_min(rate(events{event_type="click"}[2h]), 1) or rate(events[2h])',
     )
     return out.select("ts", "event_type", "value")
+
+
+# --- parsed scalar operands, @ modifier, group_right (round 6) ------------
+# The last text forms of the evaluator grammar: scalar-typed operands
+# (numeric literals, time(), scalar(<vector>)), vector(<number>), the
+# `@ <ts>` evaluation-time pin, and many-to-one matching with the "many"
+# side on the RIGHT (group_right) — prometheus/promql/parser grammar,
+# evaluated distributed by frontends/promql.py.
+
+_AT_MS = 1704672000000  # 2024-01-08T00:00:00Z — inside the evaluation range
+
+
+def _parsed_group_right_oracle() -> str:
+    from incubator_horaedb_spark.functions.detfloat import dyadic_sql
+
+    return f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    tot AS (
+      SELECT ts, sum({dyadic_sql("value", 26)}) AS total FROM aligned GROUP BY ts
+    )
+    SELECT a.event_type, a.ts,
+           CASE WHEN a.value = 0 THEN NULL
+                ELSE {r_out_sql('t.total / a.value', 6)}
+           END AS value
+    FROM aligned a JOIN tot t ON t.ts = a.ts
+    """
+
+
+@register("promql_parsed_group_right", oracle=_parsed_group_right_oracle())
+def promql_parsed_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum(rate(events[2h])) / on() group_right rate(events[2h])` — the
+    mirror of promql_parsed_share: the "many" side sits on the RIGHT, so
+    output labels come from the right operand and the aggregated left side
+    is the uniqueness-guarded "one" side.  Same plan shape (O(steps)
+    aggregated side, equi-join on ts), distinct matching code path."""
+    out = _parsed(
+        spark, sf_dir,
+        "sum(rate(events[2h])) / on() group_right rate(events[2h])",
+    )
+    return out.select("event_type", "ts", "value")
+
+
+_PARSED_SCALAR_MULT_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")})
+    SELECT event_type, ts, {r_out_sql('value * 60.0', 6)} AS value FROM aligned
+    """
+
+
+@register("promql_parsed_scalar_mult", oracle=_PARSED_SCALAR_MULT_SQL)
+def promql_parsed_scalar_mult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) * 60` through the text parser — vector-scalar
+    arithmetic with a numeric literal (the per-minute-rate idiom).  Pure
+    map-side: no join, no shuffle beyond the align plan; the product of
+    the 6-digit-rounded rate and the exact literal re-rounds with the
+    floor form identically on both engines."""
+    out = _parsed(spark, sf_dir, "rate(events[2h]) * 60")
+    return out.select("event_type", "ts", "value")
+
+
+def _parsed_scalar_of_oracle() -> str:
+    from incubator_horaedb_spark.functions.detfloat import dyadic_sql
+
+    return f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    tot AS (
+      SELECT ts, sum({dyadic_sql("value", 26)}) AS total FROM aligned GROUP BY ts
+    )
+    SELECT a.event_type, a.ts,
+           CASE WHEN t.total = 0 THEN NULL
+                ELSE {r_out_sql('a.value / t.total', 6)}
+           END AS value
+    FROM aligned a JOIN tot t ON t.ts = a.ts
+    WHERE a.event_type = 'error'
+    """
+
+
+@register("promql_parsed_scalar_of", oracle=_parsed_scalar_of_oracle())
+def promql_parsed_scalar_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events{event_type="error"}[2h]) / scalar(sum(rate(events[2h])))`
+    — the scalar() conversion: the aggregated inner vector (exactly one
+    series) becomes a per-step scalar applied map-side to the filtered
+    vector via one broadcast join on the O(steps) scalar frame.  The sum
+    side quantizes addends on the 2^-26 dyadic grid (exact reduction);
+    zero totals pin the division to NULL on both engines."""
+    out = _parsed(
+        spark, sf_dir,
+        'rate(events{event_type="error"}[2h]) / scalar(sum(rate(events[2h])))',
+    )
+    return out.select("event_type", "ts", "value")
+
+
+def _parsed_at_oracle() -> str:
+    params = dict(_ORACLE_PARAMS)
+    params.update(start_ms=_AT_MS, end_ms=_AT_MS)
+    fixed = prom_align_oracle_sql("instant", round_digits=6, **params)
+    n_steps = (END_MS - START_MS) // STEP_MS
+    return f"""
+    WITH fixed AS ({fixed}),
+    grid AS (
+      SELECT make_timestamp(({START_MS} + k.k * {STEP_MS}) * 1000) AS ts
+      FROM (SELECT unnest(range(0, {n_steps + 1})) AS k) k
+    )
+    SELECT f.event_type, g.ts, f.value
+    FROM fixed f CROSS JOIN grid g
+    """
+
+
+@register("promql_parsed_at", oracle=_parsed_at_oracle())
+def promql_parsed_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events @ 1704672000` through the text parser — the `@` modifier
+    pins the evaluation instant: PromAlign runs on the SINGLE fixed step
+    (one lookback window per series), then the per-series constant
+    replicates across the output grid via a broadcast cross join with the
+    O(steps) grid frame — at 100 TB the fixed-instant align prunes the
+    scan to one lookback window of samples."""
+    out = _parsed(spark, sf_dir, f"events @ {_AT_MS // 1000}")
+    return out.select("event_type", "ts", "value")
+
+
+_PARSED_TIME_MINUS_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("instant")})
+    SELECT event_type, ts,
+           {r_out_sql('CAST(epoch(ts) AS DOUBLE) - value', 6)} AS value
+    FROM aligned
+    """
+
+
+@register("promql_parsed_time_minus", oracle=_PARSED_TIME_MINUS_SQL)
+def promql_parsed_time_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`time() - events` through the text parser — the time() scalar
+    (evaluation timestamp in seconds) in vector-scalar arithmetic, the
+    PromQL freshness/staleness idiom (`time() - last_update`).  time()
+    derives map-side from the grid timestamp of each aligned sample — no
+    join at all; grid instants are whole seconds so the subtraction is
+    exact IEEE on both engines."""
+    out = _parsed(spark, sf_dir, "time() - events")
+    return out.select("event_type", "ts", "value")

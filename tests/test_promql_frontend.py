@@ -339,3 +339,119 @@ def test_set_operators_evaluate(spark):
         by_host.setdefault(r["host"], []).append(r["value"])
     assert all(v == 100.0 for v in by_host["a"])  # lhs wins for host a
     assert all(v < 100.0 for v in by_host["b"])  # rhs fills host b
+
+
+def test_parse_scalar_and_vector_forms():
+    from incubator_horaedb_spark.frontends.promql import ScalarExpr, VectorLit
+
+    s = parse_promql("time()", extended=True)
+    assert isinstance(s, ScalarExpr) and s.kind == "time"
+    v = parse_promql("vector(1.5)", extended=True)
+    assert isinstance(v, VectorLit) and v.value == 1.5
+    b = parse_promql("rate(m[5m]) * 60", extended=True)
+    assert isinstance(b, BinExpr) and isinstance(b.rhs, ScalarExpr)
+    assert b.rhs.kind == "lit" and b.rhs.value == 60.0
+    b = parse_promql("1 - m", extended=True)
+    assert isinstance(b.lhs, ScalarExpr) and b.lhs.value == 1.0
+    b = parse_promql("m / scalar(sum(rate(m[5m])))", extended=True)
+    assert isinstance(b.rhs, ScalarExpr) and b.rhs.kind == "scalar_of"
+    assert b.rhs.inner.agg_op == "sum"
+    # scalar operands reject vector-matching clauses and set operators
+    with pytest.raises(ValueError, match="scalar"):
+        parse_promql("m / on() 5", extended=True)
+    with pytest.raises(ValueError, match="vector operands"):
+        parse_promql("m and 5", extended=True)
+    # everything stays rejected without extended=
+    for t in ("time()", "vector(1)", "rate(m[5m]) * 60", "m @ 100"):
+        with pytest.raises(ValueError):
+            parse_promql(t)
+
+
+def test_parse_group_right_and_at():
+    b = parse_promql("sum(rate(m[5m])) / on() group_right rate(m[5m])", extended=True)
+    assert isinstance(b, BinExpr) and b.group_right and not b.group_left
+    p = parse_promql("rate(m[5m] @ 1704672000)", extended=True)
+    assert p.selector.at_s == 1704672000.0 and p.selector.range_ms == 300_000
+    p = parse_promql("m @ end()", extended=True)
+    assert p.selector.at_ref == "end"
+    p = parse_promql("m offset 1h @ start()", extended=True)
+    assert p.selector.at_ref == "start" and p.selector.offset_ms == 3_600_000
+    # a metric merely starting with group_right is an operand
+    b = parse_promql("rate(a[5m]) / group_right_total", extended=True)
+    assert b.rhs.selector.metric == "group_right_total" and not b.group_right
+
+
+def test_scalar_arith_evaluates(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    doubled = promql_to_df("cpu * 2", {"cpu": cpu}, **kw).collect()
+    base = promql_to_df("cpu", {"cpu": cpu}, **kw).collect()
+    dv = {(r["host"], r["ts"]): r["value"] for r in doubled}
+    for r in base:
+        assert dv[(r["host"], r["ts"])] == r["value"] * 2
+    # time() maps each sample to its grid timestamp in seconds
+    t = promql_to_df("time() - cpu", {"cpu": cpu}, **kw).collect()
+    for r in t:
+        base_v = next(
+            b["value"] for b in base if (b["host"], b["ts"]) == (r["host"], r["ts"])
+        )
+        assert r["value"] == r["ts"].timestamp() - base_v
+
+
+def test_scalar_of_and_vector_lit(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    # scalar(sum(..)) divides every sample by the per-step total
+    share = promql_to_df(
+        "cpu / scalar(sum(cpu))", {"cpu": cpu}, **kw
+    ).collect()
+    tot = {r["ts"]: r["value"] for r in promql_to_df("sum(cpu)", {"cpu": cpu}, **kw).collect()}
+    base = promql_to_df("cpu", {"cpu": cpu}, **kw).collect()
+    sv = {(r["host"], r["ts"]): r["value"] for r in share}
+    for r in base:
+        assert abs(sv[(r["host"], r["ts"])] - r["value"] / tot[r["ts"]]) < 1e-12
+    # scalar(cpu) is NULL when more than one series exists
+    amb = promql_to_df("cpu / scalar(cpu)", {"cpu": cpu}, **kw).collect()
+    assert all(r["value"] is None for r in amb)
+    # vector(k) is the bare grid
+    vl = promql_to_df("vector(7)", {"cpu": cpu}, **kw).collect()
+    assert [r["value"] for r in vl] == [7.0, 7.0]
+
+
+def test_group_right_mirrors_group_left(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    gl = promql_to_df(
+        "cpu / on() group_left sum(cpu)", {"cpu": cpu}, **kw
+    ).collect()
+    gr = promql_to_df(
+        "sum(cpu) / on() group_right cpu", {"cpu": cpu}, **kw
+    ).collect()
+    l = {(r["host"], r["ts"]): r["value"] for r in gl}
+    r_ = {(r["host"], r["ts"]): r["value"] for r in gr}
+    assert set(l) == set(r_)
+    for k, v in l.items():
+        assert abs(v * r_[k] - 1.0) < 1e-9  # share × inverse-share = 1
+    # duplicate "one" (left) side raises under group_right: cpu holds two
+    # series per ts, so under on() the left side is not unique per key
+    with pytest.raises(Exception, match="group_right"):
+        promql_to_df(
+            "cpu / on() group_right sum(cpu)", {"cpu": cpu}, **kw
+        ).collect()
+
+
+def test_at_modifier_pins_instant(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    pinned = promql_to_df("cpu @ 60", {"cpu": cpu}, **kw).collect()
+    # the value at t=60s replicates across both grid steps
+    by_host = {}
+    for r in pinned:
+        by_host.setdefault(r["host"], set()).add(r["value"])
+    assert by_host["a"] == {5.0} and by_host["b"] == {40.0}
+    assert len(pinned) == 4  # 2 hosts x 2 steps
+    ref = promql_to_df("cpu @ end()", {"cpu": cpu}, **kw).collect()
+    live = promql_to_df("cpu", {"cpu": cpu}, **kw).collect()
+    end_vals = {r["host"]: r["value"] for r in live if r["ts"].timestamp() == 120}
+    for r in ref:
+        assert r["value"] == end_vals[r["host"]]
