@@ -34,8 +34,15 @@ COVERAGE.md.
 
 nC is 0 throughout: the DC block's CAVLC context derives from the
 TotalCoeff of the neighbouring luma 4x4 AC blocks (9.2.1), and every
-AC block in a CBP=0 stream has TotalCoeff 0 — so the decoder is
-correct for ANY DC-only baseline stream, not just this encoder's.
+AC block in a CBP=0 stream has TotalCoeff 0 — so the decoder reads
+any DC-only baseline stream's entropy layer, not just this encoder's.
+Two reconstruction boundaries are enforced LOUDLY rather than decoded
+wrong: a DC level at zig-zag scan position > 0 (a non-constant
+macroblock — its inverse Hadamard spreads sign-alternating values
+across the sub-block DCs) and poc_type 1 raise NotImplementedError;
+poc_type 0 (the x264 baseline default) and 2 slice headers are both
+parsed correctly (pic_order_cnt_lsb is consumed at its SPS-declared
+width).
 """
 
 from __future__ import annotations
@@ -415,8 +422,11 @@ def decode_h264_iframe(stream: bytes) -> np.ndarray:
         raise NotImplementedError("high-profile SPS extensions out of subset")
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        r.ue()
+        # the slice header then carries pic_order_cnt_lsb at this width —
+        # x264's baseline default emits poc_type 0, so keep the size
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("poc_type 1 out of subset")
     r.ue()  # max_num_ref_frames
@@ -430,7 +440,7 @@ def decode_h264_iframe(stream: bytes) -> np.ndarray:
     p.ue(), p.ue()
     if p.u(1) != 0:
         raise NotImplementedError("CABAC out of subset")
-    p.u(1)
+    bottom_field_poc_present = p.u(1)
     if p.ue() != 0:
         raise NotImplementedError("slice groups out of subset")
     p.ue(), p.ue(), p.u(1), p.u(2)
@@ -448,6 +458,13 @@ def decode_h264_iframe(stream: bytes) -> np.ndarray:
     s.ue()  # pps id
     s.u(log2_max_frame_num)  # frame_num
     s.ue()  # idr_pic_id
+    if poc_type == 0:
+        # pic_order_cnt_lsb (+ optional bottom-field delta): present in
+        # every poc_type-0 slice header; skipping it would bit-shift all
+        # later Exp-Golomb reads
+        s.u(log2_max_poc_lsb)
+        if bottom_field_poc_present:
+            s.se()  # delta_pic_order_cnt_bottom
     s.u(1), s.u(1)  # dec_ref_pic_marking
     s.se()  # slice_qp_delta
     if deblock_present:
@@ -465,7 +482,16 @@ def decode_h264_iframe(stream: bytes) -> np.ndarray:
             )
         s.ue()  # intra_chroma_pred_mode
         s.se()  # mb_qp_delta
-        zd, _pos = _read_dc_block(s)
+        zd, pos = _read_dc_block(s)
+        if pos != 0:
+            # the single DC level sitting at zig-zag position > 0 means a
+            # NON-constant macroblock (the inverse Hadamard spreads it with
+            # alternating signs across the 4x4 sub-block DCs) — outside the
+            # MB-constant reconstruction this subset implements
+            raise NotImplementedError(
+                "luma DC level at scan position > 0: macroblock is not "
+                "constant (outside the DC-only subset, see module docstring)"
+            )
         pred = _dc_pred(recon, bx, by)
         recon[by, bx] = max(0, min(255, pred + _dequant_dc_to_residual(zd)))
         addr += 1

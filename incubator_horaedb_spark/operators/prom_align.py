@@ -122,7 +122,7 @@ def prom_align(
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
     offset_ms: int = 0,
     quantile: float = 0.75,
-    predict_offset_s: int | None = None,
+    predict_offset_s: "int | float | None" = None,
 ) -> DataFrame:
     """Evaluate ``func`` per series on the aligned grid.
 
@@ -395,7 +395,7 @@ _VAR_SQL = (
 _LINREG_GUARD_SQL = "n >= 2 AND n * lr_tt - lr_t * lr_t <> 0"
 
 
-def _linreg_value_sql(which: str, offset_s: int | None = None) -> str:
+def _linreg_value_sql(which: str, offset_s: "int | float | None" = None) -> str:
     """deriv/predict_linear closed forms over the moment columns — one
     shared SQL string per engine-agnostic expression tree (lr_* and
     val_sum_q2 are exact sums, so the only doubles are these divisions)."""
@@ -409,7 +409,7 @@ def _linreg_value_sql(which: str, offset_s: int | None = None) -> str:
         offset_s = PREDICT_LINEAR_OFFSET_S
     return (
         f"(((val_sum_q2 - {slope} * CAST(lr_t AS DOUBLE)) / CAST(n AS DOUBLE))"
-        f" + {slope} * {offset_s * 1000}.0)"
+        f" + {slope} * {float(offset_s) * 1000.0!r})"  # repr: fractional horizons survive
     )
 
 
@@ -441,7 +441,7 @@ def prom_align_oracle_sql(
     round_digits: int | None = 6,
     series_filter_sql: str = "TRUE",
     quantile: float = 0.75,
-    predict_offset_s: int | None = None,
+    predict_offset_s: "int | float | None" = None,
 ) -> str:
     """DuckDB SQL computing the identical PromAlign result — generated from
     the same parameters so the Spark pipeline and the oracle cannot drift.

@@ -392,6 +392,12 @@ DRIVER_ORDER = [
     "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
     # round-6: vector set operators through the text parser
     "promql_parsed_and", "promql_parsed_unless", "promql_parsed_or",
+    # round-6: grammar completion — group_right, scalar operands and
+    # scalar()/time() arithmetic, the @ modifier, and an agg-over-binop
+    # composition (the last text forms the evaluator grammar was missing)
+    "promql_parsed_group_right", "promql_parsed_scalar_mult",
+    "promql_parsed_scalar_of", "promql_parsed_at",
+    "promql_parsed_time_minus", "promql_parsed_max_rate",
 ]
 
 
