@@ -1299,3 +1299,114 @@ def promql_parsed_time_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact IEEE on both engines."""
     out = _parsed(spark, sf_dir, "time() - events")
     return out.select("event_type", "ts", "value")
+
+
+# --- round-6 code-review locks: precedence + stage composition -------------
+# Gated twins of the review findings fixed after the grammar completion:
+# comparison-vs-arithmetic precedence, comparisons over binary vector
+# expressions, the `or vector(0)` fallback with a labeled left side, and
+# evaluator stages composing over absent_over_time.  Each oracle encodes
+# the CORRECT semantics, so a precedence/composition regression flips the
+# hash, not just a unit test.
+
+
+@register("promql_parsed_precedence", oracle=_THRESH_FILTER_SQL)
+def promql_parsed_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) > 0.02 * 2` through the text parser — PromQL puts
+    comparisons BELOW arithmetic, so the threshold is the folded constant
+    0.04 (0.02*2 is exact in binary), not `(rate > 0.02) * 2`.  Shares
+    promql_parsed_threshold_filter's oracle: identical result by
+    construction if and only if precedence is right."""
+    out = _parsed(spark, sf_dir, "rate(events[2h]) > 0.02 * 2")
+    return out.select("event_type", "ts", "value")
+
+
+_CMP_OVER_BINOP_SQL = f"""
+    WITH aligned AS ({_aligned_oracle("rate")}),
+    scaled AS (
+      SELECT ts, event_type, {r_out_sql("value * 100", 6)} AS value
+      FROM aligned
+    )
+    SELECT ts, event_type, value FROM scaled WHERE value > 4
+    """
+
+
+@register("promql_parsed_cmp_over_binop", oracle=_CMP_OVER_BINOP_SQL)
+def promql_parsed_cmp_over_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events[2h]) * 100 > 4` through the text parser — a trailing
+    comparison applied OVER a binary vector expression (the error-ratio
+    alert shape `a/b > thr`): the comparison splits first (looser), the
+    arithmetic evaluates map-side, then the filter drops non-matching
+    samples.  Same selectivity as the 0.04 threshold at 100× scale-up of
+    the values."""
+    out = _parsed(spark, sf_dir, "rate(events[2h]) * 100 > 4")
+    return out.select("ts", "event_type", "value")
+
+
+def _parsed_or_vector_oracle() -> str:
+    n_steps = (END_MS - START_MS) // STEP_MS
+    click = prom_align_oracle_sql(
+        "rate", round_digits=6, series_filter_sql="event_type = 'click'",
+        **_ORACLE_PARAMS,
+    )
+    return f"""
+    WITH a AS ({click}),
+    steps AS (
+      SELECT make_timestamp(({START_MS} + unnest(range(0, {n_steps + 1}))
+             * {STEP_MS}) * 1000) AS ts
+    )
+    SELECT event_type, ts, value FROM a
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR) AS event_type, ts, CAST(0.0 AS DOUBLE) AS value
+    FROM steps
+    """
+
+
+@register("promql_parsed_or_vector", oracle=_parsed_or_vector_oracle())
+def promql_parsed_or_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(events{event_type="click"}[2h]) or vector(0)` — the PromQL
+    always-present fallback idiom with a LABELED left side: vector(0)
+    evaluates label-free, the union pads its missing event_type with NULL
+    (an absent label), and set matching compares absent as "" — no
+    labeled left series has the empty label set, so every grid step keeps
+    its zero row.  The rhs is the O(steps) grid itself; the anti-join
+    broadcasts at any scale."""
+    out = _parsed(
+        spark, sf_dir, 'rate(events{event_type="click"}[2h]) or vector(0)'
+    )
+    return out.select("event_type", "ts", "value")
+
+
+def _parsed_absent_bool_oracle() -> str:
+    n_steps = (END_MS - START_MS) // STEP_MS
+    return f"""
+    WITH steps AS (
+      SELECT ({START_MS} + unnest(range(0, {n_steps + 1})) * {STEP_MS}) AS t
+    ),
+    present AS (
+      SELECT DISTINCT s.t
+      FROM events e JOIN steps s
+        ON s.t >= epoch_ms(e.ts) AND s.t - {_ABSENT_LOOKBACK_MS} <= epoch_ms(e.ts)
+      WHERE e.event_type = 'error'
+        AND epoch_ms(e.ts) >= {START_MS - _ABSENT_LOOKBACK_MS}
+        AND epoch_ms(e.ts) <= {END_MS}
+    )
+    SELECT make_timestamp(t * 1000) AS ts, CAST(0.0 AS DOUBLE) AS value
+    FROM steps WHERE t NOT IN (SELECT t FROM present)
+    ORDER BY ts
+    """
+
+
+@register("promql_parsed_absent_bool", oracle=_parsed_absent_bool_oracle())
+def promql_parsed_absent_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`absent_over_time(events{event_type="error"}[30m]) != bool 1` —
+    evaluator stages compose OVER the absence vector (the review-found
+    early return silently dropped them): every absent step's 1.0 fails
+    `!= 1`, so the bool modifier emits 0.0 on exactly the absent-step
+    rows.  A regression back to the early return returns 1.0s and flips
+    the hash."""
+    out = _parsed(
+        spark, sf_dir,
+        'absent_over_time(events{event_type="error"}[30m]) != bool 1',
+    )
+    return out.select("ts", "value")

@@ -398,6 +398,11 @@ DRIVER_ORDER = [
     "promql_parsed_group_right", "promql_parsed_scalar_mult",
     "promql_parsed_scalar_of", "promql_parsed_at",
     "promql_parsed_time_minus", "promql_parsed_max_rate",
+    # round-6: code-review regression locks — comparison precedence,
+    # comparison over binary vector expressions, `or vector(0)` with a
+    # labeled left side, evaluator stages over absent_over_time
+    "promql_parsed_precedence", "promql_parsed_cmp_over_binop",
+    "promql_parsed_or_vector", "promql_parsed_absent_bool",
 ]
 
 

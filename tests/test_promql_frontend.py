@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from incubator_horaedb_spark.frontends.promql import (
     FIELD_LABEL,
     BinExpr,
+    PromQuery,
     parse_duration_ms,
     parse_promql,
     promql_to_df,
@@ -455,3 +456,83 @@ def test_at_modifier_pins_instant(spark):
     end_vals = {r["host"]: r["value"] for r in live if r["ts"].timestamp() == 120}
     for r in ref:
         assert r["value"] == end_vals[r["host"]]
+
+
+# --- round-6 code-review fixes: precedence + stage composition ------------
+
+
+def test_comparison_precedence_below_arithmetic():
+    # rate(m) > 2 * 3 filters at the folded constant 6
+    pq = parse_promql("rate(m[5m]) > 2 * 3", extended=True)
+    assert isinstance(pq, PromQuery) and pq.cmp == (">", 6.0, False)
+    pq = parse_promql("rate(m[5m]) > bool 2 + 1", extended=True)
+    assert pq.cmp == (">", 3.0, True)
+    # scalar on the left flips the operator
+    pq = parse_promql("2 < rate(m[5m])", extended=True)
+    assert pq.cmp == (">", 2.0, False)
+    # comparisons bind tighter than or: both sides keep their thresholds
+    pq = parse_promql("rate(a[5m]) > 3 or rate(b[5m]) > 4", extended=True)
+    assert isinstance(pq, BinExpr) and pq.op == "or"
+    assert pq.lhs.cmp == (">", 3.0, False) and pq.rhs.cmp == (">", 4.0, False)
+    # trailing comparison over a binary vector expression
+    pq = parse_promql("sum(rate(x[5m])) * 100 > 5", extended=True)
+    assert isinstance(pq, BinExpr) and pq.op == "*"
+    assert pq.cmp == (">", 5.0, False)
+    pq = parse_promql("rate(a[5m]) / rate(b[5m]) > 0.5", extended=True)
+    assert isinstance(pq, BinExpr) and pq.op == "/"
+    assert pq.cmp == (">", 0.5, False)
+    # unary minus after a comparison is a sign, not a split point
+    pq = parse_promql("rate(m[5m]) < -1.5", extended=True)
+    assert pq.cmp == ("<", -1.5, False)
+    # vector-vector and scalar-scalar comparisons refuse loudly
+    for bad in ("rate(a[5m]) > rate(b[5m])", "2 > 3"):
+        with pytest.raises(ValueError):
+            parse_promql(bad, extended=True)
+
+
+def test_at_modifier_exact_epoch_ms():
+    # float(text)*1000 would truncate the .001 to ...000
+    pq = parse_promql("events @ 1704067200.001", extended=True)
+    assert pq.selector.at_ms == 1704067200001
+
+
+def test_absent_composes_with_cmp(spark):
+    kw = dict(start_ms=60_000, end_ms=300_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    base = promql_to_df("absent_over_time(cpu[1m])", {"cpu": cpu}, **kw).collect()
+    assert base  # some steps have empty 1-minute windows
+    filtered = promql_to_df(
+        "absent_over_time(cpu[1m]) != 1", {"cpu": cpu}, **kw
+    ).collect()
+    assert filtered == []  # every absent sample is exactly 1
+    boolified = promql_to_df(
+        "absent_over_time(cpu[1m]) == bool 1", {"cpu": cpu}, **kw
+    ).collect()
+    assert [r["value"] for r in boolified] == [1.0] * len(base)
+
+
+def test_or_pads_differing_label_sets(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    rows = promql_to_df("cpu or vector(0)", {"cpu": cpu}, **kw).collect()
+    labeled = [r for r in rows if r["host"] is not None]
+    fallback = [r for r in rows if r["host"] is None]
+    # labeled lhs rows all survive; the label-free zero fills EVERY step
+    # (no lhs series has the empty label set)
+    assert len(labeled) == 4 and len(fallback) == 2
+    assert all(r["value"] == 0.0 for r in fallback)
+    # fully-aggregated lhs (empty label set) suppresses the fallback at
+    # covered steps — the classic sum(...) or vector(0) shape
+    rows = promql_to_df("sum(cpu) or vector(0)", {"cpu": cpu}, **kw).collect()
+    assert all(r["value"] != 0.0 for r in rows) and len(rows) == 2
+
+
+def test_scalar_of_empty_inner_keeps_rows(spark):
+    kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
+    cpu = _metric_df(spark)
+    rows = promql_to_df(
+        'cpu / scalar(sum(cpu{host="nope"}))', {"cpu": cpu}, **kw
+    ).collect()
+    live = promql_to_df("cpu", {"cpu": cpu}, **kw).collect()
+    assert len(rows) == len(live)  # retention: NULL scalar, rows kept
+    assert all(r["value"] is None for r in rows)
