@@ -196,29 +196,27 @@ DRIVER_ORDER = [
     # core SQL — one per family (same-row variants like constant folding /
     # anti-join / IN-list ride behind their family representative)
     "q1_pricing_summary", "scan_filter_project", "topk_order_limit",
-    "join_inner_3way", "subquery_in",
+    "join_inner_3way",
     "set_union_all", "distinct_agg", "window_rownum_top2", "rollup_agg",
     "percentile_exact", "udaf_energy_by_type", "scalar_functions",
     # TSDB storage semantics
     "time_bucket_minute", "dedup_latest_by_key",
-    "chain_append_read", "time_range_scan",
+    "time_range_scan",
     # protocol frontends
     "promql_rate", "promql_instant", "promql_sum_by_ts",
     "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
     # LLM-pipeline operators
     "dedup_minhash_lsh",
-    "decontaminate_ngram",
     "sample_stratified",
     "ann_cosine_bruteforce",
     "ivf_kmeans_train", "ann_topk_blocked",
-    "embedding_rhp_lsh", "text_langid",
     "text_fingerprint",
     "funnel_conversion", "corpus_quality_filter",
     "asof_join_events",
     "multimodal_png_pixel_stats",
     # round-5 rotation survivors (driver-green r05, kept in-window as
     # their family's representative)
-    "promql_group_left", "dedup_dupspan_report", "session_window_agg",
+    "dedup_dupspan_report", "session_window_agg",
     "pack_sequences",
     # round-6 rotation (VERDICT r05 next-round #2): ten never-driver-
     # verified representatives promoted — round-5 families (iterative BPE
@@ -239,8 +237,25 @@ DRIVER_ORDER = [
     "market_basket_pairs", "dau_wau_stickiness", "lateral_topk_per_key",
     "promql_parsed_share", "promql_parsed_subquery",
     "promql_parsed_histogram_quantile", "promql_parsed_topk_sum",
+    # round-6 MID-ROUND rotation: the round's own new families enter the
+    # window so the driver verifies them THIS round — the H.264 I-frame
+    # codec, the parsed vector set operators, scalar()-operand
+    # arithmetic, the @ modifier, and two code-review regression locks
+    # (comparison precedence, stages over absent_over_time).  Slots come
+    # from driver-green same-family variants demoted below:
+    # subquery_in (q18/lateral cover IN-subqueries), chain_append_read
+    # (scan family keeps 3 reps), promql_group_left (parsed_share is the
+    # same join shape through the text path), decontaminate_ngram
+    # (winnow covers), embedding_rhp_lsh (ivf/ann cover), text_langid
+    # (fingerprint/quality cover).
+    "multimodal_h264_iframe_stats", "promql_parsed_or",
+    "promql_parsed_scalar_of", "promql_parsed_at",
+    "promql_parsed_precedence", "promql_parsed_absent_bool",
     # round-4 rotation survivors (driver-green, kept in-window)
     "join_full_outer", "q18_large_orders",
+    # round-6 mid-round demotions (driver-green r05, locally gated)
+    "subquery_in", "chain_append_read", "promql_group_left",
+    "decontaminate_ngram", "embedding_rhp_lsh", "text_langid",
     # round-6 demotions (driver-green r05, locally gated every round)
     "promql_subquery_max_rate", "dedup_edit_distance", "dedup_containment",
     "influxql_selectors", "nearest_join_events", "embedding_power_iteration",
@@ -385,24 +400,23 @@ DRIVER_ORDER = [
     "promql_parsed_deriv", "promql_parsed_predict_linear",
     "promql_parsed_changes", "promql_parsed_absent",
     "promql_parsed_count_values", "promql_parsed_label_replace",
-    # round-6: real H.264 I-frame decode (DC-only Baseline subset codec)
-    "multimodal_h264_iframe_stats",
+    # (multimodal_h264_iframe_stats promoted into the top-50 mid-round)
     # round-6: unary math + vector-scalar comparison parser layer
     "promql_parsed_abs_delta", "promql_parsed_ln_rate",
     "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
     # round-6: vector set operators through the text parser
-    "promql_parsed_and", "promql_parsed_unless", "promql_parsed_or",
+    # (promql_parsed_or promoted into the top-50 mid-round)
+    "promql_parsed_and", "promql_parsed_unless",
     # round-6: grammar completion — group_right, scalar operands and
     # scalar()/time() arithmetic, the @ modifier, and an agg-over-binop
     # composition (the last text forms the evaluator grammar was missing)
+    # (promql_parsed_scalar_of and promql_parsed_at promoted mid-round)
     "promql_parsed_group_right", "promql_parsed_scalar_mult",
-    "promql_parsed_scalar_of", "promql_parsed_at",
     "promql_parsed_time_minus", "promql_parsed_max_rate",
-    # round-6: code-review regression locks — comparison precedence,
-    # comparison over binary vector expressions, `or vector(0)` with a
-    # labeled left side, evaluator stages over absent_over_time
-    "promql_parsed_precedence", "promql_parsed_cmp_over_binop",
-    "promql_parsed_or_vector", "promql_parsed_absent_bool",
+    # round-6: code-review regression locks — comparison over binary
+    # vector expressions and the `or vector(0)` fallback (precedence and
+    # absent_bool promoted into the top-50 mid-round)
+    "promql_parsed_cmp_over_binop", "promql_parsed_or_vector",
 ]
 
 
