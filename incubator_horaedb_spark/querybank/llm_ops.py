@@ -181,17 +181,30 @@ def _staged_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # detection explodes hs once → fills the hs cache (lazy-fill pattern)
+    # prefix-filtered exact join (ngram_pairs_prefix_from): candidate
+    # generation touches only each doc's rarest shingles, so the hot-key
+    # df-cap gate is unnecessary — boilerplate shingles sort last and
+    # never enter a prefix.  The exploded (doc_id, h) stage is cached
+    # eagerly: dfq and rk scan it concurrently in the final job (a lazy
+    # fill would race and recompute the explode per scan); the fill pass
+    # replaces the old skew-detection agg, so job count is unchanged.
     hs = _staged_shingles(spark, sf_dir, materialize=False)
-    gated = _gated_src(
-        spark,
-        SPARK.unnest_select("doc_id", "shs", "h", hs),
-        ["h"],
-        "__ngram_ex",
-        dedup.HOT_SHINGLE_DF_CAP,
+    _stage(spark.sql(SPARK.unnest_select("doc_id", "shs", "h", hs)), "__ngram_ex")
+    # the prefix rows feed BOTH sides of the candidate self-join: staged
+    # eagerly so the join reads the cache instead of re-running the
+    # df-order window per side (CTE inlining; measured 173s -> ~8s at the
+    # 10x tier)
+    _stage(
+        spark.sql(dedup.ngram_prefix_select(SPARK, hs, 0.8, "__ngram_ex")),
+        "__ngram_pfx",
     )
+    # verification side = one array row per doc; broadcast while the
+    # corpus fits an executor (ngram_verify_select docstring), else the
+    # shuffle join is the correct plan at scale.  The hs view is cached,
+    # so the count is a metadata-priced read.
+    bcast = spark.table(hs).count() <= 1_000_000
     return spark.sql(
-        dedup.ngram_pairs_from(SPARK, hs, 0.8, df_cap=None, ex_src=gated)
+        dedup.ngram_verify_select(SPARK, hs, 0.8, "__ngram_pfx", broadcast_verify=bcast)
     )
 
 

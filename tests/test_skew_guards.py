@@ -89,3 +89,46 @@ def test_gemm_block_size_guard(spark, monkeypatch):
     # under the cap the guard is invisible
     monkeypatch.setattr(similarity, "MAX_BLOCK_ROWS", 1 << 18)
     assert similarity.blocked_topk(emb, k=2, n_queries=2).count() > 0
+
+
+def test_ngram_prefix_filter_matches_all_pairs(skew_docs):
+    spark = skew_docs
+    for t in (0.8, 0.5, 0.25):
+        pfx = spark.sql(dedup.ngram_pairs_prefix_from(SPARK, "sk_hs", t)).collect()
+        allp = spark.sql(dedup.ngram_pairs_from(SPARK, "sk_hs", t, df_cap=None)).collect()
+        key = lambda rows: sorted((r.doc_a, r.doc_b, r.jaccard) for r in rows)
+        assert key(pfx) == key(allp), t
+
+
+def test_ngram_prefix_length_exact_integer(spark):
+    # n=5, t=0.8: ceil(0.8*5) must be 4 (prefix length 2); the DOUBLE
+    # 0.8*5 = 4.000000000000000222 would ceil to 5 and MISS the pair
+    # overlapping in exactly 4 of 5 shingles
+    docs = [
+        (0, "a b c d e f g"),   # 5 3-gram shingles
+        (1, "a b c d e f zz"),  # shares the first 4
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("pfxdocs")
+    spark.sql(dedup.tokh_select(SPARK, "pfxdocs")).createOrReplaceTempView("pf_tokh")
+    spark.sql(dedup.hs_from_tokh_select(SPARK, "pf_tokh")).createOrReplaceTempView("pf_hs")
+    # J = 4/6 = 0.667: qualifies at t=4/6 exactly
+    got = spark.sql(
+        dedup.ngram_pairs_prefix_from(SPARK, "pf_hs", 0.666)
+    ).collect()
+    ref = spark.sql(
+        dedup.ngram_pairs_from(SPARK, "pf_hs", 0.666, df_cap=None)
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(0, 1)}
+    assert {(r.doc_a, r.doc_b) for r in ref} == {(0, 1)}
+
+
+def test_ngram_prefix_avoids_boilerplate_hotspot(skew_docs):
+    spark = skew_docs
+    # the df=12 boilerplate shingles sort LAST in the frequency order —
+    # no document's prefix contains them at t=0.8, so candidate
+    # generation never touches the hotspot and the true pair survives
+    # with its exact jaccard (no cap, no under-estimate)
+    got = spark.sql(dedup.ngram_pairs_prefix_from(SPARK, "sk_hs", 0.8)).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(100, 101)}
+    assert got[0].jaccard == 1.0
