@@ -246,18 +246,20 @@ def _floor_round(col, round_digits):
     return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
 
 
-def _cmp_filter(df, cmp):
-    """Apply a trailing vector-scalar comparison (op, threshold, bool):
-    drop non-matching samples, or emit 0/1 with the `bool` modifier."""
+def _cmp_filter(df, cmp, val_col="value"):
+    """Apply a trailing vector-scalar comparison (op, threshold, bool) to
+    the stage's CURRENT value column (`subq_value` after a subquery,
+    `n_series` after count_values): drop non-matching samples, or emit
+    0/1 with the `bool` modifier."""
     op, thr, as_bool = cmp
-    v = F.col("value")
+    v = F.col(val_col)
     cond = {
         ">": v > thr, "<": v < thr, ">=": v >= thr,
         "<=": v <= thr, "==": v == thr, "!=": v != thr,
     }[op]
     if as_bool:
         return df.withColumn(
-            "value", F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            val_col, F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
         )
     return df.filter(cond)
 
@@ -851,7 +853,10 @@ def promql_to_df(
             # unless on()/ignoring() narrows it
             all_labels = sorted(set(llabels) | set(rlabels))
             if pq.on is not None:
-                mkeys = list(pq.on)
+                # an on() label absent from BOTH sides matches trivially
+                # ("" == "") — keep only the resolvable keys, matching
+                # Prometheus instead of an unresolved-column error
+                mkeys = [c for c in pq.on if c in all_labels]
             else:
                 mkeys = [
                     c for c in all_labels
@@ -977,6 +982,10 @@ def promql_to_df(
         at_ms = end_ms
     elif sel.at_ms is not None:
         at_ms = sel.at_ms
+    elif sel.at_s is not None:
+        # programmatic Selector(at_s=...) without the parse-time exact ms
+        # (text-parsed queries always carry at_ms): round, don't truncate
+        at_ms = int(round(sel.at_s * 1000))
     if at_ms is not None and func == "absent_over_time":
         raise ValueError("@ modifier is not supported with absent_over_time")
 
@@ -1029,6 +1038,7 @@ def promql_to_df(
     # (topk(3, sum by (h) (rate(m[5m]))) selects among the aggregated
     # series) — the aggregate narrows the series labels to the kept set
     series_labels = list(tags)
+    val_col = "value"  # renamed by the subquery / count_values stages
     keep: list[str] = []
     if pq.agg_op is not None:
         # aggregation grouped by (ts, kept tags) + unique_id projection +
@@ -1070,6 +1080,7 @@ def promql_to_df(
         )
         outer = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum}[fn]
         aligned = aligned.withColumn("subq_value", outer("value").over(w))
+        val_col = "subq_value"  # later stages read the subquery result
 
     if pq.wrap_fn in ("topk", "bottomk"):
         # per-timestamp series selection (functions.go topk/bottomk): one
@@ -1146,6 +1157,7 @@ def promql_to_df(
             F.count(F.lit(1)).alias("n_series")
         )
         series_labels = [lbl]
+        val_col = "n_series"  # the vector value IS the series count
 
     # label-set rewriting last (functions.go label_replace / label_join) —
     # pure map-side string expressions; series identity is never merged
@@ -1175,7 +1187,7 @@ def promql_to_df(
     # pure map-side expressions; ln/sqrt of out-of-domain values pin to
     # NULL on both engines (safer for cross-engine hashing than ±Inf/NaN)
     for fn in pq.unary_fns:
-        v = F.col("value")
+        v = F.col(val_col)
         expr = {
             "abs": F.abs(v),
             "ceil": F.ceil(v).cast("double"),
@@ -1184,12 +1196,15 @@ def promql_to_df(
             "ln": F.when(v > 0, F.log(v)),
             "sqrt": F.when(v >= 0, F.sqrt(v)),
         }[fn]
-        aligned = aligned.withColumn("value", _r(expr))
+        aligned = aligned.withColumn(val_col, _r(expr))
 
     if pq.cmp is not None:
         # vector-scalar comparison: drop non-matching samples, or emit
-        # 0/1 with the `bool` modifier (PromQL comparison semantics)
-        aligned = _cmp_filter(aligned, pq.cmp)
+        # 0/1 with the `bool` modifier (PromQL comparison semantics) —
+        # applied to the stage chain's CURRENT value column (a filter on
+        # a renamed/aggregated-away `value` would silently resolve the
+        # PRE-aggregation column through Spark's missing-reference rule)
+        aligned = _cmp_filter(aligned, pq.cmp, val_col)
 
     if pq.agg_op is not None and pq.wrap_fn not in ("histogram_quantile", "count_values"):
         uid = unique_id(keep) if keep else F.lit(0).cast("long")

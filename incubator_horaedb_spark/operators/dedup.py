@@ -565,13 +565,22 @@ def ngram_pairs_prefix_from(
 
 
 def _thr_frac(threshold: float) -> tuple[int, int]:
-    """Threshold as an exact fraction: the double 0.8*5 is
-    4.000000000000000222, whose ceil (5) would shorten the prefix below
-    the lemma's bound and silently MISS qualifying pairs — all prefix
-    lengths and size filters use integer arithmetic instead."""
+    """PRUNING threshold as an exact fraction, with the floor-form
+    rounding slack subtracted.  Two exactness concerns:
+
+    - the double 0.8*5 is 4.000000000000000222, whose ceil (5) would
+      shorten the prefix below the lemma's bound and silently MISS
+      qualifying pairs — all prefix lengths and size filters use integer
+      arithmetic on this fraction instead;
+    - the OUTPUT predicate compares the floor-form ROUNDED jaccard
+      (floor(J*1e6+0.5)/1e6 >= t admits exact J >= t - 5e-7), so the
+      prunes must keep every pair down to exactly t' = t - 1/(2*10^6) —
+      pruning at the raw t could drop a pair the all-pairs oracle keeps
+      when the union is large enough (>400k shingles) for J to round up
+      across the boundary."""
     from fractions import Fraction
 
-    frac = Fraction(str(threshold))
+    frac = Fraction(str(threshold)) - Fraction(1, 2 * 10**6)
     return frac.numerator, frac.denominator
 
 

@@ -408,8 +408,16 @@ def decode_h264_iframe(stream: bytes) -> np.ndarray:
             sps = rbsp
         elif ntype == 8:
             pps = rbsp
-        elif ntype in (1, 5):
+        elif ntype == 5:
             slice_rbsp = rbsp
+        elif ntype == 1:
+            # non-IDR slice header carries a different field set after
+            # frame_num (no idr_pic_id, ref-pic-list + adaptive marking
+            # syntax) — parsing it with the IDR layout would bit-shift
+            # every later read; refuse loudly instead of decoding garbage
+            raise NotImplementedError(
+                "non-IDR slice (NAL type 1) out of the IDR I-frame subset"
+            )
     if sps is None or pps is None or slice_rbsp is None:
         raise ValueError("missing SPS/PPS/slice NAL")
 

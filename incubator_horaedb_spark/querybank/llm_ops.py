@@ -198,11 +198,18 @@ def _staged_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(dedup.ngram_prefix_select(SPARK, hs, 0.8, "__ngram_ex")),
         "__ngram_pfx",
     )
-    # verification side = one array row per doc; broadcast while the
-    # corpus fits an executor (ngram_verify_select docstring), else the
-    # shuffle join is the correct plan at scale.  The hs view is cached,
-    # so the count is a metadata-priced read.
-    bcast = spark.table(hs).count() <= 1_000_000
+    # verification side = one array row per doc; broadcast while its
+    # BYTES fit an executor (ngram_verify_select docstring), else the
+    # shuffle join is the correct plan at scale.  Catalyst's size estimate
+    # of the cached relation measures the array payload — a row-count
+    # gate would happily broadcast 900k docs x 400 shingles (multi-GB).
+    try:
+        hs_bytes = int(
+            spark.table(hs)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        hs_bytes = 1 << 60  # unknown -> assume too big, keep shuffle join
+    bcast = hs_bytes <= 512 * 1024 * 1024
     return spark.sql(
         dedup.ngram_verify_select(SPARK, hs, 0.8, "__ngram_pfx", broadcast_verify=bcast)
     )

@@ -536,3 +536,34 @@ def test_scalar_of_empty_inner_keeps_rows(spark):
     live = promql_to_df("cpu", {"cpu": cpu}, **kw).collect()
     assert len(rows) == len(live)  # retention: NULL scalar, rows kept
     assert all(r["value"] is None for r in rows)
+
+
+def test_cmp_targets_stage_value_column(spark):
+    # cmp over a subquery must filter the SUBQUERY result, not the inner
+    # per-step value (a flat counter has rate 0 but windowed max > 0)
+    rows = [(s, v) for s, v in
+            [(0, 0), (30, 10), (60, 20), (90, 40), (120, 40), (150, 40), (180, 40)]]
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(seconds=s), "a", float(v)) for s, v in rows],
+        "ts timestamp, host string, cpu double",
+    )
+    kw = dict(
+        start_ms=int(base.timestamp()) * 1000 + 60_000,
+        end_ms=int(base.timestamp()) * 1000 + 180_000,
+        step_ms=60_000, tag_cols=["host"], default_field="cpu", extended=True,
+    )
+    plain = promql_to_df("max_over_time(rate(cpu[1m])[2m:1m])", {"cpu": df}, **kw).collect()
+    kept = promql_to_df(
+        "max_over_time(rate(cpu[1m])[2m:1m]) > 0.05", {"cpu": df}, **kw
+    ).collect()
+    # every step's windowed max exceeds the threshold even where the
+    # instantaneous rate is 0 — nothing may drop
+    assert len(kept) == len(plain) == 3
+    # cmp over count_values filters the series COUNT (all 1 here → empty)
+    empty = promql_to_df('count_values("v", cpu) > 1', {"cpu": df}, **kw).collect()
+    assert empty == []
+    # or on(<label absent from both sides>) matches trivially, no crash
+    both = promql_to_df("vector(1) or on(job) vector(0)", {"cpu": df}, **kw).collect()
+    assert sorted(set(r["value"] for r in both)) == [1.0]
