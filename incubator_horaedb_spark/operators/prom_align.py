@@ -173,13 +173,19 @@ def prom_align(
                 )
                 .drop("__lead_ts")
             )
-        else:
-            # no lag needed (instant / last_over_time): a partial/final
-            # hash agg dedups without any sort — map-side combine keeps
-            # the extra exchange cheap at scale
+        elif func == "delta":
+            # no lag needed but BOTH ends of the window are read
+            # (first_val + last_val): a partial/final hash agg dedups
+            # without any sort — map-side combine keeps the extra
+            # exchange cheap at scale
             base = base.groupBy(*series_cols, "__ts").agg(
                 F.max("__val").alias("__val")
             )
+        # instant / last_over_time need NO pre-pass at all: their only
+        # order-sensitive read is last_val, whose struct-max aggregate
+        # below is tie-safe by itself (max (ts, value) = newest sample,
+        # max value among duplicates) — zero extra exchange (the bench
+        # cost of the r6 hash-agg dedup was promql_instant +49%)
 
     # Per-series lag: previous sample's (ts, value).  In-window sample sets
     # are contiguous per series, so the in-window predecessor of a sample is
@@ -219,7 +225,10 @@ def prom_align(
         "first_ts": lambda: F.min("__ts").alias("first_ts"),
         "last_ts": lambda: F.max("__ts").alias("last_ts"),
         "first_val": lambda: F.min_by("__val", "__ts").alias("first_val"),
-        "last_val": lambda: F.max_by("__val", "__ts").alias("last_val"),
+        # lexicographic struct max = newest sample, MAX VALUE on duplicate
+        # timestamps — tie-safe without any pre-dedup (max_by's duplicate
+        # tie-break is engine-dependent; found by the sf1 sweep)
+        "last_val": lambda: F.max(F.struct("__ts", "__val"))["__val"].alias("last_val"),
         # Counter reset correction: sum of previous values at in-window
         # resets.  Addends are dyadic-quantized (functions/detfloat.py) so
         # the group sum is exact and order-independent — the only
