@@ -49,6 +49,17 @@ def pg_srv():
 # ---------------------------------------------------------------- helpers
 
 
+def _half_close(sock: socket.socket) -> None:
+    """shutdown(SHUT_WR), tolerating the server having ALREADY closed:
+    after garbage input the server's close/RST legitimately races our
+    shutdown on a loaded host (ENOTCONN / EPIPE here is the server doing
+    its job, not a hang — the property under test)."""
+    try:
+        sock.shutdown(socket.SHUT_WR)
+    except OSError:
+        pass
+
+
 def _drain_until_closed(sock: socket.socket, limit: int = 1 << 20) -> bytes:
     """Read until the server closes (or our timeout proves it hung)."""
     got = b""
@@ -135,7 +146,7 @@ def test_mysql_garbage_handshake_response(mysql_srv, garbage):
         head = _read_n(s, 4)
         _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
         s.sendall(garbage)
-        s.shutdown(socket.SHUT_WR)
+        _half_close(s)
         _drain_until_closed(s)
     _mysql_alive(mysql_srv.port)
 
@@ -191,7 +202,7 @@ def test_pg_garbage_startup(pg_srv, garbage):
     with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
         s.settimeout(4)
         s.sendall(garbage)
-        s.shutdown(socket.SHUT_WR)
+        _half_close(s)
         _drain_until_closed(s)
     _pg_alive(pg_srv.port)
 
