@@ -235,6 +235,31 @@ def _unq(s: str) -> str:
     return s.replace('\\"', '"')
 
 
+def _find_unquoted_at(q: str) -> int:
+    """Position of the first ``@`` outside double-quoted strings, else -1.
+
+    The naive regex peel split quoted label values containing ``@<digits>``
+    (``events{user="bob@123"}`` became matcher value ``"bob "`` pinned at
+    epoch 123s — silently wrong results).  Metric and label names cannot
+    contain ``@``, so any unquoted occurrence is the modifier."""
+    in_str = False
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "@":
+            return i
+        i += 1
+    return -1
+
+
 def _floor_round(col, round_digits):
     """The determinism-critical floor-form rounding, floor(x·s+0.5)/s —
     the ONE definition every evaluation site shares (the gated Spark /
@@ -387,7 +412,7 @@ def _split_top_level_binop(q: str):
     return None
 
 
-def parse_promql(query: str, extended: bool = False) -> PromQuery:
+def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> PromQuery:
     """Parse PromQL text.
 
     ``extended=False`` (default) accepts exactly the reference's pushdown
@@ -497,25 +522,25 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
             return VectorLit(float(m.group(1)))
         m = _WRAP_K_RE.match(q)
         if m:
-            inner = parse_promql(m.group(3).strip(), extended=False)
+            inner = parse_promql(m.group(3).strip(), extended=False, _at_ok=True)
             inner.wrap_fn = m.group(1).lower()
             inner.wrap_args = (float(m.group(2)),)
             return inner
         m = _CLAMP_RE.match(q)
         if m:
-            inner = parse_promql(m.group(1).strip(), extended=False)
+            inner = parse_promql(m.group(1).strip(), extended=False, _at_ok=True)
             inner.wrap_fn = "clamp"
             inner.wrap_args = (float(m.group(2)), float(m.group(3)))
             return inner
         m = _CLAMP1_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
             inner.wrap_fn = m.group(1).lower()
             inner.wrap_args = (float(m.group(3)),)
             return inner
         m = _SUBQ_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
             inner.subquery = (
                 m.group(1).lower(),
                 parse_duration_ms(m.group(3)),
@@ -524,25 +549,25 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
             return inner
         m = _QOT_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
             return _as_range_fn(inner, "quantile_over_time", (float(m.group(1)),))
         m = _PREDICT_RE.match(q)
         if m:
-            inner = parse_promql(m.group(1).strip(), extended=False)
+            inner = parse_promql(m.group(1).strip(), extended=False, _at_ok=True)
             return _as_range_fn(inner, "predict_linear", (float(m.group(2)),))
         m = _OVER_TIME_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
             return _as_range_fn(inner, m.group(1).lower(), ())
         m = _HISTQ_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
             inner.wrap_fn = "histogram_quantile"
             inner.wrap_args = (float(m.group(1)),)
             return inner
         m = _COUNT_VALUES_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False)
+            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
             inner.wrap_fn = "count_values"
             inner.wrap_label = _unq(m.group(1))
             return inner
@@ -607,28 +632,38 @@ def parse_promql(query: str, extended: bool = False) -> PromQuery:
     if re.search(r"[+\-*/]\s*[A-Za-z_(\d]", q.split("{")[0]):
         raise ValueError("binary expressions are not supported")  # convert.rs:346-350
 
-    # `@ <ts>` modifier (extended grammar only): peel it off the selector
-    # text — it may sit before or after `offset`; start()/end() resolve to
-    # the evaluation range at compile time (promql_to_df)
+    # `@ <ts>` modifier (extended grammar): peel it off the selector text —
+    # it may sit before or after `offset`; start()/end() resolve to the
+    # evaluation range at compile time (promql_to_df).  The scan is
+    # string-aware (quoted label values may contain `@`), and it runs even
+    # for the extended=False inner parses the *_over_time wrappers perform
+    # (`_at_ok`) so `avg_over_time(m[2h] @ 1704672000)` works instead of
+    # failing with a misleading "cannot parse selector".
     at_s = at_ms_exact = at_ref = None
-    if extended:
+    at_pos = _find_unquoted_at(q)
+    if at_pos >= 0:
+        if not (extended or _at_ok):
+            # reference pushdown parity: the modifier is evaluator grammar
+            raise ValueError(
+                "@ modifier is only supported in the extended grammar"
+            )
+        rest = q[at_pos + 1 :].lstrip()
         m_at = re.match(
-            r"^(.*?)\s*@\s*(\d+(?:\.\d+)?|start\(\s*\)|end\(\s*\))\s*(.*)$",
-            q,
-            re.S,
+            r"^(\d+(?:\.\d+)?|start\(\s*\)|end\(\s*\))\s*(.*)$", rest, re.S
         )
-        if m_at:
-            spec = m_at.group(2)
-            if spec.startswith("start"):
-                at_ref = "start"
-            elif spec.startswith("end"):
-                at_ref = "end"
-            else:
-                at_s = float(spec)
-                from decimal import Decimal
+        if not m_at:
+            raise ValueError(f"cannot parse @ modifier at {rest!r}")
+        spec = m_at.group(1)
+        if spec.startswith("start"):
+            at_ref = "start"
+        elif spec.startswith("end"):
+            at_ref = "end"
+        else:
+            at_s = float(spec)
+            from decimal import Decimal
 
-                at_ms_exact = int(Decimal(spec) * 1000)
-            q = (m_at.group(1) + " " + m_at.group(3)).strip()
+            at_ms_exact = int(Decimal(spec) * 1000)
+        q = (q[:at_pos] + " " + m_at.group(2)).strip()
 
     sel_m = _SELECTOR_RE.match(q)
     if not sel_m:

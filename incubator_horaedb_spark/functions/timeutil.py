@@ -14,6 +14,7 @@ import datetime
 _EPOCH_NAIVE = datetime.datetime(1970, 1, 1)
 _EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 _MS = datetime.timedelta(milliseconds=1)
+_US = datetime.timedelta(microseconds=1)
 
 
 def epoch_ms(dt: datetime.datetime) -> int:
@@ -25,3 +26,10 @@ def epoch_ms(dt: datetime.datetime) -> int:
     """
     epoch = _EPOCH_NAIVE if dt.tzinfo is None else _EPOCH_UTC
     return (dt - epoch) // _MS
+
+
+def epoch_us(dt: datetime.datetime) -> int:
+    """Microseconds since the Unix epoch, exact integer arithmetic
+    (same naive-as-UTC convention as :func:`epoch_ms`)."""
+    epoch = _EPOCH_NAIVE if dt.tzinfo is None else _EPOCH_UTC
+    return (dt - epoch) // _US

@@ -81,6 +81,14 @@ def _staged_shingles(
     if _SHINGLE_STATE.get("sf_dir") == sf_dir:
         try:
             if spark.catalog.isCached(hs) and spark.catalog.isCached(tokh):
+                # a prior materialize=False caller may have registered the
+                # hs cache lazily (marked but unfilled); an eager caller
+                # arriving later must still fill it, or its multi-reference
+                # job re-creates the concurrent-scan recompute race this
+                # function exists to prevent
+                if materialize and not _SHINGLE_STATE.get("filled"):
+                    spark.table(hs).count()
+                    _SHINGLE_STATE["filled"] = True
                 return hs
         except Exception:
             pass  # view gone (new session) — rebuild below
@@ -92,6 +100,7 @@ def _staged_shingles(
     if materialize:
         df.count()
     _SHINGLE_STATE["sf_dir"] = sf_dir
+    _SHINGLE_STATE["filled"] = bool(materialize)
     return hs
 
 

@@ -154,8 +154,10 @@ def load_time_range(
         def _ns(s: str | int) -> int:
             if isinstance(s, int):  # epoch milliseconds
                 return s * 1_000_000
+            from incubator_horaedb_spark.functions import timeutil
+
             dt = datetime.datetime.fromisoformat(s).replace(tzinfo=datetime.timezone.utc)
-            return int(dt.timestamp() * 1_000_000) * 1000
+            return timeutil.epoch_us(dt) * 1000
 
         if lo is not None:
             df = df.filter(F.col(col) >= _ns(lo))

@@ -382,6 +382,30 @@ def test_parse_group_right_and_at():
     assert b.rhs.selector.metric == "group_right_total" and not b.group_right
 
 
+def test_at_peel_is_string_aware():
+    # a quoted label value containing @<digits> must NOT be split into a
+    # truncated matcher + a pinned evaluation time (r6 ADVICE medium)
+    p = parse_promql('events{user="bob@123"}', extended=True)
+    assert p.selector.matchers[0].value == "bob@123"
+    assert p.selector.at_ms is None and p.selector.at_s is None
+    # a real @ after a quoted-@ matcher still parses
+    p = parse_promql('events{user="a@b"} @ 60', extended=True)
+    assert p.selector.matchers[0].value == "a@b" and p.selector.at_ms == 60_000
+
+
+def test_at_under_over_time_wrappers():
+    # @ under the *_over_time / quantile_over_time / predict_linear
+    # wrappers (their inner parse is extended=False; the peel must still
+    # run — r6 ADVICE low)
+    p = parse_promql("avg_over_time(events[2h] @ 1704672000)", extended=True)
+    assert p.range_fn == "avg_over_time" and p.selector.at_ms == 1_704_672_000_000
+    p = parse_promql("quantile_over_time(0.9, events[1h] @ start())", extended=True)
+    assert p.range_fn == "quantile_over_time" and p.selector.at_ref == "start"
+    # still a clear rejection outside the extended grammar
+    with pytest.raises(ValueError, match="extended"):
+        parse_promql("events @ 100")
+
+
 def test_scalar_arith_evaluates(spark):
     kw = dict(start_ms=60_000, end_ms=120_000, step_ms=60_000, extended=True)
     cpu = _metric_df(spark)

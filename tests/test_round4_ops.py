@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pytest
 
+from incubator_horaedb_spark.functions import timeutil
 from incubator_horaedb_spark.plans.inspect import explain_str
 from incubator_horaedb_spark.querybank import registry
 from incubator_horaedb_spark.querybank import llm_ops  # noqa: F401 - registers
@@ -173,8 +174,12 @@ def test_promql_subquery_window_is_range_max(spark, sf_dir, qs):
     for et, rs in series.items():
         rs.sort(key=lambda r: r["ts"])
         for i, r in enumerate(rs):
-            lo = r["ts"].timestamp() * 1000 - 3600_000
-            window = [x["value"] for x in rs if lo <= x["ts"].timestamp() * 1000 <= r["ts"].timestamp() * 1000]
+            lo = timeutil.epoch_ms(r["ts"]) - 3600_000
+            window = [
+                x["value"]
+                for x in rs
+                if lo <= timeutil.epoch_ms(x["ts"]) <= timeutil.epoch_ms(r["ts"])
+            ]
             assert abs(r["max_1h"] - max(window)) < 1e-9
         break  # one series is enough for the O(n^2) re-derivation
 
