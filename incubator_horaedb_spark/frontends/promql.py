@@ -35,6 +35,11 @@ FIELD_LABEL = "__horaedb_field__"  # promql/convert.rs field selector label
 
 _RANGE_FNS = ("rate", "irate", "delta", "idelta", "increase")
 _AGG_OPS = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min, "count": F.count}
+# evaluator-layer aggregation operators (extended grammar only — the
+# reference's aggr_op_expr knows just the five above): dispersion via
+# exact quantized moments, rank-interpolated quantile over the sorted
+# per-group values, and `group` (constant 1 per output series)
+_EXT_AGG_NAMES = ("stddev", "stdvar", "quantile", "group")
 
 _DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 604_800_000}
@@ -83,6 +88,11 @@ class PromQuery:
     agg_op: str | None = None
     agg_by: list[str] | None = None  # None → no grouping clause
     agg_without: list[str] | None = None
+    agg_param: float | None = None  # quantile(φ, ...)'s φ
+    # sort()/sort_desc() (extended grammar): per-step value ordering —
+    # surfaced as an explicit `rank` column (row order alone is not part
+    # of the comparable result surface)
+    sort_dir: str | None = None  # "asc" | "desc"
     # extended evaluator layer (parse_promql(..., extended=True) only):
     # topk | bottomk | clamp | clamp_min | clamp_max | histogram_quantile
     # | count_values — applied AFTER the aggregation stage when both are set
@@ -203,8 +213,16 @@ _LABEL_JOIN_RE = re.compile(
     re.I | re.S,
 )
 _UNARY_FN_RE = re.compile(
-    r"^(abs|ceil|floor|exp|ln|sqrt)\s*\(\s*(.*)\)\s*$", re.I | re.S
+    r"^(abs|ceil|floor|exp|ln|sqrt|sgn|minute|hour|day_of_week|day_of_month"
+    r"|days_in_month|month|year|timestamp)\s*\(\s*(.*)\)\s*$",
+    re.I | re.S,
 )
+_HW_RE = re.compile(
+    rf"^(?:holt_winters|double_exponential_smoothing)"
+    rf"\s*\(\s*(.*)\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*$",
+    re.I | re.S,
+)
+_SORT_RE = re.compile(r"^(sort|sort_desc)\s*\(\s*(.*)\)\s*$", re.I | re.S)
 _CMP_OPS = ("==", "!=", "<=", ">=", "<", ">")
 # scalar OP vector ≡ vector FLIP(OP) scalar
 _CMP_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "==": "==", "!=": "!="}
@@ -412,7 +430,7 @@ def _split_top_level_binop(q: str):
     return None
 
 
-def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> PromQuery:
+def parse_promql(query: str, extended: bool = False, _ext_inner: bool = False) -> PromQuery:
     """Parse PromQL text.
 
     ``extended=False`` (default) accepts exactly the reference's pushdown
@@ -522,25 +540,25 @@ def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> Pr
             return VectorLit(float(m.group(1)))
         m = _WRAP_K_RE.match(q)
         if m:
-            inner = parse_promql(m.group(3).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(3).strip(), extended=False, _ext_inner=True)
             inner.wrap_fn = m.group(1).lower()
             inner.wrap_args = (float(m.group(2)),)
             return inner
         m = _CLAMP_RE.match(q)
         if m:
-            inner = parse_promql(m.group(1).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(1).strip(), extended=False, _ext_inner=True)
             inner.wrap_fn = "clamp"
             inner.wrap_args = (float(m.group(2)), float(m.group(3)))
             return inner
         m = _CLAMP1_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
             inner.wrap_fn = m.group(1).lower()
             inner.wrap_args = (float(m.group(3)),)
             return inner
         m = _SUBQ_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
             inner.subquery = (
                 m.group(1).lower(),
                 parse_duration_ms(m.group(3)),
@@ -549,25 +567,43 @@ def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> Pr
             return inner
         m = _QOT_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
             return _as_range_fn(inner, "quantile_over_time", (float(m.group(1)),))
         m = _PREDICT_RE.match(q)
         if m:
-            inner = parse_promql(m.group(1).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(1).strip(), extended=False, _ext_inner=True)
             return _as_range_fn(inner, "predict_linear", (float(m.group(2)),))
+        m = _HW_RE.match(q)
+        if m:
+            sf_, tf_ = float(m.group(2)), float(m.group(3))
+            if not (0.0 < sf_ < 1.0 and 0.0 < tf_ < 1.0):
+                raise ValueError(
+                    "holt_winters smoothing factors must be in (0, 1)"
+                )
+            inner = parse_promql(m.group(1).strip(), extended=False, _ext_inner=True)
+            return _as_range_fn(inner, "holt_winters", (sf_, tf_))
+        m = _SORT_RE.match(q)
+        if m:
+            inner = parse_promql(m.group(2).strip(), extended=True)
+            if not isinstance(inner, PromQuery):
+                raise ValueError("sort() over a non-vector expression is not supported")
+            if inner.sort_dir is not None:
+                raise ValueError("nested sort() is not supported")
+            inner.sort_dir = "desc" if m.group(1).lower() == "sort_desc" else "asc"
+            return inner
         m = _OVER_TIME_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
             return _as_range_fn(inner, m.group(1).lower(), ())
         m = _HISTQ_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
             inner.wrap_fn = "histogram_quantile"
             inner.wrap_args = (float(m.group(1)),)
             return inner
         m = _COUNT_VALUES_RE.match(q)
         if m:
-            inner = parse_promql(m.group(2).strip(), extended=False, _at_ok=True)
+            inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
             inner.wrap_fn = "count_values"
             inner.wrap_label = _unq(m.group(1))
             return inner
@@ -598,16 +634,20 @@ def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> Pr
 
     # aggregation wrapper: op [by/without (labels)] (expr)  |  op (expr) by (labels)
     agg_m = re.match(
-        r"^(sum|avg|max|min|count)\s*"
+        r"^(sum|avg|max|min|count|stddev|stdvar|quantile|group)\s*"
         r"(?:(by|without)\s*\(([^)]*)\)\s*)?"
         r"\((.*?)\)\s*"
         r"(?:(by|without)\s*\(([^)]*)\)\s*)?$",
         q,
         re.I | re.S,
     )
-    agg_op = agg_by = agg_without = None
+    agg_op = agg_by = agg_without = agg_param = None
     if agg_m:
         agg_op = agg_m.group(1).lower()
+        if agg_op in _EXT_AGG_NAMES and not (extended or _ext_inner):
+            # aggr_op_expr parity: the reference knows only the five basic
+            # aggregation operators (convert.rs:355-368)
+            raise ValueError(f"unsupported PromQL aggregation {agg_op!r}")
         clause = agg_m.group(2) or agg_m.group(5)
         labels_raw = agg_m.group(3) if agg_m.group(2) else agg_m.group(6)
         if clause:
@@ -617,6 +657,12 @@ def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> Pr
             else:
                 agg_without = labels
         q = agg_m.group(4).strip()
+        if agg_op == "quantile":
+            pm = re.match(rf"^({_NUM})\s*,\s*(.*)$", q, re.S)
+            if not pm:
+                raise ValueError("quantile aggregation requires a φ parameter")
+            agg_param = float(pm.group(1))
+            q = pm.group(2).strip()
 
     range_fn = None
     fn_m = re.match(r"^(rate|irate|delta|idelta|increase)\s*\((.*)\)\s*$", q, re.I | re.S)
@@ -637,12 +683,12 @@ def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> Pr
     # evaluation range at compile time (promql_to_df).  The scan is
     # string-aware (quoted label values may contain `@`), and it runs even
     # for the extended=False inner parses the *_over_time wrappers perform
-    # (`_at_ok`) so `avg_over_time(m[2h] @ 1704672000)` works instead of
+    # (`_ext_inner`) so `avg_over_time(m[2h] @ 1704672000)` works instead of
     # failing with a misleading "cannot parse selector".
     at_s = at_ms_exact = at_ref = None
     at_pos = _find_unquoted_at(q)
     if at_pos >= 0:
-        if not (extended or _at_ok):
+        if not (extended or _ext_inner):
             # reference pushdown parity: the modifier is evaluator grammar
             raise ValueError(
                 "@ modifier is only supported in the extended grammar"
@@ -698,6 +744,7 @@ def parse_promql(query: str, extended: bool = False, _at_ok: bool = False) -> Pr
         agg_op=agg_op,
         agg_by=agg_by,
         agg_without=agg_without,
+        agg_param=agg_param,
     )
 
 
@@ -1058,6 +1105,12 @@ def promql_to_df(
             predict_offset_s=(
                 float(pq.fn_args[0]) if func == "predict_linear" and pq.fn_args else None
             ),
+            hw_sf=(pq.fn_args[0] if func == "holt_winters" and pq.fn_args else 0.5),
+            hw_tf=(
+                pq.fn_args[1]
+                if func == "holt_winters" and len(pq.fn_args) > 1
+                else 0.3
+            ),
         )
         if at_ms is not None:
             grid = _step_grid(df.sparkSession, start_ms, end_ms, step_ms)
@@ -1082,19 +1135,76 @@ def promql_to_df(
             keep = [t for t in tags if t in pq.agg_by]
         elif pq.agg_without is not None:
             keep = [t for t in tags if t not in pq.agg_without]
-        agg_fn = _AGG_OPS[pq.agg_op]
-        agg_in: object = "value"
-        if round_digits is not None and pq.agg_op in ("sum", "avg"):
-            # determinism mode (the gated-query path): quantize addends to
-            # the 2^-26 dyadic grid so the reduction is exact in any order
-            # — the promql_sum_by_ts oracle convention; 26 fraction bits
-            # keep exactness to ~10^6 series per group at rate magnitudes
-            scale = 1 << 26
-            agg_in = (
-                F.floor(F.col("value") * F.lit(float(scale)) + F.lit(0.5)).cast("double")
-                / F.lit(float(scale))
+        if pq.agg_op in ("stddev", "stdvar"):
+            # population dispersion across the group's series per step
+            # (functions.go aggregation stddev/stdvar): explicit moments —
+            # NOT the engine-native stddev_pop, whose summation order is
+            # engine-dependent.  Addends quantized at the 2^-10 grid in
+            # determinism mode (squares exact multiples of 2^-20, the
+            # stdvar_over_time exactness argument); same greatest(,0)
+            # guard as the over-time twins.
+            q2 = float(1 << 10)
+            qv = (
+                F.floor(F.col("value") * F.lit(q2) + F.lit(0.5)).cast("double") / F.lit(q2)
+                if round_digits is not None
+                else F.col("value")
             )
-        aligned = aligned.groupBy(*keep, "ts").agg(agg_fn(agg_in).alias("value"))
+            g = aligned.groupBy(*keep, "ts").agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(qv).alias("__s"),
+                F.sum(qv * qv).alias("__ss"),
+            )
+            var = F.greatest(
+                F.col("__ss") / F.col("__n")
+                - (F.col("__s") / F.col("__n")) * (F.col("__s") / F.col("__n")),
+                F.lit(0.0),
+            )
+            out = var if pq.agg_op == "stdvar" else F.sqrt(var)
+            aligned = g.select(*keep, "ts", _r(out).alias("value"))
+        elif pq.agg_op == "quantile":
+            # rank-interpolated φ-quantile of the group's series values per
+            # step (promql quantile()): the same explicit lo + frac·(hi−lo)
+            # tree both engines share for quantile_over_time, over the
+            # sorted per-group array (group cardinality = series count)
+            from incubator_horaedb_spark.operators.prom_align import (
+                _quantile_expr_sql,
+            )
+
+            phi = pq.agg_param if pq.agg_param is not None else 0.5
+            qs = float(1 << 20)
+            qv = (
+                F.floor(F.col("value") * F.lit(qs) + F.lit(0.5)).cast("double") / F.lit(qs)
+                if round_digits is not None
+                else F.col("value")
+            )
+            g = aligned.groupBy(*keep, "ts").agg(
+                F.sort_array(F.collect_list(qv)).alias("vals_sorted"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            aligned = g.select(
+                *keep,
+                "ts",
+                _r(F.expr(_quantile_expr_sql("spark", phi))).alias("value"),
+            )
+        elif pq.agg_op == "group":
+            # functions.go `group`: value 1 for every output series
+            aligned = aligned.groupBy(*keep, "ts").agg(
+                F.min(F.lit(1.0)).alias("value")
+            )
+        else:
+            agg_fn = _AGG_OPS[pq.agg_op]
+            agg_in: object = "value"
+            if round_digits is not None and pq.agg_op in ("sum", "avg"):
+                # determinism mode (the gated-query path): quantize addends to
+                # the 2^-26 dyadic grid so the reduction is exact in any order
+                # — the promql_sum_by_ts oracle convention; 26 fraction bits
+                # keep exactness to ~10^6 series per group at rate magnitudes
+                scale = 1 << 26
+                agg_in = (
+                    F.floor(F.col("value") * F.lit(float(scale)) + F.lit(0.5)).cast("double")
+                    / F.lit(float(scale))
+                )
+            aligned = aligned.groupBy(*keep, "ts").agg(agg_fn(agg_in).alias("value"))
         series_labels = list(keep)
 
     if pq.subquery is not None:
@@ -1223,6 +1333,11 @@ def promql_to_df(
     # NULL on both engines (safer for cross-engine hashing than ±Inf/NaN)
     for fn in pq.unary_fns:
         v = F.col(val_col)
+        # calendar functions read the VALUE as epoch seconds (functions.go:
+        # `time.Unix(int64(v), 0).UTC()` — truncation toward zero matches
+        # floor for the non-negative epoch domain); session timezone is
+        # pinned UTC, so the extraction fields match DuckDB's naive reads
+        cal = F.timestamp_seconds(F.floor(v).cast("long"))
         expr = {
             "abs": F.abs(v),
             "ceil": F.ceil(v).cast("double"),
@@ -1230,6 +1345,17 @@ def promql_to_df(
             "exp": F.exp(v),
             "ln": F.when(v > 0, F.log(v)),
             "sqrt": F.when(v >= 0, F.sqrt(v)),
+            "sgn": F.signum(v),
+            # the sample's own timestamp in seconds (functions.go timestamp)
+            "timestamp": F.unix_millis(F.col("ts")).cast("double") / F.lit(1000.0),
+            "minute": F.minute(cal).cast("double"),
+            "hour": F.hour(cal).cast("double"),
+            # Prometheus day_of_week: 0 = Sunday; Spark dayofweek: 1 = Sunday
+            "day_of_week": (F.dayofweek(cal) - F.lit(1)).cast("double"),
+            "day_of_month": F.dayofmonth(cal).cast("double"),
+            "days_in_month": F.dayofmonth(F.last_day(cal)).cast("double"),
+            "month": F.month(cal).cast("double"),
+            "year": F.year(cal).cast("double"),
         }[fn]
         aligned = aligned.withColumn(val_col, _r(expr))
 
@@ -1240,6 +1366,22 @@ def promql_to_df(
         # a renamed/aggregated-away `value` would silently resolve the
         # PRE-aggregation column through Spark's missing-reference rule)
         aligned = _cmp_filter(aligned, pq.cmp, val_col)
+
+    if pq.sort_dir is not None:
+        # sort()/sort_desc(): per-step value ordering surfaced as an
+        # explicit rank column (row_number per grid timestamp; ties break
+        # on the series labels identically on both engines) — row order
+        # alone is not part of the comparable result surface, the rank
+        # column is.  One window over the aligned (series × steps) rows.
+        order = (
+            F.desc(val_col) if pq.sort_dir == "desc" else F.asc(val_col)
+        )
+        w = Window.partitionBy("ts").orderBy(
+            order, *[F.col(t) for t in series_labels]
+        )
+        return aligned.withColumn("rank", F.row_number().over(w)).orderBy(
+            "ts", "rank"
+        )
 
     if pq.agg_op is not None and pq.wrap_fn not in ("histogram_quantile", "count_values"):
         uid = unique_id(keep) if keep else F.lit(0).cast("long")

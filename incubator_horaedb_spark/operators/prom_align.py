@@ -88,6 +88,16 @@ OVER_TIME_FUNCS = (
     # engines.
     "deriv",
     "predict_linear",
+    # Prometheus holt_winters() (renamed double_exponential_smoothing in
+    # Prometheus 3): an ORDERED fold over the window samples — state
+    # (s0, s1, b) updated per sample in time order (functions.go
+    # funcDoubleExponentialSmoothing / calcTrendValue).  Both engines run
+    # the IDENTICAL expression tree (shared _holt_winters_value_sql) as a
+    # struct fold over the time-sorted window array (Spark `aggregate`,
+    # DuckDB `list_reduce`), so the fixed fold order makes results
+    # bit-identical without quantization.  Window arrays are bounded by
+    # lookback/scrape-interval, same as quantile_over_time.
+    "holt_winters",
 )
 # predict_linear horizon (seconds ahead of the step timestamp)
 PREDICT_LINEAR_OFFSET_S = 600
@@ -103,7 +113,10 @@ PREDICT_LINEAR_OFFSET_S = 600
 # quantiles) are reduction-order-independent and read the raw multiset.
 _DEDUP_FUNCS = frozenset(
     ("rate", "increase", "delta", "irate", "idelta", "instant",
-     "last_over_time", "changes", "resets")
+     "last_over_time", "changes", "resets",
+     # the holt_winters fold reads samples in time order — duplicate
+     # timestamps would make the fold order engine-dependent
+     "holt_winters")
 )
 _Q = 1 << 20  # quantization for order-independent sums (BITS_SMALL)
 _Q2 = 1 << 10  # coarser grid for squared addends (exactness bound above)
@@ -123,6 +136,8 @@ def prom_align(
     offset_ms: int = 0,
     quantile: float = 0.75,
     predict_offset_s: "int | float | None" = None,
+    hw_sf: float = 0.5,
+    hw_tf: float = 0.3,
 ) -> DataFrame:
     """Evaluate ``func`` per series on the aligned grid.
 
@@ -173,11 +188,13 @@ def prom_align(
                 )
                 .drop("__lead_ts")
             )
-        elif func == "delta":
-            # no lag needed but BOTH ends of the window are read
-            # (first_val + last_val): a partial/final hash agg dedups
-            # without any sort — map-side combine keeps the extra
-            # exchange cheap at scale
+        elif func in ("delta", "holt_winters"):
+            # no lag needed but the math reads more than the newest sample
+            # (delta: both window ends; holt_winters: the whole ordered
+            # window): a partial/final hash agg dedups without any sort —
+            # map-side combine keeps the extra exchange cheap at scale
+            # (result identical to the oracle's lead-filter dedup: the
+            # max-value survivor per (series, ts))
             base = base.groupBy(*series_cols, "__ts").agg(
                 F.max("__val").alias("__val")
             )
@@ -274,6 +291,13 @@ def prom_align(
         "vals_sorted": lambda: F.sort_array(
             F.collect_list(F.floor(F.col("__val") * _Q + F.lit(0.5)).cast("double") / _Q)
         ).alias("vals_sorted"),
+        # holt_winters input: the window samples time-sorted (struct sort
+        # key = (t, v); t unique after dedup).  Bounded like vals_sorted.
+        "ts_vals_sorted": lambda: F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__ts").alias("t"), F.col("__val").alias("v"))
+            )
+        ).alias("ts_vals_sorted"),
         # least-squares moments for deriv/predict_linear: integer t_rel
         # offsets and 2^-10-quantized values (exactness argument at
         # OVER_TIME_FUNCS)
@@ -306,6 +330,7 @@ def prom_align(
         "quantile_over_time": ["vals_sorted"],
         "deriv": ["lr_t", "val_sum_q2", "lr_tv", "lr_tt"],
         "predict_linear": ["lr_t", "val_sum_q2", "lr_tv", "lr_tt"],
+        "holt_winters": ["ts_vals_sorted"],
     }
     agg = exploded.groupBy(*series_cols, "__t").agg(
         F.count(F.lit(1)).alias("n"),
@@ -342,12 +367,21 @@ def prom_align(
             "predict_linear": F.expr(
                 _linreg_value_sql("predict_linear", offset_s=predict_offset_s)
             ),
+            "holt_winters": F.expr(
+                _holt_winters_value_sql("spark", hw_sf, hw_tf)
+            )
+            if func == "holt_winters"
+            else None,
         }[func]
         result = agg.withColumn("value", out_val)
         if func in ("deriv", "predict_linear"):
             # least squares needs >= 2 samples and time variance in the
             # window (Prometheus returns no point otherwise)
             result = result.filter(F.expr(_LINREG_GUARD_SQL))
+        elif func == "holt_winters":
+            # the fold needs an initial trend v1 - v0 (functions.go: < 2
+            # samples → no output point)
+            result = result.filter(F.col("n") >= 2)
     elif func == "instant":
         out_val = F.col("last_val")
         result = agg.withColumn("value", out_val)
@@ -435,6 +469,56 @@ def _quantile_expr_sql(engine: str, q: float) -> str:
     return f"({lo} + ({h} - floor({h})) * ({hi} - {lo}))"
 
 
+def _holt_winters_value_sql(engine: str, sf: float, tf: float) -> str:
+    """Prometheus double-exponential smoothing as a struct fold over the
+    time-sorted window array (functions.go funcDoubleExponentialSmoothing:
+    s1←v0, b←v1−v0, then per sample b←tf·(s1−s0)+(1−tf)·b from the third
+    sample on, s←sf·v+(1−sf)·(s1+b)).  The SAME IEEE expression tree on
+    both engines — the fold order is fixed (time order, timestamps unique
+    after dedup), so results are bit-identical without quantization.  The
+    1−sf / 1−tf complements are computed HERE in Python and rendered with
+    repr so both engines receive the identical double literal."""
+    # State is a DOUBLE list [s0, s1, b, i], NOT a struct: DuckDB 1.0's
+    # lambda engine resolves same-named struct-field references across the
+    # output struct literal (an `acc.s1` outside the 's1' field expression
+    # reads the NEW s1 — observed, silently wrong), while positional list
+    # access is unambiguous on both engines.  `i` rides as a double (list
+    # elements are uniform); it only ever holds small exact integers.
+    csf, ctf = repr(float(sf)), repr(float(tf))
+    c1sf, c1tf = repr(1.0 - float(sf)), repr(1.0 - float(tf))
+    at = "element_at" if engine == "spark" else "list_extract"
+
+    def a(n: int) -> str:
+        return f"{at}(acc, {n})"
+
+    b = (
+        f"(CASE WHEN {a(4)} = 0 THEN {at}(x, 2) - {a(2)} "
+        f"ELSE CAST({ctf} AS DOUBLE) * ({a(2)} - {a(1)}) "
+        f"+ CAST({c1tf} AS DOUBLE) * {a(3)} END)"
+    )
+    s1 = (
+        f"CAST({csf} AS DOUBLE) * {at}(x, 2) "
+        f"+ CAST({c1sf} AS DOUBLE) * ({a(2)} + {b})"
+    )
+    mklist = "array" if engine == "spark" else "list_value"
+    nxt = f"{mklist}({a(2)}, {s1}, {b}, {a(4)} + CAST(1.0 AS DOUBLE))"
+    init = (
+        f"{mklist}(CAST(0.0 AS DOUBLE), CAST(e.v AS DOUBLE), "
+        "CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    )
+    lam = f"(acc, x) -> {nxt}"
+    if engine == "spark":
+        states = f"transform(ts_vals_sorted, e -> {init})"
+        return (
+            f"aggregate(slice({states}, 2, size(ts_vals_sorted) - 1), "
+            f"element_at({states}, 1), {lam}, acc -> element_at(acc, 2))"
+        )
+    states = f"list_transform(ts_vals_sorted, e -> {init})"
+    # list_reduce seeds with the FIRST element and folds the rest — the
+    # exact Spark slice-from-2 fold with element 1 as the initial state
+    return f"list_extract(list_reduce({states}, {lam}), 2)"
+
+
 def prom_align_oracle_sql(
     func: str,
     *,
@@ -451,6 +535,8 @@ def prom_align_oracle_sql(
     series_filter_sql: str = "TRUE",
     quantile: float = 0.75,
     predict_offset_s: "int | float | None" = None,
+    hw_sf: float = 0.5,
+    hw_tf: float = 0.3,
 ) -> str:
     """DuckDB SQL computing the identical PromAlign result — generated from
     the same parameters so the Spark pipeline and the oracle cannot drift.
@@ -525,6 +611,7 @@ def prom_align_oracle_sql(
              sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts >= t - {lookback_ms}
                        AND val < prev_val THEN 1 ELSE 0 END) AS n_resets,
              list_sort(list(CAST(floor((val * {_Q}) + 0.5) AS DOUBLE) / {_Q})) AS vals_sorted,
+             list_sort(list(struct_pack(t := sts, v := val))) AS ts_vals_sorted,
              sum(sts - t) AS lr_t,
              sum(CAST(sts - t AS DOUBLE)
                  * (CAST(floor(val * {_Q2} + 0.5) AS DOUBLE) / {_Q2})) AS lr_tv,
@@ -550,9 +637,14 @@ def prom_align_oracle_sql(
             "predict_linear": _linreg_value_sql(
                 "predict_linear", offset_s=predict_offset_s
             ),
+            "holt_winters": _holt_winters_value_sql("duckdb", hw_sf, hw_tf),
         }[func]
         where_sql = (
-            _LINREG_GUARD_SQL if func in ("deriv", "predict_linear") else "TRUE"
+            _LINREG_GUARD_SQL
+            if func in ("deriv", "predict_linear")
+            else "n >= 2"
+            if func == "holt_winters"
+            else "TRUE"
         )
     elif func == "instant":
         value_sql = "last_val"

@@ -591,3 +591,109 @@ def test_cmp_targets_stage_value_column(spark):
     # or on(<label absent from both sides>) matches trivially, no crash
     both = promql_to_df("vector(1) or on(job) vector(0)", {"cpu": df}, **kw).collect()
     assert sorted(set(r["value"] for r in both)) == [1.0]
+
+
+# --- round-7 grammar residue: holt_winters, extended aggregation ops,
+# --- sort/sort_desc, calendar functions, timestamp(), sgn ----------------
+
+
+def test_parse_round7_grammar():
+    p = parse_promql("holt_winters(events[2h], 0.5, 0.3)", extended=True)
+    assert p.range_fn == "holt_winters" and p.fn_args == (0.5, 0.3)
+    p = parse_promql(
+        "double_exponential_smoothing(events[2h], 0.5, 0.3)", extended=True
+    )
+    assert p.range_fn == "holt_winters"
+    with pytest.raises(ValueError, match="0, 1"):
+        parse_promql("holt_winters(events[2h], 1.5, 0.3)", extended=True)
+    p = parse_promql("quantile(0.9, rate(events[2h]))", extended=True)
+    assert p.agg_op == "quantile" and p.agg_param == 0.9
+    p = parse_promql("stddev by (h) (events)", extended=True)
+    assert p.agg_op == "stddev" and p.agg_by == ["h"]
+    p = parse_promql("sort_desc(sum by (h) (rate(events[1h])))", extended=True)
+    assert p.sort_dir == "desc" and p.agg_op == "sum"
+    p = parse_promql("hour(timestamp(events))", extended=True)
+    assert p.unary_fns == ["timestamp", "hour"]
+    # reference-parity mode still rejects all of them
+    for t in (
+        "stddev(m)", "stdvar(m)", "quantile(0.9, m)", "group(m)",
+        "sort(m)", "sort_desc(m)", "holt_winters(m[5m], 0.5, 0.3)",
+        "sgn(m)", "hour(m)",
+    ):
+        with pytest.raises(ValueError):
+            parse_promql(t)
+
+
+def test_holt_winters_matches_reference_fold(spark):
+    import datetime
+
+    def ts(s):
+        return datetime.datetime.fromtimestamp(s, datetime.timezone.utc)
+
+    samples = [(0, 1.0), (30, 2.0), (60, 4.0), (90, 3.0), (120, 8.0), (150, 2.5)]
+    df = spark.createDataFrame(
+        [("a", ts(t), float(v)) for t, v in samples],
+        "s string, ts timestamp, value double",
+    )
+    from incubator_horaedb_spark.operators.prom_align import prom_align
+
+    out = prom_align(
+        df, "holt_winters", series_cols=["s"], ts_col="ts", value_col="value",
+        start_ms=0, end_ms=180_000, step_ms=60_000, lookback_ms=120_000,
+        hw_sf=0.5, hw_tf=0.3,
+    )
+    got = {int(r["ts"].timestamp()): r["value"] for r in out.collect()}
+
+    def hw(vals, sf, tf):  # functions.go funcDoubleExponentialSmoothing
+        if len(vals) < 2:
+            return None
+        s0, s1, b = 0.0, vals[0], vals[1] - vals[0]
+        for i in range(1, len(vals)):
+            x = sf * vals[i]
+            if i - 1 > 0:
+                b = tf * (s1 - s0) + (1 - tf) * b
+            y = (1 - sf) * (s1 + b)
+            s0, s1 = s1, x + y
+        return s1
+
+    for t in (0, 60, 120, 180):
+        w = [v for (st, v) in samples if t - 120 <= st <= t]
+        exp = hw(w, 0.5, 0.3)
+        if exp is None:
+            assert got.get(t) is None
+        else:
+            assert abs(got[t] - exp) < 1e-12, (t, got.get(t), exp)
+
+
+def test_sort_desc_rank_and_calendar(spark):
+    import datetime
+
+    def ts(s):
+        return datetime.datetime.fromtimestamp(s, datetime.timezone.utc)
+
+    rows = [
+        ("a", ts(50), 1.0), ("b", ts(50), 9.0), ("c", ts(55), 5.0),
+        ("a", ts(110), 7.0), ("b", ts(115), 2.0), ("c", ts(115), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "h string, ts timestamp, value double")
+    kw = dict(
+        start_ms=60_000, end_ms=120_000, step_ms=60_000,
+        tag_cols=["h"], lookback_ms=60_000, extended=True,
+    )
+    out = promql_to_df("sort_desc(m)", {"m": df}, **kw).collect()
+    by_step = {}
+    for r in out:
+        by_step.setdefault(int(r["ts"].timestamp()), []).append(r)
+    for step_rows in by_step.values():
+        ordered = sorted(step_rows, key=lambda r: r["rank"])
+        vals = [r["value"] for r in ordered]
+        assert vals == sorted(vals, reverse=True)
+        # value ties break on the label
+        for r1, r2 in zip(ordered, ordered[1:]):
+            if r1["value"] == r2["value"]:
+                assert r1["h"] < r2["h"]
+    # hour(timestamp(v)): the value becomes the sample's own UTC hour
+    out = promql_to_df("hour(timestamp(m))", {"m": df}, **kw).collect()
+    assert out and all(r["value"] == 0.0 for r in out)  # epoch + <2min = hour 0
+    out = promql_to_df("sgn(m)", {"m": df}, **kw).collect()
+    assert out and all(r["value"] == 1.0 for r in out)
