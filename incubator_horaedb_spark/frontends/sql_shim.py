@@ -196,7 +196,10 @@ def _parse_literal(tok: str) -> Any:
     if up in ("TRUE", "FALSE"):
         return up == "TRUE"
     if tok[:1] in "'\"" and tok[-1:] == tok[:1]:
-        return tok[1:-1]
+        # decode standard-SQL doubled-quote escapes ('o''brien' → o'brien),
+        # matching what spark.sql does with the same literal in a WHERE
+        q = tok[:1]
+        return tok[1:-1].replace(q + q, q)
     if re.fullmatch(r"[+-]?\d+", tok):
         return int(tok)
     if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+", tok):

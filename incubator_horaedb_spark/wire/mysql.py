@@ -4,8 +4,12 @@ opensrv-mysql around Proxy::handle_http_sql_query).
 
 Surface parity:
 - protocol 4.1 text protocol: handshake v10, COM_QUERY / COM_PING /
-  COM_INIT_DB / COM_QUIT; COM_STMT_PREPARE answers ER_NOT_SUPPORTED_YET
-  exactly like worker.rs on_prepare ("Prepare is not supported...").
+  COM_INIT_DB / COM_QUIT; COM_STMT_PREPARE works for the no-parameter
+  case (beyond-reference; COM_STMT_EXECUTE answers a binary-protocol
+  resultset with every column declared VAR_STRING, COM_STMT_CLOSE /
+  COM_STMT_RESET supported), while `?`-parameterized prepare still
+  answers ER_NOT_SUPPORTED_YET exactly like worker.rs on_prepare
+  ("Prepare is not supported...").
 - column type mapping = writer.rs convert_datum_kind_type: Timestamp →
   MYSQL_TYPE_LONG (values are epoch *milliseconds*, writer.rs
   `Datum::Timestamp(t) => write_col(t.as_i64())`), String → VARCHAR,
@@ -43,6 +47,9 @@ SERVER_CAPS = (
 
 COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
 COM_STMT_PREPARE = 0x16
+COM_STMT_EXECUTE = 0x17
+COM_STMT_CLOSE = 0x19
+COM_STMT_RESET = 0x1A
 
 # writer.rs convert_datum_kind_type
 TYPE_LONG = 0x03
@@ -153,6 +160,7 @@ class MySQLServer:
                 # so the except below closes the connection cleanly)
                 self.request.settimeout(outer.idle_timeout)
                 conn = _Conn(self.request)
+                stmts: dict[int, str] = {}  # per-connection prepared stmts
                 try:
                     outer._handshake(conn)
                     while True:
@@ -160,7 +168,7 @@ class MySQLServer:
                         pkt = conn.read_packet()
                         if pkt is None or not pkt or pkt[0] == COM_QUIT:
                             return
-                        outer._dispatch(conn, pkt)
+                        outer._dispatch(conn, pkt, stmts)
                 except (ConnectionError, BrokenPipeError, OSError):
                     return
 
@@ -198,17 +206,90 @@ class MySQLServer:
             raise ConnectionError("client hung up during handshake")
         conn.send_ok()
 
-    def _dispatch(self, conn: _Conn, pkt: bytes) -> None:
+    def _dispatch(self, conn: _Conn, pkt: bytes, stmts: dict[int, str]) -> None:
         cmd, body = pkt[0], pkt[1:]
         if cmd in (COM_PING, COM_INIT_DB):
             conn.send_ok()
         elif cmd == COM_STMT_PREPARE:
-            # worker.rs on_prepare: ER_NOT_SUPPORTED_YET
-            conn.send_err(ER_NOT_SUPPORTED_YET, "Prepare is not supported in HoraeDB")
+            # beyond-reference: the no-parameter case works (worker.rs
+            # on_prepare answers ER_NOT_SUPPORTED_YET for everything);
+            # `?` placeholders still get the reference's error
+            sql = body.decode("utf-8", errors="replace")
+            if _count_question_params(sql):
+                conn.send_err(
+                    ER_NOT_SUPPORTED_YET,
+                    "Prepare with parameters is not supported in HoraeDB",
+                )
+                return
+            stmt_id = (max(stmts) + 1) if stmts else 1
+            stmts[stmt_id] = sql
+            # COM_STMT_PREPARE_OK: status, stmt_id, num_columns=0 (schema
+            # resolved at execute), num_params=0, filler, warnings
+            conn.send_packet(
+                b"\x00" + struct.pack("<IHH", stmt_id, 0, 0) + b"\x00" + struct.pack("<H", 0)
+            )
+        elif cmd == COM_STMT_EXECUTE:
+            if len(body) < 9:
+                conn.send_err(ER_UNKNOWN_ERROR, "malformed COM_STMT_EXECUTE")
+                return
+            (stmt_id,) = struct.unpack_from("<I", body, 0)
+            if stmt_id not in stmts:
+                conn.send_err(ER_UNKNOWN_ERROR, f"unknown statement id {stmt_id}")
+                return
+            self._stmt_execute(conn, stmts[stmt_id])
+        elif cmd == COM_STMT_CLOSE:
+            if len(body) >= 4:
+                stmts.pop(struct.unpack_from("<I", body, 0)[0], None)
+            # no response, per protocol
+        elif cmd == COM_STMT_RESET:
+            conn.send_ok()
         elif cmd == COM_QUERY:
             self._query(conn, body.decode("utf-8", errors="replace"))
         else:
             conn.send_err(ER_NOT_SUPPORTED_YET, f"command {cmd:#x} not supported")
+
+    def _stmt_execute(self, conn: _Conn, sql: str) -> None:
+        """Execute a (parameterless) prepared statement — the binary
+        protocol resultset.  All result columns are declared VAR_STRING,
+        so binary row values are length-encoded strings (the text
+        rendering), which every connector decodes; NULLs ride the binary
+        row's null bitmap (offset 2)."""
+        try:
+            fed = self._federated(sql)
+            if fed is not None:
+                cols, rows = fed
+                if cols is None:
+                    conn.send_ok()
+                else:
+                    self._send_binary_resultset(conn, [c[0] for c in cols], rows)
+                return
+            result = self.engine.execute_sql(sql)
+            if result is None:
+                conn.send_ok()
+            elif isinstance(result, int):
+                conn.send_ok(affected_rows=result)
+            else:
+                cols, rows = _render_dataframe(result)
+                self._send_binary_resultset(conn, [c[0] for c in cols], rows)
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            conn.send_err(ER_UNKNOWN_ERROR, str(e))
+
+    def _send_binary_resultset(self, conn: _Conn, names, rows) -> None:
+        conn.send_packet(_lenenc_int(len(names)))
+        for name in names:
+            conn.send_packet(_column_def(name, TYPE_VAR_STRING))
+        conn.send_eof()
+        nbitmap = (len(names) + 7 + 2) // 8
+        for row in rows:
+            bitmap = bytearray(nbitmap)
+            payload = b""
+            for i, v in enumerate(row):
+                if v is None:
+                    bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+                else:
+                    payload += _lenenc_str(str(v).encode())
+            conn.send_packet(b"\x00" + bytes(bitmap) + payload)
+        conn.send_eof()
 
     def _query(self, conn: _Conn, sql: str) -> None:
         try:
@@ -276,6 +357,22 @@ class MySQLServer:
         self.server.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def _count_question_params(sql: str) -> int:
+    """`?` placeholders outside single/double-quoted strings and
+    backtick identifiers."""
+    n = 0
+    quote = None
+    for ch in sql:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "?":
+            n += 1
+    return n
 
 
 def _column_def(name: str, ctype: int) -> bytes:

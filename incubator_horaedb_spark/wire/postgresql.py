@@ -5,8 +5,16 @@ Proxy::handle_http_sql_query).
 Surface parity:
 - startup: SSLRequest refused with 'N' (cleartext, like the reference's
   non-TLS default), AuthenticationOk with no credential check, parameter
-  status + ReadyForQuery; simple-query protocol ('Q') only — the extended
-  protocol is not offered, matching pgwire's SimpleQueryHandler use.
+  status + ReadyForQuery; simple-query protocol ('Q'), plus the extended
+  query protocol (Parse/Bind/Describe/Execute/Sync/Close/Flush) with
+  TEXT-format parameters — the first thing a JDBC/psycopg client does on
+  a parameterized query (beyond-reference: pgwire's SimpleQueryHandler
+  in the reference answers only 'Q').  Binary-format parameters and
+  binary result columns are rejected with a clear error.  Describe on an
+  unbound STATEMENT answers ParameterDescription + NoData (row metadata
+  requires bound parameters here); Describe on a PORTAL plans the query
+  lazily (DataFrame schema, no job) and shares the one execution with
+  the following Execute.
 - type OIDs = handler.rs convert_data_type: Timestamp → TIMESTAMP(1114),
   Double → FLOAT8, Float → FLOAT4, Varbinary → BYTEA, String → TEXT,
   Int64 → INT8, Int32 → INT4, Int16 → INT2, Boolean → BOOL.
@@ -128,6 +136,106 @@ class _Conn:
         self.send(b"C", tag.encode() + b"\x00")
 
 
+# numeric parameter OIDs whose text values may be inlined unquoted
+_NUMERIC_OIDS = {OID_INT2, OID_INT4, OID_INT8, OID_FLOAT4, OID_FLOAT8, 1700}
+_NUM_RE_TXT = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+
+
+def _read_cstr(body: bytes, off: int) -> tuple[str, int]:
+    end = body.index(b"\x00", off)
+    return body[off:end].decode("utf-8", "replace"), end + 1
+
+
+def _sql_literal(text: str, oid: int) -> str:
+    """Render a text-format parameter as a SQL literal.  Declared numeric
+    OIDs inline raw (validated); booleans render TRUE/FALSE; everything
+    else — including undeclared (OID 0) — becomes a quoted string, which
+    the engine's implicit coercion handles in comparisons.  Quoting by
+    doubling single quotes; no backslash escapes (standard_conforming)."""
+    import re as _re
+
+    if oid in _NUMERIC_OIDS:
+        if not _re.match(_NUM_RE_TXT, text):
+            raise ValueError(f"invalid numeric parameter {text!r}")
+        return text
+    if oid == OID_BOOL:
+        if text.lower() in ("t", "true", "1", "on", "yes"):
+            return "TRUE"
+        if text.lower() in ("f", "false", "0", "off", "no"):
+            return "FALSE"
+        raise ValueError(f"invalid boolean parameter {text!r}")
+    return "'" + text.replace("'", "''") + "'"
+
+
+def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> str:
+    """Replace $1..$n placeholders (outside single-quoted strings and
+    dollar-quoting-free — the dialect has no $$ bodies) with rendered
+    literals."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                # doubled quote stays inside the string
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            idx = int(sql[i + 1 : j])
+            if not (1 <= idx <= len(params)):
+                raise ValueError(f"parameter ${idx} not bound")
+            v = params[idx - 1]
+            oid = oids[idx - 1] if idx - 1 < len(oids) else 0
+            out.append("NULL" if v is None else _sql_literal(v, oid))
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+class _Prepared:
+    __slots__ = ("sql", "param_oids")
+
+    def __init__(self, sql: str, param_oids: list[int]):
+        self.sql = sql
+        self.param_oids = param_oids
+
+
+class _Portal:
+    """A bound portal: the substituted SQL plus a memoized execution so
+    Describe and Execute share ONE engine call (a Describe on a DDL/INSERT
+    portal performs the side effect then; Execute reports its tag)."""
+
+    __slots__ = ("sql", "_result", "_ran")
+
+    def __init__(self, sql: str):
+        self.sql = sql
+        self._result = None
+        self._ran = False
+
+    def result(self, engine):
+        if not self._ran:
+            self._result = engine.execute_sql(self.sql)
+            self._ran = True
+        return self._result
+
+
 class PostgresServer:
     """Threaded PostgreSQL-protocol endpoint over an Engine (service.rs
     analogue; one handler per connection)."""
@@ -146,6 +254,10 @@ class PostgresServer:
                 # thread can never block forever on a peer that stalls
                 self.request.settimeout(outer.idle_timeout)
                 conn = _Conn(self.request)
+                # extended-protocol state (per connection, like pgwire)
+                stmts: dict[str, _Prepared] = {}
+                portals: dict[str, _Portal] = {}
+                in_error = False  # after an extended-flow error: skip to Sync
                 try:
                     if not outer._startup(conn):
                         return
@@ -156,9 +268,21 @@ class PostgresServer:
                         mtype, body = msg
                         if mtype == b"X":  # Terminate
                             return
+                        if mtype == b"S":  # Sync — always answered
+                            in_error = False
+                            conn.send_ready()
+                            continue
+                        if in_error:
+                            continue  # discard until Sync (protocol rule)
                         if mtype == b"Q":
                             outer._query(conn, body.rstrip(b"\x00").decode("utf-8", "replace"))
                             conn.send_ready()
+                        elif mtype in (b"P", b"B", b"D", b"E", b"C", b"H"):
+                            try:
+                                outer._extended(conn, mtype, body, stmts, portals)
+                            except Exception as e:  # noqa: BLE001 — protocol boundary
+                                conn.send_error(str(e))
+                                in_error = True
                         else:
                             conn.send_error(f"unsupported message {mtype!r}")
                             conn.send_ready()
@@ -215,29 +339,116 @@ class PostgresServer:
             n = self._send_rows(conn, result)
             conn.send_command_complete(f"SELECT {n}")
 
-    def _send_rows(self, conn: _Conn, df) -> int:
-        from pyspark.sql import functions as F
-
-        fields = b""
-        exprs = []
-        for i, f in enumerate(df.schema.fields):
-            tn = f.dataType.typeName()
-            oid = _SPARK_TO_OID.get(tn, OID_TEXT)
-            fields += (
-                f.name.encode() + b"\x00"
-                + struct.pack("!IhIhih", 0, i + 1, oid, -1, -1, 0)
+    # -------------------------------------------- extended query protocol
+    def _extended(self, conn, mtype, body, stmts, portals) -> None:
+        if mtype == b"P":  # Parse: name, query, n param type OIDs
+            name, off = _read_cstr(body, 0)
+            sql, off = _read_cstr(body, off)
+            (n_oids,) = struct.unpack_from("!h", body, off)
+            off += 2
+            oids = [
+                struct.unpack_from("!I", body, off + 4 * k)[0]
+                for k in range(max(n_oids, 0))
+            ]
+            if len(stmts) >= 256 and name not in stmts:
+                raise ValueError("too many prepared statements (max 256)")
+            stmts[name] = _Prepared(sql, oids)
+            conn.send(b"1")  # ParseComplete
+        elif mtype == b"B":  # Bind: portal, stmt, formats, params, result formats
+            portal, off = _read_cstr(body, 0)
+            sname, off = _read_cstr(body, off)
+            if sname not in stmts:
+                raise ValueError(f"unknown prepared statement {sname!r}")
+            (nfmt,) = struct.unpack_from("!h", body, off)
+            off += 2
+            fmts = [
+                struct.unpack_from("!h", body, off + 2 * k)[0] for k in range(nfmt)
+            ]
+            off += 2 * nfmt
+            (nparams,) = struct.unpack_from("!h", body, off)
+            off += 2
+            params: list[str | None] = []
+            for k in range(nparams):
+                fmt = fmts[k] if k < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
+                (plen,) = struct.unpack_from("!i", body, off)
+                off += 4
+                if plen < 0:
+                    params.append(None)
+                    continue
+                raw = body[off : off + plen]
+                off += plen
+                if fmt != 0:
+                    raise ValueError(
+                        "binary-format parameters are not supported "
+                        "(send text format)"
+                    )
+                params.append(raw.decode("utf-8", "replace"))
+            (nres,) = struct.unpack_from("!h", body, off)
+            off += 2
+            for k in range(nres):
+                if struct.unpack_from("!h", body, off + 2 * k)[0] != 0:
+                    raise ValueError(
+                        "binary-format result columns are not supported"
+                    )
+            st = stmts[sname]
+            portals[portal] = _Portal(
+                _substitute_params(st.sql, params, st.param_oids)
             )
-            if tn in ("timestamp", "timestamp_ntz"):
-                # epoch-ms i64, handler.rs encode_data Timestamp parity
-                exprs.append(
-                    F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name)
+            conn.send(b"2")  # BindComplete
+        elif mtype == b"D":  # Describe 'S' statement | 'P' portal
+            kind, name = body[:1], _read_cstr(body, 1)[0]
+            if kind == b"S":
+                if name not in stmts:
+                    raise ValueError(f"unknown prepared statement {name!r}")
+                st = stmts[name]
+                oids = st.param_oids or [0] * _count_placeholders(st.sql)
+                conn.send(
+                    b"t",
+                    struct.pack("!h", len(oids))
+                    + b"".join(struct.pack("!I", o) for o in oids),
                 )
-            elif tn == "binary":
-                exprs.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+                conn.send(b"n")  # NoData: row metadata requires bound params
             else:
-                exprs.append(F.col(f"`{f.name}`"))
-        conn.send(b"T", struct.pack("!h", len(df.schema.fields)) + fields)
-        rows = df.select(*exprs).collect()
+                if name not in portals:
+                    raise ValueError(f"unknown portal {name!r}")
+                p = portals[name]
+                if not p.sql.strip():
+                    conn.send(b"n")  # NoData (empty portal)
+                    return
+                result = p.result(self.engine)
+                if result is None or isinstance(result, int):
+                    conn.send(b"n")  # NoData
+                else:
+                    conn.send(b"T", _row_description(result))
+        elif mtype == b"E":  # Execute: portal, max rows (0 = all; we send all)
+            name = _read_cstr(body, 0)[0]
+            if name not in portals:
+                raise ValueError(f"unknown portal {name!r}")
+            p = portals[name]
+            if not p.sql.strip():
+                conn.send(b"I")  # EmptyQueryResponse
+                return
+            result = p.result(self.engine)
+            if result is None:
+                conn.send_command_complete(_ddl_tag(p.sql.strip().lower()))
+            elif isinstance(result, int):
+                conn.send_command_complete(f"INSERT 0 {result}")
+            else:
+                n = self._send_data_rows(conn, result)
+                conn.send_command_complete(f"SELECT {n}")
+        elif mtype == b"C":  # Close 'S' | 'P'
+            kind, name = body[:1], _read_cstr(body, 1)[0]
+            (stmts if kind == b"S" else portals).pop(name, None)
+            conn.send(b"3")  # CloseComplete
+        elif mtype == b"H":  # Flush — everything is sent eagerly already
+            pass
+
+    def _send_rows(self, conn: _Conn, df) -> int:
+        conn.send(b"T", _row_description(df))
+        return self._send_data_rows(conn, df)
+
+    def _send_data_rows(self, conn: _Conn, df) -> int:
+        rows = df.select(*_text_exprs(df)).collect()
         for row in rows:
             body = struct.pack("!h", len(row))
             for v in row:
@@ -263,6 +474,62 @@ class PostgresServer:
         self.server.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def _row_description(df) -> bytes:
+    """RowDescription body per handler.rs convert_data_type OIDs; all
+    columns text format (code 0)."""
+    fields = b""
+    for i, f in enumerate(df.schema.fields):
+        oid = _SPARK_TO_OID.get(f.dataType.typeName(), OID_TEXT)
+        fields += (
+            f.name.encode() + b"\x00"
+            + struct.pack("!IhIhih", 0, i + 1, oid, -1, -1, 0)
+        )
+    return struct.pack("!h", len(df.schema.fields)) + fields
+
+
+def _text_exprs(df):
+    """Per-column text-encoding expressions (handler.rs encode_data parity:
+    timestamps as epoch-ms i64, binary via UTF-8 text)."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        if tn in ("timestamp", "timestamp_ntz"):
+            exprs.append(
+                F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name)
+            )
+        elif tn == "binary":
+            exprs.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+        else:
+            exprs.append(F.col(f"`{f.name}`"))
+    return exprs
+
+
+def _count_placeholders(sql: str) -> int:
+    """Highest $n outside single-quoted strings (0 when none)."""
+    hi, i, n, in_str = 0, 0, len(sql), False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            hi = max(hi, int(sql[i + 1 : j]))
+            i = j
+            continue
+        i += 1
+    return hi
 
 
 def _ddl_tag(low: str) -> str:

@@ -235,9 +235,13 @@ def test_pg_unknown_message_gets_error_not_crash(pg_srv, mtype, body):
         s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
         _pg_read_until_ready(s)
         s.sendall(mtype + struct.pack("!I", 4 + len(body)) + body)
+        # extended-protocol messages (P/B/D/E/C/H) legitimately defer
+        # their responses until Sync; a trailing Sync forces a
+        # ReadyForQuery for every surviving message type
+        s.sendall(b"S" + struct.pack("!I", 4))
         if mtype != b"X":  # Terminate closes silently by protocol
             try:
-                _pg_read_until_ready(s)  # ErrorResponse …, ReadyForQuery
+                _pg_read_until_ready(s)  # …, ReadyForQuery
             except ConnectionError:
                 pass
     _pg_alive(pg_srv.port)
@@ -257,3 +261,102 @@ def test_pg_arbitrary_query_text_answered(pg_srv, sql):
         s.sendall(b"Q" + struct.pack("!I", 4 + len(body)) + body)
         msgs = _pg_read_until_ready(s)
         assert msgs[-1].startswith(b"Z")
+
+
+# ------------------------------------- extended-protocol frames (round 7)
+
+
+@settings(**_SETTINGS)
+@given(
+    mtype=st.sampled_from([b"P", b"B", b"D", b"E", b"C"]),
+    body=st.binary(max_size=128),
+)
+def test_pg_extended_garbage_bodies(pg_srv, mtype, body):
+    """Garbage Parse/Bind/Describe/Execute/Close bodies must produce an
+    ErrorResponse (or completion) and a ReadyForQuery on Sync — never a
+    hang or a crashed worker."""
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        s.sendall(mtype + struct.pack("!I", 4 + len(body)) + body)
+        s.sendall(b"S" + struct.pack("!I", 4))
+        msgs = _pg_read_until_ready(s)
+        assert msgs[-1].startswith(b"Z")
+    _pg_alive(pg_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(
+    nparams=st.integers(min_value=-5, max_value=40),
+    tail=st.binary(max_size=64),
+)
+def test_pg_bind_with_lying_counts(pg_srv, nparams, tail):
+    """Bind frames whose declared parameter count disagrees with the
+    actual body must error cleanly, and the error state must drain
+    follow-up messages until Sync."""
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        parse = b"\x00SELECT $1\x00" + struct.pack("!h", 0)
+        s.sendall(b"P" + struct.pack("!I", 4 + len(parse)) + parse)
+        bind = b"\x00\x00" + struct.pack("!hh", 0, nparams) + tail
+        s.sendall(b"B" + struct.pack("!I", 4 + len(bind)) + bind)
+        s.sendall(b"E" + b"\x00\x00\x00\x09" + b"\x00" + struct.pack("!i", 0))
+        s.sendall(b"S" + struct.pack("!I", 4))
+        msgs = _pg_read_until_ready(s)
+        assert msgs[-1].startswith(b"Z")
+    _pg_alive(pg_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(body=st.binary(max_size=64))
+def test_mysql_stmt_execute_garbage(mysql_srv, body):
+    """COM_STMT_EXECUTE with arbitrary bodies (unknown ids, truncated
+    frames) answers an error packet and the connection survives."""
+    with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        payload = (
+            struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 0x21)
+            + b"\x00" * 23
+            + b"root\x00\x00"
+        )
+        _send_mysql(s, 1, payload)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        _send_mysql(s, 0, b"\x17" + body)
+        head = _read_n(s, 4)
+        resp = _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        assert resp[0] == 0xFF  # error packet, not a crash
+        _send_mysql(s, 0, b"\x01")
+    _mysql_alive(mysql_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(sql=st.text(max_size=120))
+def test_mysql_stmt_prepare_arbitrary_text(mysql_srv, sql):
+    """COM_STMT_PREPARE with arbitrary text either prepares (no '?') or
+    errors (with '?'), and a follow-up query still works."""
+    with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        payload = (
+            struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 0x21)
+            + b"\x00" * 23
+            + b"root\x00\x00"
+        )
+        _send_mysql(s, 1, payload)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        _send_mysql(s, 0, b"\x16" + sql.encode("utf-8", "replace"))
+        head = _read_n(s, 4)
+        resp = _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        assert resp[0] in (0x00, 0xFF)
+        _send_mysql(s, 0, b"\x01")
+    _mysql_alive(mysql_srv.port)

@@ -201,3 +201,92 @@ def test_mysql_null_rendering(mysql_server):
     cols, rows = c.query("select tag1, v from n")
     assert rows == [(None, "2.5")]
     c.close()
+
+
+# --- COM_STMT_PREPARE / EXECUTE (round 7: the no-parameter case) -----------
+
+
+def test_mysql_stmt_prepare_execute_close(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE stmt_demo (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    c.query("insert into stmt_demo (name, v, t) values ('x', 1.5, 1691116127622)")
+
+    # COM_STMT_PREPARE (no parameters) → COM_STMT_PREPARE_OK
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select name, v from stmt_demo order by name")
+    ok = c._read_packet()
+    assert ok[0] == 0x00
+    stmt_id, ncols, nparams = struct.unpack_from("<IHH", ok, 1)
+    assert nparams == 0 and ncols == 0  # schema resolved at execute
+
+    # COM_STMT_EXECUTE → binary-protocol resultset (all VAR_STRING)
+    c.seq = 0
+    c._send_packet(b"\x17" + struct.pack("<IBI", stmt_id, 0, 1))
+    first = c._read_packet()
+    ncols, _ = c._lenenc(first, 0)
+    assert ncols == 2
+    for _ in range(ncols):
+        c._read_packet()  # column defs
+    assert c._read_packet()[0] == 0xFE  # EOF
+    row = c._read_packet()
+    assert row[0] == 0x00  # binary row header
+    nbitmap = (ncols + 7 + 2) // 8
+    pos = 1 + nbitmap
+    ln, pos = c._lenenc(row, pos)
+    assert row[pos : pos + ln] == b"x"
+    pos += ln
+    ln, pos = c._lenenc(row, pos)
+    assert row[pos : pos + ln] == b"1.5"
+    assert c._read_packet()[0] == 0xFE  # closing EOF
+
+    # re-execute the same statement (registry persists per connection)
+    c.seq = 0
+    c._send_packet(b"\x17" + struct.pack("<IBI", stmt_id, 0, 1))
+    assert c._lenenc(c._read_packet(), 0)[0] == 2
+    while True:
+        pkt = c._read_packet()
+        if pkt[0] == 0xFE and len(pkt) < 9:
+            break
+    while True:
+        pkt = c._read_packet()
+        if pkt[0] == 0xFE and len(pkt) < 9:
+            break
+
+    # COM_STMT_CLOSE (no response), then execute fails cleanly
+    c.seq = 0
+    c._send_packet(b"\x19" + struct.pack("<I", stmt_id))
+    c.seq = 0
+    c._send_packet(b"\x17" + struct.pack("<IBI", stmt_id, 0, 1))
+    err = c._read_packet()
+    assert err[0] == 0xFF
+    c.close()
+
+
+def test_mysql_stmt_null_in_binary_row(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE stmt_null (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    c.query("insert into stmt_null (t, v) values (1691116127622, 2.5)")
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select name, v from stmt_null")
+    ok = c._read_packet()
+    stmt_id = struct.unpack_from("<I", ok, 1)[0]
+    c.seq = 0
+    c._send_packet(b"\x17" + struct.pack("<IBI", stmt_id, 0, 1))
+    ncols, _ = c._lenenc(c._read_packet(), 0)
+    for _ in range(ncols):
+        c._read_packet()
+    assert c._read_packet()[0] == 0xFE
+    row = c._read_packet()
+    nbitmap = (ncols + 7 + 2) // 8
+    bitmap = row[1 : 1 + nbitmap]
+    assert bitmap[(0 + 2) // 8] & (1 << ((0 + 2) % 8))  # name IS NULL
+    pos = 1 + nbitmap
+    ln, pos = c._lenenc(row, pos)
+    assert row[pos : pos + ln] == b"2.5"  # v rides after the bitmap
+    c.close()

@@ -151,3 +151,202 @@ def test_pg_error_and_null(pg_server):
     _, _, rows = c.query("select tag1, v from n2")
     assert rows == [(None, "2.5")]
     c.close()
+
+
+# --- extended query protocol (round 7: VERDICT r06 missing #2) -------------
+
+
+class ExtendedPgClient(MiniPgClient):
+    """libpq PQexecParams-style exchange: Parse("",sql) Bind Describe(P)
+    Execute Sync — the first thing a JDBC/psycopg client does on a
+    parameterized query."""
+
+    def _send(self, mtype: bytes, body: bytes) -> None:
+        self.sock.sendall(mtype + struct.pack("!I", len(body) + 4) + body)
+
+    def parse(self, sql: str, name: str = "", oids=()) -> None:
+        body = name.encode() + b"\x00" + sql.encode() + b"\x00"
+        body += struct.pack("!h", len(oids))
+        for o in oids:
+            body += struct.pack("!I", o)
+        self._send(b"P", body)
+
+    def bind(self, params=(), name: str = "", portal: str = "",
+             param_fmts=(), result_fmts=()) -> None:
+        body = portal.encode() + b"\x00" + name.encode() + b"\x00"
+        body += struct.pack("!h", len(param_fmts))
+        for f in param_fmts:
+            body += struct.pack("!h", f)
+        body += struct.pack("!h", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                raw = p if isinstance(p, bytes) else str(p).encode()
+                body += struct.pack("!i", len(raw)) + raw
+        body += struct.pack("!h", len(result_fmts))
+        for f in result_fmts:
+            body += struct.pack("!h", f)
+        self._send(b"B", body)
+
+    def describe(self, kind: bytes = b"P", name: str = "") -> None:
+        self._send(b"D", kind + name.encode() + b"\x00")
+
+    def execute(self, portal: str = "", max_rows: int = 0) -> None:
+        self._send(b"E", portal.encode() + b"\x00" + struct.pack("!i", max_rows))
+
+    def sync(self) -> None:
+        self._send(b"S", b"")
+
+    def drain(self):
+        """Read until ReadyForQuery; returns (msgs, tag, columns, rows, err)."""
+        msgs, columns, rows, tag, err = [], [], [], None, None
+        while True:
+            t, b = self._read_message()
+            msgs.append(t)
+            if t == b"T":
+                (ncols,) = struct.unpack_from("!h", b, 0)
+                pos = 2
+                for _ in range(ncols):
+                    end = b.index(b"\x00", pos)
+                    name = b[pos:end].decode()
+                    pos = end + 1
+                    _t, _a, oid, _s, _m, _f = struct.unpack_from("!IhIhih", b, pos)
+                    pos += 18
+                    columns.append((name, oid))
+            elif t == b"D":
+                (n,) = struct.unpack_from("!h", b, 0)
+                pos, row = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from("!i", b, pos)
+                    pos += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(b[pos : pos + ln].decode())
+                        pos += ln
+                rows.append(tuple(row))
+            elif t == b"C":
+                tag = b.rstrip(b"\x00").decode()
+            elif t == b"E":
+                fields = dict(
+                    (chunk[:1], chunk[1:].decode())
+                    for chunk in b.split(b"\x00") if chunk
+                )
+                err = fields.get(b"M", "unknown")
+            elif t == b"Z":
+                break
+        return msgs, tag, columns, rows, err
+
+    def exec_params(self, sql: str, params=(), oids=()):
+        """One PQexecParams round; raises on error."""
+        self.parse(sql, oids=oids)
+        self.bind(params)
+        self.describe(b"P")
+        self.execute()
+        self.sync()
+        msgs, tag, columns, rows, err = self.drain()
+        if err is not None:
+            raise RuntimeError(err)
+        return tag, columns, rows
+
+
+@pytest.fixture()
+def pg_ext(pg_server):
+    c = ExtendedPgClient(pg_server.port, with_ssl_probe=False)
+    c.query(
+        "CREATE TABLE extdemo (name string TAG, value double NOT NULL, "
+        "t timestamp NOT NULL, timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    c.query(
+        "insert into extdemo (name, value, t) values "
+        "('a', 1.5, 1691116127622), ('b', 2.5, 1691116127623), "
+        "('o''brien', 3.5, 1691116127624)"
+    )
+    yield c
+    c.close()
+
+
+def test_pg_extended_parameterized_select(pg_ext):
+    tag, cols, rows = pg_ext.exec_params(
+        "select name, value from extdemo where name = $1", ["a"]
+    )
+    assert tag == "SELECT 1" and rows == [("a", "1.5")]
+    # numeric OID parameter inlines raw (float comparison, no quoting)
+    tag, _, rows = pg_ext.exec_params(
+        "select name from extdemo where value > $1 order by name",
+        ["2.0"], oids=[701],
+    )
+    assert tag == "SELECT 2" and [r[0] for r in rows] == ["b", "o'brien"]
+    # quote-escaping round-trip: a value containing a single quote
+    tag, _, rows = pg_ext.exec_params(
+        "select value from extdemo where name = $1", ["o'brien"]
+    )
+    assert rows == [("3.5",)]
+    # NULL parameter
+    tag, _, rows = pg_ext.exec_params(
+        "select count(*) as n from extdemo where name = $1", [None]
+    )
+    assert rows == [("0",)]
+
+
+def test_pg_extended_insert_and_reuse(pg_ext):
+    tag, _, _ = pg_ext.exec_params(
+        "insert into extdemo (name, value, t) values ($1, $2, $3)",
+        ["c", "9.5", "1691116127625"], oids=[25, 701, 20],
+    )
+    assert tag == "INSERT 0 1"
+    # named statement: Parse once, Bind/Execute twice with new params
+    pg_ext.parse("select value from extdemo where name = $1", name="s1")
+    pg_ext.bind(["a"], name="s1")
+    pg_ext.execute()
+    pg_ext.sync()
+    msgs, tag, _, rows, err = pg_ext.drain()
+    assert err is None and tag == "SELECT 1"
+    # Execute without Describe sends DataRows directly (no T message)
+    assert b"T" not in msgs and rows == [("1.5",)]
+    pg_ext.bind(["c"], name="s1")
+    pg_ext.describe(b"P")
+    pg_ext.execute()
+    pg_ext.sync()
+    msgs, tag, cols, rows, err = pg_ext.drain()
+    assert err is None and rows == [("9.5",)] and dict(cols)["value"] == 701
+
+
+def test_pg_extended_describe_statement(pg_ext):
+    pg_ext.parse("select name from extdemo where value > $1", name="st")
+    pg_ext.describe(b"S", "st")
+    pg_ext.sync()
+    msgs, *_ = pg_ext.drain()
+    # ParameterDescription then NoData (row metadata needs bound params)
+    assert b"t" in msgs and b"n" in msgs
+
+
+def test_pg_extended_errors_skip_to_sync(pg_ext):
+    # binary-format parameter rejected; messages until Sync are discarded
+    pg_ext.parse("select $1")
+    pg_ext.bind([b"\x00\x01"], param_fmts=[1])
+    pg_ext.describe(b"P")
+    pg_ext.execute()
+    pg_ext.sync()
+    msgs, tag, _, _, err = pg_ext.drain()
+    assert err is not None and "binary" in err
+    assert tag is None  # Execute after the error was discarded
+    # connection stays usable
+    tag, _, rows = pg_ext.exec_params(
+        "select name from extdemo where name = $1", ["b"]
+    )
+    assert rows == [("b",)]
+    # unknown statement in Bind errors cleanly too
+    pg_ext.bind(["x"], name="missing")
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "missing" in err
+
+
+def test_pg_extended_ddl_portal(pg_ext):
+    tag, _, _ = pg_ext.exec_params("drop table if exists extdemo2")
+    assert tag == "DROP TABLE"
+    # dollar inside a quoted string is NOT a placeholder
+    tag, _, rows = pg_ext.exec_params("select '$1' as lit")
+    assert rows == [("$1",)]
