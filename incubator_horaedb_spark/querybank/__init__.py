@@ -31,5 +31,6 @@ from incubator_horaedb_spark.querybank import sql_extended  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import olap_ext  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import tpch  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import promql_fns  # noqa: E402,F401
+from incubator_horaedb_spark.querybank import streaming_e2e  # noqa: E402,F401
 
 __all__ = ["QUERIES", "register", "queries", "oracles", "tolerance_oracles"]

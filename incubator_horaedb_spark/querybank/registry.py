@@ -218,43 +218,45 @@ DRIVER_ORDER = [
     "multimodal_png_pixel_stats",
     # round-5 rotation survivors (driver-green r05, kept in-window as
     # their family's representative)
-    "dedup_dupspan_report", "session_window_agg",
     "pack_sequences",
-    # round-6 rotation (VERDICT r05 next-round #2): ten never-driver-
-    # verified representatives promoted — round-5 families (iterative BPE
-    # training, JPEG pixel codec, winnow decontamination, market-basket
-    # lift, DAU/WAU stickiness, LATERAL correlated subquery, parsed
-    # binary-vector expressions) plus the round-6 parser-evaluator layer
-    # (parsed subquery twin, histogram_quantile through the text path,
-    # the topk-over-sum aggregation+wrap composition).  Slots come from
-    # driver-green same-family variants, demoted below and still locally
-    # gated every round: promql_subquery_max_rate (its parsed twin shares
-    # the oracle), dedup_edit_distance + dedup_containment (minhash /
-    # dupspan cover the family), influxql_selectors (groupby_time_tag
-    # covers), nearest_join_events (asof covers), embedding_power_iteration
-    # (rhp-lsh / ivf cover), text_tfidf_topk (langid / fingerprint cover),
-    # events_json_extract, q5_local_supplier_volume (q1 / q18 cover),
-    # pivot_event_counts.
-    "bpe_train_merges", "multimodal_jpeg_pixel_stats", "decontaminate_winnow",
-    "market_basket_pairs", "dau_wau_stickiness", "lateral_topk_per_key",
-    "promql_parsed_share", "promql_parsed_subquery",
-    "promql_parsed_histogram_quantile", "promql_parsed_topk_sum",
-    # round-6 MID-ROUND rotation: the round's own new families enter the
-    # window so the driver verifies them THIS round — the H.264 I-frame
-    # codec, the parsed vector set operators, scalar()-operand
-    # arithmetic, the @ modifier, and two code-review regression locks
-    # (comparison precedence, stages over absent_over_time).  Slots come
-    # from driver-green same-family variants demoted below:
-    # subquery_in (q18/lateral cover IN-subqueries), chain_append_read
-    # (scan family keeps 3 reps), promql_group_left (parsed_share is the
-    # same join shape through the text path), decontaminate_ngram
-    # (winnow covers), embedding_rhp_lsh (ivf/ann cover), text_langid
-    # (fingerprint/quality cover).
-    "multimodal_h264_iframe_stats", "promql_parsed_or",
-    "promql_parsed_scalar_of", "promql_parsed_at",
-    "promql_parsed_precedence", "promql_parsed_absent_bool",
+    # round-7 rotation (VERDICT r06 next-round #1): seventeen never-
+    # driver-verified representatives promoted — the round-6 parser
+    # families with zero driver rows (group_right, cmp-over-binop,
+    # or-vector(0), count_values, label_replace, predict_linear,
+    # quantile_over_time), long-unverified round-5 families (near-dup
+    # graph PageRank, Gorilla XOR compression estimate, hybrid RRF
+    # fusion, seasonal decomposition), the round-7 grammar-completion
+    # twins (holt_winters fold, quantile/stddev aggregation operators,
+    # sort_desc rank, calendar composition), and the new end-to-end
+    # streaming-ingest gate.  Slots come from driver-green r06 variants,
+    # demoted below and still locally gated every round (family coverage
+    # retained: cmp_over_binop is the parsed-binop join shape share/ratio
+    # proved; or_vector supersets parsed_or; count_values + sort_desc
+    # cover the distribution/ordering wrap layers histogram_quantile and
+    # topk_sum proved; streaming_ingest_dedup_read covers the
+    # session/streaming family with an ingest-produced fixture).
+    "promql_parsed_group_right", "promql_parsed_cmp_over_binop",
+    "promql_parsed_or_vector", "promql_parsed_count_values",
+    "promql_parsed_label_replace", "promql_parsed_predict_linear",
+    "promql_parsed_quantile_over_time",
+    "dedup_graph_pagerank", "tsz_xor_compression", "hybrid_rrf_fusion",
+    "ts_seasonal_decompose",
+    "promql_parsed_holt_winters", "promql_parsed_agg_quantile",
+    "promql_parsed_agg_stddev", "promql_parsed_sort_desc",
+    "promql_parsed_calendar_hour",
+    "streaming_ingest_dedup_read",
+    # round-6 rotation survivor
+    "multimodal_h264_iframe_stats",
     # round-4 rotation survivors (driver-green, kept in-window)
     "join_full_outer", "q18_large_orders",
+    # round-7 demotions (driver-green r06, locally gated every round)
+    "promql_parsed_share", "promql_parsed_subquery",
+    "promql_parsed_histogram_quantile", "promql_parsed_topk_sum",
+    "promql_parsed_or", "promql_parsed_scalar_of", "promql_parsed_at",
+    "promql_parsed_precedence", "promql_parsed_absent_bool",
+    "bpe_train_merges", "multimodal_jpeg_pixel_stats",
+    "decontaminate_winnow", "market_basket_pairs", "dau_wau_stickiness",
+    "lateral_topk_per_key", "session_window_agg", "dedup_dupspan_report",
     # round-6 mid-round demotions (driver-green r05, locally gated)
     "subquery_in", "chain_append_read", "promql_group_left",
     "decontaminate_ngram", "embedding_rhp_lsh", "text_langid",
@@ -357,10 +359,9 @@ DRIVER_ORDER = [
     # round-5: Matryoshka truncation recall eval
     "embedding_mrl_truncation",
     # round-5: hybrid sparse+dense RRF fusion, ANSI UNPIVOT
-    "hybrid_rrf_fusion", "unpivot_metrics",
+    "unpivot_metrics",
     # round-5: pairwise series correlation matrix, near-dup-graph PageRank
-    "ts_correlation_matrix", "dedup_graph_pagerank",
-    # round-5: binary vector expressions through the text parser
+    "ts_correlation_matrix", # round-5: binary vector expressions through the text parser
     "promql_parsed_ratio",
     # round-5: EXIF APP1/TIFF metadata round-trip
     "multimodal_exif_meta",
@@ -369,7 +370,6 @@ DRIVER_ORDER = [
     # round-5: exact-k per-stratum sample, InfluxQL metadata statements
     "sample_topk_per_group", "influxql_show_tag_values",
     # round-5: Gorilla XOR value-compression estimate
-    "tsz_xor_compression",
     # round-5: OpenTSDB rate option
     "opentsdb_rate_query",
     # round-5: LATERAL correlated subquery, ordered-set aggregates,
@@ -380,7 +380,6 @@ DRIVER_ORDER = [
     # round-5: parser-driven PromQL aggregation
     "promql_parsed_sum",
     # round-5: classical seasonal decomposition report
-    "ts_seasonal_decompose",
     # round-5: without() agg path, market-basket lift
     "promql_parsed_sum_without", # round-5: remaining parser aggregation ops
     "promql_parsed_count", "promql_parsed_max",
@@ -398,10 +397,7 @@ DRIVER_ORDER = [
     # *_over_time family, absence detection, count_values, nested label
     # rewriting (parser twins of the builder-composed queries; the
     # histogram_quantile and topk-over-sum twins sit in the top-50 above)
-    "promql_parsed_avg_over_time", "promql_parsed_quantile_over_time",
-    "promql_parsed_deriv", "promql_parsed_predict_linear",
-    "promql_parsed_changes", "promql_parsed_absent",
-    "promql_parsed_count_values", "promql_parsed_label_replace",
+    "promql_parsed_avg_over_time", "promql_parsed_deriv", "promql_parsed_changes", "promql_parsed_absent",
     # (multimodal_h264_iframe_stats promoted into the top-50 mid-round)
     # round-6: unary math + vector-scalar comparison parser layer
     "promql_parsed_abs_delta", "promql_parsed_ln_rate",
@@ -413,13 +409,12 @@ DRIVER_ORDER = [
     # scalar()/time() arithmetic, the @ modifier, and an agg-over-binop
     # composition (the last text forms the evaluator grammar was missing)
     # (promql_parsed_scalar_of and promql_parsed_at promoted mid-round)
-    "promql_parsed_group_right", "promql_parsed_scalar_mult",
+    "promql_parsed_scalar_mult",
     "promql_parsed_time_minus", "promql_parsed_max_rate",
     # round-6: code-review regression locks — comparison over binary
     # vector expressions and the `or vector(0)` fallback (precedence and
     # absent_bool promoted into the top-50 mid-round)
-    "promql_parsed_cmp_over_binop", "promql_parsed_or_vector",
-]
+    ]
 
 
 def _ordered() -> dict[str, Entry]:

@@ -1,0 +1,148 @@
+"""End-to-end streaming-ingest correctness (VERDICT r06 next-round #8).
+
+Every other gated query reads static parquet; this one's fixture is
+produced by the ENGINE'S OWN ingest path (streaming/ingest.py →
+Table.write → dedup-on-read), so ingest correctness gets a CORRECTNESS
+row instead of pytest-only coverage:
+
+1. a checkpointed Structured Streaming query (availableNow) drains the
+   events parquet into an Overwrite table — auto-created from the batch
+   schema (strings → TAG, planner.rs:426 analogue), every batch stamped
+   with a monotonic ``__seq`` (the SequenceNumber analogue);
+2. a second availableNow stream re-ingests an UPDATED subset (clicks of
+   every 10th user, value shifted +1000) with the same series identity
+   (tags + timestamp unchanged) — a later ``__seq``;
+3. the read goes through the dedup view (ROW_NUMBER … __seq DESC = 1,
+   merge.rs:126 need_dedup), so the updated rows must REPLACE the
+   originals — row counts catch an append-instead-of-overwrite bug,
+   value sums catch a wrong-survivor bug.
+
+The DuckDB oracle states the expected overlay directly over the raw
+events table: same row count as the source, CASE-shifted values for the
+updated subset.  Scale shape: ingest is one foreachBatch append per
+micro-batch (no driver-side rows), the dedup view is one window over
+(pk)-partitioned data — the standard Overwrite read plan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_horaedb_spark.functions.detfloat import dyadic_sql, r_out_sql
+from incubator_horaedb_spark.querybank.registry import _ts_read_confs, register
+
+# updated subset: clicks of every 10th user (deterministic, ~1/40 of rows)
+_UPD_PRED = "event_type = 'click' AND (user_id % 10) = 0"
+_SHIFT = 1000.0
+
+_STATE: dict = {"sf_dir": None, "table": None}
+
+
+def _ingested_events(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the streaming-ingested Overwrite table and
+    return the Table handle.  Re-used across the local sweep's queries;
+    the driver's fresh process rebuilds it in a few seconds at sf0.01."""
+    from incubator_horaedb_spark.catalog import TableOptions
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.streaming.ingest import start_ingest
+    from incubator_horaedb_spark.table import Table
+
+    if _STATE["sf_dir"] == sf_dir and _STATE["table"] is not None:
+        tbl = _STATE["table"]
+        if tbl.spark is spark:
+            return tbl
+    _ts_read_confs(spark)
+    store = tempfile.mkdtemp(prefix="sg_stream_e2e_")
+    engine = Engine(spark, store)
+    # the file stream source requires a DIRECTORY; expose the single
+    # testdata file through a symlinked source dir (testdata is read-only)
+    import os
+
+    src_dir = f"{store}/src"
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    path = src_dir
+    raw_schema = spark.read.parquet(path).schema
+
+    def _conv(df: DataFrame) -> DataFrame:
+        # same raw-encoding handling as registry.load: nanos-as-long
+        # testdata converts to timestamp; micros testdata reads directly
+        f = next(x for x in df.schema.fields if x.name == "ts")
+        if f.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        return df
+
+    opts = TableOptions(update_mode="OVERWRITE", enable_ttl=False)
+    # pass 1: full drain of the source backlog
+    q = start_ingest(
+        engine,
+        _conv(spark.readStream.schema(raw_schema).parquet(path)),
+        "ev_stream",
+        ts_col="ts",
+        tag_cols=["event_type", "props"],
+        checkpoint_dir=f"{store}/ckpt1",
+        options=opts,
+    )
+    q.awaitTermination()
+    # pass 2: the update overlay — same tags + timestamp, shifted value,
+    # later __seq (a separate checkpoint; same table)
+    upd = (
+        _conv(spark.readStream.schema(raw_schema).parquet(path))
+        .filter(F.expr(_UPD_PRED))
+        .withColumn("value", F.col("value") + F.lit(_SHIFT))
+    )
+    q2 = start_ingest(
+        engine,
+        upd,
+        "ev_stream",
+        ts_col="ts",
+        tag_cols=["event_type", "props"],
+        checkpoint_dir=f"{store}/ckpt2",
+        options=opts,
+    )
+    q2.awaitTermination()
+    tbl = Table(spark, engine.catalog, "ev_stream")
+    _STATE["sf_dir"] = sf_dir
+    _STATE["table"] = tbl
+    return tbl
+
+
+_STREAM_E2E_SQL = f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {r_out_sql(
+               "sum(" + dyadic_sql(
+                   f"(CASE WHEN {_UPD_PRED} THEN value + {_SHIFT!r} ELSE value END)", 20
+               ) + ")", 6)} AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register("streaming_ingest_dedup_read", oracle=_STREAM_E2E_SQL)
+def streaming_ingest_dedup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the dedup view of the streaming-ingested table (see
+    module docstring).  Equal row counts prove replace-not-append; equal
+    sums prove the newest-__seq survivor carries the updated value."""
+    tbl = _ingested_events(spark, sf_dir)
+    df = tbl.read()
+    q = 1 << 20
+    qv = F.floor(F.col("value") * F.lit(float(q)) + F.lit(0.5)).cast("double") / F.lit(
+        float(q)
+    )
+    out = (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.floor(F.sum(qv) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    return out

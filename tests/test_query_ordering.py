@@ -28,30 +28,30 @@ def test_driver_order_covers_families_in_first_50():
         "ann_cosine_bruteforce", "ivf_kmeans_train",
         "ann_topk_blocked", "text_fingerprint",
         "multimodal_png_pixel_stats", "funnel_conversion",
-        # round-4/5 rotation survivors
+        # round-4/5/6 rotation survivors
         "join_full_outer", "q18_large_orders", "pack_sequences",
-        "dedup_dupspan_report", "session_window_agg",
-        # round-6 rotations IN (VERDICT r05 next-round #2): ten never-
-        # driver-verified representatives — round-5 families plus the
-        # round-6 parser-evaluator layer
-        "bpe_train_merges", "multimodal_jpeg_pixel_stats",
-        "decontaminate_winnow", "market_basket_pairs", "dau_wau_stickiness",
-        "lateral_topk_per_key", "promql_parsed_share",
-        "promql_parsed_subquery", "promql_parsed_histogram_quantile",
-        "promql_parsed_topk_sum",
-        # round-6 mid-round rotations IN: the round's own new families —
-        # H.264 decode, parsed set ops, scalar() arithmetic, @ modifier,
-        # and two code-review regression locks
-        "multimodal_h264_iframe_stats", "promql_parsed_or",
-        "promql_parsed_scalar_of", "promql_parsed_at",
-        "promql_parsed_precedence", "promql_parsed_absent_bool",
-        # rotated out in r6 (families keep reps above, all driver-green
-        # r05): promql_subquery_max_rate, dedup_edit_distance,
-        # dedup_containment, influxql_selectors, nearest_join_events,
-        # embedding_power_iteration, text_tfidf_topk, events_json_extract,
-        # q5_local_supplier_volume, pivot_event_counts; mid-round:
-        # subquery_in, chain_append_read, promql_group_left,
-        # decontaminate_ngram, embedding_rhp_lsh, text_langid
+        "multimodal_h264_iframe_stats",
+        # round-7 rotations IN (VERDICT r06 next-round #1): seventeen
+        # never-driver-verified representatives — round-6 parser families
+        # with zero driver rows, long-unverified round-5 families, the
+        # round-7 grammar-completion twins, and the end-to-end
+        # streaming-ingest gate
+        "promql_parsed_group_right", "promql_parsed_cmp_over_binop",
+        "promql_parsed_or_vector", "promql_parsed_count_values",
+        "promql_parsed_label_replace", "promql_parsed_predict_linear",
+        "promql_parsed_quantile_over_time",
+        "dedup_graph_pagerank", "tsz_xor_compression", "hybrid_rrf_fusion",
+        "ts_seasonal_decompose",
+        "promql_parsed_holt_winters", "promql_parsed_agg_quantile",
+        "promql_parsed_agg_stddev", "promql_parsed_sort_desc",
+        "promql_parsed_calendar_hour",
+        "streaming_ingest_dedup_read",
+        # rotated out in r7 (families keep reps above, all driver-green
+        # r06): promql_parsed_{share, subquery, histogram_quantile,
+        # topk_sum, or, scalar_of, at, precedence, absent_bool},
+        # bpe_train_merges, multimodal_jpeg_pixel_stats,
+        # decontaminate_winnow, market_basket_pairs, dau_wau_stickiness,
+        # lateral_topk_per_key, session_window_agg, dedup_dupspan_report
     ]:
         assert rep in first50, rep
 
