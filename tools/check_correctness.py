@@ -203,7 +203,34 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{failures} failures / {len(only) if only else len(qs)} checked")
+    checked = len(only) if only else len(qs)
+    print(f"\n{failures} failures / {checked} checked")
+    record = os.environ.get("SPARK_GRAFT_RECORD")
+    if record:
+        # machine-emitted round-close record (VERDICT r06 next-round #6):
+        # the sweep writes its own counts so the record never needs
+        # hand-written arithmetic
+        import datetime
+        import subprocess
+
+        try:
+            head = subprocess.run(
+                ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            head = "?"
+        mode = "plain" if os.environ.get("SPARK_GRAFT_PLAIN") else "tuned"
+        stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%SZ"
+        )
+        scope = f"subset={len(only)}" if only else "full-bank"
+        with open(record, "a", encoding="utf-8") as fh:
+            fh.write(
+                f"- sweep {stamp} | HEAD {head} | sf_dir={sf_dir} | "
+                f"mode={mode} | bank={len(querybank.QUERIES)} | {scope} | "
+                f"checked={checked} | failures={failures}\n"
+            )
     return 1 if failures else 0
 
 

@@ -1,0 +1,78 @@
+"""Round-close record header — tool-emitted counts (VERDICT r06 #6).
+
+Writes (or rewrites) the header block of CORRECTNESS_LOCAL_r{N}.md with
+counts the tool measures itself: the gated-query bank size, the pytest
+collection count, and the delta against the prior round's recorded bank
+size — no hand-written arithmetic for a judge to reconcile.  Sweep lines
+are appended separately by tools/check_correctness.py when
+SPARK_GRAFT_RECORD points at the same file.
+
+Usage:  python tools/round_record.py <round-number>
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    rnd = int(sys.argv[1])
+    path = f"/root/repo/CORRECTNESS_LOCAL_r{rnd:02d}.md"
+
+    from incubator_horaedb_spark import querybank
+
+    bank = len(querybank.QUERIES)
+
+    collect = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    m = re.search(r"(\d+) tests? collected", collect.stdout)
+    n_tests = int(m.group(1)) if m else -1
+
+    prev_bank = None
+    try:
+        prev = open(f"/root/repo/CORRECTNESS_LOCAL_r{rnd - 1:02d}.md").read()
+        pm = re.search(r"bank[=\s]+(\d+)", prev) or re.search(
+            r"\*\*(\d+) queries\*\*", prev
+        )
+        if pm:
+            prev_bank = int(pm.group(1))
+    except OSError:
+        pass
+
+    head = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip()
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%SZ"
+    )
+    delta = f"{bank - prev_bank:+d} vs r{rnd - 1}" if prev_bank is not None else "n/a"
+    header = (
+        f"# CORRECTNESS_LOCAL r{rnd:02d} (tool-emitted; tools/round_record.py)\n\n"
+        f"- header {stamp} | HEAD {head} | bank={bank} gated queries "
+        f"(delta {delta}) | pytest collected={n_tests}\n"
+    )
+
+    try:
+        existing = open(path).read()
+        # keep previously appended sweep lines, replace the header block
+        sweeps = [l for l in existing.splitlines() if l.startswith("- sweep")]
+    except OSError:
+        sweeps = []
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(header)
+        for line in sweeps:
+            fh.write(line + "\n")
+    print(header.strip())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
