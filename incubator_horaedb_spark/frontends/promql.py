@@ -567,8 +567,11 @@ def parse_promql(query: str, extended: bool = False, _ext_inner: bool = False) -
             return inner
         m = _QOT_RE.match(q)
         if m:
+            phi = float(m.group(1))
+            if not (0.0 <= phi <= 1.0):
+                raise ValueError(f"quantile_over_time φ must be in [0, 1], got {phi}")
             inner = parse_promql(m.group(2).strip(), extended=False, _ext_inner=True)
-            return _as_range_fn(inner, "quantile_over_time", (float(m.group(1)),))
+            return _as_range_fn(inner, "quantile_over_time", (phi,))
         m = _PREDICT_RE.match(q)
         if m:
             inner = parse_promql(m.group(1).strip(), extended=False, _ext_inner=True)
@@ -662,6 +665,10 @@ def parse_promql(query: str, extended: bool = False, _ext_inner: bool = False) -
             if not pm:
                 raise ValueError("quantile aggregation requires a φ parameter")
             agg_param = float(pm.group(1))
+            if not (0.0 <= agg_param <= 1.0):
+                # Prometheus warns and returns ±Inf; a clear error is the
+                # deterministic rendering here (Inf cannot cross-engine hash)
+                raise ValueError(f"quantile φ must be in [0, 1], got {agg_param}")
             q = pm.group(2).strip()
 
     range_fn = None

@@ -188,6 +188,48 @@ _COLDEF_RE = re.compile(
 )
 
 
+_ESCAPE_CHARS = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "Z": "\x1a",
+    "\\": "\\", "'": "'", '"': '"',
+}
+
+
+def unescape_sql_string(body: str, quote: str) -> str:
+    """Decode a quoted SQL string body the way spark.sql does (verified
+    empirically, Hive-style): doubled quotes, backslash char escapes
+    (\\n \\t \\r \\b \\Z \\\\ \\' \\"), 1-3 digit octal, ``\\%``/``\\_``
+    kept verbatim (LIKE escapes), unknown ``\\x`` → ``x``.  The INSERT
+    path must store exactly what a spark.sql WHERE comparing the same
+    literal would see — the round-trip parity class of the r7 review."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == quote and i + 1 < n and body[i + 1] == quote:
+            out.append(quote)
+            i += 2
+            continue
+        if ch == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt in ("%", "_"):
+                out.append("\\" + nxt)  # LIKE escapes survive
+                i += 2
+                continue
+            if nxt in "01234567":
+                j = i + 1
+                while j < n and j < i + 4 and body[j] in "01234567":
+                    j += 1
+                out.append(chr(int(body[i + 1 : j], 8)))
+                i = j
+                continue
+            out.append(_ESCAPE_CHARS.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _parse_literal(tok: str) -> Any:
     tok = tok.strip()
     up = tok.upper()
@@ -196,10 +238,10 @@ def _parse_literal(tok: str) -> Any:
     if up in ("TRUE", "FALSE"):
         return up == "TRUE"
     if tok[:1] in "'\"" and tok[-1:] == tok[:1]:
-        # decode standard-SQL doubled-quote escapes ('o''brien' → o'brien),
-        # matching what spark.sql does with the same literal in a WHERE
-        q = tok[:1]
-        return tok[1:-1].replace(q + q, q)
+        # decode exactly like spark.sql would for the same literal in a
+        # WHERE (doubled quotes AND backslash escapes) — INSERT-stored
+        # values must round-trip through spark.sql comparisons
+        return unescape_sql_string(tok[1:-1], tok[:1])
     if re.fullmatch(r"[+-]?\d+", tok):
         return int(tok)
     if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+", tok):

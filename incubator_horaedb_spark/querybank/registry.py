@@ -358,10 +358,13 @@ DRIVER_ORDER = [
     "drift_psi_report",
     # round-5: Matryoshka truncation recall eval
     "embedding_mrl_truncation",
-    # round-5: hybrid sparse+dense RRF fusion, ANSI UNPIVOT
+    # round-5: ANSI UNPIVOT (hybrid_rrf_fusion promoted to the
+    # top-50 in the round-7 rotation)
     "unpivot_metrics",
-    # round-5: pairwise series correlation matrix, near-dup-graph PageRank
-    "ts_correlation_matrix", # round-5: binary vector expressions through the text parser
+    # round-5: pairwise series correlation matrix (dedup_graph_pagerank
+    # promoted to the top-50 in the round-7 rotation)
+    "ts_correlation_matrix",
+    # round-5: binary vector expressions through the text parser
     "promql_parsed_ratio",
     # round-5: EXIF APP1/TIFF metadata round-trip
     "multimodal_exif_meta",
@@ -369,8 +372,8 @@ DRIVER_ORDER = [
     "ann_refine_rerank",
     # round-5: exact-k per-stratum sample, InfluxQL metadata statements
     "sample_topk_per_group", "influxql_show_tag_values",
-    # round-5: Gorilla XOR value-compression estimate
-    # round-5: OpenTSDB rate option
+    # round-5: OpenTSDB rate option (tsz_xor_compression promoted to
+    # the top-50 in the round-7 rotation)
     "opentsdb_rate_query",
     # round-5: LATERAL correlated subquery, ordered-set aggregates,
     # ordered string aggregation
@@ -379,9 +382,10 @@ DRIVER_ORDER = [
     "doc_cluster_quality",
     # round-5: parser-driven PromQL aggregation
     "promql_parsed_sum",
-    # round-5: classical seasonal decomposition report
-    # round-5: without() agg path, market-basket lift
-    "promql_parsed_sum_without", # round-5: remaining parser aggregation ops
+    # round-5: without() agg path (ts_seasonal_decompose promoted to
+    # the top-50 in the round-7 rotation)
+    "promql_parsed_sum_without",
+    # round-5: remaining parser aggregation ops
     "promql_parsed_count", "promql_parsed_max",
     # round-5: dedup threshold-calibration sweep
     "dedup_threshold_sweep",

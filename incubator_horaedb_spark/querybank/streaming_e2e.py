@@ -11,7 +11,11 @@ row instead of pytest-only coverage:
    with a monotonic ``__seq`` (the SequenceNumber analogue);
 2. a second availableNow stream re-ingests an UPDATED subset (clicks of
    every 10th user, value shifted +1000) with the same series identity
-   (tags + timestamp unchanged) — a later ``__seq``;
+   (tags + timestamp unchanged) — a later ``__seq``.  The unique
+   ``event_id`` rides in the tag set so the primary key (tsid, ts) is
+   collision-free on the RAW data: without it, sf1 carries one duplicate
+   (event_type, props, ts) pair whose dedup survivor the oracle cannot
+   express (r7 code-review finding);
 3. the read goes through the dedup view (ROW_NUMBER … __seq DESC = 1,
    merge.rs:126 need_dedup), so the updated rows must REPLACE the
    originals — row counts catch an append-instead-of-overwrite bug,
@@ -82,7 +86,7 @@ def _ingested_events(spark: SparkSession, sf_dir: str):
         _conv(spark.readStream.schema(raw_schema).parquet(path)),
         "ev_stream",
         ts_col="ts",
-        tag_cols=["event_type", "props"],
+        tag_cols=["event_type", "props", "event_id"],
         checkpoint_dir=f"{store}/ckpt1",
         options=opts,
     )
@@ -99,7 +103,7 @@ def _ingested_events(spark: SparkSession, sf_dir: str):
         upd,
         "ev_stream",
         ts_col="ts",
-        tag_cols=["event_type", "props"],
+        tag_cols=["event_type", "props", "event_id"],
         checkpoint_dir=f"{store}/ckpt2",
         options=opts,
     )

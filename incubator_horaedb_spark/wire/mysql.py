@@ -221,6 +221,12 @@ class MySQLServer:
                     "Prepare with parameters is not supported in HoraeDB",
                 )
                 return
+            if len(stmts) >= 256:
+                conn.send_err(
+                    ER_UNKNOWN_ERROR,
+                    "too many prepared statements (max 256 per connection)",
+                )
+                return
             stmt_id = (max(stmts) + 1) if stmts else 1
             stmts[stmt_id] = sql
             # COM_STMT_PREPARE_OK: status, stmt_id, num_columns=0 (schema
@@ -360,18 +366,26 @@ class MySQLServer:
 
 
 def _count_question_params(sql: str) -> int:
-    """`?` placeholders outside single/double-quoted strings and
-    backtick identifiers."""
+    """`?` placeholders outside single/double-quoted strings and backtick
+    identifiers.  Backslash escapes inside quoted strings are skipped
+    (MySQL's default escaping: `'don\\'t'` must not desynchronize the
+    scanner — r7 review)."""
     n = 0
     quote = None
-    for ch in sql:
+    i, ln = 0, len(sql)
+    while i < ln:
+        ch = sql[i]
         if quote:
+            if ch == "\\" and quote != "`" and i + 1 < ln:
+                i += 2  # escaped char inside a string stays inside it
+                continue
             if ch == quote:
                 quote = None
         elif ch in ("'", '"', "`"):
             quote = ch
         elif ch == "?":
             n += 1
+        i += 1
     return n
 
 

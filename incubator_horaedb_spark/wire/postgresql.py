@@ -150,8 +150,8 @@ def _sql_literal(text: str, oid: int) -> str:
     """Render a text-format parameter as a SQL literal.  Declared numeric
     OIDs inline raw (validated); booleans render TRUE/FALSE; everything
     else — including undeclared (OID 0) — becomes a quoted string, which
-    the engine's implicit coercion handles in comparisons.  Quoting by
-    doubling single quotes; no backslash escapes (standard_conforming)."""
+    the engine's implicit coercion handles in comparisons.  Quotes AND
+    backslashes are doubled (the engine lexes Hive-style escapes)."""
     import re as _re
 
     if oid in _NUMERIC_OIDS:
@@ -164,7 +164,11 @@ def _sql_literal(text: str, oid: int) -> str:
         if text.lower() in ("f", "false", "0", "off", "no"):
             return "FALSE"
         raise ValueError(f"invalid boolean parameter {text!r}")
-    return "'" + text.replace("'", "''") + "'"
+    # the engine lexes BOTH doubled quotes and backslash escapes
+    # (spark.sql Hive-style strings) — a bare backslash in the parameter
+    # would otherwise swallow the closing quote (r7 review: parameter-to-
+    # SQL injection via "x\\' OR 1=1 --"); double both
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> str:
@@ -391,6 +395,8 @@ class PostgresServer:
                         "binary-format result columns are not supported"
                     )
             st = stmts[sname]
+            if len(portals) >= 256 and portal not in portals:
+                raise ValueError("too many open portals (max 256)")
             portals[portal] = _Portal(
                 _substitute_params(st.sql, params, st.param_oids)
             )

@@ -290,3 +290,20 @@ def test_mysql_stmt_null_in_binary_row(mysql_server):
     ln, pos = c._lenenc(row, pos)
     assert row[pos : pos + ln] == b"2.5"  # v rides after the bitmap
     c.close()
+
+
+def test_mysql_prepare_escaped_quote_scanner(mysql_server):
+    # a backslash-escaped quote inside a string must not desynchronize
+    # the placeholder scanner (r7 review)
+    c = MiniMySQLClient(mysql_server.port)
+    # real ? after an escaped quote → parameterized → ER_NOT_SUPPORTED_YET
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select 'don\\'t', ?")
+    err = c._read_packet()
+    assert err[0] == 0xFF and struct.unpack_from("<H", err, 1)[0] == 1235
+    # ? inside a string after an escaped quote → parameterless → prepares
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select 'don\\'t teach ?s' as s")
+    ok = c._read_packet()
+    assert ok[0] == 0x00
+    c.close()

