@@ -108,6 +108,26 @@ def _ingested_events(spark: SparkSession, sf_dir: str):
         options=opts,
     )
     q2.awaitTermination()
+    # pass 3: schema EVOLUTION — re-ingest the 'view' rows carrying a NEW
+    # column (quality = value·0.5); ensure_table auto-adds it
+    # (execute_add_columns_plan analogue, write.rs:695) and the earlier
+    # segments, written before the ALTER, read it back as NULL through
+    # the explicit read schema (Table._read_schema — no mergeSchema scan)
+    evo = (
+        _conv(spark.readStream.schema(raw_schema).parquet(path))
+        .filter(F.col("event_type") == "view")
+        .withColumn("quality", F.col("value") * F.lit(0.5))
+    )
+    q3 = start_ingest(
+        engine,
+        evo,
+        "ev_stream",
+        ts_col="ts",
+        tag_cols=["event_type", "props", "event_id"],
+        checkpoint_dir=f"{store}/ckpt3",
+        options=opts,
+    )
+    q3.awaitTermination()
     tbl = Table(spark, engine.catalog, "ev_stream")
     _STATE["sf_dir"] = sf_dir
     _STATE["table"] = tbl
@@ -125,6 +145,51 @@ _STREAM_E2E_SQL = f"""
     GROUP BY event_type
     ORDER BY event_type
     """
+
+
+_STREAM_EVOLVE_SQL = f"""
+    SELECT event_type,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS n_quality,
+           {r_out_sql(
+               "sum(" + dyadic_sql(
+                   "(CASE WHEN event_type = 'view' THEN value * 0.5 "
+                   "ELSE 0.0 END)", 20
+               ) + ")", 6)} AS sum_quality
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register("streaming_ingest_evolve_read", oracle=_STREAM_EVOLVE_SQL)
+def streaming_ingest_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution leg of the streaming-ingest gate: the third ingest
+    pass added a ``quality`` column (auto-evolve, write.rs:695 analogue)
+    on the 'view' rows only.  Rows written BEFORE the evolution must read
+    the column as NULL (explicit read schema over old segments), and the
+    evolved rows must carry quality = value·0.5 — per-group non-NULL
+    counts and quantized sums pin both."""
+    tbl = _ingested_events(spark, sf_dir)
+    df = tbl.read()
+    q = 1 << 20
+    qv = (
+        F.floor(
+            F.coalesce(F.col("quality"), F.lit(0.0)) * F.lit(float(q)) + F.lit(0.5)
+        ).cast("double")
+        / F.lit(float(q))
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("quality").cast("long").alias("n_quality"),
+            (
+                F.floor(F.sum(qv) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_quality"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register("streaming_ingest_dedup_read", oracle=_STREAM_E2E_SQL)
