@@ -169,3 +169,63 @@ def test_prom_align_matches_reference_model(spark, func, points, step_s, lookbac
             assert math.isnan(g), (t, g, v)
         else:
             assert g == pytest.approx(v, rel=1e-9, abs=1e-9), (t, g, v)
+
+
+# --- round 7: holt_winters fold equivalence (DuckDB side) ------------------
+# The Spark side is pinned by test_promql_frontend.py's reference-fold test
+# and the gated promql_parsed_holt_winters pair; this pins the DuckDB
+# rendering against the same reference implementation (functions.go
+# funcDoubleExponentialSmoothing) over arbitrary windows — it would have
+# caught the DuckDB struct-lambda shadowing bug (list_reduce resolving
+# acc.s1 to the NEW s1) that the list-accumulator rendering works around.
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=2,
+        max_size=40,
+    ),
+    sf=st.floats(min_value=0.01, max_value=0.99),
+    tf=st.floats(min_value=0.01, max_value=0.99),
+)
+def test_holt_winters_duckdb_fold_matches_reference(vals, sf, tf):
+    import duckdb
+
+    from incubator_horaedb_spark.operators.prom_align import (
+        _holt_winters_value_sql,
+    )
+
+    def ref(v, a, b):  # the Prometheus loop, verbatim
+        s0, s1, tr = 0.0, v[0], v[1] - v[0]
+        for i in range(1, len(v)):
+            x = a * v[i]
+            if i - 1 > 0:
+                tr = b * (s1 - s0) + (1 - b) * tr
+            y = (1 - a) * (s1 + tr)
+            s0, s1 = s1, x + y
+        return s1
+
+    lst = ", ".join(
+        f"struct_pack(t := {i}, v := CAST({v!r} AS DOUBLE))"
+        for i, v in enumerate(vals)
+    )
+    sql = (
+        f"WITH w AS (SELECT list_sort([{lst}]) AS ts_vals_sorted) "
+        f"SELECT {_holt_winters_value_sql('duckdb', sf, tf)} FROM w"
+    )
+    global _HW_CON
+    try:
+        got = _HW_CON.execute(sql).fetchall()[0][0]
+    except NameError:
+        _HW_CON = duckdb.connect()
+        got = _HW_CON.execute(sql).fetchall()[0][0]
+    exp = ref(vals, sf, tf)
+    # identical op order → bit-identical unless an intermediate overflows
+    import math
+
+    if math.isfinite(exp):
+        assert got == exp or abs(got - exp) <= 1e-9 * max(1.0, abs(exp)), (
+            got, exp, vals, sf, tf,
+        )
