@@ -1080,13 +1080,14 @@ def _dod_sql(engine: str) -> str:
               ELSE 36 END"""
     return f"""
     WITH s AS (
-      SELECT event_type, {ems} AS t,
+      SELECT event_type, {ems} AS t, event_id,
              ({ems}) - lag({ems}) OVER w AS d
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY {ems}, event_id)
     ),
     dd AS (
-      SELECT event_type, (d - lag(d) OVER (PARTITION BY event_type ORDER BY t)) AS dod
+      SELECT event_type,
+             (d - lag(d) OVER (PARTITION BY event_type ORDER BY t, event_id)) AS dod
       FROM s WHERE d IS NOT NULL
     )
     SELECT event_type,
