@@ -215,3 +215,96 @@ def streaming_ingest_dedup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return out
+
+
+# --- TTL + Append (chain read) leg ----------------------------------------
+# table_options.rs:60 (ttl default 7d) / row_iter/chain.rs (Append reads
+# concatenate without merge).  TTL enforcement previously had pytest-only
+# coverage; this gives it a CORRECTNESS row with a pinned `now`.
+
+_TTL_NOW_MS = 1_705_708_800_000  # 2024-01-20T00:00:00Z (inside the corpus)
+_TTL_MS = 15 * 86_400_000  # 15d → cutoff 2024-01-05T00:00:00Z
+
+_TTL_STATE: dict = {"sf_dir": None, "table": None}
+
+
+def _ingested_ttl_clicks(spark: SparkSession, sf_dir: str):
+    """One availableNow pass of the 'click' rows into an APPEND table with
+    TTL enabled — the chain-read + TTL leg of the ingest gate."""
+    from incubator_horaedb_spark.catalog import TableOptions
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.streaming.ingest import start_ingest
+    from incubator_horaedb_spark.table import Table
+
+    if _TTL_STATE["sf_dir"] == sf_dir and _TTL_STATE["table"] is not None:
+        tbl = _TTL_STATE["table"]
+        if tbl.spark is spark:
+            return tbl
+    import os
+
+    _ts_read_confs(spark)
+    store = tempfile.mkdtemp(prefix="sg_stream_ttl_")
+    engine = Engine(spark, store)
+    src_dir = f"{store}/src"
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def _conv(df: DataFrame) -> DataFrame:
+        f = next(x for x in df.schema.fields if x.name == "ts")
+        if f.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        return df
+
+    stream = _conv(spark.readStream.schema(raw_schema).parquet(src_dir)).filter(
+        F.col("event_type") == "click"
+    )
+    q = start_ingest(
+        engine,
+        stream,
+        "ev_ttl",
+        ts_col="ts",
+        tag_cols=["event_type", "props", "event_id"],
+        checkpoint_dir=f"{store}/ckpt",
+        options=TableOptions(
+            update_mode="APPEND", enable_ttl=True, ttl_ms=_TTL_MS
+        ),
+    )
+    q.awaitTermination()
+    tbl = Table(spark, engine.catalog, "ev_ttl")
+    _TTL_STATE["sf_dir"] = sf_dir
+    _TTL_STATE["table"] = tbl
+    return tbl
+
+
+_STREAM_TTL_SQL = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_live,
+           {r_out_sql("sum(" + dyadic_sql("value", 20) + ")", 6)} AS sum_value,
+           CAST(min(epoch_ms(ts)) AS BIGINT) AS oldest_ms
+    FROM events
+    WHERE event_type = 'click'
+      AND epoch_ms(ts) >= {_TTL_NOW_MS - _TTL_MS}
+    """
+
+
+@register("streaming_ingest_ttl_read", oracle=_STREAM_TTL_SQL)
+def streaming_ingest_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the TTL-enabled Append table at a pinned `now`: rows older
+    than now − ttl are filtered (and their whole segments pruned) at
+    read, per table_options.rs:60; the Append (chain) read concatenates
+    without dedup, so counts equal the raw source within the window.
+    The surviving minimum timestamp pins the cutoff boundary."""
+    tbl = _ingested_ttl_clicks(spark, sf_dir)
+    df = tbl.read(now_ms=_TTL_NOW_MS)
+    q = 1 << 20
+    qv = F.floor(F.col("value") * F.lit(float(q)) + F.lit(0.5)).cast("double") / F.lit(
+        float(q)
+    )
+    return df.select(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        (
+            F.floor(F.sum(qv) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("sum_value"),
+        F.min(F.unix_millis("ts")).cast("long").alias("oldest_ms"),
+    )
