@@ -62,13 +62,21 @@ def main() -> int:
 
     try:
         existing = open(path).read()
-        # keep previously appended sweep lines, replace the header block
-        sweeps = [l for l in existing.splitlines() if l.startswith("- sweep")]
+        # keep previously appended sweep lines AND any narrative sections,
+        # replace only the header block (a header re-emit must never drop
+        # hand-written context — learned the hard way in r7)
+        keep = [
+            l for l in existing.splitlines()
+            if not l.startswith(("# CORRECTNESS_LOCAL", "- header"))
+        ]
+        # drop leading blank lines left by the removed header
+        while keep and not keep[0].strip():
+            keep.pop(0)
     except OSError:
-        sweeps = []
+        keep = []
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(header)
-        for line in sweeps:
+        for line in keep:
             fh.write(line + "\n")
     print(header.strip())
     return 0
