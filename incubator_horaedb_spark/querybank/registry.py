@@ -194,47 +194,70 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # (promql_increase is the rate family, time_bucket_hour the time_bucket
 # family, set_intersect the set-op family, ...) follow.  The local harness
 # (tools/check_correctness.py) still checks all of them.
-DRIVER_ORDER = [
-    # core SQL — one per family (same-row variants like constant folding /
-    # anti-join / IN-list ride behind their family representative)
+DRIVER_ORDER = [    # ------------------------------------------------------------------
+    # round-8 window (VERDICT r07 next-round #1: burn down the driver-
+    # verification debt — put >=30 never-driver-verified queries through
+    # the driver).  38 of the 50 slots are never-driver-verified:
+    # the complete TPC-H derivative tail q2-q22 (19 queries, zero driver
+    # rows through r7), the four window-function families, multimodal
+    # audio/video decode, the three subquery families (incl. the NOT-IN
+    # three-valued-logic trap), the two remaining streaming-ingest gates
+    # (schema evolution, TTL+Append chain), the three round-7 grammar
+    # twins the judge verified but the driver never saw, CUBE/GROUPING
+    # SETS, the InfluxQL/OpenTSDB rate variants (these two keep the
+    # protocol-frontend families represented in-window), and the
+    # freshly-tie-broken tsz_dod_compression.  The 12 anchors are
+    # long-driver-green headline representatives kept for family spread
+    # (scan, filter/project, top-k, join, time-range, dedup-on-read,
+    # time_bucket, PromQL align x2, LSH dedup, ANN, streaming ingest).
+    # Every demoted query remains gated in the full-bank sweeps at all
+    # tiers every round.
+    # -- anchors (driver-green r07) --
     "q1_pricing_summary", "scan_filter_project", "topk_order_limit",
     "join_inner_3way",
+    "time_bucket_minute", "dedup_latest_by_key", "time_range_scan",
+    "promql_rate", "promql_instant",
+    "dedup_minhash_lsh", "ann_cosine_bruteforce",
+    "streaming_ingest_dedup_read",
+    # -- never-driver-verified promotions (r8) --
+    # TPC-H derivatives q2-q22 (q1/q5/q18 were driver-green earlier)
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_quantity",
+    "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_global_sales",
+    # window-function families
+    "window_rank_family", "window_value_family", "window_range_time_frame",
+    "window_qualify_topn",
+    # multimodal audio/video decode
+    "multimodal_audio_pcm_stats", "multimodal_video_frame_stats",
+    # subquery families
+    "subquery_not_in_null_semantics", "subquery_exists_correlated",
+    "subquery_scalar_agg",
+    # streaming-ingest gates (dedup read is the r7-green anchor above)
+    "streaming_ingest_evolve_read", "streaming_ingest_ttl_read",
+    # round-7 grammar twins with zero driver rows
+    "promql_parsed_agg_stdvar", "promql_parsed_agg_group",
+    "promql_parsed_sgn_delta",
+    # grouping-set variants behind driver-green rollup_agg
+    "cube_agg", "grouping_sets_explicit",
+    # protocol-frontend rate variants (replace their driver-green
+    # groupby twins influxql_groupby_time_tag / opentsdb_downsample_groupby)
+    "influxql_derivative", "opentsdb_rate_query",
+    # sf1 duplicate-(series,ts) tie-break fix from r7 close (judge-
+    # verified at sf0.1; never in a driver window)
+    "tsz_dod_compression",
+    # ------------------------------------------------------------------
+    # round-8 demotions (ALL driver-green r07, locally gated every round)
     "set_union_all", "distinct_agg", "window_rownum_top2", "rollup_agg",
     "percentile_exact", "udaf_energy_by_type", "scalar_functions",
-    # TSDB storage semantics
-    "time_bucket_minute", "dedup_latest_by_key",
-    "time_range_scan",
-    # protocol frontends
-    "promql_rate", "promql_instant", "promql_sum_by_ts",
-    "opentsdb_downsample_groupby", "influxql_groupby_time_tag",
-    # LLM-pipeline operators
-    "dedup_minhash_lsh",
-    "sample_stratified",
-    "ann_cosine_bruteforce",
-    "ivf_kmeans_train", "ann_topk_blocked",
-    "text_fingerprint",
-    "funnel_conversion", "corpus_quality_filter",
-    "asof_join_events",
-    "multimodal_png_pixel_stats",
-    # round-5 rotation survivors (driver-green r05, kept in-window as
-    # their family's representative)
-    "pack_sequences",
-    # round-7 rotation (VERDICT r06 next-round #1): seventeen never-
-    # driver-verified representatives promoted — the round-6 parser
-    # families with zero driver rows (group_right, cmp-over-binop,
-    # or-vector(0), count_values, label_replace, predict_linear,
-    # quantile_over_time), long-unverified round-5 families (near-dup
-    # graph PageRank, Gorilla XOR compression estimate, hybrid RRF
-    # fusion, seasonal decomposition), the round-7 grammar-completion
-    # twins (holt_winters fold, quantile/stddev aggregation operators,
-    # sort_desc rank, calendar composition), and the new end-to-end
-    # streaming-ingest gate.  Slots come from driver-green r06 variants,
-    # demoted below and still locally gated every round (family coverage
-    # retained: cmp_over_binop is the parsed-binop join shape share/ratio
-    # proved; or_vector supersets parsed_or; count_values + sort_desc
-    # cover the distribution/ordering wrap layers histogram_quantile and
-    # topk_sum proved; streaming_ingest_dedup_read covers the
-    # session/streaming family with an ingest-produced fixture).
+    "promql_sum_by_ts", "opentsdb_downsample_groupby",
+    "influxql_groupby_time_tag", "sample_stratified", "ivf_kmeans_train",
+    "ann_topk_blocked", "text_fingerprint", "funnel_conversion",
+    "corpus_quality_filter", "asof_join_events",
+    "multimodal_png_pixel_stats", "pack_sequences",
     "promql_parsed_group_right", "promql_parsed_cmp_over_binop",
     "promql_parsed_or_vector", "promql_parsed_count_values",
     "promql_parsed_label_replace", "promql_parsed_predict_linear",
@@ -244,10 +267,7 @@ DRIVER_ORDER = [
     "promql_parsed_holt_winters", "promql_parsed_agg_quantile",
     "promql_parsed_agg_stddev", "promql_parsed_sort_desc",
     "promql_parsed_calendar_hour",
-    "streaming_ingest_dedup_read",
-    # round-6 rotation survivor
     "multimodal_h264_iframe_stats",
-    # round-4 rotation survivors (driver-green, kept in-window)
     "join_full_outer", "q18_large_orders",
     # round-7 demotions (driver-green r06, locally gated every round)
     "promql_parsed_share", "promql_parsed_subquery",
@@ -283,16 +303,16 @@ DRIVER_ORDER = [
     "corpus_split_assign", "text_ttr", "text_ngram_topk",
     "multimodal_audio_header_meta", "multimodal_video_header_meta",
     "ann_recall_at_k", "promql_stddev_over_time", "promql_stdvar_over_time",
-    "dedup_paragraphs", "window_rank_family", "order_nulls_explicit",
+    "dedup_paragraphs", "order_nulls_explicit",
     "salted_distinct_users", "promql_rate_offset", "time_bucket_gapfill_locf",
     # round-3 late additions (statistical aggs, histogram, pivot, RANGE
     # frames, winnowing, rare-token, SemDeDup, int8 quantization)
     "stats_corr_regr", "numeric_histogram",
-    "window_range_time_frame", "text_winnow_fingerprint",
+    "text_winnow_fingerprint",
     "text_rare_token_ratio", "embedding_semdedup", "embedding_int8_quantize",
-    "corpus_curation_e2e", "grouping_sets_explicit", "m4_downsample",
+    "corpus_curation_e2e", "m4_downsample",
     "time_weighted_avg", "dedup_minhash_accuracy",
-    "q3_shipping_priority", "q6_forecast_revenue", "column_profile",
+    "column_profile",
     "pq_train", "ann_pq_adc", "text_hash_features", "quality_classifier_score",
     "ann_ivfpq",
     # round-3 second wave (wide join, FILTER modifiers, JSON extraction,
@@ -301,19 +321,12 @@ DRIVER_ORDER = [
     "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
     "retention_cohorts", "window_ntile_quartiles",
     "text_unigram_surprisal",
-    "q10_returned_items",
     "promql_deriv", "promql_predict_linear",
     "promql_absent_over_time",
-    "anomaly_zscore", "pareto_customers", "multimodal_audio_pcm_stats",
+    "anomaly_zscore", "pareto_customers", 
     "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "ann_mips_topk",
     "window_distribution_family",
     # round-3 continuation: TPC-H completion (all 22 shapes now covered)
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_stock",
-    "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_counts", "q17_small_quantity",
-    "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_global_sales",
     # round-3 continuation: PromQL evaluator functions over aligned vectors
     "promql_bottomk_series",
     "promql_count_values", "promql_clamp", "promql_label_replace",
@@ -322,9 +335,9 @@ DRIVER_ORDER = [
     "split_leakage_check",
     "bpe_pair_counts", "text_bigram_surprisal",
     "embedding_abtt_postprocess",
-    "promql_binary_vector_ops", "promql_agg_quantile", "window_value_family",
-    "dedup_edit_survivors", "influxql_derivative",
-    "seasonal_profile", "anomaly_mad", "tsz_dod_compression",
+    "promql_binary_vector_ops", "promql_agg_quantile", 
+    "dedup_edit_survivors", 
+    "seasonal_profile", "anomaly_mad", 
     "ivf_medoids", "corpus_budget_select",
     "dedup_degree_histogram", "text_langid_confusion",
     "user_activity_percentiles", "time_to_conversion",
@@ -338,9 +351,8 @@ DRIVER_ORDER = [
     # round-5: series gap audit, CUSUM change points, session path mining,
     # QUALIFY dialect support, RFM segmentation, dup-inflation report
     "ts_gap_report", "changepoint_cusum", "event_path_topk",
-    "window_qualify_topn", "rfm_segmentation", "dedup_inflation_report",
+    "rfm_segmentation", "dedup_inflation_report",
     # round-5: real MJPEG video frame decode (AVI demux + JPEG codec)
-    "multimodal_video_frame_stats",
     # round-5: iterative BPE tokenizer training (vocab-weighted merges)
     # round-5: winnow exact-substring decontamination, per-series ACF,
     # per-source KL token-distribution drift
@@ -374,7 +386,6 @@ DRIVER_ORDER = [
     "sample_topk_per_group", "influxql_show_tag_values",
     # round-5: OpenTSDB rate option (tsz_xor_compression promoted to
     # the top-50 in the round-7 rotation)
-    "opentsdb_rate_query",
     # round-5: LATERAL correlated subquery, ordered-set aggregates,
     # ordered string aggregation
     "percentile_disc_group", "string_agg_ordered",
@@ -396,7 +407,6 @@ DRIVER_ORDER = [
     # round-5: parsed instant selector
     "promql_parsed_instant",
     # round-5: NOT IN three-valued-logic semantics
-    "subquery_not_in_null_semantics",
     # round-6: evaluator functions reachable from PromQL text — the direct
     # *_over_time family, absence detection, count_values, nested label
     # rewriting (parser twins of the builder-composed queries; the
