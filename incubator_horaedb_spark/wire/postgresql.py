@@ -9,12 +9,22 @@ Surface parity:
   query protocol (Parse/Bind/Describe/Execute/Sync/Close/Flush) with
   TEXT-format parameters — the first thing a JDBC/psycopg client does on
   a parameterized query (beyond-reference: pgwire's SimpleQueryHandler
-  in the reference answers only 'Q').  Binary-format parameters and
-  binary result columns are rejected with a clear error.  Describe on an
-  unbound STATEMENT answers ParameterDescription + NoData (row metadata
-  requires bound parameters here); Describe on a PORTAL plans the query
-  lazily (DataFrame schema, no job) and shares the one execution with
-  the following Execute.
+  in the reference answers only 'Q').  Binary-format parameters decode
+  for the fixed-width core OIDs (bool/int2/int4/int8/float4/float8,
+  big-endian; r8) — other OIDs keep a clear rejection; binary result
+  columns are rejected with a clear error.  Describe on an unbound
+  STATEMENT answers ParameterDescription + RowDescription derived by
+  planning the query with typed NULLs substituted (lazy — no job; the
+  pre-bind describe Npgsql/PgJDBC issue), falling back to NoData for
+  rowless statements (DDL/INSERT — the protocol-correct answer) or when
+  NULL-planning fails (Execute then refuses to stream rows the client
+  was told would never come).  Describe on a PORTAL plans the bound
+  query lazily and shares the one execution with the following Execute.
+  Execute honors the max-rows operand: bounded fetches suspend with
+  PortalSuspended and resume on the next Execute of the same portal.
+  The $n placeholder scanner substitutes at code positions only —
+  single/double-quoted strings, backtick identifiers, line and (nested)
+  block comments are skipped.
 - type OIDs = handler.rs convert_data_type: Timestamp → TIMESTAMP(1114),
   Double → FLOAT8, Float → FLOAT4, Varbinary → BYTEA, String → TEXT,
   Int64 → INT8, Int32 → INT4, Int16 → INT2, Boolean → BOOL.
@@ -171,31 +181,69 @@ def _sql_literal(text: str, oid: int) -> str:
     return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
-def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> str:
-    """Replace $1..$n placeholders (outside single-quoted strings and
-    dollar-quoting-free — the dialect has no $$ bodies) with rendered
-    literals."""
+def _skip_noncode(sql: str, i: int) -> int | None:
+    """If ``sql[i]`` opens a span the placeholder scanner must not look
+    inside — a single/double-quoted string (the engine lexes BOTH Hive
+    backslash escapes and doubled quotes; Spark treats double quotes as
+    string literals, PG as identifiers — either way ``$n`` inside is not
+    a placeholder), a backtick identifier, a ``--`` line comment, or a
+    (nested, per Spark 3+) ``/* */`` block comment — return the index one
+    past the span (r8: ADVICE r07 — ``SELECT "col$1"`` and comments must
+    not be rewritten).  None when ``sql[i]`` is ordinary code."""
+    n = len(sql)
+    ch = sql[i]
+    if ch in ("'", '"', "`"):
+        j = i + 1
+        while j < n:
+            c = sql[j]
+            if c == "\\" and ch != "`" and j + 1 < n:
+                j += 2  # Hive-style escape stays inside the string
+                continue
+            if c == ch:
+                if j + 1 < n and sql[j + 1] == ch:
+                    j += 2  # doubled quote stays inside
+                    continue
+                return j + 1
+            j += 1
+        return n  # unterminated: rest of text is the span
+    if ch == "-" and sql[i : i + 2] == "--":
+        j = sql.find("\n", i)
+        return n if j < 0 else j + 1
+    if ch == "/" and sql[i : i + 2] == "/*":
+        depth, j = 1, i + 2
+        while j < n and depth:
+            if sql[j : j + 2] == "/*":
+                depth += 1
+                j += 2
+            elif sql[j : j + 2] == "*/":
+                depth -= 1
+                j += 2
+            else:
+                j += 1
+        return j
+    return None
+
+
+def _substitute_params(
+    sql: str,
+    params: list[str | None],
+    oids: list[int],
+    null_render=lambda oid: "NULL",
+) -> str:
+    """Replace $1..$n placeholders (at code positions only — strings,
+    quoted identifiers, and comments are skipped; the dialect has no $$
+    bodies) with rendered literals.  ``null_render`` lets the Describe
+    path substitute typed NULLs (CAST(NULL AS ...)) so the planned schema
+    matches what a real bind would produce."""
     out: list[str] = []
     i, n = 0, len(sql)
-    in_str = False
     while i < n:
+        j = _skip_noncode(sql, i)
+        if j is not None:
+            out.append(sql[i:j])
+            i = j
+            continue
         ch = sql[i]
-        if in_str:
-            out.append(ch)
-            if ch == "'":
-                # doubled quote stays inside the string
-                if i + 1 < n and sql[i + 1] == "'":
-                    out.append("'")
-                    i += 2
-                    continue
-                in_str = False
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-            out.append(ch)
-            i += 1
-            continue
         if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
             j = i + 1
             while j < n and sql[j].isdigit():
@@ -205,7 +253,7 @@ def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> s
                 raise ValueError(f"parameter ${idx} not bound")
             v = params[idx - 1]
             oid = oids[idx - 1] if idx - 1 < len(oids) else 0
-            out.append("NULL" if v is None else _sql_literal(v, oid))
+            out.append(null_render(oid) if v is None else _sql_literal(v, oid))
             i = j
             continue
         out.append(ch)
@@ -213,31 +261,103 @@ def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> s
     return "".join(out)
 
 
+# OID → engine type name for typed-NULL rendering (Describe('S') planning)
+_OID_TO_SQL_TYPE = {
+    OID_INT2: "SMALLINT",
+    OID_INT4: "INT",
+    OID_INT8: "BIGINT",
+    OID_FLOAT4: "FLOAT",
+    OID_FLOAT8: "DOUBLE",
+    1700: "DOUBLE",  # numeric
+    OID_BOOL: "BOOLEAN",
+    OID_TEXT: "STRING",
+    OID_TIMESTAMP: "TIMESTAMP",
+    OID_BYTEA: "BINARY",
+}
+
+
+def _typed_null(oid: int) -> str:
+    t = _OID_TO_SQL_TYPE.get(oid)
+    return f"CAST(NULL AS {t})" if t else "NULL"
+
+
+# binary-format (format code 1) parameter decode for the fixed-width core
+# OIDs (VERDICT r07 next-round #4): big-endian per the PG wire protocol.
+_BINARY_PARAM_FMT = {
+    OID_INT2: ("!h", 2),
+    OID_INT4: ("!i", 4),
+    OID_INT8: ("!q", 8),
+    OID_FLOAT4: ("!f", 4),
+    OID_FLOAT8: ("!d", 8),
+}
+
+
+def _decode_binary_param(raw: bytes, oid: int, idx: int) -> str:
+    """Binary Bind value → the text rendering `_sql_literal` consumes.
+    Exotic OIDs keep the clear rejection (text format works for them)."""
+    if oid == OID_BOOL:
+        if len(raw) != 1:
+            raise ValueError(f"binary bool parameter ${idx} must be 1 byte, got {len(raw)}")
+        return "t" if raw[0] else "f"
+    spec = _BINARY_PARAM_FMT.get(oid)
+    if spec is None:
+        raise ValueError(
+            f"binary-format parameter ${idx} with OID {oid} is not supported "
+            "(binary decode covers bool/int2/int4/int8/float4/float8; "
+            "send text format for other types)"
+        )
+    fmt, width = spec
+    if len(raw) != width:
+        raise ValueError(
+            f"binary parameter ${idx} (OID {oid}) must be {width} bytes, got {len(raw)}"
+        )
+    (v,) = struct.unpack(fmt, raw)
+    return repr(v) if isinstance(v, float) else str(v)
+
+
 class _Prepared:
-    __slots__ = ("sql", "param_oids")
+    __slots__ = ("sql", "param_oids", "described_nodata")
 
     def __init__(self, sql: str, param_oids: list[int]):
         self.sql = sql
         self.param_oids = param_oids
+        # Describe('S') answered NoData because schema derivation failed
+        # (NOT because the statement is rowless) — Execute on portals of
+        # this statement must not then stream DataRows the client was
+        # told would never come (ADVICE r07 #1)
+        self.described_nodata = False
 
 
 class _Portal:
     """A bound portal: the substituted SQL plus a memoized execution so
     Describe and Execute share ONE engine call (a Describe on a DDL/INSERT
-    portal performs the side effect then; Execute reports its tag)."""
+    portal performs the side effect then; Execute reports its tag).  Row
+    output is memoized too, with a cursor, so a bounded Execute
+    (max_rows > 0) can suspend and resume (PortalSuspended)."""
 
-    __slots__ = ("sql", "_result", "_ran")
+    __slots__ = ("sql", "stmt", "_result", "_ran", "_rows", "pos")
 
-    def __init__(self, sql: str):
+    def __init__(self, sql: str, stmt: "_Prepared | None" = None):
         self.sql = sql
+        self.stmt = stmt
         self._result = None
         self._ran = False
+        self._rows = None
+        self.pos = 0
 
     def result(self, engine):
         if not self._ran:
             self._result = engine.execute_sql(self.sql)
             self._ran = True
         return self._result
+
+    def rows(self, engine) -> list:
+        """Collected text-encoded rows (one engine job, memoized across
+        suspended Execute resumptions)."""
+        if self._rows is None:
+            df = self.result(engine)
+            self._rows = df.select(*_text_exprs(df)).collect()
+        return self._rows
 
 
 class PostgresServer:
@@ -371,6 +491,7 @@ class PostgresServer:
             off += 2 * nfmt
             (nparams,) = struct.unpack_from("!h", body, off)
             off += 2
+            st = stmts[sname]
             params: list[str | None] = []
             for k in range(nparams):
                 fmt = fmts[k] if k < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
@@ -379,14 +500,24 @@ class PostgresServer:
                 if plen < 0:
                     params.append(None)
                     continue
+                if plen > len(body) - off:
+                    raise ValueError(
+                        f"malformed Bind: parameter ${k + 1} claims {plen} bytes"
+                    )
                 raw = body[off : off + plen]
                 off += plen
-                if fmt != 0:
-                    raise ValueError(
-                        "binary-format parameters are not supported "
-                        "(send text format)"
-                    )
-                params.append(raw.decode("utf-8", "replace"))
+                if fmt == 0:
+                    params.append(raw.decode("utf-8", "replace"))
+                else:
+                    # binary format: fixed-width decode for the core OIDs
+                    # (r8, VERDICT r07 #4) — requires a declared type
+                    oid = st.param_oids[k] if k < len(st.param_oids) else 0
+                    if oid == 0:
+                        raise ValueError(
+                            f"binary-format parameter ${k + 1} requires a "
+                            "declared type OID in Parse"
+                        )
+                    params.append(_decode_binary_param(raw, oid, k + 1))
             (nres,) = struct.unpack_from("!h", body, off)
             off += 2
             for k in range(nres):
@@ -394,11 +525,10 @@ class PostgresServer:
                     raise ValueError(
                         "binary-format result columns are not supported"
                     )
-            st = stmts[sname]
             if len(portals) >= 256 and portal not in portals:
                 raise ValueError("too many open portals (max 256)")
             portals[portal] = _Portal(
-                _substitute_params(st.sql, params, st.param_oids)
+                _substitute_params(st.sql, params, st.param_oids), st
             )
             conn.send(b"2")  # BindComplete
         elif mtype == b"D":  # Describe 'S' statement | 'P' portal
@@ -413,7 +543,39 @@ class PostgresServer:
                     struct.pack("!h", len(oids))
                     + b"".join(struct.pack("!I", o) for o in oids),
                 )
-                conn.send(b"n")  # NoData: row metadata requires bound params
+                # RowDescription without bound parameters (ADVICE r07 #1:
+                # Npgsql / PgJDBC describe statements before binding and
+                # treat NoData as "rowless"): plan the SELECT with typed
+                # NULLs substituted — `engine.execute_sql` is lazy for
+                # queries (a DataFrame plan, no job) and side-effect-free
+                # for these statement heads, so this only derives schema.
+                # Genuinely rowless statements (DDL/INSERT) keep NoData —
+                # that IS the correct Describe answer for them.
+                head = st.sql.strip().lower()
+                if head.startswith(("select", "with", "values", "show", "describe", "desc ", "exists")):
+                    try:
+                        nsql = _substitute_params(
+                            st.sql,
+                            [None] * len(oids),
+                            st.param_oids,
+                            null_render=_typed_null,
+                        )
+                        planned = self.engine.execute_sql(nsql)
+                    except Exception as e:  # noqa: BLE001 — planning failed
+                        # NULL-substituted planning can fail where a real
+                        # bind would succeed; answer NoData but remember —
+                        # Execute must then refuse to stream DataRows the
+                        # client was told would never come
+                        st.described_nodata = True
+                        conn.send(b"n")
+                        return
+                    if planned is None or isinstance(planned, int):
+                        conn.send(b"n")
+                    else:
+                        st.described_nodata = False
+                        conn.send(b"T", _row_description(planned))
+                else:
+                    conn.send(b"n")  # rowless statement (DDL/INSERT)
             else:
                 if name not in portals:
                     raise ValueError(f"unknown portal {name!r}")
@@ -426,8 +588,11 @@ class PostgresServer:
                     conn.send(b"n")  # NoData
                 else:
                     conn.send(b"T", _row_description(result))
-        elif mtype == b"E":  # Execute: portal, max rows (0 = all; we send all)
-            name = _read_cstr(body, 0)[0]
+        elif mtype == b"E":  # Execute: portal, max rows (0 = all)
+            name, off = _read_cstr(body, 0)
+            max_rows = 0
+            if off + 4 <= len(body):
+                (max_rows,) = struct.unpack_from("!i", body, off)
             if name not in portals:
                 raise ValueError(f"unknown portal {name!r}")
             p = portals[name]
@@ -440,8 +605,22 @@ class PostgresServer:
             elif isinstance(result, int):
                 conn.send_command_complete(f"INSERT 0 {result}")
             else:
-                n = self._send_data_rows(conn, result)
-                conn.send_command_complete(f"SELECT {n}")
+                if p.stmt is not None and p.stmt.described_nodata:
+                    raise ValueError(
+                        "statement was described as NoData (schema "
+                        "derivation failed) but produces rows; re-Parse "
+                        "or Describe the bound portal instead"
+                    )
+                rows = p.rows(self.engine)
+                chunk = rows[p.pos :] if max_rows <= 0 else rows[p.pos : p.pos + max_rows]
+                for row in chunk:
+                    conn.send(b"D", _data_row(row))
+                p.pos += len(chunk)
+                if max_rows > 0 and p.pos < len(rows):
+                    conn.send(b"s")  # PortalSuspended — resume on next Execute
+                else:
+                    # tag reports total rows this portal returned
+                    conn.send_command_complete(f"SELECT {p.pos}")
         elif mtype == b"C":  # Close 'S' | 'P'
             kind, name = body[:1], _read_cstr(body, 1)[0]
             (stmts if kind == b"S" else portals).pop(name, None)
@@ -456,17 +635,7 @@ class PostgresServer:
     def _send_data_rows(self, conn: _Conn, df) -> int:
         rows = df.select(*_text_exprs(df)).collect()
         for row in rows:
-            body = struct.pack("!h", len(row))
-            for v in row:
-                if v is None:
-                    body += struct.pack("!i", -1)
-                else:
-                    if isinstance(v, bool):
-                        s = b"t" if v else b"f"  # pgwire bool text format
-                    else:
-                        s = str(v).encode()
-                    body += struct.pack("!i", len(s)) + s
-            conn.send(b"D", body)
+            conn.send(b"D", _data_row(row))
         return len(rows)
 
     # ----------------------------------------------------------- lifecycle
@@ -480,6 +649,21 @@ class PostgresServer:
         self.server.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def _data_row(row) -> bytes:
+    """One DataRow body from an already-text-encoded Row."""
+    body = struct.pack("!h", len(row))
+    for v in row:
+        if v is None:
+            body += struct.pack("!i", -1)
+        else:
+            if isinstance(v, bool):
+                s = b"t" if v else b"f"  # pgwire bool text format
+            else:
+                s = str(v).encode()
+            body += struct.pack("!i", len(s)) + s
+    return body
 
 
 def _row_description(df) -> bytes:
@@ -515,19 +699,15 @@ def _text_exprs(df):
 
 
 def _count_placeholders(sql: str) -> int:
-    """Highest $n outside single-quoted strings (0 when none)."""
-    hi, i, n, in_str = 0, 0, len(sql), False
+    """Highest $n at a code position (0 when none) — shares the
+    string/identifier/comment scanner with `_substitute_params`."""
+    hi, i, n = 0, 0, len(sql)
     while i < n:
-        ch = sql[i]
-        if in_str:
-            if ch == "'":
-                if i + 1 < n and sql[i + 1] == "'":
-                    i += 2
-                    continue
-                in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+        j = _skip_noncode(sql, i)
+        if j is not None:
+            i = j
+            continue
+        if sql[i] == "$" and i + 1 < n and sql[i + 1].isdigit():
             j = i + 1
             while j < n and sql[j].isdigit():
                 j += 1

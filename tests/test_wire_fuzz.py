@@ -340,8 +340,9 @@ def test_mysql_stmt_execute_garbage(mysql_srv, body):
 @settings(**_SETTINGS)
 @given(sql=st.text(max_size=120))
 def test_mysql_stmt_prepare_arbitrary_text(mysql_srv, sql):
-    """COM_STMT_PREPARE with arbitrary text either prepares (no '?') or
-    errors (with '?'), and a follow-up query still works."""
+    """COM_STMT_PREPARE with arbitrary text either prepares (answering
+    num_params placeholder definitions when '?' appears at code
+    positions) or errors, and a follow-up query still works."""
     with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
         s.settimeout(4)
         head = _read_n(s, 4)
@@ -360,3 +361,70 @@ def test_mysql_stmt_prepare_arbitrary_text(mysql_srv, sql):
         assert resp[0] in (0x00, 0xFF)
         _send_mysql(s, 0, b"\x01")
     _mysql_alive(mysql_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(block=st.binary(max_size=48))
+def test_mysql_param_execute_garbage_block(mysql_srv, block):
+    """COM_STMT_EXECUTE against a statement WITH placeholders and an
+    arbitrary parameter block (r8): the binary decode must answer a
+    resultset or an error packet — never hang or kill the worker."""
+    with socket.create_connection(("127.0.0.1", mysql_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        payload = (
+            struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 0x21)
+            + b"\x00" * 23
+            + b"root\x00\x00"
+        )
+        _send_mysql(s, 1, payload)
+        head = _read_n(s, 4)
+        _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        _send_mysql(s, 0, b"\x16" + b"select ? as p, ? as q")
+        head = _read_n(s, 4)
+        ok = _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        assert ok[0] == 0x00
+        stmt_id = struct.unpack_from("<I", ok, 1)[0]
+        for _ in range(3):  # two param defs + EOF
+            head = _read_n(s, 4)
+            _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        _send_mysql(s, 0, b"\x17" + struct.pack("<IBI", stmt_id, 0, 1) + block)
+        head = _read_n(s, 4)
+        resp = _read_n(s, head[0] | (head[1] << 8) | (head[2] << 16))
+        # error packet, OK, or the first packet of a resultset — all fine;
+        # the invariant is a well-formed answer and a surviving listener
+        assert len(resp) >= 1
+        _send_mysql(s, 0, b"\x01")
+    _mysql_alive(mysql_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(
+    oid=st.sampled_from([16, 20, 21, 23, 700, 701, 1114, 25]),
+    raw=st.binary(max_size=16),
+)
+def test_pg_binary_bind_arbitrary_widths(pg_srv, oid, raw):
+    """Binary-format Bind values of arbitrary length against every core
+    OID (r8, VERDICT r07 #4): wrong widths and unsupported OIDs must
+    error cleanly; Sync always answers ReadyForQuery."""
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        parse = b"\x00SELECT $1\x00" + struct.pack("!h", 1) + struct.pack("!I", oid)
+        s.sendall(b"P" + struct.pack("!I", 4 + len(parse)) + parse)
+        bind = (
+            b"\x00\x00"
+            + struct.pack("!hh", 1, 1)  # one format code: binary
+            + struct.pack("!h", 1)      # one parameter
+            + struct.pack("!i", len(raw)) + raw
+            + struct.pack("!h", 0)
+        )
+        s.sendall(b"B" + struct.pack("!I", 4 + len(bind)) + bind)
+        s.sendall(b"E" + struct.pack("!I", 9) + b"\x00" + struct.pack("!i", 0))
+        s.sendall(b"S" + struct.pack("!I", 4))
+        msgs = _pg_read_until_ready(s)
+        assert msgs[-1].startswith(b"Z")
+    _pg_alive(pg_srv.port)

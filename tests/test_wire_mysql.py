@@ -166,12 +166,17 @@ def test_mysql_error_and_prepare(mysql_server):
     c = MiniMySQLClient(mysql_server.port)
     with pytest.raises(RuntimeError, match="no such table|not found|TABLE_NOT_FOUND|error"):
         c.query("select * from missing_table")
-    # COM_STMT_PREPARE → ER_NOT_SUPPORTED_YET (worker.rs on_prepare)
+    # COM_STMT_PREPARE with a placeholder now answers PREPARE_OK with
+    # num_params=1 plus one param definition + EOF (r8 — beyond the
+    # reference, whose worker.rs on_prepare rejects every prepare)
     c.seq = 0
     c._send_packet(b"\x16" + b"select ?")
-    err = c._read_packet()
-    assert err[0] == 0xFF
-    assert struct.unpack_from("<H", err, 1)[0] == 1235
+    ok = c._read_packet()
+    assert ok[0] == 0x00
+    _, ncols, nparams = struct.unpack_from("<IHH", ok, 1)
+    assert nparams == 1 and ncols == 0
+    c._read_packet()  # the param definition
+    assert c._read_packet()[0] == 0xFE  # EOF after param defs
     c.close()
 
 
@@ -296,14 +301,204 @@ def test_mysql_prepare_escaped_quote_scanner(mysql_server):
     # a backslash-escaped quote inside a string must not desynchronize
     # the placeholder scanner (r7 review)
     c = MiniMySQLClient(mysql_server.port)
-    # real ? after an escaped quote → parameterized → ER_NOT_SUPPORTED_YET
+    # real ? after an escaped quote → counted as a parameter (r8: prepares
+    # with num_params=1 instead of the pre-r8 ER_NOT_SUPPORTED_YET)
     c.seq = 0
     c._send_packet(b"\x16" + b"select 'don\\'t', ?")
-    err = c._read_packet()
-    assert err[0] == 0xFF and struct.unpack_from("<H", err, 1)[0] == 1235
+    ok = c._read_packet()
+    assert ok[0] == 0x00
+    assert struct.unpack_from("<IHH", ok, 1)[2] == 1  # num_params
+    c._read_packet()  # param def
+    assert c._read_packet()[0] == 0xFE
     # ? inside a string after an escaped quote → parameterless → prepares
     c.seq = 0
     c._send_packet(b"\x16" + b"select 'don\\'t teach ?s' as s")
     ok = c._read_packet()
     assert ok[0] == 0x00
+    assert struct.unpack_from("<IHH", ok, 1)[2] == 0
     c.close()
+
+
+# --- `?`-parameterized COM_STMT_EXECUTE (round 8: VERDICT r07 #3) ----------
+
+
+def _prepare(c: MiniMySQLClient, sql: bytes) -> tuple[int, int]:
+    """COM_STMT_PREPARE; returns (stmt_id, num_params), draining param
+    definitions."""
+    c.seq = 0
+    c._send_packet(b"\x16" + sql)
+    ok = c._read_packet()
+    if ok[0] == 0xFF:
+        raise RuntimeError(
+            f"prepare error {struct.unpack_from('<H', ok, 1)[0]}: {ok[10:].decode()}"
+        )
+    stmt_id, ncols, nparams = struct.unpack_from("<IHH", ok, 1)
+    for _ in range(nparams):
+        c._read_packet()
+    if nparams:
+        assert c._read_packet()[0] == 0xFE
+    for _ in range(ncols):
+        c._read_packet()
+    if ncols:
+        assert c._read_packet()[0] == 0xFE
+    return stmt_id, nparams
+
+
+def _execute(c: MiniMySQLClient, stmt_id: int, params=(), types=None,
+             new_bound: int = 1):
+    """COM_STMT_EXECUTE with a binary parameter block; params is a list of
+    (mysql_type, unsigned, wire_bytes_or_None).  Returns ('ok', affected)
+    or (ncols, rows-as-lenenc-strings) or raises."""
+    n = len(params)
+    body = struct.pack("<IBI", stmt_id, 0, 1)
+    if n:
+        bitmap = bytearray((n + 7) // 8)
+        for i, (_t, _u, raw) in enumerate(params):
+            if raw is None:
+                bitmap[i // 8] |= 1 << (i % 8)
+        body += bytes(bitmap) + bytes([new_bound])
+        if new_bound:
+            for t, u, _raw in params:
+                body += bytes([t, 0x80 if u else 0])
+        for _t, _u, raw in params:
+            if raw is not None:
+                body += raw
+    c.seq = 0
+    c._send_packet(b"\x17" + body)
+    first = c._read_packet()
+    if first[0] == 0xFF:
+        raise RuntimeError(
+            f"mysql error {struct.unpack_from('<H', first, 1)[0]}: {first[10:].decode()}"
+        )
+    if first[0] == 0x00:
+        affected, _ = c._lenenc(first, 1)
+        return ("ok", affected)
+    ncols, _ = c._lenenc(first, 0)
+    for _ in range(ncols):
+        c._read_packet()
+    assert c._read_packet()[0] == 0xFE
+    rows = []
+    nbitmap = (ncols + 7 + 2) // 8
+    while True:
+        pkt = c._read_packet()
+        if pkt[0] == 0xFE and len(pkt) < 9:
+            break
+        bitmap, pos, row = pkt[1 : 1 + nbitmap], 1 + nbitmap, []
+        for i in range(ncols):
+            if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+                row.append(None)
+                continue
+            ln, pos = c._lenenc(pkt, pos)
+            row.append(pkt[pos : pos + ln].decode())
+            pos += ln
+        rows.append(tuple(row))
+    return (ncols, rows)
+
+
+def _lenenc_bytes(data: bytes) -> bytes:
+    assert len(data) < 0xFB
+    return bytes([len(data)]) + data
+
+
+@pytest.fixture()
+def mysql_params(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE pdemo (name string TAG, v double, n bigint, "
+        "t timestamp NOT NULL, timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    c.query(
+        "insert into pdemo (name, v, n, t) values "
+        "('a', 1.5, 10, 1691116127622), ('b', 2.5, 20, 1691116127623), "
+        "('o''brien', 3.5, 30, 1691116127624)"
+    )
+    yield c
+    c.close()
+
+
+def test_mysql_param_select_roundtrip(mysql_params):
+    c = mysql_params
+    sid, nparams = _prepare(c, b"select name, v from pdemo where name = ?")
+    assert nparams == 1
+    ncols, rows = _execute(c, sid, [(0xFD, False, _lenenc_bytes(b"a"))])
+    assert rows == [("a", "1.5")]
+    # re-execute with new_params_bound_flag=0 reuses cached types
+    ncols, rows = _execute(
+        c, sid, [(0xFD, False, _lenenc_bytes(b"b"))], new_bound=0
+    )
+    assert rows == [("b", "2.5")]
+    # numeric binary params: LONGLONG and DOUBLE
+    sid2, _ = _prepare(c, b"select name from pdemo where n >= ? and v < ? order by name")
+    ncols, rows = _execute(
+        c, sid2,
+        [(0x08, False, struct.pack("<q", 20)), (0x05, False, struct.pack("<d", 3.0))],
+    )
+    assert [r[0] for r in rows] == ["b"]
+    # LONG (int32) + unsigned flag
+    sid3, _ = _prepare(c, b"select count(*) as cnt from pdemo where n = ?")
+    ncols, rows = _execute(c, sid3, [(0x03, True, struct.pack("<I", 30))])
+    assert rows == [("1",)]
+
+
+def test_mysql_param_null_and_insert(mysql_params):
+    c = mysql_params
+    sid, _ = _prepare(
+        c, b"insert into pdemo (name, v, n, t) values (?, ?, ?, ?)"
+    )
+    out = _execute(
+        c, sid,
+        [
+            (0xFD, False, _lenenc_bytes(b"c")),
+            (0x05, False, struct.pack("<d", 9.5)),
+            (0x06, False, None),  # NULL via bitmap + MYSQL_TYPE_NULL
+            (0x08, False, struct.pack("<q", 1691116127625)),
+        ],
+    )
+    assert out == ("ok", 1)
+    sid2, _ = _prepare(c, b"select v, n from pdemo where name = ?")
+    _, rows = _execute(c, sid2, [(0xFD, False, _lenenc_bytes(b"c"))])
+    assert rows == [("9.5", None)]
+
+
+def test_mysql_param_injection_and_comments(mysql_params):
+    c = mysql_params
+    # quote/backslash injection stays inside the literal (same rendering
+    # the PG side proved in r7)
+    sid, _ = _prepare(c, b"select count(*) as cnt from pdemo where name = ?")
+    _, rows = _execute(
+        c, sid, [(0xFD, False, _lenenc_bytes(b"x\\' OR 1=1 -- "))]
+    )
+    assert rows == [("0",)]
+    _, rows = _execute(
+        c, sid, [(0xFD, False, _lenenc_bytes(b"o'brien"))]
+    )
+    assert rows == [("1",)]
+    # `?` inside a comment is NOT a parameter (ADVICE r07: `-- ok?`)
+    sid2, nparams = _prepare(c, b"select 1 as one -- ok?")
+    assert nparams == 0
+    _, rows = _execute(c, sid2)
+    assert rows == [("1",)]
+    sid3, nparams = _prepare(c, b"select /* ? */ name from pdemo where name = ?")
+    assert nparams == 1
+    _, rows = _execute(c, sid3, [(0xFD, False, _lenenc_bytes(b"a"))])
+    assert rows == [("a",)]
+
+
+def test_mysql_param_decimal_and_unsupported(mysql_params):
+    c = mysql_params
+    # NEWDECIMAL rides as validated ascii, inlined unquoted
+    sid, _ = _prepare(c, b"select name from pdemo where v = ?")
+    _, rows = _execute(c, sid, [(0xF6, False, _lenenc_bytes(b"2.5"))])
+    assert [r[0] for r in rows] == ["b"]
+    # malformed decimal rejected, connection stays usable
+    with pytest.raises(RuntimeError, match="decimal parameter"):
+        _execute(c, sid, [(0xF6, False, _lenenc_bytes(b"2.5; drop"))])
+    # unsupported binary type (DATETIME 0x0c) → ER_NOT_SUPPORTED_YET
+    with pytest.raises(RuntimeError, match="1235"):
+        _execute(c, sid, [(0x0C, False, b"\x00")])
+    # truncated fixed-width value → clean error, no hang
+    with pytest.raises(RuntimeError, match="truncated"):
+        _execute(c, sid, [(0x05, False, struct.pack("<f", 1.0))])
+    # connection still works
+    _, rows = _execute(c, sid, [(0xF6, False, _lenenc_bytes(b"1.5"))])
+    assert [r[0] for r in rows] == ["a"]

@@ -314,12 +314,125 @@ def test_pg_extended_insert_and_reuse(pg_ext):
 
 
 def test_pg_extended_describe_statement(pg_ext):
-    pg_ext.parse("select name from extdemo where value > $1", name="st")
+    # Describe('S') on a SELECT now answers ParameterDescription +
+    # RowDescription derived by planning with typed NULLs (r8, ADVICE r07
+    # #1 — pre-bind describing drivers like Npgsql/PgJDBC need the schema)
+    pg_ext.parse("select name, value from extdemo where value > $1", name="st")
     pg_ext.describe(b"S", "st")
     pg_ext.sync()
+    msgs, _, cols, _, err = pg_ext.drain()
+    assert err is None and b"t" in msgs and b"T" in msgs and b"n" not in msgs
+    assert dict(cols) == {"name": 25, "value": 701}
+    # ...and the subsequent bind/execute streams rows under that schema
+    pg_ext.bind(["2.0"], name="st")
+    pg_ext.execute()
+    pg_ext.sync()
+    _, tag, _, rows, err = pg_ext.drain()
+    assert err is None and tag == "SELECT 2"
+    # Describe('S') on a rowless statement (INSERT) stays NoData — the
+    # protocol-correct answer; Execute sends no DataRows for it
+    pg_ext.parse(
+        "insert into extdemo (name, value, t) values ($1, $2, $3)", name="ins"
+    )
+    pg_ext.describe(b"S", "ins")
+    pg_ext.sync()
     msgs, *_ = pg_ext.drain()
-    # ParameterDescription then NoData (row metadata needs bound params)
-    assert b"t" in msgs and b"n" in msgs
+    assert b"t" in msgs and b"n" in msgs and b"T" not in msgs
+
+
+def test_pg_extended_binary_params(pg_ext):
+    # binary-format parameters for the fixed-width core OIDs (r8,
+    # VERDICT r07 #4): int8 + float8, big-endian
+    pg_ext.parse(
+        "select name from extdemo where value > $1 and t >= $2 order by name",
+        oids=[701, 20],
+    )
+    pg_ext.bind(
+        [struct.pack("!d", 2.0), struct.pack("!q", 1691116127622)],
+        param_fmts=[1, 1],
+    )
+    pg_ext.execute()
+    pg_ext.sync()
+    _, tag, _, rows, err = pg_ext.drain()
+    assert err is None and [r[0] for r in rows] == ["b", "o'brien"]
+    # bool binary param
+    pg_ext.parse("select count(*) as n from extdemo where $1", oids=[16])
+    pg_ext.bind([b"\x01"], param_fmts=[1])
+    pg_ext.execute()
+    pg_ext.sync()
+    _, _, _, rows, err = pg_ext.drain()
+    assert err is None and rows == [("3",)]
+    # mixed text + binary formats (per-param format codes)
+    pg_ext.parse(
+        "select value from extdemo where name = $1 and value < $2",
+        oids=[25, 701],
+    )
+    pg_ext.bind(["a", struct.pack("!d", 2.0)], param_fmts=[0, 1])
+    pg_ext.execute()
+    pg_ext.sync()
+    _, _, _, rows, err = pg_ext.drain()
+    assert err is None and rows == [("1.5",)]
+
+
+def test_pg_extended_binary_param_errors(pg_ext):
+    # wrong width → clear error, connection recovers after Sync
+    pg_ext.parse("select $1 from extdemo", oids=[20])
+    pg_ext.bind([struct.pack("!i", 5)], param_fmts=[1])  # 4 bytes for int8
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "8 bytes" in err
+    # binary format with an undeclared OID → clear error
+    pg_ext.parse("select $1")
+    pg_ext.bind([struct.pack("!q", 5)], param_fmts=[1])
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "declared type OID" in err
+    # unsupported binary OID (timestamp) keeps a clear rejection
+    pg_ext.parse("select $1", oids=[1114])
+    pg_ext.bind([struct.pack("!q", 5)], param_fmts=[1])
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "not supported" in err
+    # connection usable afterwards
+    tag, _, rows = pg_ext.exec_params("select name from extdemo where name = $1", ["b"])
+    assert rows == [("b",)]
+
+
+def test_pg_extended_execute_max_rows_suspends(pg_ext):
+    # bounded Execute honors max-rows and suspends (r8, ADVICE r07 #2)
+    pg_ext.parse("select name from extdemo order by name", name="cur")
+    pg_ext.bind(name="cur", portal="pc")
+    pg_ext.execute(portal="pc", max_rows=2)
+    pg_ext.execute(portal="pc", max_rows=2)
+    pg_ext.sync()
+    msgs, tag, _, rows, err = pg_ext.drain()
+    assert err is None
+    assert msgs.count(b"D") == 3  # 2 rows, suspend, then the last row
+    assert b"s" in msgs  # PortalSuspended after the bounded fetch
+    assert [r[0] for r in rows] == ["a", "b", "o'brien"]
+    assert tag == "SELECT 3"  # total rows the portal returned
+    # an exhausted portal answers CommandComplete with no further rows
+    pg_ext.execute(portal="pc", max_rows=2)
+    pg_ext.sync()
+    msgs, tag, _, rows, err = pg_ext.drain()
+    assert err is None and msgs.count(b"D") == 0 and tag == "SELECT 3"
+
+
+def test_pg_placeholder_scanner_skips_identifiers_and_comments(pg_ext):
+    # $1 inside double quotes is not a placeholder (ADVICE r07 #3) —
+    # the engine lexes "..." as a string literal
+    tag, _, rows = pg_ext.exec_params('select "x$1" as lit')
+    assert rows == [("x$1",)]
+    # $1 inside a line comment is not a placeholder
+    tag, _, rows = pg_ext.exec_params(
+        "select name from extdemo where name = $1 -- and value = $2\n", ["a"]
+    )
+    assert rows == [("a",)]
+    # $1 inside a block comment is not a placeholder
+    tag, _, rows = pg_ext.exec_params(
+        "select name from extdemo /* $2 */ where name = $1", ["b"]
+    )
+    assert rows == [("b",)]
 
 
 def test_pg_extended_errors_skip_to_sync(pg_ext):
