@@ -30,6 +30,8 @@ micro-batch (no driver-side rows), the dedup view is one window over
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +44,30 @@ from incubator_horaedb_spark.querybank.registry import _ts_read_confs, register
 _UPD_PRED = "event_type = 'click' AND (user_id % 10) = 0"
 _SHIFT = 1000.0
 
-_STATE: dict = {"sf_dir": None, "table": None}
+_STATE: dict = {"sf_dir": None, "table": None, "store": None}
+
+# every fixture store is freed at interpreter exit, and eagerly when a
+# different sf_dir rebuilds it (ADVICE/VERDICT r07: repeated multi-tier
+# sweeps used to leave three ingested table copies per run on disk)
+_LIVE_STORES: set[str] = set()
+
+
+def _new_store(prefix: str, state: dict) -> str:
+    old = state.get("store")
+    if old:
+        _LIVE_STORES.discard(old)
+        shutil.rmtree(old, ignore_errors=True)
+    store = tempfile.mkdtemp(prefix=prefix)
+    _LIVE_STORES.add(store)
+    state["store"] = store
+    return store
+
+
+@atexit.register
+def _cleanup_stores() -> None:
+    for store in list(_LIVE_STORES):
+        shutil.rmtree(store, ignore_errors=True)
+    _LIVE_STORES.clear()
 
 
 def _ingested_events(spark: SparkSession, sf_dir: str):
@@ -59,7 +84,7 @@ def _ingested_events(spark: SparkSession, sf_dir: str):
         if tbl.spark is spark:
             return tbl
     _ts_read_confs(spark)
-    store = tempfile.mkdtemp(prefix="sg_stream_e2e_")
+    store = _new_store("sg_stream_e2e_", _STATE)
     engine = Engine(spark, store)
     # the file stream source requires a DIRECTORY; expose the single
     # testdata file through a symlinked source dir (testdata is read-only)
@@ -243,7 +268,7 @@ def _ingested_ttl_clicks(spark: SparkSession, sf_dir: str):
     import os
 
     _ts_read_confs(spark)
-    store = tempfile.mkdtemp(prefix="sg_stream_ttl_")
+    store = _new_store("sg_stream_ttl_", _TTL_STATE)
     engine = Engine(spark, store)
     src_dir = f"{store}/src"
     os.makedirs(src_dir, exist_ok=True)
