@@ -40,12 +40,57 @@ BENCH_QUERIES = [
     "ann_cosine_bruteforce",
     "ann_topk_blocked",
     "text_fingerprint",
+    # r8 (VERDICT r07 #7): tag-equality + time-range read over the
+    # key-partitioned + segmented table layout — partition/segment
+    # directory pruning is the plan property that matters at 100 TB
+    # (fixture table built once in the warm-up run, excluded from timing)
+    "partitioned_scan_prune",
 ]
 
 # queries that consume the shared shingle stage: between runs, drop every
 # cache EXCEPT the stage views so the timing isolates incremental work
 SHINGLE_CONSUMERS = {"dedup_minhash_lsh", "dedup_simhash"}
 SHINGLE_VIEWS = ("__shingle_tokh", "__shingle_hs")
+
+
+def _py_spin_sec() -> float:
+    """Fixed pure-CPU calibration workload (VERDICT r07 next-round #2):
+    a constant xorshift loop whose wall time moves ONLY with effective
+    CPU speed.  Recorded before and after the bench so a throttled VM
+    shows up as data instead of narrative — if the spin time is inflated
+    relative to its historical ~baseline, query regressions co-moving
+    with it are environmental."""
+    x, t0 = 0x9E3779B97F4A7C15, time.time()
+    for _ in range(8_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    if x == 0:  # unreachable; keeps the loop un-eliminable
+        print(x, file=sys.stderr)
+    return round(time.time() - t0, 3)
+
+
+def _jvm_spin_sec(spark) -> float:
+    """JVM-side calibration: a fixed codegen aggregation over range() —
+    no I/O, no shuffle; tracks executor-thread CPU speed."""
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 8).selectExpr(
+        "sum(id % 1000003) as s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+def _cpu_mhz() -> float | None:
+    try:
+        with open("/proc/cpuinfo") as f:
+            vals = [
+                float(line.split(":")[1])
+                for line in f
+                if line.lower().startswith("cpu mhz")
+            ]
+        return round(sum(vals) / len(vals), 1) if vals else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -55,6 +100,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = querybank.queries()
+
+    calib = {"cpu_mhz_before": _cpu_mhz()}
+    calib["py_spin_sec_before"] = _py_spin_sec()
+    _jvm_spin_sec(spark)  # discard: first run pays codegen compilation
+    calib["jvm_spin_sec_before"] = _jvm_spin_sec(spark)
 
     # Warm the JVM, whole-stage-codegen compiler, and vectorized parquet
     # reader before timing — steady-state engine throughput is the metric,
@@ -138,17 +188,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calib["py_spin_sec_after"] = _py_spin_sec()
+    calib["jvm_spin_sec_after"] = _jvm_spin_sec(spark)
+    calib["cpu_mhz_after"] = _cpu_mhz()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
+                # min-of-5 total: far more robust to the VM's bursty-CPU
+                # throttle than the median (VERDICT r07 #2) — compare this
+                # across rounds when the spin calibration moved
+                "value_min": round(sum(mins.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": mins,
                 "queries_spread": spreads,
                 "runs_per_query": TIMED_RUNS,
+                # fixed-workload calibration bracketing the run: if these
+                # differ from their cross-round baseline, the environment
+                # moved — read query deltas against the spin ratio
+                "calibration": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -213,13 +213,17 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # Every demoted query remains gated in the full-bank sweeps at all
     # tiers every round.
     # -- anchors (driver-green r07) --
-    "q1_pricing_summary", "scan_filter_project", "topk_order_limit",
+    "q1_pricing_summary", "scan_filter_project",
     "join_inner_3way",
     "time_bucket_minute", "dedup_latest_by_key", "time_range_scan",
     "promql_rate", "promql_instant",
     "dedup_minhash_lsh", "ann_cosine_bruteforce",
     "streaming_ingest_dedup_read",
     # -- never-driver-verified promotions (r8) --
+    # new this round: key-partition + segment directory pruning read
+    # (VERDICT r07 #7; takes the slot of 7-rounds-green topk_order_limit,
+    # whose TakeOrderedAndProject family stays plan-asserted + swept)
+    "partitioned_scan_prune",
     # TPC-H derivatives q2-q22 (q1/q5/q18 were driver-green earlier)
     "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
@@ -251,6 +255,7 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "tsz_dod_compression",
     # ------------------------------------------------------------------
     # round-8 demotions (ALL driver-green r07, locally gated every round)
+    "topk_order_limit",
     "set_union_all", "distinct_agg", "window_rownum_top2", "rollup_agg",
     "percentile_exact", "udaf_energy_by_type", "scalar_functions",
     "promql_sum_by_ts", "opentsdb_downsample_groupby",

@@ -268,14 +268,28 @@ class Table:
             df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
         return df.select(*[c.name for c in schema.columns])
 
-    def read_pruned(self, filters: dict, now_ms: int | None = None) -> DataFrame:
+    def read_pruned(
+        self,
+        filters: dict,
+        now_ms: int | None = None,
+        lo_ms: int | None = None,
+        hi_ms: int | None = None,
+    ) -> DataFrame:
         """Key-partition-pruned read: equality/in-list filters over the
         partition keys become a ``__partition IN (...)`` predicate that
         Spark turns into partition directory pruning
-        (locate_partitions_for_read, key.rs:192-230)."""
+        (locate_partitions_for_read, key.rs:192-230).  Optional time
+        bounds compose with it the same way ``read_time_range`` does —
+        derived ``__segment`` bounds prune the time dimension of the
+        directory layout, the row-exact timestamp predicate trims edge
+        segments — so a tag-equality + time-range query (the canonical
+        TSDB shape, query-plan.sql:38-66) lists only the
+        (partition x segment) directories it touches."""
         meta = self.meta
         if not meta.options.partition_keys:
-            df = self.read(now_ms=now_ms)
+            df = self.read(now_ms=now_ms) if lo_ms is None and hi_ms is None else (
+                self.read_time_range(lo_ms=lo_ms, hi_ms=hi_ms, now_ms=now_ms)
+            )
             for c, v in filters.items():
                 df = df.filter(F.col(c).isin(list(v)) if isinstance(v, (list, tuple, set)) else (F.col(c) == v))
             return df
@@ -289,6 +303,18 @@ class Table:
         df = self.spark.read.schema(self._read_schema()).parquet(
             self.catalog.data_dir(self.name)
         ).filter(cond)
+        seg_ms = meta.options.segment_duration_ms
+        if seg_ms:
+            seg = F.col(SEGMENT_COLUMN)
+            if lo_ms is not None:
+                df = df.filter(seg >= lo_ms // seg_ms)
+            if hi_ms is not None:
+                df = df.filter(seg <= (hi_ms - 1) // seg_ms)
+        ts_ms_col = F.unix_millis(F.col(schema.timestamp_column))
+        if lo_ms is not None:
+            df = df.filter(ts_ms_col >= lo_ms)
+        if hi_ms is not None:
+            df = df.filter(ts_ms_col < hi_ms)
         if meta.options.enable_ttl:
             now = int(__import__("time").time() * 1000) if now_ms is None else now_ms
             df = df.filter(

@@ -98,3 +98,69 @@ def test_repetition_shuffles_are_doc_keyed(spark, sf_dir, qs):
     assert _exchanges(df) <= 2, text
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_partitioned_scan_prune_partition_filters(spark, sf_dir, qs):
+    """r8 (VERDICT r07 #7): the key-partitioned + segmented read must
+    prune BOTH directory dimensions at the scan — `__partition IN (...)`
+    from the tag-equality filter and `__segment` bounds from the time
+    range appear in the FileSourceScan's PartitionFilters (the Spark
+    rendering of query-plan.sql:38-66's "should not include SST"), and
+    the row-exact timestamp predicate reaches PushedFilters."""
+    df = qs["partitioned_scan_prune"](spark, sf_dir)
+    text = explain_str(df, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m, text[:2000]
+    pf = m.group(1)
+    assert "__partition" in pf and "__segment" in pf, pf
+    # exactly one candidate partition for a single-value equality filter
+    assert re.search(r"__partition.* IN \(\d+\)|__partition.* = \d+", pf), pf
+    # the fixture's layout really is multi-dimensional on disk
+    from incubator_horaedb_spark.querybank.partitioned import _partitioned_events
+
+    tbl = _partitioned_events(spark, sf_dir)
+    data = tbl.catalog.data_dir("ev_part")
+    import os
+
+    parts = [d for d in os.listdir(data) if d.startswith("__partition=")]
+    assert len(parts) > 1, parts
+    segs = [
+        d
+        for d in os.listdir(os.path.join(data, parts[0]))
+        if d.startswith("__segment=")
+    ]
+    assert len(segs) > 1, segs
+    # and the pruned (partition x segment) directory set is a strict
+    # subset of the layout: one candidate partition (of >1) and the
+    # 7 in-range segment days (of ~30) — inputFiles() can't show this
+    # (it lists the relation pre-pruning), but PartitionFilters above is
+    # Spark's listing-time prune contract over exactly these directories
+    from incubator_horaedb_spark.partition import locate_partitions_for_read
+    from incubator_horaedb_spark.querybank.partitioned import (
+        _HI_MS,
+        _LO_MS,
+        _NPART,
+        _SEG_MS,
+    )
+
+    cand = locate_partitions_for_read(spark, ["event_type"], _NPART, {"event_type": "click"})
+    assert cand is not None and len(cand) == 1
+    lo_seg, hi_seg = _LO_MS // _SEG_MS, (_HI_MS - 1) // _SEG_MS
+    n_selected = 0
+    for p in parts:
+        pid = int(p.split("=")[1])
+        p_segs = [
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(data, p))
+            if d.startswith("__segment=")
+        ]
+        n_selected += sum(
+            1 for s in p_segs if pid in cand and lo_seg <= s <= hi_seg
+        )
+    n_total = sum(
+        1
+        for p in parts
+        for d in os.listdir(os.path.join(data, p))
+        if d.startswith("__segment=")
+    )
+    assert 0 < n_selected < n_total / 4, (n_selected, n_total)

@@ -27,12 +27,14 @@ def test_driver_order_covers_families_in_first_50():
     # queries (all driver-green r07) stay gated in the full-bank sweeps.
     for rep in [
         # anchors
-        "q1_pricing_summary", "scan_filter_project", "topk_order_limit",
+        "q1_pricing_summary", "scan_filter_project",
         "join_inner_3way", "time_bucket_minute", "dedup_latest_by_key",
         "time_range_scan", "promql_rate", "promql_instant",
         "dedup_minhash_lsh", "ann_cosine_bruteforce",
         "streaming_ingest_dedup_read",
-        # never-driver-verified promotions
+        # never-driver-verified promotions (incl. the round-8-new
+        # partitioned pruning read, which took topk_order_limit's slot)
+        "partitioned_scan_prune",
         "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
         "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
         "q9_product_profit", "q10_returned_items", "q11_important_stock",

@@ -23,6 +23,10 @@ QUERIES = [
     "downsample_stddev", "promql_rate", "promql_instant",
     "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_bruteforce",
     "ann_topk_blocked", "text_fingerprint",
+    # r8 (VERDICT r07 #7): key-partitioned + segmented layout — the
+    # PartitionFilters column is the evidence that tag-equality and
+    # time-range predicates prune the directory listing, not just rows
+    "partitioned_scan_prune",
 ]
 
 
@@ -32,6 +36,8 @@ def digest(plan: str) -> dict[str, object]:
     plan = plan.split("== Initial Plan ==")[0]
     pushed = sorted(set(re.findall(r"PushedFilters: \[([^\]]*)\]", plan)))
     pushed = [p for p in pushed if p.strip()]
+    part = sorted(set(re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)))
+    part = [p for p in part if p.strip()]
     return {
         "exchanges": plan.count("Exchange "),
         "broadcasts": plan.count("BroadcastHashJoin"),
@@ -40,6 +46,7 @@ def digest(plan: str) -> dict[str, object]:
         "python_eval": plan.count("BatchEvalPython"),
         "arrow_eval": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         "pushed": "; ".join(pushed)[:160],
+        "part_filters": "; ".join(part)[:160],
     }
 
 
@@ -89,14 +96,14 @@ def main() -> None:
         "cached stages (token-hash, signatures, bands) execute once each as",
         "separate keyed jobs and are reused from memory.",
         "",
-        "| query | exchanges | broadcasts | smj | codegen | cartesian | py_eval | arrow | PushedFilters |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | broadcasts | smj | codegen | cartesian | py_eval | arrow | PushedFilters | PartitionFilters |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, d in rows:
         lines.append(
             f"| {name} | {d['exchanges']} | {d['broadcasts']} | {d['smj']} "
             f"| {d['codegen_spans']} | {d['cartesian']} | {d['python_eval']} "
-            f"| {d['arrow_eval']} | {d['pushed'] or '—'} |"
+            f"| {d['arrow_eval']} | {d['pushed'] or '—'} | {d['part_filters'] or '—'} |"
         )
     lines += [
         "",
