@@ -815,14 +815,29 @@ def dedup_cluster_reps_sql(d: Dialect, table: str = "documents", threshold: floa
     return d.cte_query(ctes, cc_summary_select(d, "labels"))
 
 
-def ngram_jaccard_sql(d: Dialect, table: str = "documents", threshold: float = 0.8) -> str:
+def ngram_jaccard_sql(
+    d: Dialect, table: str = "documents", threshold: float = 0.8, block: int | None = None
+) -> str:
     """One-shot all-pairs token-3-gram Jaccard (oracle side; the quadratic
-    baseline that minhash_lsh approximates — not the 100 TB path)."""
+    baseline that minhash_lsh approximates — not the 100 TB path).
+
+    ``block`` restricts to the BLOCK-DIAGONAL exact definition: only pairs
+    whose doc_ids share the same ``block``-sized contiguous id range are
+    scored (integer-exact, dialect-free ``id - id % block`` equality).
+    Cost drops from N²/2 to N·block/2 while a ~block/N share of the
+    uniform dup pairs survives — the sf1-tractable exact-oracle flavor
+    (VERDICT r07 #6).  At tiers where N <= block this IS the full
+    definition."""
     jac = _jaccard(d, "a.shs", "b.shs")
+    blk = (
+        f" AND (a.doc_id - (a.doc_id % {block})) = (b.doc_id - (b.doc_id % {block}))"
+        if block
+        else ""
+    )
     return d.cte_query(
         _shingle_ctes(d, table),
         f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, (CAST(floor(({jac}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
-    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id{blk}
     WHERE (CAST(floor(({jac}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) >= {threshold}""",
     )
 

@@ -96,16 +96,28 @@ def ann_bruteforce_sql(d: Dialect, table: str = "embeddings", k: int = 5, n_quer
     )
 
 
-def embedding_cosine_pairs_sql(d: Dialect, table: str = "embeddings", threshold: float = 0.45) -> str:
-    """Embedding near-duplicate pairs: cosine >= threshold (exact variant)."""
+def embedding_cosine_pairs_sql(
+    d: Dialect, table: str = "embeddings", threshold: float = 0.45, block: int | None = None
+) -> str:
+    """Embedding near-duplicate pairs: cosine >= threshold (exact variant).
+
+    ``block`` restricts to the block-diagonal exact definition (pairs
+    within the same ``block``-sized contiguous vec_id range) — the
+    sf1-tractable subset-oracle flavor (VERDICT r07 #6); full definition
+    whenever N <= block."""
     cos = f"({_dot(d, 'a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)"
+    blk = (
+        f" AND (a.vec_id - (a.vec_id % {block})) = (b.vec_id - (b.vec_id % {block}))"
+        if block
+        else ""
+    )
     return d.cte_query(
         [
             _normed_cte(d, table),
             (
                 "pairs",
                 f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_r6(cos)} AS cosine
-      FROM normed a JOIN normed b ON a.vec_id < b.vec_id""",
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id{blk}""",
             ),
         ],
         f"SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}",

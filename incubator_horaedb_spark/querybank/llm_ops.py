@@ -234,6 +234,69 @@ register("dedup_simhash", oracle=dedup.simhash_pairs_sql(DUCK))(_staged_simhash)
 _staged_ngram.__doc__ = dedup.ngram_jaccard_sql.__doc__
 register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0.8))(_staged_ngram)
 
+
+# --- sf1-tractable block-diagonal oracles (VERDICT r07 next-round #6) ------
+# The two quadratic-BY-SPEC baselines (dedup_ngram_jaccard's all-pairs
+# DuckDB oracle; embedding_near_dup_pairs, exact all-pairs on both sides)
+# are excluded from the sf1 sweep — 50k docs / 20k vecs make the exact
+# definition a >60-min single-core DuckDB wall (r7, killed).  These twins
+# score only pairs within the same 500-id contiguous block (the
+# BLOCK-DIAGONAL exact definition): cost drops N²/2 → N·500/2 (sf1: 1.25G
+# → 12.5M intersects, measured ~22 s at sf0.1), while the uniform dup
+# pairs survive at a ~500/N rate — ~26 ngram / ~14 cosine pairs expected
+# at sf1 (30 / 40 measured at sf0.1), so the sf1 row checks REAL pair
+# math, not an empty set (a plain id-slice keeps almost no pairs: dup
+# partners are uniform over the id space, probe r8).  At tiers where
+# N <= 500 this degenerates to the full all-pairs definition.  The ngram
+# twin keeps the ENGINE side on the prefix-filtered scale path (+ the
+# same block predicate, pushed into the verify join), so at sf1 it proves
+# scale-path == exact-definition — the equality the excluded row could
+# not show.
+
+_BLOCK = 500
+
+
+def _staged_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered ngram-Jaccard (the scale path) gated against the
+    block-diagonal exact definition.  Consumes the SHARED shingle stage
+    like every other dedup family; the block predicate references both
+    join sides, so Catalyst pushes it into the verify join."""
+    from pyspark.sql import functions as F
+
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    _stage(spark.sql(SPARK.unnest_select("doc_id", "shs", "h", hs)), "__ngram_ex")
+    _stage(
+        spark.sql(dedup.ngram_prefix_select(SPARK, hs, 0.8, "__ngram_ex")),
+        "__ngram_pfx",
+    )
+    # same byte-gated broadcast decision as _staged_ngram (array payload
+    # sizing, not row count)
+    try:
+        hs_bytes = int(
+            spark.table(hs)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        hs_bytes = 1 << 60
+    bcast = hs_bytes <= 512 * 1024 * 1024
+    return spark.sql(
+        dedup.ngram_verify_select(SPARK, hs, 0.8, "__ngram_pfx", broadcast_verify=bcast)
+    ).filter(F.expr(f"(doc_a - (doc_a % {_BLOCK})) = (doc_b - (doc_b % {_BLOCK}))"))
+
+
+register(
+    "dedup_ngram_jaccard_blocked",
+    oracle=dedup.ngram_jaccard_sql(DUCK, threshold=0.8, block=_BLOCK),
+)(_staged_ngram_blocked)
+
+_sql_query(
+    "embedding_near_dup_blockdiag",
+    similarity.embedding_cosine_pairs_sql,
+    threshold=0.45,
+    block=_BLOCK,
+    _tables=("embeddings",),
+)
+
+
 def _staged_nd_edges(spark: SparkSession, sf_dir: str) -> str:
     """Build the staged minhash-LSH → verified pairs → edge-list views;
     returns the edge view name.  Shared by the CC labeling chain and the

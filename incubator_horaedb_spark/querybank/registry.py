@@ -430,6 +430,10 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # (promql_parsed_scalar_of and promql_parsed_at promoted mid-round)
     "promql_parsed_scalar_mult",
     "promql_parsed_time_minus", "promql_parsed_max_rate",
+    # round-8: block-diagonal exact twins of the two sf1-excluded
+    # quadratic baselines (VERDICT r07 #6) — sf1-tractable oracles that
+    # check real pair math at every tier
+    "dedup_ngram_jaccard_blocked", "embedding_near_dup_blockdiag",
     # round-6: code-review regression locks — comparison over binary
     # vector expressions and the `or vector(0)` fallback (precedence and
     # absent_bool promoted into the top-50 mid-round)
