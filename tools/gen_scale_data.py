@@ -37,6 +37,17 @@ EXACT_DUP_RATE = 0.003
 TOKEN_SUB_RATE = 0.05  # per-token substitution inside a near-copy
 
 
+def _write_single_rg(tbl: pa.Table, path: str) -> None:
+    """ONE row group per file, matching the shipped sf0.1 layout (checked:
+    every /root/testdata parquet is a single row group).  pyarrow's 1Mi-row
+    default split the generated lineitem into 6 row groups, giving the sf1
+    tier 6-way scan parallelism the sf0.1 tier lacks — the "q1 faster at
+    10x data" artifact BENCH_SCALE had to caveat (VERDICT r07 #8).  With
+    identical layouts both tiers scan as one task and ratios measure
+    per-row work honestly."""
+    pq.write_table(tbl, path, row_group_size=max(tbl.num_rows, 1))
+
+
 def _base_profile() -> dict:
     con = duckdb.connect()
     vocab = [
@@ -116,7 +127,7 @@ def gen_documents(out: str, factor: int, rng: np.random.Generator, prof: dict) -
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    _write_single_rg(tbl, f"{out}/documents.parquet")
 
 
 def gen_events(out: str, factor: int, rng: np.random.Generator, prof: dict) -> None:
@@ -141,7 +152,7 @@ def gen_events(out: str, factor: int, rng: np.random.Generator, prof: dict) -> N
             ),
         }
     )
-    pq.write_table(tbl, f"{out}/events.parquet")
+    _write_single_rg(tbl, f"{out}/events.parquet")
 
 
 def gen_embeddings(out: str, factor: int, rng: np.random.Generator) -> None:
@@ -160,7 +171,7 @@ def gen_embeddings(out: str, factor: int, rng: np.random.Generator) -> None:
             "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    _write_single_rg(tbl, f"{out}/embeddings.parquet")
 
 
 def gen_lineitem(out: str, factor: int) -> None:
@@ -177,7 +188,7 @@ def gen_lineitem(out: str, factor: int) -> None:
             pa.array(base.column("l_orderkey").to_numpy() + t * n_orders, pa.int64()),
         )
         parts.append(tile)
-    pq.write_table(pa.concat_tables(parts), f"{out}/lineitem.parquet")
+    _write_single_rg(pa.concat_tables(parts), f"{out}/lineitem.parquet")
 
 
 def gen_orders(out: str, factor: int) -> None:
@@ -196,7 +207,7 @@ def gen_orders(out: str, factor: int) -> None:
             base.column("o_custkey").to_numpy() + t * n_cust, pa.int64()
         )
         parts.append(pa.table(cols))
-    pq.write_table(pa.concat_tables(parts), f"{out}/orders.parquet")
+    _write_single_rg(pa.concat_tables(parts), f"{out}/orders.parquet")
 
 
 def copy_dims(out: str) -> None:
