@@ -49,6 +49,41 @@ from incubator_horaedb_spark.table import Table
 _IDENT = r"`(?:[^`]+)`|[A-Za-z_][\w]*"
 
 
+def _strip_leading_comments(stmt: str) -> str:
+    """Drop LEADING `--` / (nested, Spark 3+) `/* */` comments and
+    whitespace so the statement-head dispatch classifies `/* hint */
+    SELECT ...` as a SELECT (r8 review #3: clients — and mysql drivers'
+    connection probes — lead statements with comments).  Only the leading
+    span is removed; Spark lexes interior comments itself."""
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "-" and stmt[i : i + 2] == "--":
+            j = stmt.find("\n", i)
+            if j < 0:
+                return ""
+            i = j + 1
+            continue
+        if ch == "/" and stmt[i : i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if stmt[j : j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif stmt[j : j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            i = j
+            continue
+        break
+    return stmt[i:]
+
+
 def _unquote(ident: str) -> str:
     ident = ident.strip()
     if ident.startswith("`") and ident.endswith("`"):
@@ -309,7 +344,7 @@ class Engine:
             return self._execute_sql_locked(sql)
 
     def _execute_sql_locked(self, sql: str) -> DataFrame | int | None:
-        stmt = sql.strip().rstrip(";").strip()
+        stmt = _strip_leading_comments(sql.strip().rstrip(";").strip())
         low = stmt.lower()
         info = self._statement_info(stmt, low)
         # pre-execution gate (validator.rs validate + limiter.rs try_limit)

@@ -257,30 +257,16 @@ _BLOCK = 500
 
 
 def _staged_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered ngram-Jaccard (the scale path) gated against the
-    block-diagonal exact definition.  Consumes the SHARED shingle stage
-    like every other dedup family; the block predicate references both
-    join sides, so Catalyst pushes it into the verify join."""
+    """Prefix-filtered ngram-Jaccard (the scale path — exactly
+    ``_staged_ngram``'s staging and byte-gated broadcast decision) with
+    the block predicate on top; it references both join sides, so
+    Catalyst pushes it into the verify join.  Gated against the
+    block-diagonal exact definition."""
     from pyspark.sql import functions as F
 
-    hs = _staged_shingles(spark, sf_dir, materialize=False)
-    _stage(spark.sql(SPARK.unnest_select("doc_id", "shs", "h", hs)), "__ngram_ex")
-    _stage(
-        spark.sql(dedup.ngram_prefix_select(SPARK, hs, 0.8, "__ngram_ex")),
-        "__ngram_pfx",
+    return _staged_ngram(spark, sf_dir).filter(
+        F.expr(f"(doc_a - (doc_a % {_BLOCK})) = (doc_b - (doc_b % {_BLOCK}))")
     )
-    # same byte-gated broadcast decision as _staged_ngram (array payload
-    # sizing, not row count)
-    try:
-        hs_bytes = int(
-            spark.table(hs)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        hs_bytes = 1 << 60
-    bcast = hs_bytes <= 512 * 1024 * 1024
-    return spark.sql(
-        dedup.ngram_verify_select(SPARK, hs, 0.8, "__ngram_pfx", broadcast_verify=bcast)
-    ).filter(F.expr(f"(doc_a - (doc_a % {_BLOCK})) = (doc_b - (doc_b % {_BLOCK}))"))
 
 
 register(

@@ -226,6 +226,11 @@ class MySQLServer:
             # the injection-safe literal rendering proven on the PG side)
             sql = body.decode("utf-8", errors="replace")
             nparams = _count_question_params(sql)
+            if nparams > 0xFFFF:
+                # num_params is a u16 in COM_STMT_PREPARE_OK; real MySQL
+                # answers error 1390 (r8 review #5)
+                conn.send_err(1390, "Prepared statement contains too many placeholders")
+                return
             if len(stmts) >= 256:
                 conn.send_err(
                     ER_UNKNOWN_ERROR,
@@ -256,8 +261,11 @@ class MySQLServer:
             st = stmts[stmt_id]
             try:
                 sql = _bind_stmt_execute(st, body)
-            except ValueError as e:
-                conn.send_err(ER_UNKNOWN_ERROR, str(e))
+            except (ValueError, IndexError, struct.error) as e:
+                # struct.error/IndexError: truncated lenenc prefixes or
+                # fixed-width reads past the frame — an error PACKET, never
+                # a dropped connection (r8 review #1)
+                conn.send_err(ER_UNKNOWN_ERROR, f"malformed COM_STMT_EXECUTE: {e}")
                 return
             except NotImplementedError as e:
                 conn.send_err(ER_NOT_SUPPORTED_YET, str(e))
@@ -416,8 +424,21 @@ def _skip_noncode(sql: str, i: int) -> int | None:
         j = sql.find("\n", i)
         return ln if j < 0 else j + 1
     if ch == "/" and sql[i : i + 2] == "/*":
-        j = sql.find("*/", i + 2)
-        return ln if j < 0 else j + 2
+        # NESTED bracketed comments, matching how the BACKING ENGINE
+        # (Spark 3+) lexes them — the scanner must agree with the engine's
+        # idea of "code position" or a `?` between inner and outer `*/`
+        # gets a literal substituted into comment text (r8 review #4)
+        depth, j = 1, i + 2
+        while j < ln and depth:
+            if sql[j : j + 2] == "/*":
+                depth += 1
+                j += 2
+            elif sql[j : j + 2] == "*/":
+                depth -= 1
+                j += 2
+            else:
+                j += 1
+        return j
     return None
 
 
@@ -590,6 +611,12 @@ def _render_param_literal(value) -> str:
     if isinstance(value, int):
         return str(value)
     if isinstance(value, float):
+        import math
+
+        if not math.isfinite(value):
+            # repr() would inline a bare nan/inf token, which the engine
+            # resolves as a column reference (r8 review #6)
+            raise ValueError(f"non-finite float parameter {value!r}")
         return repr(value)
     return "'" + str(value).replace("\\", "\\\\").replace("'", "''") + "'"
 

@@ -335,7 +335,7 @@ class _Portal:
     output is memoized too, with a cursor, so a bounded Execute
     (max_rows > 0) can suspend and resume (PortalSuspended)."""
 
-    __slots__ = ("sql", "stmt", "_result", "_ran", "_rows", "pos")
+    __slots__ = ("sql", "stmt", "_result", "_ran", "_rows", "pos", "described_rows")
 
     def __init__(self, sql: str, stmt: "_Prepared | None" = None):
         self.sql = sql
@@ -344,6 +344,11 @@ class _Portal:
         self._ran = False
         self._rows = None
         self.pos = 0
+        # Describe('P') answered RowDescription for THIS portal — the
+        # client has been told rows are coming, which overrides a stale
+        # statement-level NoData (r8 review #2: a failed typed-NULL
+        # planning must not poison the statement forever)
+        self.described_rows = False
 
     def result(self, engine):
         if not self._ran:
@@ -551,7 +556,7 @@ class PostgresServer:
                 # for these statement heads, so this only derives schema.
                 # Genuinely rowless statements (DDL/INSERT) keep NoData —
                 # that IS the correct Describe answer for them.
-                head = st.sql.strip().lower()
+                head = _statement_head(st.sql)
                 if head.startswith(("select", "with", "values", "show", "describe", "desc ", "exists")):
                     try:
                         nsql = _substitute_params(
@@ -575,7 +580,15 @@ class PostgresServer:
                         st.described_nodata = False
                         conn.send(b"T", _row_description(planned))
                 else:
-                    conn.send(b"n")  # rowless statement (DDL/INSERT)
+                    # rowless statement head (DDL/INSERT) — NoData is the
+                    # protocol-correct answer.  Arm described_nodata
+                    # anyway (r8 review #3): if the classification missed
+                    # a row-producing statement, Execute must refuse to
+                    # stream DataRows the client was told would never
+                    # come; for genuinely rowless statements the flag is
+                    # inert (their Execute sends no rows).
+                    st.described_nodata = True
+                    conn.send(b"n")
             else:
                 if name not in portals:
                     raise ValueError(f"unknown portal {name!r}")
@@ -587,6 +600,7 @@ class PostgresServer:
                 if result is None or isinstance(result, int):
                     conn.send(b"n")  # NoData
                 else:
+                    p.described_rows = True
                     conn.send(b"T", _row_description(result))
         elif mtype == b"E":  # Execute: portal, max rows (0 = all)
             name, off = _read_cstr(body, 0)
@@ -605,11 +619,21 @@ class PostgresServer:
             elif isinstance(result, int):
                 conn.send_command_complete(f"INSERT 0 {result}")
             else:
-                if p.stmt is not None and p.stmt.described_nodata:
+                if (
+                    p.stmt is not None
+                    and p.stmt.described_nodata
+                    and not p.described_rows
+                ):
+                    # the client's last schema answer for this statement
+                    # was NoData and no RowDescription was sent for this
+                    # portal either — streaming DataRows now would be a
+                    # malformed stream from the client's perspective.
+                    # Describe('P') on the bound portal recovers (it sends
+                    # RowDescription and arms described_rows).
                     raise ValueError(
                         "statement was described as NoData (schema "
-                        "derivation failed) but produces rows; re-Parse "
-                        "or Describe the bound portal instead"
+                        "derivation failed) but produces rows; Describe "
+                        "the bound portal (or re-Parse) first"
                     )
                 rows = p.rows(self.engine)
                 chunk = rows[p.pos :] if max_rows <= 0 else rows[p.pos : p.pos + max_rows]
@@ -696,6 +720,24 @@ def _text_exprs(df):
         else:
             exprs.append(F.col(f"`{f.name}`"))
     return exprs
+
+
+def _statement_head(sql: str) -> str:
+    """Lower-cased first code token region for statement classification —
+    leading whitespace, comments, and grouping parens are skipped with
+    the same scanner the substituter uses (r8 review #3: a SELECT behind
+    `/* hint */` or `(select...) union` must classify as row-producing)."""
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i].isspace() or sql[i] == "(":
+            i += 1
+            continue
+        j = _skip_noncode(sql, i)
+        if j is not None and sql[i] in ("-", "/"):  # comment spans only
+            i = j
+            continue
+        break
+    return sql[i : i + 16].lower()
 
 
 def _count_placeholders(sql: str) -> int:

@@ -502,3 +502,48 @@ def test_mysql_param_decimal_and_unsupported(mysql_params):
     # connection still works
     _, rows = _execute(c, sid, [(0xF6, False, _lenenc_bytes(b"1.5"))])
     assert [r[0] for r in rows] == ["a"]
+
+
+def test_mysql_param_malformed_lenenc_and_nonfinite(mysql_params):
+    # r8 review #1: a truncated length-encoded prefix must answer an
+    # error PACKET, not kill the worker/connection
+    c = mysql_params
+    sid, _ = _prepare(c, b"select name from pdemo where name = ?")
+    c.seq = 0
+    c._send_packet(
+        b"\x17" + struct.pack("<IBI", sid, 0, 1)
+        + b"\x00"  # null bitmap (param not null)
+        + b"\x01"  # new_params_bound
+        + b"\xfd\x00"  # type VAR_STRING, signed
+        + b"\xfc\x01"  # lenenc prefix 0xFC claiming u16 length, 1 byte follows
+    )
+    err = c._read_packet()
+    assert err[0] == 0xFF
+    # connection survives and the statement still works
+    _, rows = _execute(c, sid, [(0xFD, False, _lenenc_bytes(b"a"))])
+    assert rows == [("a",)]
+    # r8 review #6: non-finite DOUBLE params are rejected, not inlined as
+    # a bare nan token the engine would resolve as a column
+    sid2, _ = _prepare(c, b"select count(*) as cnt from pdemo where v < ?")
+    with pytest.raises(RuntimeError, match="on-finite|alformed"):
+        _execute(c, sid2, [(0x05, False, struct.pack("<d", float("nan")))])
+    _, rows = _execute(c, sid2, [(0x05, False, struct.pack("<d", 2.0))])
+    assert rows == [("1",)]
+
+
+def test_mysql_nested_comment_scanner_and_placeholder_cap(mysql_params):
+    c = mysql_params
+    # r8 review #4: /* */ nests like the backing Spark lexer — the ? between
+    # inner and outer */ is comment text, only the trailing ? is a parameter
+    sid, nparams = _prepare(c, b"select /* a /* b */ ? */ name from pdemo where name = ?")
+    assert nparams == 1
+    _, rows = _execute(c, sid, [(0xFD, False, _lenenc_bytes(b"b"))])
+    assert rows == [("b",)]
+    # r8 review #5: >65535 placeholders answers error 1390, not a dropped
+    # connection (num_params is a u16)
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select " + b",".join([b"?"] * 65536))
+    err = c._read_packet()
+    assert err[0] == 0xFF and struct.unpack_from("<H", err, 1)[0] == 1390
+    # connection still usable
+    assert c.query("select 1 as one")[1] == [("1",)]

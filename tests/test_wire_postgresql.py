@@ -482,3 +482,39 @@ def test_pg_extended_backslash_params(pg_ext):
         "select count(*) as n from extdemo where name = $1", ["x\\' OR 1=1 --"]
     )
     assert rows == [("0",)]
+
+
+def test_pg_describe_statement_comment_led_select(pg_ext):
+    # r8 review #3: a SELECT behind a leading comment (or grouping paren)
+    # still classifies as row-producing — RowDescription, not NoData
+    pg_ext.parse("/* hint */ select name from extdemo where name = $1", name="cm")
+    pg_ext.describe(b"S", "cm")
+    pg_ext.sync()
+    msgs, _, cols, _, err = pg_ext.drain()
+    assert err is None and b"T" in msgs and b"n" not in msgs
+    assert dict(cols) == {"name": 25}
+
+
+def test_pg_describe_nodata_recovers_via_portal_describe(pg_ext):
+    # r8 review #2: when typed-NULL planning fails (LIMIT $1 — Spark
+    # requires a constant limit), Describe('S') answers NoData; Execute
+    # refuses to stream rows the client was told would never come, but
+    # Describe('P') on the bound portal sends RowDescription and unblocks
+    pg_ext.parse("select name from extdemo order by name limit $1", name="lim", oids=[20])
+    pg_ext.describe(b"S", "lim")
+    pg_ext.sync()
+    msgs, *_ = pg_ext.drain()
+    assert b"n" in msgs and b"T" not in msgs  # NoData (planning failed)
+    pg_ext.bind(["2"], name="lim", portal="pl")
+    pg_ext.execute(portal="pl")
+    pg_ext.sync()
+    _, tag, _, _, err = pg_ext.drain()
+    assert err is not None and "NoData" in err and tag is None
+    # the error's own advice works: Describe('P') then Execute
+    pg_ext.bind(["2"], name="lim", portal="pl")
+    pg_ext.describe(b"P", "pl")
+    pg_ext.execute(portal="pl")
+    pg_ext.sync()
+    msgs, tag, cols, rows, err = pg_ext.drain()
+    assert err is None and b"T" in msgs and tag == "SELECT 2"
+    assert [r[0] for r in rows] == ["a", "b"]
