@@ -396,11 +396,17 @@ class MySQLServer:
 def _skip_noncode(sql: str, i: int) -> int | None:
     """If ``sql[i]`` opens a span the statement scanner must not look
     inside — a single/double-quoted string (backslash escapes honored,
-    MySQL default mode), a backtick identifier, a ``#`` or ``-- `` line
-    comment (MySQL requires whitespace/EOL after ``--``), or a ``/* */``
-    block comment — return the index one past the span's end (r8: ADVICE
-    r07 — ``SELECT 1 -- ok?`` must not count a parameter).  None when
-    ``sql[i]`` is ordinary code."""
+    MySQL default mode), a backtick identifier, a ``#`` or ``--`` line
+    comment, or a ``/* */`` block comment — return the index one past the
+    span's end (r8: ADVICE r07 — ``SELECT 1 -- ok?`` must not count a
+    parameter).  ``--`` opens a comment UNCONDITIONALLY: MySQL's own lexer
+    wants trailing whitespace, but the BACKING ENGINE (Spark) treats
+    ``--x`` as a comment too, and the scanner must agree with the engine's
+    idea of "code position" — the same invariant the nested-block-comment
+    branch below cites — or a ``?`` after ``--x`` is counted at prepare
+    and its literal substituted into text the engine discards, silently
+    dropping the bound value (ADVICE r08 #2).  None when ``sql[i]`` is
+    ordinary code."""
     ln = len(sql)
     ch = sql[i]
     if ch in ("'", '"', "`"):
@@ -417,10 +423,7 @@ def _skip_noncode(sql: str, i: int) -> int | None:
                 return j + 1
             j += 1
         return ln  # unterminated: rest of text is the span
-    if ch == "#" or (
-        ch == "-" and sql[i : i + 2] == "--"
-        and (i + 2 >= ln or sql[i + 2] in " \t\n\r")
-    ):
+    if ch == "#" or (ch == "-" and sql[i : i + 2] == "--"):
         j = sql.find("\n", i)
         return ln if j < 0 else j + 1
     if ch == "/" and sql[i : i + 2] == "/*":

@@ -11,15 +11,21 @@ Surface parity:
   a parameterized query (beyond-reference: pgwire's SimpleQueryHandler
   in the reference answers only 'Q').  Binary-format parameters decode
   for the fixed-width core OIDs (bool/int2/int4/int8/float4/float8,
-  big-endian; r8) — other OIDs keep a clear rejection; binary result
-  columns are rejected with a clear error.  Describe on an unbound
+  big-endian; r8) — other OIDs keep a clear rejection.  Binary RESULT
+  format codes are honored for bool/int2/int4/int8/float4/float8/
+  timestamp/bytea (r9 — the psycopg3/JDBC default-binary mode gap;
+  timestamps encode as the PG wire's 2000-epoch microseconds in binary
+  mode, while text mode keeps handler.rs's epoch-ms parity); other
+  column types reject binary with a clear error.  Describe on an unbound
   STATEMENT answers ParameterDescription + RowDescription derived by
   planning the query with typed NULLs substituted (lazy — no job; the
   pre-bind describe Npgsql/PgJDBC issue), falling back to NoData for
-  rowless statements (DDL/INSERT — the protocol-correct answer) or when
-  NULL-planning fails (Execute then refuses to stream rows the client
-  was told would never come).  Describe on a PORTAL plans the bound
-  query lazily and shares the one execution with the following Execute.
+  rowless statements (DDL/INSERT — the protocol-correct answer, decided
+  on the statement head AFTER any CTE prefix so CTE-led DML never runs
+  at Describe) or when NULL-planning fails (Execute then refuses to
+  stream rows the client was told would never come).  Describe on a
+  PORTAL plans the bound query lazily and shares the one execution with
+  the following Execute.
   Execute honors the max-rows operand: bounded fetches suspend with
   PortalSuspended and resume on the next Execute of the same portal.
   The $n placeholder scanner substitutes at code positions only —
@@ -332,14 +338,24 @@ class _Portal:
     """A bound portal: the substituted SQL plus a memoized execution so
     Describe and Execute share ONE engine call (a Describe on a DDL/INSERT
     portal performs the side effect then; Execute reports its tag).  Row
-    output is memoized too, with a cursor, so a bounded Execute
+    output is memoized too (pre-encoded DataRow bodies honoring the Bind
+    result-format codes), with a cursor, so a bounded Execute
     (max_rows > 0) can suspend and resume (PortalSuspended)."""
 
-    __slots__ = ("sql", "stmt", "_result", "_ran", "_rows", "pos", "described_rows")
+    __slots__ = (
+        "sql", "stmt", "res_fmts", "_result", "_ran", "_rows", "pos",
+        "described_rows",
+    )
 
-    def __init__(self, sql: str, stmt: "_Prepared | None" = None):
+    def __init__(
+        self,
+        sql: str,
+        stmt: "_Prepared | None" = None,
+        res_fmts: list[int] | None = None,
+    ):
         self.sql = sql
         self.stmt = stmt
+        self.res_fmts = res_fmts or []
         self._result = None
         self._ran = False
         self._rows = None
@@ -356,12 +372,29 @@ class _Portal:
             self._ran = True
         return self._result
 
-    def rows(self, engine) -> list:
-        """Collected text-encoded rows (one engine job, memoized across
-        suspended Execute resumptions)."""
+    def fmts(self, df) -> list[int]:
+        return _resolve_result_fmts(self.res_fmts, df)
+
+    def rows(self, engine) -> list[bytes]:
+        """Encoded DataRow bodies (one engine job, memoized across
+        suspended Execute resumptions).  All-text portals ride the same
+        `_text_exprs` collect the simple-query path uses; any binary
+        result column switches to the typed collect + mixed encoder
+        (r9, VERDICT r08 #3: psycopg3/JDBC default-binary result mode)."""
         if self._rows is None:
             df = self.result(engine)
-            self._rows = df.select(*_text_exprs(df)).collect()
+            fmts = self.fmts(df)
+            if any(fmts):
+                exprs, kinds = _wire_exprs(df)
+                names = [f.name for f in df.schema.fields]
+                self._rows = [
+                    _data_row_mixed(r, kinds, fmts, names)
+                    for r in df.select(*exprs).collect()
+                ]
+            else:
+                self._rows = [
+                    _data_row(r) for r in df.select(*_text_exprs(df)).collect()
+                ]
         return self._rows
 
 
@@ -496,10 +529,21 @@ class PostgresServer:
             off += 2 * nfmt
             (nparams,) = struct.unpack_from("!h", body, off)
             off += 2
+            # the protocol allows exactly 0 (all text), 1 (applies to all),
+            # or one-per-parameter format codes; anything else is a
+            # malformed Bind real PG rejects — silently defaulting the
+            # uncovered tail to text would utf-8-replace-decode a
+            # binary-encoded value into a garbage string literal instead
+            # of failing cleanly (ADVICE r08 #3)
+            if nfmt not in (0, 1, nparams):
+                raise ValueError(
+                    f"bind message has {nfmt} parameter format codes but "
+                    f"{nparams} parameters"
+                )
             st = stmts[sname]
             params: list[str | None] = []
             for k in range(nparams):
-                fmt = fmts[k] if k < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
+                fmt = fmts[k] if nfmt == nparams else (fmts[0] if nfmt == 1 else 0)
                 (plen,) = struct.unpack_from("!i", body, off)
                 off += 4
                 if plen < 0:
@@ -525,15 +569,16 @@ class PostgresServer:
                     params.append(_decode_binary_param(raw, oid, k + 1))
             (nres,) = struct.unpack_from("!h", body, off)
             off += 2
-            for k in range(nres):
-                if struct.unpack_from("!h", body, off + 2 * k)[0] != 0:
-                    raise ValueError(
-                        "binary-format result columns are not supported"
-                    )
+            res_fmts = [
+                struct.unpack_from("!h", body, off + 2 * k)[0] for k in range(nres)
+            ]
+            for k, f in enumerate(res_fmts):
+                if f not in (0, 1):
+                    raise ValueError(f"invalid result format code {f} (column {k + 1})")
             if len(portals) >= 256 and portal not in portals:
                 raise ValueError("too many open portals (max 256)")
             portals[portal] = _Portal(
-                _substitute_params(st.sql, params, st.param_oids), st
+                _substitute_params(st.sql, params, st.param_oids), st, res_fmts
             )
             conn.send(b"2")  # BindComplete
         elif mtype == b"D":  # Describe 'S' statement | 'P' portal
@@ -542,7 +587,14 @@ class PostgresServer:
                 if name not in stmts:
                     raise ValueError(f"unknown prepared statement {name!r}")
                 st = stmts[name]
-                oids = st.param_oids or [0] * _count_placeholders(st.sql)
+                # Parse may declare FEWER type OIDs than the query has
+                # placeholders (allowed in PG — undeclared tail is OID 0);
+                # pad to the placeholder count so ParameterDescription
+                # covers every $n and the typed-NULL substitution below
+                # binds them all instead of erroring (ADVICE r08 #4)
+                oids = st.param_oids + [0] * max(
+                    0, _count_placeholders(st.sql) - len(st.param_oids)
+                )
                 conn.send(
                     b"t",
                     struct.pack("!h", len(oids))
@@ -556,13 +608,18 @@ class PostgresServer:
                 # for these statement heads, so this only derives schema.
                 # Genuinely rowless statements (DDL/INSERT) keep NoData —
                 # that IS the correct Describe answer for them.
-                head = _statement_head(st.sql)
-                if head.startswith(("select", "with", "values", "show", "describe", "desc ", "exists")):
+                # Classification looks PAST any `WITH name AS (...)` CTE
+                # prefix: spark.sql eagerly executes CTE-led DML (`WITH c
+                # AS (...) INSERT ...`), so a 'with' head alone does NOT
+                # prove laziness — Describe must stay side-effect-free
+                # (ADVICE r08 #1)
+                head = _body_head_after_ctes(st.sql)
+                if head in ("select", "values", "show", "describe", "desc", "exists", "table"):
                     try:
                         nsql = _substitute_params(
                             st.sql,
                             [None] * len(oids),
-                            st.param_oids,
+                            oids,
                             null_render=_typed_null,
                         )
                         planned = self.engine.execute_sql(nsql)
@@ -601,7 +658,7 @@ class PostgresServer:
                     conn.send(b"n")  # NoData
                 else:
                     p.described_rows = True
-                    conn.send(b"T", _row_description(result))
+                    conn.send(b"T", _row_description(result, p.fmts(result)))
         elif mtype == b"E":  # Execute: portal, max rows (0 = all)
             name, off = _read_cstr(body, 0)
             max_rows = 0
@@ -637,8 +694,8 @@ class PostgresServer:
                     )
                 rows = p.rows(self.engine)
                 chunk = rows[p.pos :] if max_rows <= 0 else rows[p.pos : p.pos + max_rows]
-                for row in chunk:
-                    conn.send(b"D", _data_row(row))
+                for body_bytes in chunk:
+                    conn.send(b"D", body_bytes)
                 p.pos += len(chunk)
                 if max_rows > 0 and p.pos < len(rows):
                     conn.send(b"s")  # PortalSuspended — resume on next Execute
@@ -690,17 +747,117 @@ def _data_row(row) -> bytes:
     return body
 
 
-def _row_description(df) -> bytes:
-    """RowDescription body per handler.rs convert_data_type OIDs; all
-    columns text format (code 0)."""
+def _row_description(df, fmts: list[int] | None = None) -> bytes:
+    """RowDescription body per handler.rs convert_data_type OIDs; format
+    codes default to text (0) — a portal Describe passes its resolved
+    Bind result formats."""
     fields = b""
     for i, f in enumerate(df.schema.fields):
         oid = _SPARK_TO_OID.get(f.dataType.typeName(), OID_TEXT)
         fields += (
             f.name.encode() + b"\x00"
-            + struct.pack("!IhIhih", 0, i + 1, oid, -1, -1, 0)
+            + struct.pack("!IhIhih", 0, i + 1, oid, -1, -1, fmts[i] if fmts else 0)
         )
     return struct.pack("!h", len(df.schema.fields)) + fields
+
+
+def _resolve_result_fmts(res_fmts: list[int], df) -> list[int]:
+    """Per-column result format codes from the Bind list: 0 codes → all
+    text, 1 code → applies to every column, else one per column (a
+    mismatched count is a malformed Bind for THIS query — real PG errors
+    at execute time, when the column count is known)."""
+    ncols = len(df.schema.fields)
+    if not res_fmts:
+        return [0] * ncols
+    if len(res_fmts) == 1:
+        return res_fmts * ncols
+    if len(res_fmts) != ncols:
+        raise ValueError(
+            f"bind message has {len(res_fmts)} result format codes but "
+            f"query has {ncols} columns"
+        )
+    return res_fmts
+
+
+# PG binary TIMESTAMP epoch: 2000-01-01 00:00:00 UTC, in microseconds
+# after the Unix epoch (the offset psycopg3/JDBC subtract when decoding
+# OID 1114 in binary result format).
+_PG_EPOCH_US = 946_684_800_000_000
+
+
+def _wire_exprs(df):
+    """Typed collect expressions for mixed text/binary row encoding:
+    timestamps collect as exact epoch-MICROsecond longs (the text side
+    renders handler.rs's epoch-ms via floor division — identical to
+    `unix_millis` — and the binary side the PG wire's 2000-epoch micros),
+    binary columns stay raw bytes, everything else collects unchanged."""
+    from pyspark.sql import functions as F
+
+    exprs, kinds = [], []
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        if tn in ("timestamp", "timestamp_ntz"):
+            exprs.append(
+                F.unix_micros(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name)
+            )
+            kinds.append("timestamp")
+        else:
+            exprs.append(F.col(f"`{f.name}`"))
+            kinds.append(tn)
+    return exprs, kinds
+
+
+def _encode_binary_result(v, kind: str, col: str) -> bytes:
+    """One value in PG binary result format (big-endian, per the wire
+    protocol's send functions).  Covers the same core types the binary
+    PARAMETER decoder accepts, plus timestamp and bytea; other types keep
+    a clear rejection — text format works for them."""
+    if kind == "boolean":
+        return b"\x01" if v else b"\x00"
+    if kind == "short":
+        return struct.pack("!h", v)
+    if kind == "integer":
+        return struct.pack("!i", v)
+    if kind == "long":
+        return struct.pack("!q", v)
+    if kind == "float":
+        return struct.pack("!f", v)
+    if kind == "double":
+        return struct.pack("!d", v)
+    if kind == "timestamp":
+        # v is epoch-micros (exact long from unix_micros)
+        return struct.pack("!q", v - _PG_EPOCH_US)
+    if kind == "binary":
+        return bytes(v)  # bytea binary format IS the raw bytes
+    raise ValueError(
+        f"binary-format result for column {col!r} (Spark type {kind}) is "
+        "not supported (bool/int2/int4/int8/float4/float8/timestamp/bytea "
+        "encode in binary; request text format for other columns)"
+    )
+
+
+def _data_row_mixed(row, kinds: list[str], fmts: list[int], names: list[str]) -> bytes:
+    """DataRow body honoring per-column format codes.  The text side
+    matches `_text_exprs` + `_data_row` byte-for-byte: epoch-ms i64 for
+    timestamps (handler.rs encode_data parity), 't'/'f' booleans, UTF-8
+    text for bytea."""
+    body = struct.pack("!h", len(row))
+    for v, kind, fmt, name in zip(row, kinds, fmts, names):
+        if v is None:
+            body += struct.pack("!i", -1)
+            continue
+        if fmt:
+            s = _encode_binary_result(v, kind, name)
+        elif kind == "timestamp":
+            s = str(v // 1000).encode()  # floor-div == unix_millis
+        elif kind == "boolean":
+            s = b"t" if v else b"f"
+        elif kind == "binary":
+            s = bytes(v).decode("utf-8", "replace").encode()
+        else:
+            s = str(v).encode()
+        body += struct.pack("!i", len(s)) + s
+    return body
 
 
 def _text_exprs(df):
@@ -722,22 +879,86 @@ def _text_exprs(df):
     return exprs
 
 
-def _statement_head(sql: str) -> str:
-    """Lower-cased first code token region for statement classification —
-    leading whitespace, comments, and grouping parens are skipped with
-    the same scanner the substituter uses (r8 review #3: a SELECT behind
-    `/* hint */` or `(select...) union` must classify as row-producing)."""
-    i, n = 0, len(sql)
-    while i < n:
-        if sql[i].isspace() or sql[i] == "(":
+def _skip_parens(sql: str, i: int) -> int:
+    """Index one past the balanced paren group opening at ``sql[i]``
+    (strings/identifiers/comments skipped with the shared scanner);
+    ``len(sql)`` when unterminated."""
+    depth, j, n = 0, i, len(sql)
+    while j < n:
+        k = _skip_noncode(sql, j)
+        if k is not None:
+            j = k
+            continue
+        c = sql[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return n
+
+
+def _body_head_after_ctes(sql: str) -> str:
+    """Lower-cased head KEYWORD of the statement body Execute will run —
+    leading comments and grouping parens skipped, and a ``WITH [RECURSIVE]
+    name [(cols)] AS (...) [, ...]`` CTE prefix stepped over, so
+    ``WITH c AS (...) INSERT ...`` classifies as ``insert``, not ``with``
+    (ADVICE r08 #1: spark.sql eagerly executes CTE-led DML, and Describe
+    must be side-effect-free).  Returns '' for text this conservative
+    walker cannot prove — callers treat '' as not-provably-lazy."""
+    n = len(sql)
+
+    def skip_ws(i: int) -> int:
+        while i < n:
+            if sql[i].isspace():
+                i += 1
+                continue
+            j = _skip_noncode(sql, i)
+            if j is not None and sql[i] in ("-", "/"):  # comment spans only
+                i = j
+                continue
+            break
+        return i
+
+    def word(i: int) -> tuple[str, int]:
+        j = i
+        while j < n and (sql[j].isalnum() or sql[j] == "_"):
+            j += 1
+        return sql[i:j].lower(), j
+
+    i = skip_ws(0)
+    while i < n and sql[i] == "(":  # grouped body: (select ...) union ...
+        i = skip_ws(i + 1)
+    w, i = word(i)
+    if w != "with":
+        return w
+    while True:  # step over one CTE definition per iteration
+        i = skip_ws(i)
+        w, i = word(i)
+        if w == "recursive":
+            i = skip_ws(i)
+            w, i = word(i)
+        if not w:
+            return ""  # malformed
+        i = skip_ws(i)
+        if i < n and sql[i] == "(":  # optional column alias list
+            i = skip_ws(_skip_parens(sql, i))
+        w, i = word(i)
+        if w != "as":
+            return ""  # malformed
+        i = skip_ws(i)
+        if i >= n or sql[i] != "(":
+            return ""  # malformed — CTE body must be parenthesized
+        i = skip_ws(_skip_parens(sql, i))
+        if i < n and sql[i] == ",":
             i += 1
             continue
-        j = _skip_noncode(sql, i)
-        if j is not None and sql[i] in ("-", "/"):  # comment spans only
-            i = j
-            continue
-        break
-    return sql[i : i + 16].lower()
+        while i < n and sql[i] == "(":
+            i = skip_ws(i + 1)
+        w, _ = word(i)
+        return w
 
 
 def _count_placeholders(sql: str) -> int:

@@ -428,3 +428,40 @@ def test_pg_binary_bind_arbitrary_widths(pg_srv, oid, raw):
         msgs = _pg_read_until_ready(s)
         assert msgs[-1].startswith(b"Z")
     _pg_alive(pg_srv.port)
+
+
+@settings(**_SETTINGS)
+@given(
+    fmts=st.lists(st.integers(min_value=-2, max_value=3), max_size=6),
+    ncols=st.integers(min_value=1, max_value=3),
+)
+def test_pg_result_format_codes_arbitrary(pg_srv, fmts, ncols):
+    """Arbitrary result-format-code lists on Bind (r9, VERDICT r08 #3):
+    invalid codes must error at Bind; valid code lists pass through (the
+    stub engine answers the rowless path — count-mismatch resolution
+    against real columns is covered in test_wire_postgresql.py).  Sync
+    always answers ReadyForQuery and the listener survives."""
+    with socket.create_connection(("127.0.0.1", pg_srv.port), timeout=5) as s:
+        s.settimeout(4)
+        params = b"user\x00x\x00\x00"
+        s.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        _pg_read_until_ready(s)
+        cols = ", ".join(f"cast({k} as bigint) c{k}" for k in range(ncols))
+        parse = b"\x00SELECT " + cols.encode() + b"\x00" + struct.pack("!h", 0)
+        s.sendall(b"P" + struct.pack("!I", 4 + len(parse)) + parse)
+        bind = (
+            b"\x00\x00"
+            + struct.pack("!hh", 0, 0)  # no param formats, no params
+            + struct.pack("!h", len(fmts))
+            + b"".join(struct.pack("!h", f) for f in fmts)
+        )
+        s.sendall(b"B" + struct.pack("!I", 4 + len(bind)) + bind)
+        s.sendall(b"E" + struct.pack("!I", 9) + b"\x00" + struct.pack("!i", 0))
+        s.sendall(b"S" + struct.pack("!I", 4))
+        msgs = _pg_read_until_ready(s)
+        assert msgs[-1].startswith(b"Z")
+        if any(f not in (0, 1) for f in fmts):
+            assert any(m.startswith(b"E") for m in msgs)  # rejected at Bind
+        else:
+            assert any(m.startswith(b"C") for m in msgs)  # completed
+    _pg_alive(pg_srv.port)

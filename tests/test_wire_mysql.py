@@ -547,3 +547,19 @@ def test_mysql_nested_comment_scanner_and_placeholder_cap(mysql_params):
     assert err[0] == 0xFF and struct.unpack_from("<H", err, 1)[0] == 1390
     # connection still usable
     assert c.query("select 1 as one")[1] == [("1",)]
+
+
+def test_mysql_dashdash_comment_matches_engine_lexer(mysql_params):
+    c = mysql_params
+    # ADVICE r08 #2: Spark treats `--x` (no trailing whitespace) as a line
+    # comment; the scanner must agree or a `?` after `--x` gets counted at
+    # prepare and its literal substituted into text the engine discards
+    sid, nparams = _prepare(c, b"select name from pdemo where name = ? --x ? trailing")
+    assert nparams == 1  # the ? after --x is comment text, not a parameter
+    _, rows = _execute(c, sid, [(0xFD, False, _lenenc_bytes(b"a"))])
+    assert rows == [("a",)]
+    # --x as the whole tail: parameterless, still runs
+    sid2, nparams = _prepare(c, b"select 1 as one --?no-ws-after-dashes")
+    assert nparams == 0
+    _, rows = _execute(c, sid2)
+    assert rows == [("1",)]

@@ -199,8 +199,12 @@ class ExtendedPgClient(MiniPgClient):
         self._send(b"S", b"")
 
     def drain(self):
-        """Read until ReadyForQuery; returns (msgs, tag, columns, rows, err)."""
+        """Read until ReadyForQuery; returns (msgs, tag, columns, rows, err).
+        Side captures for format-sensitive tests: `last_fmts` (RowDescription
+        format codes), `last_param_oids` (ParameterDescription), and
+        `last_raw_rows` (undecoded DataRow cell bytes)."""
         msgs, columns, rows, tag, err = [], [], [], None, None
+        self.last_fmts, self.last_param_oids, self.last_raw_rows = [], [], []
         while True:
             t, b = self._read_message()
             msgs.append(t)
@@ -211,21 +215,31 @@ class ExtendedPgClient(MiniPgClient):
                     end = b.index(b"\x00", pos)
                     name = b[pos:end].decode()
                     pos = end + 1
-                    _t, _a, oid, _s, _m, _f = struct.unpack_from("!IhIhih", b, pos)
+                    _t, _a, oid, _s, _m, fmt = struct.unpack_from("!IhIhih", b, pos)
                     pos += 18
                     columns.append((name, oid))
+                    self.last_fmts.append(fmt)
+            elif t == b"t":
+                (n,) = struct.unpack_from("!h", b, 0)
+                self.last_param_oids = [
+                    struct.unpack_from("!I", b, 2 + 4 * k)[0] for k in range(n)
+                ]
             elif t == b"D":
                 (n,) = struct.unpack_from("!h", b, 0)
-                pos, row = 2, []
+                pos, row, raw = 2, [], []
                 for _ in range(n):
                     (ln,) = struct.unpack_from("!i", b, pos)
                     pos += 4
                     if ln == -1:
                         row.append(None)
+                        raw.append(None)
                     else:
-                        row.append(b[pos : pos + ln].decode())
+                        cell = b[pos : pos + ln]
+                        raw.append(cell)
+                        row.append(cell.decode("utf-8", "replace"))
                         pos += ln
                 rows.append(tuple(row))
+                self.last_raw_rows.append(tuple(raw))
             elif t == b"C":
                 tag = b.rstrip(b"\x00").decode()
             elif t == b"E":
@@ -518,3 +532,150 @@ def test_pg_describe_nodata_recovers_via_portal_describe(pg_ext):
     msgs, tag, cols, rows, err = pg_ext.drain()
     assert err is None and b"T" in msgs and tag == "SELECT 2"
     assert [r[0] for r in rows] == ["a", "b"]
+
+
+# --- binary result formats (round 9: VERDICT r08 #3) ------------------------
+
+_PG_EPOCH_US = 946_684_800_000_000
+
+
+def test_pg_binary_results_numeric_bool(pg_ext):
+    pg_ext.parse(
+        "select cast(7 as smallint) s, cast(7 as int) i, cast(7 as bigint) l, "
+        "cast(1.5 as float) f, cast(2.5 as double) d, true b"
+    )
+    pg_ext.bind(result_fmts=[1])  # one code applies to every column
+    pg_ext.describe(b"P")
+    pg_ext.execute()
+    pg_ext.sync()
+    msgs, tag, cols, _, err = pg_ext.drain()
+    assert err is None and tag == "SELECT 1"
+    assert pg_ext.last_fmts == [1] * 6  # RowDescription reflects the Bind
+    raw = pg_ext.last_raw_rows[0]
+    assert raw[0] == struct.pack("!h", 7)
+    assert raw[1] == struct.pack("!i", 7)
+    assert raw[2] == struct.pack("!q", 7)
+    assert raw[3] == struct.pack("!f", 1.5)
+    assert raw[4] == struct.pack("!d", 2.5)
+    assert raw[5] == b"\x01"
+
+
+def test_pg_binary_results_timestamp_and_mixed(pg_ext):
+    # per-column codes: name stays text, t goes binary (PG 2000-epoch
+    # microseconds — what psycopg3/JDBC decode for OID 1114 binary)
+    pg_ext.parse("select name, t from extdemo where name = 'a'")
+    pg_ext.bind(result_fmts=[0, 1])
+    pg_ext.describe(b"P")
+    pg_ext.execute()
+    pg_ext.sync()
+    msgs, tag, cols, rows, err = pg_ext.drain()
+    assert err is None and tag == "SELECT 1"
+    assert pg_ext.last_fmts == [0, 1]
+    raw = pg_ext.last_raw_rows[0]
+    assert raw[0] == b"a"  # text column unchanged
+    (us,) = struct.unpack("!q", raw[1])
+    assert us == 1691116127622_000 - _PG_EPOCH_US
+    # same column in TEXT mode keeps the handler.rs epoch-ms parity
+    _, _, rows = pg_ext.exec_params("select t from extdemo where name = 'a'")
+    assert rows[0][0] == "1691116127622"
+
+
+def test_pg_binary_results_unsupported_type_rejected(pg_ext):
+    pg_ext.parse("select name from extdemo")
+    pg_ext.bind(result_fmts=[1])  # string column cannot encode binary
+    pg_ext.execute()
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "not supported" in err
+    # connection recovers after Sync
+    tag, _, _ = pg_ext.exec_params("select 1 as one")
+    assert tag == "SELECT 1"
+
+
+def test_pg_binary_results_null_and_suspend(pg_ext):
+    # NULL stays the -1 sentinel in binary mode; PortalSuspended resume
+    # keeps per-row encoding stable across Execute calls
+    pg_ext.query("insert into extdemo (name, value, t) values (null, 9.5, 1691116127700)")
+    pg_ext.parse("select value from extdemo order by t")
+    pg_ext.bind(result_fmts=[1], portal="pb")
+    pg_ext.execute(portal="pb", max_rows=2)
+    pg_ext.sync()
+    msgs, tag, _, _, err = pg_ext.drain()
+    assert err is None and b"s" in msgs and tag is None  # suspended
+    first = [struct.unpack("!d", r[0])[0] for r in pg_ext.last_raw_rows]
+    assert first == [1.5, 2.5]
+    pg_ext.execute(portal="pb", max_rows=10)
+    pg_ext.sync()
+    msgs, tag, _, rows, err = pg_ext.drain()
+    assert err is None and tag == "SELECT 4"
+    assert struct.unpack("!d", pg_ext.last_raw_rows[0][0])[0] == 3.5
+    assert pg_ext.last_raw_rows[1][0] == struct.pack("!d", 9.5)
+
+
+def test_pg_result_fmt_count_mismatch_rejected(pg_ext):
+    # 2 codes for a 3-column query — malformed for THIS query (real PG
+    # errors once the column count is known)
+    pg_ext.parse("select name, value, t from extdemo")
+    pg_ext.bind(result_fmts=[0, 1])
+    pg_ext.execute()
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "result format codes" in err
+
+
+def test_pg_param_fmt_count_mismatch_rejected(pg_ext):
+    # ADVICE r08 #3: 1 < nfmt < nparams is a protocol error, not a silent
+    # text default that would garbage-decode a binary value
+    pg_ext.parse("select count(*) c from extdemo where name = $1 and value > $2 and t > $3")
+    pg_ext.bind(
+        params=[b"a", struct.pack("!d", 0.0), b"0"],
+        param_fmts=[1, 1],  # covers 2 of 3
+    )
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "parameter format codes" in err
+
+
+def test_pg_describe_pads_undeclared_param_oids(pg_ext):
+    # ADVICE r08 #4: Parse may declare fewer OIDs than placeholders; the
+    # undeclared tail describes as OID 0 and typed-NULL planning still
+    # covers every $n (RowDescription, not a 'parameter $2 not bound' error)
+    pg_ext.parse(
+        "select name from extdemo where name = $1 and value > $2",
+        name="pad", oids=[25],  # only $1 declared
+    )
+    pg_ext.describe(b"S", "pad")
+    pg_ext.sync()
+    msgs, _, cols, _, err = pg_ext.drain()
+    assert err is None
+    assert pg_ext.last_param_oids == [25, 0]
+    assert b"T" in msgs and b"n" not in msgs and dict(cols) == {"name": 25}
+    # and the standard flow then executes normally
+    pg_ext.bind(["b", "2.0"], name="pad")
+    pg_ext.execute()
+    pg_ext.sync()
+    _, tag, _, rows, err = pg_ext.drain()
+    assert err is None and rows == [("b",)]
+
+
+def test_pg_describe_cte_dml_is_side_effect_free(pg_ext, tmp_path):
+    # ADVICE r08 #1: spark.sql eagerly executes CTE-led DML, so Describe('S')
+    # on a 'WITH ... INSERT ...' statement must NOT plan-by-execution —
+    # classification looks at the head AFTER the CTE prefix
+    out = tmp_path / "cte_dml_out"
+    sql = (
+        f"WITH c AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY '{out}' "
+        "USING parquet SELECT x FROM c"
+    )
+    pg_ext.parse(sql, name="ctedml")
+    pg_ext.describe(b"S", "ctedml")
+    pg_ext.sync()
+    msgs, *_ = pg_ext.drain()
+    assert b"n" in msgs and b"T" not in msgs  # NoData — rowless statement
+    assert not out.exists()  # Describe performed NO write
+    # plain CTE-led SELECT still describes with a schema
+    pg_ext.parse("WITH c AS (SELECT name FROM extdemo) SELECT name FROM c", name="ctesel")
+    pg_ext.describe(b"S", "ctesel")
+    pg_ext.sync()
+    msgs, _, cols, _, err = pg_ext.drain()
+    assert err is None and b"T" in msgs and dict(cols) == {"name": 25}
