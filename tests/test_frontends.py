@@ -214,3 +214,20 @@ def test_influxql_selector_and_derivative_parse():
     # the comma inside derivative() is not a projection separator
     assert len(iq.projections) == 1
     assert iq.derivative == ("mean", "value", 1000)
+
+
+def test_line_protocol_tag_escape_roundtrip():
+    # protocol_e2e renders raw JSON props (spaces, braces) as tag values;
+    # its escaping must round-trip through the server's parser
+    from incubator_horaedb_spark.frontends.influxql import parse_line_protocol_typed
+    from incubator_horaedb_spark.querybank.protocol_e2e import _esc_tag
+
+    nasty = ['{"k": 69}', "a,b=c d", "back\\slash", "eq=eq", "  lead"]
+    lines = "\n".join(
+        f"m,props={_esc_tag(v)},event_id={i} value=1.5 1700000000000000000"
+        for i, v in enumerate(nasty)
+    )
+    batches = parse_line_protocol_typed(lines)
+    got = [r["props"] for r in batches["m"].rows]
+    assert got == nasty
+    assert batches["m"].tag_keys == {"props", "event_id"}
