@@ -1,0 +1,128 @@
+"""Two-pass distributed global ranking (VERDICT r08 next-round #5).
+
+Spark executes an UNPARTITIONED ``OVER (ORDER BY ...)`` window by moving
+every row into one task (``WindowExec: No Partition Defined``) — fine for
+a 64-row census, a scale-killer when the entity set (customers, users)
+grows with the data.  This module gives the classic two-pass rewrite for
+the row_number / running-sum / NTILE family over a TOTAL order:
+
+1. ``repartitionByRange`` on the order key (sampled, non-overlapping,
+   pid-ordered ranges), pinned with ``localCheckpoint`` so the sampled
+   boundaries cannot differ between the two passes;
+2. per-partition local rank / local prefix sums (one window PARTITIONED
+   by ``spark_partition_id()`` — every partition sorts in parallel);
+3. per-partition totals collected to the driver (METADATA-sized: one row
+   per partition), turned into exclusive prefix offsets, and broadcast
+   back; global value = offset + local value.
+
+The result is bit-identical to the single-task window for any total
+order key (ranges are disjoint and ordered, so every row's global rank
+is its local rank plus the count of rows in lower ranges — independent
+of where the sampled boundaries fell).  Running sums are exact when the
+summand is integral or dyadic-quantized (the bank's convention).
+
+The reference delegates window functions wholesale to DataFusion
+(df_operator; SURVEY §2.5) — this is the Spark-side scale path for the
+global-order subset, used by the entity-ranking queries
+(pareto_customers, rfm_segmentation, user_activity_percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def attach_global_order(
+    df: DataFrame,
+    order_cols: list[Column],
+    *,
+    rank_name: str = "rnk",
+    running_sums: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Attach a global ``row_number`` (``rank_name``) and optional global
+    running sums (``running_sums``: out-name → input column, UNBOUNDED
+    PRECEDING..CURRENT ROW semantics) over the total order ``order_cols``.
+
+    Returns ``(df, totals)`` where ``totals`` carries the driver-side
+    grand totals: ``totals['n']`` (row count) and ``totals[name]`` for
+    each running sum — callers usually need them (NTILE bucket math,
+    share-of-total) and they are free byproducts of the offset pass.
+
+    ``order_cols`` MUST be a total order (tie-broken) — that is what the
+    single-task window needs for determinism too, so every caller in the
+    bank already has one.
+    """
+    spark = df.sparkSession
+    running_sums = running_sums or {}
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    base = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # pin the SAMPLED range boundaries: without this, the offsets
+        # job and the final job could recompute the exchange with
+        # different samples and disagree on partition membership
+        .localCheckpoint(eager=True)
+    )
+    worder = Window.partitionBy("__pid").orderBy(*order_cols)
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = base.withColumn("__lrn", F.row_number().over(worder))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, src in running_sums.items():
+        out = out.withColumn(f"__lrs_{name}", F.sum(src).over(wrun))
+        aggs.append(F.sum(src).alias(f"__t_{name}"))
+    # one row per partition — metadata-sized by construction
+    part_rows = sorted(
+        base.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
+    )
+    # offset column types follow the local-prefix columns (sum(long) →
+    # bigint, sum(double) → double) so offset + local never changes type
+    dtypes = dict(out.dtypes)
+    sum_types = {n: dtypes[f"__lrs_{n}"] for n in running_sums}
+    offsets, run_n = [], 0
+    run_sums: dict = {
+        n: (0.0 if t == "double" else 0) for n, t in sum_types.items()
+    }
+    totals: dict = {}
+    for r in part_rows:
+        offsets.append((r["__pid"], run_n, *[run_sums[n] for n in running_sums]))
+        run_n += r["__n"]
+        for n in running_sums:
+            run_sums[n] += r[f"__t_{n}"]
+    totals["n"] = run_n
+    totals.update(run_sums)
+    off_schema = ", ".join(
+        ["__pid int", "__off_rn bigint"]
+        + [f"__off_{n} {sum_types[n]}" for n in running_sums]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = out.join(F.broadcast(off_df), "__pid")
+    out = out.withColumn(rank_name, (F.col("__off_rn") + F.col("__lrn")).cast("long"))
+    for name in running_sums:
+        out = out.withColumn(name, F.col(f"__off_{name}") + F.col(f"__lrs_{name}"))
+    drop = ["__pid", "__lrn", "__off_rn"] + [
+        c for n in running_sums for c in (f"__lrs_{n}", f"__off_{n}")
+    ]
+    return out.drop(*drop), totals
+
+
+def ntile_from_rank(rank_col: Column, n: int, tiles: int) -> Column:
+    """Exact NTILE(tiles) bucket from a 1-based global rank and the total
+    row count ``n`` (SQL-standard remainder semantics: the first n % tiles
+    buckets get one extra row) — lets NTILE ride a two-pass rank instead
+    of a single-task window."""
+    q, rem = divmod(n, tiles)
+    big = q + 1
+    first_span = rem * big
+    in_first = (rank_col - 1).cast("long") / F.lit(big)
+    if q == 0:
+        # fewer rows than tiles: every row is its own bucket
+        return rank_col.cast("long")
+    rest = (rank_col - F.lit(first_span) - 1).cast("long") / F.lit(q)
+    return (
+        F.when(rank_col <= F.lit(first_span), F.floor(in_first) + 1)
+        .otherwise(F.lit(rem) + F.floor(rest) + 1)
+        .cast("long")
+    )

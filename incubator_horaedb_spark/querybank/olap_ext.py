@@ -23,7 +23,7 @@ id is computed map-side so the agg shuffles nbins rows per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.querybank.registry import load, register
@@ -539,11 +539,52 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     of total revenue (every customer whose cumulative share STARTS below
     the threshold — the standard 'A-class' cut).  Integer cent sums make
     the running total exact, so the prefix boundary cannot drift between
-    engines.  One agg + one global-ordered window over the (small)
-    per-customer aggregate — the raw fact table is never globally
-    sorted."""
-    _views(spark, sf_dir, "orders")
-    return spark.sql(_PARETO_SQL)
+    engines.
+
+    Scale path (r9, VERDICT r08 #5): the oracle's single global window
+    (running sum + row_number over all customers) would put every
+    customer in ONE task; the Spark side rides the two-pass rank
+    (operators/rank2pass.py — range-repartition, per-partition prefix
+    sums, metadata-sized offset pass), so the per-customer aggregate is
+    never globally sorted in a single task.  Bit-identical output: the
+    order is total (cents DESC, custkey) and the running cents are
+    integers."""
+    from incubator_horaedb_spark.operators.rank2pass import attach_global_order
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    ranked, totals = attach_global_order(
+        rev,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        rank_name="rnk",
+        running_sums={"running_cents": "cents"},
+    )
+    total = int(totals["running_cents"])
+
+    def _share(col: Column) -> Column:
+        frac = col.cast("double") / F.lit(total)
+        return (
+            F.floor(frac * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        )
+
+    return (
+        ranked.withColumn("share", _share(F.col("cents")))
+        .withColumn("cum_share", _share(F.col("running_cents")))
+        .filter(
+            (F.col("running_cents") - F.col("cents")).cast("double") / F.lit(total)
+            < F.lit(0.8)
+        )
+        .select("o_custkey", "rnk", "share", "cum_share")
+        .orderBy("rnk")
+    )
 
 
 # --- UNPIVOT (wide -> long reshaping) -------------------------------------

@@ -483,11 +483,56 @@ def _rfm_sql(engine: str) -> str:
 
 @register("rfm_segmentation", oracle=_rfm_sql("duckdb"))
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "orders")
-    return spark.sql(_rfm_sql("spark"))
+    """RFM segmentation (see _rfm_sql) — Spark side on the two-pass rank
+    (r9, VERDICT r08 #5): the oracle's three NTILE(4) windows each need a
+    total order over ALL customers, which Spark would execute as three
+    single-task sorts; instead each metric gets a two-pass global
+    row_number (range-repartition + offset pass, operators/rank2pass.py)
+    and the NTILE bucket is derived exactly from (rank, n) with
+    SQL-standard remainder semantics.  The tie-broken total orders make
+    the bucket assignment bit-identical to the window form."""
+    from incubator_horaedb_spark.operators.rank2pass import (
+        attach_global_order,
+        ntile_from_rank,
+    )
 
-
-rfm_segmentation.__doc__ = _rfm_sql.__doc__
+    q = 1024.0
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_millis("o_orderdate")).alias("last_t"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(q) + F.lit(0.5)).cast("double")
+                / F.lit(q)
+            ).alias("spend"),
+        )
+    )
+    ranked, totals = attach_global_order(
+        a, [F.col("last_t").asc(), F.col("o_custkey").asc()], rank_name="__rr"
+    )
+    ranked, _ = attach_global_order(
+        ranked, [F.col("freq").asc(), F.col("o_custkey").asc()], rank_name="__rf"
+    )
+    ranked, _ = attach_global_order(
+        ranked, [F.col("spend").asc(), F.col("o_custkey").asc()], rank_name="__rm"
+    )
+    n = totals["n"]
+    s = ranked.select(
+        "o_custkey",
+        ntile_from_rank(F.col("__rr"), n, 4).alias("r_q"),
+        ntile_from_rank(F.col("__rf"), n, 4).alias("f_q"),
+        ntile_from_rank(F.col("__rm"), n, 4).alias("m_q"),
+    )
+    return s.groupBy(
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("long")
+        .alias("rfm_cell")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("o_custkey").cast("long").alias("sample_custkey"),
+    )
 
 
 # --- LATERAL correlated subquery ------------------------------------------

@@ -1167,11 +1167,53 @@ def _activity_pct_sql(engine: str) -> str:
 
 @register("user_activity_percentiles", oracle=_activity_pct_sql("duckdb"))
 def user_activity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_activity_pct_sql("spark"))
+    """Linear-interpolated p50/p90/p99 of per-user event counts (see
+    _activity_pct_sql) — Spark side on the two-pass rank (r9, VERDICT
+    r08 #5): the oracle ranks ALL users in one window task; here the
+    global row_number comes from operators/rank2pass.py, the percentile
+    POSITIONS are computed on the driver from the exact user count (the
+    same IEEE expression tree DuckDB evaluates per-row), and only the
+    ≤6 rank-adjacent rows are aggregated — the user set is never
+    single-task sorted."""
+    import math
 
+    from incubator_horaedb_spark.operators.rank2pass import attach_global_order
 
-user_activity_percentiles.__doc__ = _activity_pct_sql.__doc__
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked, totals = attach_global_order(
+        per_user, [F.col("cnt").asc(), F.col("user_id").asc()], rank_name="rn"
+    )
+    n = totals["n"]
+
+    def pos(phi: float) -> tuple[int, float]:
+        # identical IEEE ops to the oracle's phi*(CAST(n AS DOUBLE)-1.0)+1.0
+        rk = phi * (float(n) - 1.0) + 1.0
+        lo = math.floor(rk)
+        return int(lo), rk - lo
+
+    ps = {"50": pos(0.5), "90": pos(0.9), "99": pos(0.99)}
+    needed = sorted({r for lo, _ in ps.values() for r in (lo, lo + 1)})
+    picked = ranked.filter(F.col("rn").isin(needed))
+
+    def q(tag: str):
+        lo, f = ps[tag]
+        lov = F.min(F.when(F.col("rn") == lo, F.col("cnt"))).cast("double")
+        if f == 0.0:
+            v = lov
+        else:
+            hiv = F.min(F.when(F.col("rn") == lo + 1, F.col("cnt"))).cast("double")
+            v = lov + F.lit(f) * (hiv - lov)
+        return (
+            F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("double") / F.lit(100.0)
+        ).alias(f"p{tag}")
+
+    return picked.agg(
+        F.min(F.lit(int(n))).cast("long").alias("n_users"), q("50"), q("90"), q("99")
+    )
 
 
 # --- time-to-conversion cohort latency ------------------------------------
@@ -1422,7 +1464,15 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_path_topk_sql("spark"))
 
 
-event_path_topk.__doc__ = _path_topk_sql.__doc__
+event_path_topk.__doc__ = (_path_topk_sql.__doc__ or "") + """
+
+    Scale note (r9, VERDICT r08 #5): the final row_number window here IS
+    global, but it ranks the PATH CENSUS — at most |event-type alphabet|³
+    rows regardless of data size (5 types → ≤125 rows at any SF), unlike
+    the entity rankings (pareto/rfm/percentiles) that now ride the
+    two-pass rank.  A single-task sort over an alphabet-bounded census is
+    the correct plan at 100 TB; rewriting it would add an exchange for
+    nothing."""
 
 
 # --- per-series autocorrelation ---------------------------------------------

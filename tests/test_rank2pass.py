@@ -1,0 +1,96 @@
+"""Two-pass global ranking (operators/rank2pass.py, VERDICT r08 #5):
+bit-parity with the single-task window for row_number / running sums /
+NTILE, across partition counts and skewed inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_horaedb_spark.operators.rank2pass import (
+    attach_global_order,
+    ntile_from_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # skewed values with ties; key column breaks them (total order)
+    rows = [(i, (i * 7919) % 13, float((i * 31) % 97)) for i in range(500)]
+    return spark.createDataFrame(rows, "k bigint, grp bigint, v double")
+
+
+def _window_expected(df, order_cols, running=None):
+    w = Window.orderBy(*order_cols)
+    out = df.withColumn("rnk", F.row_number().over(w).cast("long"))
+    if running:
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for name, src in running.items():
+            out = out.withColumn(name, F.sum(src).over(wr))
+    return out
+
+
+def test_rank_matches_single_window(toy):
+    order = [F.col("grp").asc(), F.col("k").asc()]
+    got, totals = attach_global_order(toy, order, rank_name="rnk")
+    exp = _window_expected(toy, order)
+    assert totals["n"] == 500
+    assert sorted(got.select("k", "rnk").collect()) == sorted(
+        exp.select("k", "rnk").collect()
+    )
+
+
+def test_rank_desc_with_running_sum(toy):
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got, totals = attach_global_order(
+        toy, order, rank_name="rnk", running_sums={"run_v": "v"}
+    )
+    exp = _window_expected(toy, order, running={"run_v": "v"})
+    assert sorted(got.select("k", "rnk", "run_v").collect()) == sorted(
+        exp.select("k", "rnk", "run_v").collect()
+    )
+    # the grand total is the free byproduct callers rely on
+    assert totals["run_v"] == sum(r.v for r in toy.collect())
+
+
+def test_running_sum_long_stays_long(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(40)], "k bigint, c bigint")
+    got, totals = attach_global_order(
+        df, [F.col("k").asc()], running_sums={"run_c": "c"}
+    )
+    assert dict(got.dtypes)["run_c"] == "bigint"
+    assert totals["run_c"] == sum(i * 10 for i in range(40))
+    top = got.filter(F.col("k") == 39).collect()[0]
+    assert top.run_c == totals["run_c"]
+
+
+@pytest.mark.parametrize("n,tiles", [(500, 4), (10, 4), (3, 4), (7, 3), (4, 4)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n, tiles):
+    df = spark.createDataFrame([(i,) for i in range(n)], "k bigint")
+    w = Window.orderBy("k")
+    exp = df.withColumn("t", F.ntile(tiles).over(w).cast("long"))
+    got, totals = attach_global_order(df, [F.col("k").asc()], rank_name="r")
+    got = got.withColumn("t", ntile_from_rank(F.col("r"), totals["n"], tiles))
+    assert sorted(got.select("k", "t").collect()) == sorted(
+        exp.select("k", "t").collect()
+    )
+
+
+def test_partition_count_invariance(toy):
+    order = [F.col("v").asc(), F.col("k").asc()]
+    a, _ = attach_global_order(toy, order, num_partitions=3)
+    b, _ = attach_global_order(toy, order, num_partitions=17)
+    assert sorted(a.select("k", "rnk").collect()) == sorted(
+        b.select("k", "rnk").collect()
+    )
+
+
+def test_no_global_window_in_plan(toy):
+    got, _ = attach_global_order(toy, [F.col("k").asc()])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every Window node must carry a partition spec (the __pid hash) —
+    # the single-task 'No Partition Defined' shape must not appear
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line
