@@ -80,6 +80,45 @@ def _jvm_spin_sec(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _spin_chunk(_seed) -> int:
+    # module-level so multiprocessing can pickle it by reference
+    x = 0x9E3779B97F4A7C15
+    for _ in range(4_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+def _py_spin_multicore_sec(ncores: int) -> float:
+    """ALL-CORES Python calibration (r9, VERDICT r08 #2): one xorshift
+    chunk per core, run simultaneously in forked workers.  The r8 rounds
+    showed a +20% uniform inflation on 32-core Spark runs while the
+    SINGLE-thread spin sat at its idle floor — multi-core turbo licensing
+    / steal throttles all-cores workloads without touching a 1-thread
+    probe.  Wall time here is the slowest worker; compare against the
+    1-thread spin: mc/1t >> 1 under all-cores load means the VM cannot
+    currently sustain its single-core speed across cores."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("fork").Pool(ncores) as pool:
+        pool.map(_spin_chunk, range(ncores))
+    return round(time.time() - t0, 3)
+
+
+def _jvm_spin_parallel_sec(spark) -> float:
+    """ALL-CORES JVM calibration: the same codegen sum with one partition
+    per executor thread and a fixed 250M-row slice each — the workload a
+    throttled multi-core JVM cannot hide from."""
+    par = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    spark.range(0, 250_000_000 * par, 1, par).selectExpr(
+        "sum(id % 1000003) as s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def _cpu_mhz() -> float | None:
     try:
         with open("/proc/cpuinfo") as f:
@@ -101,10 +140,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = querybank.queries()
 
-    calib = {"cpu_mhz_before": _cpu_mhz()}
+    ncores = min(32, os.cpu_count() or 1)
+    calib = {"cpu_mhz_before": _cpu_mhz(), "mc_cores": ncores}
     calib["py_spin_sec_before"] = _py_spin_sec()
+    calib["py_spin_mc_sec_before"] = _py_spin_multicore_sec(ncores)
     _jvm_spin_sec(spark)  # discard: first run pays codegen compilation
     calib["jvm_spin_sec_before"] = _jvm_spin_sec(spark)
+    _jvm_spin_parallel_sec(spark)  # discard: codegen for the parallel shape
+    calib["jvm_spin_par_sec_before"] = _jvm_spin_parallel_sec(spark)
 
     # Warm the JVM, whole-stage-codegen compiler, and vectorized parquet
     # reader before timing — steady-state engine throughput is the metric,
@@ -189,7 +232,9 @@ def main() -> None:
         )
 
     calib["py_spin_sec_after"] = _py_spin_sec()
+    calib["py_spin_mc_sec_after"] = _py_spin_multicore_sec(ncores)
     calib["jvm_spin_sec_after"] = _jvm_spin_sec(spark)
+    calib["jvm_spin_par_sec_after"] = _jvm_spin_parallel_sec(spark)
     calib["cpu_mhz_after"] = _cpu_mhz()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

