@@ -40,10 +40,12 @@ from incubator_horaedb_spark.querybank.streaming_e2e import _new_store
 # deterministic, oracle-expressible subsets (different family per protocol)
 _INFLUX_PRED = "event_type = 'click' AND (user_id % 7) = 0"
 _TSDB_PRED = "event_type = 'error' AND (user_id % 9) = 0"
-_CHUNK = 8192  # lines / datapoints per POST
+_PROM_PRED = "event_type = 'view' AND (user_id % 11) = 0"
+_CHUNK = 8192  # lines / datapoints / series per POST
 
 _STATE: dict = {"influx": {"sf_dir": None, "table": None, "store": None},
-                "tsdb": {"sf_dir": None, "table": None, "store": None}}
+                "tsdb": {"sf_dir": None, "table": None, "store": None},
+                "prom": {"sf_dir": None, "table": None, "store": None}}
 
 
 def _esc_tag(v: str) -> str:
@@ -115,9 +117,35 @@ def _served_table(spark: SparkSession, sf_dir: str, kind: str):
     engine = Engine(spark, store)
     srv = EngineServer(engine).start()
     try:
-        name = "ev_http" if kind == "influx" else "ev_tsdb"
+        name = {"influx": "ev_http", "tsdb": "ev_tsdb", "prom": "ev_prom"}[kind]
         _create_table_http(srv.port, name)
-        if kind == "influx":
+        if kind == "prom":
+            from incubator_horaedb_spark.frontends.prompb import (
+                encode_write_request,
+                snappy_compress,
+            )
+
+            rows = _collect_subset(spark, sf_dir, _PROM_PRED)
+            series = [
+                {
+                    "labels": {
+                        "__name__": name,
+                        "event_id": str(r.event_id),
+                        "event_type": r.event_type,
+                        "props": r.props,
+                    },
+                    "samples": [(r.us // 1000, r.value)],
+                }
+                for r in rows
+            ]
+            bodies = [
+                snappy_compress(encode_write_request(series[i : i + _CHUNK]))
+                for i in range(0, len(series), _CHUNK)
+            ]
+            _post_chunks(
+                srv.port, "/prom/v1/write", bodies, "application/x-protobuf"
+            )
+        elif kind == "influx":
             rows = _collect_subset(spark, sf_dir, _INFLUX_PRED)
             lines = [
                 (
@@ -209,6 +237,33 @@ _TSDB_SQL = f"""
     FROM events
     WHERE {_TSDB_PRED}
     """
+
+
+_PROM_SQL = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           {r_out_sql("sum(" + dyadic_sql("value", 20) + ")", 6)} AS sum_value,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_series,
+           CAST(min(epoch_ms(ts)) AS BIGINT) AS oldest_ms
+    FROM events
+    WHERE {_PROM_PRED}
+    """
+
+
+@register("prom_write_ingest_read", oracle=_PROM_SQL)
+def prom_write_ingest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-write → read gate: views of every 11th user as
+    snappy-compressed prompb WriteRequests (the hand-rolled varint/
+    protobuf codec a real Prometheus speaks), POSTed to the engine's
+    /prom/v1/write (http.rs:274-291 analogue), read back through the
+    dedup view.  Doubles ride protobuf fixed64 — exact round-trip — so
+    the quantized sum must match the raw source bit-for-bit."""
+    tbl = _served_table(spark, sf_dir, "prom")
+    return tbl.read().select(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        _quantized_sum("value").alias("sum_value"),
+        F.countDistinct("event_id").cast("long").alias("n_series"),
+        F.min(F.unix_millis("ts")).cast("long").alias("oldest_ms"),
+    )
 
 
 @register("opentsdb_put_ingest_read", oracle=_TSDB_SQL)

@@ -195,36 +195,71 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # family, set_intersect the set-op family, ...) follow.  The local harness
 # (tools/check_correctness.py) still checks all of them.
 DRIVER_ORDER = [    # ------------------------------------------------------------------
-    # round-8 window (VERDICT r07 next-round #1: burn down the driver-
-    # verification debt — put >=30 never-driver-verified queries through
-    # the driver).  38 of the 50 slots are never-driver-verified:
-    # the complete TPC-H derivative tail q2-q22 (19 queries, zero driver
-    # rows through r7), the four window-function families, multimodal
-    # audio/video decode, the three subquery families (incl. the NOT-IN
-    # three-valued-logic trap), the two remaining streaming-ingest gates
-    # (schema evolution, TTL+Append chain), the three round-7 grammar
-    # twins the judge verified but the driver never saw, CUBE/GROUPING
-    # SETS, the InfluxQL/OpenTSDB rate variants (these two keep the
-    # protocol-frontend families represented in-window), and the
-    # freshly-tie-broken tsz_dod_compression.  The 12 anchors are
-    # long-driver-green headline representatives kept for family spread
-    # (scan, filter/project, top-k, join, time-range, dedup-on-read,
-    # time_bucket, PromQL align x2, LSH dedup, ANN, streaming ingest).
-    # Every demoted query remains gated in the full-bank sweeps at all
-    # tiers every round.
-    # -- anchors (driver-green r07) --
+    # round-9 window (VERDICT r08 next-round #1/#8: keep the 39-slot
+    # rotation cadence).  39 of the 50 slots are never-driver-verified:
+    # the two NEW protocol-write e2e gates (HTTP line-protocol /
+    # OpenTSDB-put ingest, r9 — VERDICT r08 #4), the two r8
+    # block-diagonal exact twins of the sf1-excluded quadratics
+    # (VERDICT r08 #8), the three entity-ranking queries freshly moved
+    # to the two-pass rank (pareto/rfm/percentiles — their rewired Spark
+    # sides need driver rows) plus their census sibling event_path_topk,
+    # the olap_ext/sql_extended block (ordered-set aggs, ordered string
+    # agg, UNPIVOT, NTILE quartiles), the FULL ANN index lifecycle
+    # (PQ train/ADC/IVFPQ, refine-rerank, IVF medoids, recall@k, MIPS),
+    # ten timeseries analyses (gap audit, CUSUM, ACF, lagged xcorr,
+    # correlation matrix, z-score/MAD anomalies, M4/LTTB downsampling),
+    # cohort/profile reports (TWA, seasonal profile, transition matrix,
+    # retention cohorts), embedding curation (SemDeDup, int8 quant),
+    # dedup calibration (threshold sweep, minhash accuracy), and the
+    # text-quality block (winnowing, surprisal, Gopher rules).  The 11
+    # anchors are long-driver-green headline representatives kept for
+    # family spread (scan, filter/project, join, time-range,
+    # dedup-on-read, time_bucket, PromQL align x2, LSH dedup, ANN,
+    # streaming ingest).  Every demoted query remains gated in the
+    # full-bank sweeps at all tiers every round.
+    # -- anchors (driver-green r08) --
     "q1_pricing_summary", "scan_filter_project",
     "join_inner_3way",
     "time_bucket_minute", "dedup_latest_by_key", "time_range_scan",
     "promql_rate", "promql_instant",
     "dedup_minhash_lsh", "ann_cosine_bruteforce",
     "streaming_ingest_dedup_read",
-    # -- never-driver-verified promotions (r8) --
-    # new this round: key-partition + segment directory pruning read
-    # (VERDICT r07 #7; takes the slot of 7-rounds-green topk_order_limit,
-    # whose TakeOrderedAndProject family stays plan-asserted + swept)
+    # -- never-driver-verified promotions (r9) --
+    # new this round: protocol-write end-to-end gates (VERDICT r08 #4)
+    "influx_write_ingest_read", "opentsdb_put_ingest_read",
+    # r8 block-diagonal exact twins (VERDICT r08 #8)
+    "dedup_ngram_jaccard_blocked", "embedding_near_dup_blockdiag",
+    # entity rankings on the two-pass rank (VERDICT r08 #5) + the
+    # alphabet-bounded census sibling
+    "pareto_customers", "rfm_segmentation", "user_activity_percentiles",
+    "event_path_topk",
+    # olap_ext / sql_extended block
+    "percentile_disc_group", "string_agg_ordered", "unpivot_metrics",
+    "window_ntile_quartiles",
+    # ANN index lifecycle
+    "pq_train", "ann_pq_adc", "ann_ivfpq", "ann_refine_rerank",
+    "ivf_medoids", "ann_recall_at_k", "ann_mips_topk",
+    # timeseries analyses
+    "ts_gap_report", "changepoint_cusum", "ts_autocorrelation",
+    "ts_cross_correlation", "ts_correlation_matrix", "anomaly_zscore",
+    "anomaly_mad", "m4_downsample", "lttb_downsample",
+    # cohort / profile reports
+    "time_weighted_avg", "seasonal_profile", "event_transition_matrix",
+    "retention_cohorts",
+    # embedding curation + dedup calibration
+    "embedding_semdedup", "embedding_int8_quantize",
+    "dedup_threshold_sweep", "dedup_minhash_accuracy",
+    # text-quality block
+    "text_winnow_fingerprint", "text_unigram_surprisal",
+    "quality_gopher_rules",
+    # ------------------------------------------------------------------
+    # round-9, below the cap: the third protocol-write gate (Prometheus
+    # remote write via the hand-rolled prompb+snappy codec) — the family
+    # is represented in-window by the influx/opentsdb reps; promote next
+    # rotation
+    "prom_write_ingest_read",
+    # round-9 demotions (ALL driver-green r08, locally gated every round)
     "partitioned_scan_prune",
-    # TPC-H derivatives q2-q22 (q1/q5/q18 were driver-green earlier)
     "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
@@ -232,26 +267,16 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "q15_top_supplier", "q16_supplier_counts", "q17_small_quantity",
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales",
-    # window-function families
     "window_rank_family", "window_value_family", "window_range_time_frame",
     "window_qualify_topn",
-    # multimodal audio/video decode
     "multimodal_audio_pcm_stats", "multimodal_video_frame_stats",
-    # subquery families
     "subquery_not_in_null_semantics", "subquery_exists_correlated",
     "subquery_scalar_agg",
-    # streaming-ingest gates (dedup read is the r7-green anchor above)
     "streaming_ingest_evolve_read", "streaming_ingest_ttl_read",
-    # round-7 grammar twins with zero driver rows
     "promql_parsed_agg_stdvar", "promql_parsed_agg_group",
     "promql_parsed_sgn_delta",
-    # grouping-set variants behind driver-green rollup_agg
     "cube_agg", "grouping_sets_explicit",
-    # protocol-frontend rate variants (replace their driver-green
-    # groupby twins influxql_groupby_time_tag / opentsdb_downsample_groupby)
     "influxql_derivative", "opentsdb_rate_query",
-    # sf1 duplicate-(series,ts) tie-break fix from r7 close (judge-
-    # verified at sf0.1; never in a driver window)
     "tsz_dod_compression",
     # ------------------------------------------------------------------
     # round-8 demotions (ALL driver-green r07, locally gated every round)
@@ -307,30 +332,20 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
     "corpus_split_assign", "text_ttr", "text_ngram_topk",
     "multimodal_audio_header_meta", "multimodal_video_header_meta",
-    "ann_recall_at_k", "promql_stddev_over_time", "promql_stdvar_over_time",
+    "promql_stddev_over_time", "promql_stdvar_over_time",
     "dedup_paragraphs", "order_nulls_explicit",
     "salted_distinct_users", "promql_rate_offset", "time_bucket_gapfill_locf",
     # round-3 late additions (statistical aggs, histogram, pivot, RANGE
     # frames, winnowing, rare-token, SemDeDup, int8 quantization)
     "stats_corr_regr", "numeric_histogram",
-    "text_winnow_fingerprint",
-    "text_rare_token_ratio", "embedding_semdedup", "embedding_int8_quantize",
-    "corpus_curation_e2e", "m4_downsample",
-    "time_weighted_avg", "dedup_minhash_accuracy",
-    "column_profile",
-    "pq_train", "ann_pq_adc", "text_hash_features", "quality_classifier_score",
-    "ann_ivfpq",
+    "text_rare_token_ratio", "corpus_curation_e2e", "column_profile",
+    "text_hash_features", "quality_classifier_score",
     # round-3 second wave (wide join, FILTER modifiers, JSON extraction,
     # Gopher rules, quantile_over_time)
-    "quality_gopher_rules", "promql_quantile_over_time",
-    "decontaminate_bloom", "time_bucket_gapfill_interp", "lttb_downsample",
-    "retention_cohorts", "window_ntile_quartiles",
-    "text_unigram_surprisal",
-    "promql_deriv", "promql_predict_linear",
+    "promql_quantile_over_time",
+    "decontaminate_bloom", "time_bucket_gapfill_interp", "promql_deriv", "promql_predict_linear",
     "promql_absent_over_time",
-    "anomaly_zscore", "pareto_customers", 
-    "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "ann_mips_topk",
-    "window_distribution_family",
+    "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "window_distribution_family",
     # round-3 continuation: TPC-H completion (all 22 shapes now covered)
     # round-3 continuation: PromQL evaluator functions over aligned vectors
     "promql_bottomk_series",
@@ -342,11 +357,10 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "embedding_abtt_postprocess",
     "promql_binary_vector_ops", "promql_agg_quantile", 
     "dedup_edit_survivors", 
-    "seasonal_profile", "anomaly_mad", 
-    "ivf_medoids", "corpus_budget_select",
+    "corpus_budget_select",
     "dedup_degree_histogram", "text_langid_confusion",
-    "user_activity_percentiles", "time_to_conversion",
-    "event_transition_matrix", "dedup_cross_source",
+    "time_to_conversion",
+    "dedup_cross_source",
     "embedding_distance_histogram", "promql_wow_delta",
     # round-5 additions: evaluator functions reachable from PromQL text
     # (parse_promql extended=True), gated against the same oracles as the
@@ -355,19 +369,17 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5: real baseline-JPEG pixel decode (pure numpy codec)
     # round-5: series gap audit, CUSUM change points, session path mining,
     # QUALIFY dialect support, RFM segmentation, dup-inflation report
-    "ts_gap_report", "changepoint_cusum", "event_path_topk",
-    "rfm_segmentation", "dedup_inflation_report",
+    "dedup_inflation_report",
     # round-5: real MJPEG video frame decode (AVI demux + JPEG codec)
     # round-5: iterative BPE tokenizer training (vocab-weighted merges)
     # round-5: winnow exact-substring decontamination, per-series ACF,
     # per-source KL token-distribution drift
-    "ts_autocorrelation", "corpus_source_divergence",
+    "corpus_source_divergence",
     # round-5: set-op ALL variants (promql_group_left promoted to the
     # top-50 in the session swap above)
     "set_intersect_all", "set_except_all",
     # round-5: lagged cross-correlation (dedup_dupspan_report promoted to
     # the top-50 in the session swap above)
-    "ts_cross_correlation",
     # round-5: corpus BPE encoding (the apply side of bpe_train_merges)
     "bpe_encode_corpus",
     # round-5: PSI drift report (session_window_agg promoted to the
@@ -377,23 +389,19 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "embedding_mrl_truncation",
     # round-5: ANSI UNPIVOT (hybrid_rrf_fusion promoted to the
     # top-50 in the round-7 rotation)
-    "unpivot_metrics",
     # round-5: pairwise series correlation matrix (dedup_graph_pagerank
     # promoted to the top-50 in the round-7 rotation)
-    "ts_correlation_matrix",
     # round-5: binary vector expressions through the text parser
     "promql_parsed_ratio",
     # round-5: EXIF APP1/TIFF metadata round-trip
     "multimodal_exif_meta",
     # round-5: two-stage PQ-candidates + exact-refine retrieval
-    "ann_refine_rerank",
     # round-5: exact-k per-stratum sample, InfluxQL metadata statements
     "sample_topk_per_group", "influxql_show_tag_values",
     # round-5: OpenTSDB rate option (tsz_xor_compression promoted to
     # the top-50 in the round-7 rotation)
     # round-5: LATERAL correlated subquery, ordered-set aggregates,
     # ordered string aggregation
-    "percentile_disc_group", "string_agg_ordered",
     # round-5: simplified-silhouette cluster quality eval
     "doc_cluster_quality",
     # round-5: parser-driven PromQL aggregation
@@ -404,7 +412,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5: remaining parser aggregation ops
     "promql_parsed_count", "promql_parsed_max",
     # round-5: dedup threshold-calibration sweep
-    "dedup_threshold_sweep",
     # round-5: parsed offset modifier, embedding norm audit
     "promql_parsed_offset", "embedding_norm_audit",
     # round-5: doc-embedding referential-integrity audit
@@ -433,7 +440,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-8: block-diagonal exact twins of the two sf1-excluded
     # quadratic baselines (VERDICT r07 #6) — sf1-tractable oracles that
     # check real pair math at every tier
-    "dedup_ngram_jaccard_blocked", "embedding_near_dup_blockdiag",
     # round-6: code-review regression locks — comparison over binary
     # vector expressions and the `or vector(0)` fallback (precedence and
     # absent_bool promoted into the top-50 mid-round)

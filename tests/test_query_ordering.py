@@ -18,13 +18,14 @@ def test_driver_order_is_front_of_queries():
 
 def test_driver_order_covers_families_in_first_50():
     first50 = set(list(querybank.queries())[:50])
-    # round-8 window (VERDICT r07 next-round #1): 38 of 50 slots are
-    # never-driver-verified promotions — the full TPC-H q2-q22 tail, the
-    # window-function families, multimodal audio/video, the subquery
-    # families, the two remaining streaming-ingest gates, the r7 grammar
-    # twins, CUBE/GROUPING SETS, the protocol rate variants, and
-    # tsz_dod_compression.  12 anchors keep family spread.  Demoted
-    # queries (all driver-green r07) stay gated in the full-bank sweeps.
+    # round-9 window (VERDICT r08 next-round #1/#8): 39 of 50 slots are
+    # never-driver-verified promotions — the two new protocol-write e2e
+    # gates, the r8 block-diagonal twins, the entity rankings freshly
+    # moved to the two-pass rank, the olap_ext block, the full ANN index
+    # lifecycle, ten timeseries analyses, cohort/profile reports,
+    # embedding curation, dedup calibration, and the text-quality block.
+    # 11 anchors keep family spread.  Demoted queries (all driver-green
+    # r08) stay gated in the full-bank sweeps.
     for rep in [
         # anchors
         "q1_pricing_summary", "scan_filter_project",
@@ -32,45 +33,42 @@ def test_driver_order_covers_families_in_first_50():
         "time_range_scan", "promql_rate", "promql_instant",
         "dedup_minhash_lsh", "ann_cosine_bruteforce",
         "streaming_ingest_dedup_read",
-        # never-driver-verified promotions (incl. the round-8-new
-        # partitioned pruning read, which took topk_order_limit's slot)
-        "partitioned_scan_prune",
-        "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q10_returned_items", "q11_important_stock",
-        "q12_priority_lines", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_counts",
-        "q17_small_quantity", "q19_discounted_revenue",
-        "q20_part_promotion", "q21_waiting_suppliers", "q22_global_sales",
-        "window_rank_family", "window_value_family",
-        "window_range_time_frame", "window_qualify_topn",
-        "multimodal_audio_pcm_stats", "multimodal_video_frame_stats",
-        "subquery_not_in_null_semantics", "subquery_exists_correlated",
-        "subquery_scalar_agg",
-        "streaming_ingest_evolve_read", "streaming_ingest_ttl_read",
-        "promql_parsed_agg_stdvar", "promql_parsed_agg_group",
-        "promql_parsed_sgn_delta",
-        "cube_agg", "grouping_sets_explicit",
-        "influxql_derivative", "opentsdb_rate_query",
-        "tsz_dod_compression",
+        # never-driver-verified promotions (r9)
+        "influx_write_ingest_read", "opentsdb_put_ingest_read",
+        "dedup_ngram_jaccard_blocked", "embedding_near_dup_blockdiag",
+        "pareto_customers", "rfm_segmentation",
+        "user_activity_percentiles", "event_path_topk",
+        "percentile_disc_group", "string_agg_ordered", "unpivot_metrics",
+        "window_ntile_quartiles",
+        "pq_train", "ann_pq_adc", "ann_ivfpq", "ann_refine_rerank",
+        "ivf_medoids", "ann_recall_at_k", "ann_mips_topk",
+        "ts_gap_report", "changepoint_cusum", "ts_autocorrelation",
+        "ts_cross_correlation", "ts_correlation_matrix", "anomaly_zscore",
+        "anomaly_mad", "m4_downsample", "lttb_downsample",
+        "time_weighted_avg", "seasonal_profile", "event_transition_matrix",
+        "retention_cohorts",
+        "embedding_semdedup", "embedding_int8_quantize",
+        "dedup_threshold_sweep", "dedup_minhash_accuracy",
+        "text_winnow_fingerprint", "text_unigram_surprisal",
+        "quality_gopher_rules",
     ]:
         assert rep in first50, rep
 
 
-def test_round8_window_is_majority_never_driver_verified():
-    # the r8 rotation's whole point: >=30 slots had zero driver rows
-    # through CORRECTNESS_r07 (VERDICT r07 next-round #1 acceptance)
+def test_round9_window_is_majority_never_driver_verified():
+    # the rotation's whole point: >=35 slots had zero driver rows
+    # through CORRECTNESS_r08 (VERDICT r08 next-round #1 acceptance)
     import json
     import pathlib
 
     seen: set[str] = set()
-    for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r0[1-7].json")):
+    for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r0[1-8].json")):
         seen |= set(json.loads(f.read_text()).keys())
     if not seen:  # driver artifacts absent (fresh checkout) — vacuous
         return
     first50 = list(querybank.queries())[:50]
     never = [q for q in first50 if q not in seen]
-    assert len(never) >= 30, (len(never), never)
+    assert len(never) >= 35, (len(never), never)
 
 
 def test_oracles_follow_query_order():
