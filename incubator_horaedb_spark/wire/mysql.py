@@ -60,6 +60,7 @@ COM_STMT_CLOSE = 0x19
 COM_STMT_RESET = 0x1A
 
 # writer.rs convert_datum_kind_type
+TYPE_TINY = 0x01
 TYPE_LONG = 0x03
 TYPE_FLOAT = 0x04
 TYPE_DOUBLE = 0x05
@@ -283,11 +284,21 @@ class MySQLServer:
             conn.send_err(ER_NOT_SUPPORTED_YET, f"command {cmd:#x} not supported")
 
     def _stmt_execute(self, conn: _Conn, sql: str) -> None:
-        """Execute a (parameterless) prepared statement — the binary
-        protocol resultset.  All result columns are declared VAR_STRING,
-        so binary row values are length-encoded strings (the text
-        rendering), which every connector decodes; NULLs ride the binary
-        row's null bitmap (offset 2)."""
+        """Execute a prepared statement — the binary protocol resultset.
+
+        Result columns are declared with their true MySQL types and
+        encoded per the binary row format (LONGLONG/LONG/SHORT/TINY as
+        fixed-width little-endian ints, FLOAT/DOUBLE as IEEE-754, strings
+        and blobs length-encoded) — what typed connectors (JDBC
+        ``getLong``/``getDouble``, mysql-connector cursors with
+        ``prepared=True``) expect.  NULLs ride the binary row's null
+        bitmap (offset 2).  The binary type map differs from the text
+        one on purpose: the reference's text writer declares
+        MYSQL_TYPE_LONG even for Int64/Timestamp (writer.rs
+        convert_datum_kind_type — width never matters for text rows),
+        but a binary LONG is exactly 4 bytes, so Spark longs and
+        epoch-ms timestamps must be declared LONGLONG or they would be
+        truncated on the wire."""
         try:
             fed = self._federated(sql)
             if fed is not None:
@@ -295,7 +306,7 @@ class MySQLServer:
                 if cols is None:
                     conn.send_ok()
                 else:
-                    self._send_binary_resultset(conn, [c[0] for c in cols], rows)
+                    self._send_binary_resultset(conn, cols, rows)
                 return
             result = self.engine.execute_sql(sql)
             if result is None:
@@ -303,17 +314,17 @@ class MySQLServer:
             elif isinstance(result, int):
                 conn.send_ok(affected_rows=result)
             else:
-                cols, rows = _render_dataframe(result)
-                self._send_binary_resultset(conn, [c[0] for c in cols], rows)
+                cols, rows = _render_dataframe(result, binary=True)
+                self._send_binary_resultset(conn, cols, rows)
         except Exception as e:  # noqa: BLE001 — protocol boundary
             conn.send_err(ER_UNKNOWN_ERROR, str(e))
 
-    def _send_binary_resultset(self, conn: _Conn, names, rows) -> None:
-        conn.send_packet(_lenenc_int(len(names)))
-        for name in names:
-            conn.send_packet(_column_def(name, TYPE_VAR_STRING))
+    def _send_binary_resultset(self, conn: _Conn, cols, rows) -> None:
+        conn.send_packet(_lenenc_int(len(cols)))
+        for name, ctype in cols:
+            conn.send_packet(_column_def(name, ctype))
         conn.send_eof()
-        nbitmap = (len(names) + 7 + 2) // 8
+        nbitmap = (len(cols) + 7 + 2) // 8
         for row in rows:
             bitmap = bytearray(nbitmap)
             payload = b""
@@ -321,7 +332,7 @@ class MySQLServer:
                 if v is None:
                     bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
                 else:
-                    payload += _lenenc_str(str(v).encode())
+                    payload += _encode_binary_value(v, cols[i][1])
             conn.send_packet(b"\x00" + bytes(bitmap) + payload)
         conn.send_eof()
 
@@ -658,17 +669,56 @@ _SPARK_TO_MYSQL = {
     "void": TYPE_NULL,
 }
 
+# Binary-resultset map: declared width must hold the value (a binary LONG
+# is exactly 4 bytes), so 64-bit Spark types and epoch-ms timestamps are
+# LONGLONG here even though the reference's text writer calls them LONG.
+_SPARK_TO_MYSQL_BINARY = {
+    "timestamp": TYPE_LONGLONG,
+    "timestamp_ntz": TYPE_LONGLONG,
+    "double": TYPE_DOUBLE,
+    "float": TYPE_FLOAT,
+    "binary": TYPE_LONG_BLOB,
+    "string": TYPE_VAR_STRING,
+    "long": TYPE_LONGLONG,
+    "integer": TYPE_LONG,
+    "short": TYPE_SHORT,
+    "byte": TYPE_TINY,
+    "boolean": TYPE_SHORT,  # rendered as 0/1 smallint, same as text mode
+    "void": TYPE_NULL,
+}
 
-def _render_dataframe(df):
+_BINARY_PACK = {
+    TYPE_TINY: "<b",
+    TYPE_SHORT: "<h",
+    TYPE_LONG: "<i",
+    TYPE_LONGLONG: "<q",
+    TYPE_FLOAT: "<f",
+    TYPE_DOUBLE: "<d",
+}
+
+
+def _encode_binary_value(v, ctype: int) -> bytes:
+    """One non-NULL value in the binary row format: fixed-width
+    little-endian for the numeric types, length-encoded bytes otherwise."""
+    fmt = _BINARY_PACK.get(ctype)
+    if fmt is not None:
+        return struct.pack(fmt, float(v) if fmt in ("<f", "<d") else int(v))
+    s = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+    return _lenenc_str(bytes(s))
+
+
+def _render_dataframe(df, binary: bool = False):
     """DataFrame → (columns, text rows) per writer.rs write_rows: timestamps
     as epoch-ms ints (converted JVM-side — host-timezone-proof), booleans as
-    0/1 smallints, everything else as its text rendering."""
+    0/1 smallints, everything else as its text rendering.  ``binary`` picks
+    the binary-resultset type map (width-true declarations)."""
     from pyspark.sql import functions as F
 
+    type_map = _SPARK_TO_MYSQL_BINARY if binary else _SPARK_TO_MYSQL
     exprs, cols = [], []
     for f in df.schema.fields:
         tn = f.dataType.typeName()
-        mysql_t = _SPARK_TO_MYSQL.get(tn, TYPE_VAR_STRING)
+        mysql_t = type_map.get(tn, TYPE_VAR_STRING)
         cols.append((f.name, mysql_t))
         if tn in ("timestamp", "timestamp_ntz"):
             exprs.append(F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name))

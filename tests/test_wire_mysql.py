@@ -227,14 +227,17 @@ def test_mysql_stmt_prepare_execute_close(mysql_server):
     stmt_id, ncols, nparams = struct.unpack_from("<IHH", ok, 1)
     assert nparams == 0 and ncols == 0  # schema resolved at execute
 
-    # COM_STMT_EXECUTE → binary-protocol resultset (all VAR_STRING)
+    # COM_STMT_EXECUTE → binary-protocol resultset (typed: VAR_STRING
+    # lenenc for name, 8-byte IEEE double for v)
     c.seq = 0
     c._send_packet(b"\x17" + struct.pack("<IBI", stmt_id, 0, 1))
     first = c._read_packet()
     ncols, _ = c._lenenc(first, 0)
     assert ncols == 2
+    coltypes = []
     for _ in range(ncols):
-        c._read_packet()  # column defs
+        coltypes.append(_coldef_type(c._read_packet()))
+    assert coltypes == [0xFD, 0x05]  # VAR_STRING, DOUBLE
     assert c._read_packet()[0] == 0xFE  # EOF
     row = c._read_packet()
     assert row[0] == 0x00  # binary row header
@@ -243,8 +246,7 @@ def test_mysql_stmt_prepare_execute_close(mysql_server):
     ln, pos = c._lenenc(row, pos)
     assert row[pos : pos + ln] == b"x"
     pos += ln
-    ln, pos = c._lenenc(row, pos)
-    assert row[pos : pos + ln] == b"1.5"
+    assert struct.unpack_from("<d", row, pos)[0] == 1.5
     assert c._read_packet()[0] == 0xFE  # closing EOF
 
     # re-execute the same statement (registry persists per connection)
@@ -292,8 +294,32 @@ def test_mysql_stmt_null_in_binary_row(mysql_server):
     bitmap = row[1 : 1 + nbitmap]
     assert bitmap[(0 + 2) // 8] & (1 << ((0 + 2) % 8))  # name IS NULL
     pos = 1 + nbitmap
-    ln, pos = c._lenenc(row, pos)
-    assert row[pos : pos + ln] == b"2.5"  # v rides after the bitmap
+    assert struct.unpack_from("<d", row, pos)[0] == 2.5  # v rides after the bitmap
+    c.close()
+
+
+def test_mysql_stmt_typed_binary_result_matrix(mysql_server):
+    """Binary resultset declares true types and fixed-width encodings:
+    bigint/timestamp → LONGLONG(8), int → LONG(4), smallint → SHORT(2),
+    float → FLOAT(4), double → DOUBLE(8), string → VAR_STRING lenenc.
+    A 64-bit value > 2^31 proves longs are not truncated to 4 bytes."""
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE stmt_typed (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    c.query("insert into stmt_typed (name, v, t) values ('x', 0.25, 1691116127622)")
+    c.seq = 0
+    c._send_packet(
+        b"\x16" + b"select t, cast(5000000001 as bigint) as big, cast(7 as int) as i, "
+        b"cast(3 as smallint) as s, cast(1.5 as float) as f, v, name from stmt_typed"
+    )
+    ok = c._read_packet()
+    assert ok[0] == 0x00
+    stmt_id = struct.unpack_from("<I", ok, 1)[0]
+    ncols, rows = _execute(c, stmt_id, new_bound=0)
+    assert ncols == 7
+    assert rows == [("1691116127622", "5000000001", "7", "3", "1.5", "0.25", "x")]
     c.close()
 
 
@@ -374,8 +400,7 @@ def _execute(c: MiniMySQLClient, stmt_id: int, params=(), types=None,
         affected, _ = c._lenenc(first, 1)
         return ("ok", affected)
     ncols, _ = c._lenenc(first, 0)
-    for _ in range(ncols):
-        c._read_packet()
+    coltypes = [_coldef_type(c._read_packet()) for _ in range(ncols)]
     assert c._read_packet()[0] == 0xFE
     rows = []
     nbitmap = (ncols + 7 + 2) // 8
@@ -388,11 +413,38 @@ def _execute(c: MiniMySQLClient, stmt_id: int, params=(), types=None,
             if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
                 row.append(None)
                 continue
-            ln, pos = c._lenenc(pkt, pos)
-            row.append(pkt[pos : pos + ln].decode())
-            pos += ln
+            fixed = _BINARY_FIXED.get(coltypes[i])
+            if fixed is not None:
+                fmt, width = fixed
+                row.append(str(struct.unpack_from(fmt, pkt, pos)[0]))
+                pos += width
+            else:
+                ln, pos = c._lenenc(pkt, pos)
+                row.append(pkt[pos : pos + ln].decode())
+                pos += ln
         rows.append(tuple(row))
     return (ncols, rows)
+
+
+# binary row format: fixed-width little-endian widths per MYSQL_TYPE_*
+_BINARY_FIXED = {
+    0x01: ("<b", 1),
+    0x02: ("<h", 2),
+    0x03: ("<i", 4),
+    0x08: ("<q", 8),
+    0x04: ("<f", 4),
+    0x05: ("<d", 8),
+}
+
+
+def _coldef_type(pkt: bytes) -> int:
+    """Extract the type byte from a ColumnDefinition41 packet: six lenenc
+    strings, the 0x0C fixed-length marker, charset(2) + collen(4), type."""
+    pos = 0
+    for _ in range(6):
+        ln, pos = MiniMySQLClient._lenenc(pkt, pos)
+        pos += ln
+    return pkt[pos + 1 + 2 + 4]
 
 
 def _lenenc_bytes(data: bytes) -> bytes:
