@@ -658,7 +658,14 @@ class Engine:
             if len(vals) != len(cols):
                 raise ValueError("VALUES arity mismatch")
             rows.append(dict(zip(cols, vals)))
+        return self.insert_rows(name, cols, rows)
 
+    def insert_rows(self, name: str, cols: list[str], rows: list[dict]) -> int:
+        """Write python-typed ``rows`` (dicts keyed by ``cols``) into table
+        ``name`` with the INSERT path's type coercions — shared by VALUES
+        and the PG COPY-FROM-STDIN bulk loader."""
+        meta = self.catalog.get(name)
+        schema = meta.schema
         fields = []
         for c in cols:
             col_schema = schema.column(c)

@@ -45,6 +45,7 @@ drop-if-exists / CREATE TABLE demo / INSERT / SELECT * FROM demo.
 
 from __future__ import annotations
 
+import re
 import socket
 import socketserver
 import struct
@@ -488,6 +489,21 @@ class PostgresServer:
             conn.send(b"I")  # EmptyQueryResponse
             return
         try:
+            cp = _parse_copy(sql)
+        except Exception as e:  # noqa: BLE001 — malformed COPY options
+            conn.send_error(str(e))
+            return
+        if cp is not None:
+            try:
+                if cp["dir"] == "from":
+                    n = self._copy_in(conn, cp)
+                else:
+                    n = self._copy_out(conn, cp)
+                conn.send_command_complete(f"COPY {n}")
+            except Exception as e:  # noqa: BLE001 — protocol boundary
+                conn.send_error(str(e))
+            return
+        try:
             result = self.engine.execute_sql(sql)
         except Exception as e:  # noqa: BLE001 — protocol boundary
             conn.send_error(str(e))
@@ -670,6 +686,15 @@ class PostgresServer:
             if not p.sql.strip():
                 conn.send(b"I")  # EmptyQueryResponse
                 return
+            cp = _parse_copy(p.sql)
+            if cp is not None:
+                # psycopg3's cursor.copy() drives COPY through the
+                # extended protocol; the sub-protocol is identical to the
+                # simple-query one (CopyInResponse absorbs CopyData until
+                # CopyDone even mid-extended-flow)
+                n = self._copy_in(conn, cp) if cp["dir"] == "from" else self._copy_out(conn, cp)
+                conn.send_command_complete(f"COPY {n}")
+                return
             result = p.result(self.engine)
             if result is None:
                 conn.send_command_complete(_ddl_tag(p.sql.strip().lower()))
@@ -717,6 +742,79 @@ class PostgresServer:
         rows = df.select(*_text_exprs(df)).collect()
         for row in rows:
             conn.send(b"D", _data_row(row))
+        return len(rows)
+
+    # ------------------------------------------------------------ COPY --
+    # Beyond-reference like the extended protocol: the reference's pgwire
+    # handler is simple-query-only (handler.rs:44), but COPY FROM STDIN is
+    # the standard PG bulk-load path (psql \copy, psycopg copy_expert),
+    # and a time-series engine's ingest story needs it.  Text and CSV
+    # formats; binary COPY format is rejected with a clear error.
+
+    def _copy_in(self, conn: _Conn, cp: dict) -> int:
+        """COPY <table> [(cols)] FROM STDIN: CopyInResponse, absorb
+        CopyData until CopyDone/CopyFail, then parse + type + write
+        through the engine's INSERT path (one distributed write per COPY
+        statement, not per row)."""
+        if cp["query"] is not None:
+            raise ValueError("COPY FROM supports a table name, not a query")
+        meta = self.engine.catalog.get(cp["table"])
+        cols = cp["cols"] or [c.name for c in meta.schema.columns]
+        for c in cols:
+            meta.schema.column(c)  # unknown column → error before CopyIn
+        conn.send(b"G", struct.pack("!bh", 0, len(cols)) + b"\x00\x00" * len(cols))
+        chunks: list[bytes] = []
+        failed: str | None = None
+        while True:
+            msg = conn.read_message()
+            if msg is None:
+                raise ConnectionError("connection closed during COPY FROM STDIN")
+            mtype, body = msg
+            if mtype == b"d":
+                chunks.append(body)
+            elif mtype == b"c":  # CopyDone
+                break
+            elif mtype == b"f":  # CopyFail
+                failed = body.rstrip(b"\x00").decode("utf-8", "replace")
+                break
+            elif mtype in (b"H", b"S"):
+                continue  # Flush/Sync are no-ops mid-copy (protocol rule)
+            else:
+                raise ValueError(f"unexpected message {mtype!r} during COPY")
+        if failed is not None:
+            raise ValueError(f"COPY aborted by client: {failed}")
+        cells_rows = _copy_decode(b"".join(chunks), cp)
+        rows = []
+        for lineno, cells in enumerate(cells_rows, 1):
+            if len(cells) != len(cols):
+                raise ValueError(
+                    f"COPY line {lineno}: expected {len(cols)} columns, got {len(cells)}"
+                )
+            rows.append(
+                {
+                    c: _copy_typed(v, meta.schema.column(c).kind, c, lineno)
+                    for c, v in zip(cols, cells)
+                }
+            )
+        return self.engine.insert_rows(cp["table"], cols, rows)
+
+    def _copy_out(self, conn: _Conn, cp: dict) -> int:
+        """COPY <table>|(query) [(cols)] TO STDOUT: CopyOutResponse + one
+        CopyData per row.  Values use the server's text encoding
+        (timestamps as epoch-ms i64, handler.rs parity) in both formats."""
+        if cp["query"] is not None:
+            df = self.engine.execute_sql(cp["query"])
+        else:
+            sel = ", ".join(f"`{c}`" for c in cp["cols"]) if cp["cols"] else "*"
+            df = self.engine.execute_sql(f"SELECT {sel} FROM `{cp['table']}`")
+        rows = df.select(*_text_exprs(df)).collect()
+        ncols = len(df.columns)
+        conn.send(b"H", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
+        if cp["header"]:
+            conn.send(b"d", _copy_encode_row(tuple(df.columns), cp))
+        for row in rows:
+            conn.send(b"d", _copy_encode_row(row, cp))
+        conn.send(b"c")  # CopyDone
         return len(rows)
 
     # ----------------------------------------------------------- lifecycle
@@ -877,6 +975,264 @@ def _text_exprs(df):
         else:
             exprs.append(F.col(f"`{f.name}`"))
     return exprs
+
+
+# --------------------------------------------------------------- COPY --
+
+def _parse_copy(sql: str) -> dict | None:
+    """Parse ``COPY <table>[(cols)] FROM STDIN [opts]`` / ``COPY
+    <table>|(query) [(cols)] TO STDOUT [opts]``.  Returns None when the
+    statement is not a STDIN/STDOUT COPY (file-target COPY falls through
+    to the engine, which rejects it as an unsupported statement).
+
+    Options: new-style ``WITH (FORMAT text|csv, HEADER [bool], DELIMITER
+    'c', NULL 's')`` and the legacy bare forms (``CSV HEADER``,
+    ``DELIMITER E'\\t'``).  FORMAT binary and the quoting-control options
+    (QUOTE/ESCAPE/FORCE_*) are rejected with a clear error."""
+    s = sql.strip().rstrip(";").strip()
+    if not re.match(r"^copy\b", s, re.I):
+        return None
+    n, i = len(s), 4
+    while i < n and s[i].isspace():
+        i += 1
+    table = query = cols = None
+    if i < n and s[i] == "(":
+        j = _skip_parens(s, i)
+        query = s[i + 1 : j - 1].strip()
+        i = j
+    else:
+        m = re.match(r'"([^"]+)"|([\w.]+)', s[i:])
+        if not m:
+            return None
+        table = m.group(1) or m.group(2)
+        i += m.end()
+        while i < n and s[i].isspace():
+            i += 1
+        if i < n and s[i] == "(":
+            j = _skip_parens(s, i)
+            cols = [
+                c.strip().strip('"') for c in s[i + 1 : j - 1].split(",") if c.strip()
+            ]
+            i = j
+    m = re.match(r"\s*(from\s+stdin|to\s+stdout)\b", s[i:], re.I)
+    if not m:
+        return None
+    direction = m.group(1).split()[0].lower()
+    if direction == "from" and query is not None:
+        return None  # COPY (query) FROM is not a thing; let the engine reject
+    cp = {
+        "table": table,
+        "query": query,
+        "cols": cols,
+        "dir": direction,
+        "fmt": "text",
+        "header": False,
+        "delim": None,
+        "null": None,
+    }
+    rest = s[i + m.end() :].strip()
+    toks = re.findall(r"'(?:[^']|'')*'|[A-Za-z_]\w*|[(),]", rest)
+
+    def _str(tok: str, escaped: bool) -> str:
+        v = tok[1:-1].replace("''", "'")
+        if escaped:
+            v = (
+                v.replace("\\\\", "\x00")
+                .replace("\\t", "\t")
+                .replace("\\n", "\n")
+                .replace("\\r", "\r")
+                .replace("\x00", "\\")
+            )
+        return v
+
+    k = 0
+    while k < len(toks):
+        t = toks[k].lower()
+        if t in ("with", "(", ")", ","):
+            k += 1
+        elif t == "format":
+            k += 1
+            if k >= len(toks) or toks[k].lower() not in ("text", "csv", "binary"):
+                raise ValueError("COPY: FORMAT must be text or csv")
+            if toks[k].lower() == "binary":
+                raise ValueError("COPY: FORMAT binary is not supported (use text or csv)")
+            cp["fmt"] = toks[k].lower()
+            k += 1
+        elif t == "csv":
+            cp["fmt"] = "csv"
+            k += 1
+        elif t == "text":
+            cp["fmt"] = "text"
+            k += 1
+        elif t == "binary":
+            raise ValueError("COPY: FORMAT binary is not supported (use text or csv)")
+        elif t == "header":
+            k += 1
+            if k < len(toks) and toks[k].lower() in ("true", "false", "on", "off"):
+                cp["header"] = toks[k].lower() in ("true", "on")
+                k += 1
+            else:
+                cp["header"] = True
+        elif t in ("delimiter", "null"):
+            key = "delim" if t == "delimiter" else "null"
+            k += 1
+            escaped = False
+            if k < len(toks) and toks[k].lower() == "e":  # E'\t' escape string
+                escaped = True
+                k += 1
+            if k >= len(toks) or not toks[k].startswith("'"):
+                raise ValueError(f"COPY: {t.upper()} requires a quoted string")
+            cp[key] = _str(toks[k], escaped)
+            k += 1
+        else:
+            raise ValueError(f"COPY: unsupported option {toks[k]!r}")
+    if cp["delim"] is None:
+        cp["delim"] = "," if cp["fmt"] == "csv" else "\t"
+    if cp["null"] is None:
+        cp["null"] = "" if cp["fmt"] == "csv" else "\\N"
+    if len(cp["delim"]) != 1:
+        raise ValueError("COPY: DELIMITER must be a single character")
+    return cp
+
+
+def _split_text_line(ln: str, delim: str) -> list[str]:
+    """Split one COPY text-format line on the delimiter, honoring
+    backslash escapes (an escaped delimiter is data, not a split)."""
+    cells, cur, i, n = [], [], 0, len(ln)
+    while i < n:
+        ch = ln[i]
+        if ch == "\\" and i + 1 < n:
+            cur.append(ch)
+            cur.append(ln[i + 1])
+            i += 2
+            continue
+        if ch == delim:
+            cells.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    cells.append("".join(cur))
+    return cells
+
+
+_TEXT_UNESCAPE = {
+    "\\": "\\", "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v",
+}
+
+
+def _copy_unescape(cell: str) -> str:
+    out, i, n = [], 0, len(cell)
+    while i < n:
+        ch = cell[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = cell[i + 1]
+            out.append(_TEXT_UNESCAPE.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _copy_decode(data: bytes, cp: dict) -> list[list[str | None]]:
+    """CopyData payload → rows of (str | None) cells.  NULL matching is on
+    the RAW cell (PG matches the null string as it appears in the file,
+    before un-escaping).  CSV caveat: a QUOTED empty string is
+    indistinguishable from an unquoted one after csv parsing, so with the
+    default CSV null ('') it reads as NULL."""
+    txt = data.decode("utf-8")
+    if cp["fmt"] == "csv":
+        import csv
+        import io
+
+        out = []
+        rows = list(csv.reader(io.StringIO(txt), delimiter=cp["delim"]))
+        if cp["header"] and rows:
+            rows = rows[1:]
+        for r in rows:
+            if not r:
+                continue
+            if r == ["\\."]:
+                break
+            out.append([None if c == cp["null"] else c for c in r])
+        return out
+    out = []
+    lines = txt.split("\n")
+    if cp["header"] and lines:
+        lines = lines[1:]
+    for idx, ln in enumerate(lines):
+        if ln.endswith("\r"):
+            ln = ln[:-1]
+        if ln == "\\.":
+            break
+        if ln == "" and idx == len(lines) - 1:
+            continue  # final newline, not an empty row
+        cells = _split_text_line(ln, cp["delim"])
+        out.append(
+            [None if c == cp["null"] else _copy_unescape(c) for c in cells]
+        )
+    return out
+
+
+def _copy_typed(v: str | None, kind: str, col: str, lineno: int):
+    """One COPY text cell → the python value Engine.insert_rows expects
+    for the column kind (timestamps as epoch-ms ints; ISO datetimes
+    accepted and read as UTC, matching the engine's session zone)."""
+    if v is None:
+        return None
+    try:
+        if kind == "timestamp":
+            if re.fullmatch(r"[+-]?\d+", v):
+                return int(v)
+            import datetime
+
+            dt = datetime.datetime.fromisoformat(v)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            return int(dt.timestamp() * 1000)
+        if kind in ("double", "float"):
+            return float(v)
+        if kind == "boolean":
+            low = v.strip().lower()
+            if low in ("t", "true", "1", "y", "yes", "on"):
+                return True
+            if low in ("f", "false", "0", "n", "no", "off"):
+                return False
+            raise ValueError(f"bad boolean {v!r}")
+        if kind == "varbinary":
+            if v.startswith("\\x"):
+                return bytes.fromhex(v[2:])
+            return v.encode("utf-8")
+        if kind == "string":
+            return v
+        return int(v)
+    except ValueError as e:
+        raise ValueError(f"COPY line {lineno}, column {col}: {e}") from None
+
+
+def _copy_encode_row(row, cp: dict) -> bytes:
+    """One already-text-encoded Row → a CopyData line."""
+    cells = []
+    for v in row:
+        if v is None:
+            cells.append(cp["null"])
+            continue
+        s = "t" if v is True else "f" if v is False else str(v)
+        if cp["fmt"] == "csv":
+            if any(c in s for c in (cp["delim"], '"', "\n", "\r")) or s == "":
+                s = '"' + s.replace('"', '""') + '"'
+        else:
+            s = (
+                s.replace("\\", "\\\\")
+                .replace("\t", "\\t")
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+            )
+            if cp["delim"] != "\t":
+                s = s.replace(cp["delim"], "\\" + cp["delim"])
+        cells.append(s)
+    return (cp["delim"].join(cells) + "\n").encode("utf-8")
 
 
 def _skip_parens(sql: str, i: int) -> int:

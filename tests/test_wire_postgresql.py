@@ -679,3 +679,152 @@ def test_pg_describe_cte_dml_is_side_effect_free(pg_ext, tmp_path):
     pg_ext.sync()
     msgs, _, cols, _, err = pg_ext.drain()
     assert err is None and b"T" in msgs and dict(cols) == {"name": 25}
+
+
+# --- COPY FROM STDIN / TO STDOUT (round 9, beyond-reference bulk path) ------
+
+
+def _copy_query(c: MiniPgClient, sql: str, data: bytes | None = None,
+                fail: str | None = None):
+    """Simple-query COPY exchange.  Returns (tag, copy_response_body,
+    out_chunks, err)."""
+    body = sql.encode() + b"\x00"
+    c.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+    tag = err = resp = None
+    out: list[bytes] = []
+    while True:
+        t, b = c._read_message()
+        if t == b"G":  # CopyInResponse
+            resp = b
+            if fail is not None:
+                fb = fail.encode() + b"\x00"
+                c.sock.sendall(b"f" + struct.pack("!I", len(fb) + 4) + fb)
+            else:
+                half = len(data) // 2
+                for chunk in (data[:half], data[half:]):
+                    c.sock.sendall(b"d" + struct.pack("!I", len(chunk) + 4) + chunk)
+                c.sock.sendall(b"c" + struct.pack("!I", 4))
+        elif t == b"H":  # CopyOutResponse
+            resp = b
+        elif t == b"d":
+            out.append(b)
+        elif t == b"c":
+            pass  # CopyDone (server side)
+        elif t == b"C":
+            tag = b.rstrip(b"\x00").decode()
+        elif t == b"E":
+            fields = dict((ch[:1], ch[1:].decode()) for ch in b.split(b"\x00") if ch)
+            err = fields.get(b"M", "unknown")
+        elif t == b"Z":
+            break
+    return tag, resp, out, err
+
+
+@pytest.fixture()
+def pg_copy(pg_server):
+    c = MiniPgClient(pg_server.port, with_ssl_probe=False)
+    c.query(
+        "CREATE TABLE cpy (name string TAG, v double, flag boolean, "
+        "t timestamp NOT NULL, timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    yield c
+    c.close()
+
+
+def test_pg_copy_in_text_roundtrip(pg_copy):
+    c = pg_copy
+    data = (
+        "tab\\tbed\t1.5\tt\t1691116127622\n"      # escaped tab inside value
+        "\\N\t2.5\tf\t1691116127623\n"              # NULL tag
+        "iso\t\\N\ttrue\t2024-01-08 00:00:00\n"    # NULL double, ISO timestamp
+    ).encode()
+    tag, resp, _, err = _copy_query(c, "COPY cpy FROM STDIN", data)
+    assert err is None and tag == "COPY 3"
+    fmt, ncols = struct.unpack_from("!bh", resp, 0)
+    assert fmt == 0 and ncols == 4
+    _, _, rows = c.query("select name, v, flag, t from cpy order by t")
+    assert rows == [
+        ("tab\tbed", "1.5", "t", "1691116127622"),
+        (None, "2.5", "f", "1691116127623"),
+        ("iso", None, "t", "1704672000000"),
+    ]
+
+
+def test_pg_copy_in_csv_header_and_opts(pg_copy):
+    c = pg_copy
+    data = (
+        "name,v,flag,t\n"
+        '"quoted, name",0.5,true,1691116127622\n'
+        "NIL,1.25,false,1691116127623\n"
+    ).encode()
+    tag, _, _, err = _copy_query(
+        c,
+        "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv, HEADER true, NULL 'NIL')",
+        data,
+    )
+    assert err is None and tag == "COPY 2"
+    _, _, rows = c.query("select name, v, flag from cpy order by t")
+    assert rows == [("quoted, name", "0.5", "t"), (None, "1.25", "f")]
+
+
+def test_pg_copy_out_text_and_csv(pg_copy):
+    c = pg_copy
+    c.query("insert into cpy (name, v, flag, t) values ('a', 1.5, true, 1691116127622)")
+    c.query("insert into cpy (name, v, t) values ('b,c', 2.5, 1691116127623)")
+    tag, resp, out, err = _copy_query(c, "COPY cpy (name, v, flag) TO STDOUT")
+    assert err is None and tag == "COPY 2"
+    fmt, ncols = struct.unpack_from("!bh", resp, 0)
+    assert fmt == 0 and ncols == 3
+    lines = sorted(b"".join(out).decode().splitlines())
+    assert lines == ["a\t1.5\tt", "b,c\t2.5\t\\N"]
+    # query source + CSV + header: quoting kicks in for the embedded comma
+    tag, _, out, err = _copy_query(
+        c,
+        "COPY (select name, v from cpy order by name) TO STDOUT WITH CSV HEADER",
+    )
+    assert err is None and tag == "COPY 2"
+    assert b"".join(out).decode() == 'name,v\na,1.5\n"b,c",2.5\n'
+
+
+def test_pg_copy_errors(pg_copy):
+    c = pg_copy
+    # FORMAT binary → clear rejection, connection stays usable
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN WITH (FORMAT binary)", b"")
+    assert err is not None and "binary" in err
+    # arity mismatch reports the line
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN", b"only_one_cell\n")
+    assert err is not None and "line 1" in err
+    # unknown table errors BEFORE CopyInResponse
+    tag, resp, _, err = _copy_query(c, "COPY nope FROM STDIN", b"")
+    assert err is not None and resp is None
+    # client CopyFail → statement error, then normal traffic resumes
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN", fail="client abort")
+    assert err is not None and "client abort" in err
+    _, _, rows = c.query("select count(*) as n from cpy")
+    assert rows == [("0",)]
+
+
+def test_pg_copy_extended_protocol(pg_ext):
+    # psycopg3 cursor.copy() drives COPY via Parse/Bind/Execute
+    pg_ext.query(
+        "CREATE TABLE cpyx (name string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    pg_ext.parse("COPY cpyx (name, v, t) FROM STDIN", name="cp")
+    pg_ext.bind(name="cp", portal="cpp")
+    pg_ext.execute(portal="cpp")
+    data = b"x\t1.5\t1691116127622\n"
+    # drain ParseComplete/BindComplete; server answers CopyInResponse to
+    # the Execute
+    while True:
+        t, b = pg_ext._read_message()
+        if t not in (b"1", b"2"):
+            break
+    assert t == b"G"
+    pg_ext.sock.sendall(b"d" + struct.pack("!I", len(data) + 4) + data)
+    pg_ext.sock.sendall(b"c" + struct.pack("!I", 4))
+    pg_ext.sync()
+    msgs, tag, _, _, err = pg_ext.drain()
+    assert err is None and tag == "COPY 1"
+    _, _, rows = pg_ext.query("select name, v from cpyx")
+    assert rows == [("x", "1.5")]
