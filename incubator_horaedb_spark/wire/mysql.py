@@ -49,8 +49,15 @@ CLIENT_PLUGIN_AUTH = 0x0008_0000
 CLIENT_CONNECT_WITH_DB = 0x0008
 CLIENT_DEPRECATE_EOF = 0x0100_0000
 
+CLIENT_LOCAL_FILES = 0x80
+
 SERVER_CAPS = (
-    CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB
+    CLIENT_PROTOCOL_41
+    | CLIENT_SECURE_CONNECTION
+    | CLIENT_PLUGIN_AUTH
+    | CLIENT_CONNECT_WITH_DB
+    # LOAD DATA LOCAL INFILE (the MySQL bulk-load path, round 9)
+    | CLIENT_LOCAL_FILES
 )
 
 COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
@@ -337,6 +344,13 @@ class MySQLServer:
         conn.send_eof()
 
     def _query(self, conn: _Conn, sql: str) -> None:
+        if re.match(r"^\s*load\s+data\b", sql, re.I):
+            try:
+                n = self._load_data(conn, sql)
+                conn.send_ok(affected_rows=n)
+            except Exception as e:  # noqa: BLE001 — protocol boundary
+                conn.send_err(ER_UNKNOWN_ERROR, str(e))
+            return
         try:
             fed = self._federated(sql)
             if fed is not None:
@@ -356,6 +370,58 @@ class MySQLServer:
                 self._send_resultset(conn, cols, rows)
         except Exception as e:  # noqa: BLE001 — protocol boundary
             conn.send_err(ER_UNKNOWN_ERROR, str(e))
+
+    def _load_data(self, conn: _Conn, sql: str) -> int:
+        """LOAD DATA LOCAL INFILE — the MySQL bulk-load path (the PG-side
+        twin is COPY FROM STDIN).  The server answers the statement with a
+        LOCAL INFILE request packet (0xFB + filename); the client streams
+        the file as packets terminated by an empty packet; rows are
+        parsed per the FIELDS/LINES clauses, typed against the catalog
+        schema, and written as ONE distributed batch through
+        Engine.insert_rows.
+
+        Supported: LOCAL only (there is no server filesystem to read
+        from), FIELDS TERMINATED BY / [OPTIONALLY] ENCLOSED BY / ESCAPED
+        BY, LINES TERMINATED BY, IGNORE n LINES, a column list, and the
+        REPLACE keyword (a no-op: the engine's append + latest-wins
+        dedup-on-read IS replace semantics).  LINES STARTING BY and the
+        IGNORE duplicate-handling keyword are rejected clearly."""
+        ld = _parse_load_data(sql)
+        meta = self.engine.catalog.get(ld["table"])
+        cols = ld["cols"] or [c.name for c in meta.schema.columns]
+        for c in cols:
+            meta.schema.column(c)  # unknown column → error before the request
+        # LOCAL INFILE request: the client now streams the named file
+        conn.send_packet(b"\xfb" + ld["filename"].encode())
+        chunks: list[bytes] = []
+        while True:
+            pkt = conn.read_packet()
+            if pkt is None:
+                raise ConnectionError("connection closed during LOAD DATA LOCAL")
+            if pkt == b"":  # empty packet = end of file
+                break
+            chunks.append(pkt)
+        lines = b"".join(chunks).decode("utf-8").split(ld["line_term"])
+        if lines and lines[-1] == "":
+            lines.pop()  # trailing terminator, not an empty row
+        lines = lines[ld["ignore"] :]
+        rows = []
+        for lineno, ln in enumerate(lines, 1):
+            if ln.endswith("\r") and ld["line_term"] == "\n":
+                ln = ln[:-1]
+            cells = _split_load_fields(ln, ld["field_term"], ld["enclosed"], ld["escaped"])
+            if len(cells) != len(cols):
+                raise ValueError(
+                    f"LOAD DATA line {lineno}: expected {len(cols)} columns, "
+                    f"got {len(cells)}"
+                )
+            rows.append(
+                {
+                    c: _load_typed(v, meta.schema.column(c).kind, c, lineno)
+                    for c, v in zip(cols, cells)
+                }
+            )
+        return self.engine.insert_rows(ld["table"], cols, rows)
 
     def _federated(self, sql: str):
         """federated.rs check(): canned answers for driver setup probes.
@@ -633,6 +699,182 @@ def _render_param_literal(value) -> str:
             raise ValueError(f"non-finite float parameter {value!r}")
         return repr(value)
     return "'" + str(value).replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+# ------------------------------------------------------- LOAD DATA LOCAL --
+
+_LOAD_ESCAPES = {"0": "\0", "t": "\t", "n": "\n", "r": "\r", "b": "\b", "Z": "\x1a"}
+
+
+def _sql_str_lit(tok: str) -> str:
+    """A MySQL single-quoted string literal → its value (backslash escapes
+    and doubled quotes, default sql_mode)."""
+    body = tok[1:-1]
+    out, i, n = [], 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            out.append(_LOAD_ESCAPES.get(nxt, nxt))
+            i += 2
+        elif ch == "'" and i + 1 < n and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+_LOAD_STR = r"'(?:[^'\\]|\\.|'')*'"
+
+
+def _parse_load_data(sql: str) -> dict:
+    s = sql.strip().rstrip(";").strip()
+    m = re.match(
+        rf"^load\s+data\s+(?P<local>local\s+)?infile\s+(?P<fn>{_LOAD_STR})\s+"
+        rf"(?:(?P<dup>replace|ignore)\s+)?into\s+table\s+(?P<tbl>`[^`]+`|[\w.]+)"
+        rf"(?P<rest>[\s\S]*)$",
+        s,
+        re.I,
+    )
+    if not m:
+        raise ValueError(f"cannot parse LOAD DATA: {s[:120]!r}")
+    if not m.group("local"):
+        raise ValueError(
+            "only LOAD DATA LOCAL INFILE is supported (no server filesystem)"
+        )
+    if m.group("dup") and m.group("dup").lower() == "ignore":
+        raise ValueError(
+            "LOAD DATA ... IGNORE (first-write-wins) is not supported; the "
+            "engine's dedup-on-read keeps the LATEST row (REPLACE semantics)"
+        )
+    tbl = m.group("tbl")
+    ld = {
+        "filename": _sql_str_lit(m.group("fn")),
+        "table": tbl[1:-1] if tbl.startswith("`") else tbl,
+        "field_term": "\t",
+        "enclosed": "",
+        "escaped": "\\",
+        "line_term": "\n",
+        "ignore": 0,
+        "cols": None,
+    }
+    rest = m.group("rest")
+    mm = re.match(r"\s*character\s+set\s+\w+", rest, re.I)
+    if mm:
+        rest = rest[mm.end() :]
+    mm = re.match(
+        rf"\s*(?:fields|columns)((?:\s+(?:terminated\s+by|(?:optionally\s+)?"
+        rf"enclosed\s+by|escaped\s+by)\s+{_LOAD_STR})+)",
+        rest,
+        re.I,
+    )
+    if mm:
+        for om in re.finditer(
+            rf"(terminated\s+by|(?:optionally\s+)?enclosed\s+by|escaped\s+by)\s+({_LOAD_STR})",
+            mm.group(1),
+            re.I,
+        ):
+            val = _sql_str_lit(om.group(2))
+            word = om.group(1).lower()
+            if word.startswith("terminated"):
+                ld["field_term"] = val
+            elif word.startswith("escaped"):
+                ld["escaped"] = val
+            else:
+                ld["enclosed"] = val
+        rest = rest[mm.end() :]
+    if re.match(r"\s*lines\s+starting\s+by\b", rest, re.I):
+        raise ValueError("LINES STARTING BY is not supported")
+    mm = re.match(rf"\s*lines\s+terminated\s+by\s+({_LOAD_STR})", rest, re.I)
+    if mm:
+        ld["line_term"] = _sql_str_lit(mm.group(1))
+        rest = rest[mm.end() :]
+    mm = re.match(r"\s*ignore\s+(\d+)\s+(?:lines|rows)", rest, re.I)
+    if mm:
+        ld["ignore"] = int(mm.group(1))
+        rest = rest[mm.end() :]
+    mm = re.match(r"\s*\(([^)]*)\)\s*$", rest)
+    if mm:
+        ld["cols"] = [
+            c.strip().strip("`") for c in mm.group(1).split(",") if c.strip()
+        ]
+        rest = rest[mm.end() :]
+    if rest.strip():
+        raise ValueError(f"unsupported LOAD DATA clause: {rest.strip()[:80]!r}")
+    if not ld["field_term"]:
+        raise ValueError("FIELDS TERMINATED BY must not be empty")
+    if not ld["line_term"]:
+        raise ValueError("LINES TERMINATED BY must not be empty")
+    return ld
+
+
+def _split_load_fields(ln: str, term: str, enc: str, esc: str) -> list[str | None]:
+    """One line → cells per MySQL field parsing: the escape char protects
+    the next character (and encodes NULL as ``<esc>N`` unenclosed), the
+    optional enclosure wraps a field (terminators inside are data, a
+    doubled or escaped enclosure is a literal one)."""
+    cells: list[str | None] = []
+    i, n = 0, len(ln)
+    tlen = len(term)
+    while True:
+        cur: list[str] = []
+        is_null = False
+        if enc and i < n and ln[i] == enc:
+            i += 1
+            while i < n:
+                ch = ln[i]
+                if esc and ch == esc and i + 1 < n:
+                    nxt = ln[i + 1]
+                    cur.append(_LOAD_ESCAPES.get(nxt, nxt))
+                    i += 2
+                    continue
+                if ch == enc:
+                    if i + 1 < n and ln[i + 1] == enc:  # doubled → literal
+                        cur.append(enc)
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                cur.append(ch)
+                i += 1
+            # consume up to the next terminator
+            while i < n and ln[i : i + tlen] != term:
+                i += 1
+        else:
+            start = i
+            while i < n and ln[i : i + tlen] != term:
+                ch = ln[i]
+                if esc and ch == esc and i + 1 < n:
+                    nxt = ln[i + 1]
+                    if nxt == "N" and i == start and (
+                        i + 2 >= n or ln[i + 2 : i + 2 + tlen] == term
+                    ):
+                        is_null = True
+                        i += 2
+                        break
+                    cur.append(_LOAD_ESCAPES.get(nxt, nxt))
+                    i += 2
+                    continue
+                cur.append(ch)
+                i += 1
+        cells.append(None if is_null else "".join(cur))
+        if i >= n:
+            break
+        i += tlen  # skip the terminator
+        if i > n:
+            break
+    return cells
+
+
+def _load_typed(v: str | None, kind: str, col: str, lineno: int):
+    from incubator_horaedb_spark.wire.rowtext import typed_cell
+
+    try:
+        return typed_cell(v, kind, col, lineno)
+    except ValueError as e:
+        raise ValueError(f"LOAD DATA {e}") from None
 
 
 def _column_def(name: str, ctype: int) -> bytes:

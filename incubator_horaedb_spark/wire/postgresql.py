@@ -1176,39 +1176,13 @@ def _copy_decode(data: bytes, cp: dict) -> list[list[str | None]]:
 
 
 def _copy_typed(v: str | None, kind: str, col: str, lineno: int):
-    """One COPY text cell → the python value Engine.insert_rows expects
-    for the column kind (timestamps as epoch-ms ints; ISO datetimes
-    accepted and read as UTC, matching the engine's session zone)."""
-    if v is None:
-        return None
-    try:
-        if kind == "timestamp":
-            if re.fullmatch(r"[+-]?\d+", v):
-                return int(v)
-            import datetime
+    """One COPY text cell → typed python (shared with LOAD DATA LOCAL)."""
+    from incubator_horaedb_spark.wire.rowtext import typed_cell
 
-            dt = datetime.datetime.fromisoformat(v)
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=datetime.timezone.utc)
-            return int(dt.timestamp() * 1000)
-        if kind in ("double", "float"):
-            return float(v)
-        if kind == "boolean":
-            low = v.strip().lower()
-            if low in ("t", "true", "1", "y", "yes", "on"):
-                return True
-            if low in ("f", "false", "0", "n", "no", "off"):
-                return False
-            raise ValueError(f"bad boolean {v!r}")
-        if kind == "varbinary":
-            if v.startswith("\\x"):
-                return bytes.fromhex(v[2:])
-            return v.encode("utf-8")
-        if kind == "string":
-            return v
-        return int(v)
+    try:
+        return typed_cell(v, kind, col, lineno)
     except ValueError as e:
-        raise ValueError(f"COPY line {lineno}, column {col}: {e}") from None
+        raise ValueError(f"COPY {e}") from None
 
 
 def _copy_encode_row(row, cp: dict) -> bytes:

@@ -615,3 +615,99 @@ def test_mysql_dashdash_comment_matches_engine_lexer(mysql_params):
     assert nparams == 0
     _, rows = _execute(c, sid2)
     assert rows == [("1",)]
+
+
+# --- LOAD DATA LOCAL INFILE (round 9: the MySQL bulk-load path) -------------
+
+
+def _load_data(c: MiniMySQLClient, sql: str, data: bytes):
+    """COM_QUERY LOAD DATA exchange: expect the 0xFB LOCAL INFILE request,
+    stream the payload in two packets + the empty terminator, return
+    ("ok", affected) or raise on error."""
+    c.seq = 0
+    c._send_packet(b"\x03" + sql.encode())
+    first = c._read_packet()
+    if first[0] == 0xFF:
+        raise RuntimeError(f"mysql error: {first[10:].decode()}")
+    assert first[0] == 0xFB, f"expected LOCAL INFILE request, got {first[:1]!r}"
+    filename = first[1:].decode()
+    half = len(data) // 2
+    for chunk in (data[:half], data[half:]):
+        if chunk:
+            c._send_packet(chunk)
+    c._send_packet(b"")  # EOF
+    ok = c._read_packet()
+    if ok[0] == 0xFF:
+        raise RuntimeError(f"mysql error: {ok[10:].decode()}")
+    assert ok[0] == 0x00
+    affected, _ = c._lenenc(ok, 1)
+    return filename, affected
+
+
+@pytest.fixture()
+def mysql_load(mysql_server):
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE ld (name string TAG, v double, flag boolean, "
+        "t timestamp NOT NULL, timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    yield c
+    c.close()
+
+
+def test_mysql_load_data_defaults(mysql_load):
+    c = mysql_load
+    data = (
+        "plain\t1.5\t1\t1691116127622\n"
+        "tab\\tbed\t2.5\t0\t1691116127623\n"   # escaped tab inside a value
+        "\\N\t3.5\t1\t1691116127624\n"            # NULL tag
+    ).encode()
+    fn, n = _load_data(c, "LOAD DATA LOCAL INFILE '/tmp/x.tsv' INTO TABLE ld", data)
+    assert fn == "/tmp/x.tsv" and n == 3
+    _, rows = c.query("select name, v, flag from ld order by t")
+    # booleans render 0/1 smallints over the text protocol (writer.rs parity)
+    assert rows == [
+        ("plain", "1.5", "1"),
+        ("tab\tbed", "2.5", "0"),
+        (None, "3.5", "1"),
+    ]
+
+
+def test_mysql_load_data_csv_options(mysql_load):
+    c = mysql_load
+    data = (
+        "skip me\r\n"
+        '"quoted, name",0.5,true,1691116127622\r\n'
+        "b,1.25,false,1691116127623\r\n"
+    ).encode()
+    _, n = _load_data(
+        c,
+        "LOAD DATA LOCAL INFILE 'x.csv' INTO TABLE ld "
+        "FIELDS TERMINATED BY ',' OPTIONALLY ENCLOSED BY '\"' "
+        "LINES TERMINATED BY '\\r\\n' IGNORE 1 LINES (name, v, flag, t)",
+        data,
+    )
+    assert n == 2
+    _, rows = c.query("select name, v from ld order by t")
+    assert rows == [("quoted, name", "0.5"), ("b", "1.25")]
+
+
+def test_mysql_load_data_errors(mysql_load):
+    c = mysql_load
+    # non-LOCAL → clear rejection (no server filesystem), connection usable
+    with pytest.raises(RuntimeError, match="(?i)local"):
+        c.query("LOAD DATA INFILE '/etc/passwd' INTO TABLE ld")
+    # IGNORE duplicate mode → rejected with the dedup-semantics explanation
+    with pytest.raises(RuntimeError, match="(?i)latest|replace"):
+        c.query("LOAD DATA LOCAL INFILE 'x' IGNORE INTO TABLE ld")
+    # arity mismatch reports the line; REPLACE keyword is accepted
+    with pytest.raises(RuntimeError, match="line 1"):
+        _load_data(
+            c, "LOAD DATA LOCAL INFILE 'x' REPLACE INTO TABLE ld", b"just_one\n"
+        )
+    # unknown table errors before the INFILE request
+    with pytest.raises(RuntimeError, match="(?i)nope|found|exist"):
+        c.query("LOAD DATA LOCAL INFILE 'x' INTO TABLE nope")
+    # connection still serves normal traffic
+    _, rows = c.query("select count(*) as n from ld")
+    assert rows == [("0",)]
