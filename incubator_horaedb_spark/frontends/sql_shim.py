@@ -663,7 +663,11 @@ class Engine:
     def insert_rows(self, name: str, cols: list[str], rows: list[dict]) -> int:
         """Write python-typed ``rows`` (dicts keyed by ``cols``) into table
         ``name`` with the INSERT path's type coercions — shared by VALUES
-        and the PG COPY-FROM-STDIN bulk loader."""
+        and the wire bulk loaders (PG COPY FROM STDIN, MySQL LOAD DATA
+        LOCAL).  An empty batch is a no-op (COPY of an empty file must not
+        trigger the first-flush samplers on zero rows)."""
+        if not rows:
+            return 0
         meta = self.catalog.get(name)
         schema = meta.schema
         fields = []

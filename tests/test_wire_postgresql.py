@@ -797,6 +797,9 @@ def test_pg_copy_errors(pg_copy):
     # unknown table errors BEFORE CopyInResponse
     tag, resp, _, err = _copy_query(c, "COPY nope FROM STDIN", b"")
     assert err is not None and resp is None
+    # empty file → COPY 0, no write, no first-flush sampler crash
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN", b"")
+    assert err is None and tag == "COPY 0"
     # client CopyFail → statement error, then normal traffic resumes
     tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN", fail="client abort")
     assert err is not None and "client abort" in err
