@@ -665,9 +665,19 @@ class Engine:
         ``name`` with the INSERT path's type coercions — shared by VALUES
         and the wire bulk loaders (PG COPY FROM STDIN, MySQL LOAD DATA
         LOCAL).  An empty batch is a no-op (COPY of an empty file must not
-        trigger the first-flush samplers on zero rows)."""
+        trigger the first-flush samplers on zero rows).
+
+        Takes the engine lock (reentrant — the VALUES path arrives with it
+        held): the wire servers are thread-per-connection, and Table.write's
+        first-flush sampler re-reads + writes back table meta, so two
+        unserialized bulk loads into a fresh table could clobber the seq
+        counter (r9 review #2)."""
         if not rows:
             return 0
+        with self._lock:
+            return self._insert_rows_locked(name, cols, rows)
+
+    def _insert_rows_locked(self, name: str, cols: list[str], rows: list[dict]) -> int:
         meta = self.catalog.get(name)
         schema = meta.schema
         fields = []

@@ -401,26 +401,29 @@ class MySQLServer:
             if pkt == b"":  # empty packet = end of file
                 break
             chunks.append(pkt)
-        lines = b"".join(chunks).decode("utf-8").split(ld["line_term"])
-        if lines and lines[-1] == "":
-            lines.pop()  # trailing terminator, not an empty row
-        lines = lines[ld["ignore"] :]
+        from incubator_horaedb_spark.wire.rowtext import typed_cell
+
+        records = _parse_load_stream(
+            b"".join(chunks).decode("utf-8"),
+            ld["field_term"],
+            ld["line_term"],
+            ld["enclosed"],
+            ld["escaped"],
+        )[ld["ignore"] :]
+        kinds = [meta.schema.column(c).kind for c in cols]  # hoisted (r9 #8)
         rows = []
-        for lineno, ln in enumerate(lines, 1):
-            if ln.endswith("\r") and ld["line_term"] == "\n":
-                ln = ln[:-1]
-            cells = _split_load_fields(ln, ld["field_term"], ld["enclosed"], ld["escaped"])
+        for lineno, cells in enumerate(records, 1):
             if len(cells) != len(cols):
                 raise ValueError(
                     f"LOAD DATA line {lineno}: expected {len(cols)} columns, "
                     f"got {len(cells)}"
                 )
-            rows.append(
-                {
-                    c: _load_typed(v, meta.schema.column(c).kind, c, lineno)
-                    for c, v in zip(cols, cells)
-                }
-            )
+            try:
+                rows.append(
+                    {c: typed_cell(v, k, c, lineno) for c, v, k in zip(cols, cells, kinds)}
+                )
+            except ValueError as e:
+                raise ValueError(f"LOAD DATA {e}") from None
         return self.engine.insert_rows(ld["table"], cols, rows)
 
     def _federated(self, sql: str):
@@ -810,71 +813,89 @@ def _parse_load_data(sql: str) -> dict:
     return ld
 
 
-def _split_load_fields(ln: str, term: str, enc: str, esc: str) -> list[str | None]:
-    """One line → cells per MySQL field parsing: the escape char protects
-    the next character (and encodes NULL as ``<esc>N`` unenclosed), the
-    optional enclosure wraps a field (terminators inside are data, a
-    doubled or escaped enclosure is a literal one)."""
+def _parse_load_stream(
+    txt: str, ft: str, lt: str, enc: str, esc: str
+) -> list[list[str | None]]:
+    """The whole LOAD DATA payload → records of cells in ONE scan, per
+    MySQL field parsing: the escape char protects the next character (and
+    encodes NULL as ``<esc>N`` unenclosed), the optional enclosure wraps a
+    field — field AND line terminators inside an enclosure are data (r9
+    review #3: splitting on the line terminator first broke quoted fields
+    with embedded newlines), and characters between a closing enclosure
+    and the next terminator stay literal data like MySQL keeps them (r9
+    review #7)."""
+    rows: list[list[str | None]] = []
     cells: list[str | None] = []
-    i, n = 0, len(ln)
-    tlen = len(term)
-    while True:
-        cur: list[str] = []
-        is_null = False
-        if enc and i < n and ln[i] == enc:
+    cur: list[str] = []
+    raw = 0  # chars consumed in the current field
+    is_null = False
+    was_enc = False
+    i, n = 0, len(txt)
+
+    def end_field() -> None:
+        nonlocal cur, raw, is_null, was_enc
+        cells.append(None if (is_null and not was_enc) else "".join(cur))
+        cur, raw, is_null, was_enc = [], 0, False, False
+
+    while i < n:
+        if txt.startswith(lt, i):
+            end_field()
+            rows.append(cells.copy())
+            cells.clear()
+            i += len(lt)
+            continue
+        if txt.startswith(ft, i):
+            end_field()
+            i += len(ft)
+            continue
+        ch = txt[i]
+        if raw == 0 and enc and ch == enc:
+            was_enc = True
+            raw = 1
             i += 1
             while i < n:
-                ch = ln[i]
-                if esc and ch == esc and i + 1 < n:
-                    nxt = ln[i + 1]
-                    cur.append(_LOAD_ESCAPES.get(nxt, nxt))
+                c2 = txt[i]
+                if esc and c2 == esc and i + 1 < n:
+                    cur.append(_LOAD_ESCAPES.get(txt[i + 1], txt[i + 1]))
                     i += 2
                     continue
-                if ch == enc:
-                    if i + 1 < n and ln[i + 1] == enc:  # doubled → literal
+                if c2 == enc:
+                    if i + 1 < n and txt[i + 1] == enc:  # doubled → literal
                         cur.append(enc)
                         i += 2
                         continue
                     i += 1
                     break
-                cur.append(ch)
+                cur.append(c2)
                 i += 1
-            # consume up to the next terminator
-            while i < n and ln[i : i + tlen] != term:
-                i += 1
-        else:
-            start = i
-            while i < n and ln[i : i + tlen] != term:
-                ch = ln[i]
-                if esc and ch == esc and i + 1 < n:
-                    nxt = ln[i + 1]
-                    if nxt == "N" and i == start and (
-                        i + 2 >= n or ln[i + 2 : i + 2 + tlen] == term
-                    ):
-                        is_null = True
-                        i += 2
-                        break
-                    cur.append(_LOAD_ESCAPES.get(nxt, nxt))
-                    i += 2
-                    continue
-                cur.append(ch)
-                i += 1
-        cells.append(None if is_null else "".join(cur))
-        if i >= n:
-            break
-        i += tlen  # skip the terminator
-        if i > n:
-            break
-    return cells
-
-
-def _load_typed(v: str | None, kind: str, col: str, lineno: int):
-    from incubator_horaedb_spark.wire.rowtext import typed_cell
-
-    try:
-        return typed_cell(v, kind, col, lineno)
-    except ValueError as e:
-        raise ValueError(f"LOAD DATA {e}") from None
+            continue  # trailing chars until a terminator flow in as data
+        if esc and ch == esc and i + 1 < n:
+            nxt = txt[i + 1]
+            if (
+                nxt == "N"
+                and raw == 0
+                and not was_enc
+                and (
+                    i + 2 >= n
+                    or txt.startswith(ft, i + 2)
+                    or txt.startswith(lt, i + 2)
+                )
+            ):
+                is_null = True
+                raw = 2
+                i += 2
+                continue
+            cur.append(_LOAD_ESCAPES.get(nxt, nxt))
+            raw += 2
+            i += 2
+            continue
+        cur.append(ch)
+        raw += 1
+        i += 1
+    if cur or cells or raw or was_enc or is_null:
+        end_field()  # data without a final line terminator
+        rows.append(cells.copy())
+    return rows
 
 
 def _column_def(name: str, ctype: int) -> bytes:
@@ -966,7 +987,10 @@ def _render_dataframe(df, binary: bool = False):
             exprs.append(F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name))
         elif tn == "boolean":
             exprs.append(F.col(f"`{f.name}`").cast("int").alias(f.name))
-        elif tn == "binary":
+        elif tn == "binary" and not binary:
+            # text rows render blobs via UTF-8; binary rows keep RAW bytes
+            # (a LONG_BLOB column must not mangle non-UTF-8 values through
+            # a string cast — r9 review #4)
             exprs.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
         else:
             exprs.append(F.col(f"`{f.name}`"))

@@ -669,6 +669,13 @@ class PostgresServer:
                 if not p.sql.strip():
                     conn.send(b"n")  # NoData (empty portal)
                     return
+                if _parse_copy(p.sql) is not None:
+                    # psycopg3 cursor.copy() Describes the portal before
+                    # Execute; planning COPY through the engine would
+                    # error.  NoData is what real PG answers for COPY
+                    # (rows flow as CopyData, not DataRows) — r9 review #1
+                    conn.send(b"n")
+                    return
                 result = p.result(self.engine)
                 if result is None or isinstance(result, int):
                     conn.send(b"n")  # NoData
@@ -783,19 +790,22 @@ class PostgresServer:
                 raise ValueError(f"unexpected message {mtype!r} during COPY")
         if failed is not None:
             raise ValueError(f"COPY aborted by client: {failed}")
+        from incubator_horaedb_spark.wire.rowtext import typed_cell
+
         cells_rows = _copy_decode(b"".join(chunks), cp)
+        kinds = [meta.schema.column(c).kind for c in cols]  # hoisted (r9 #8)
         rows = []
         for lineno, cells in enumerate(cells_rows, 1):
             if len(cells) != len(cols):
                 raise ValueError(
                     f"COPY line {lineno}: expected {len(cols)} columns, got {len(cells)}"
                 )
-            rows.append(
-                {
-                    c: _copy_typed(v, meta.schema.column(c).kind, c, lineno)
-                    for c, v in zip(cols, cells)
-                }
-            )
+            try:
+                rows.append(
+                    {c: typed_cell(v, k, c, lineno) for c, v, k in zip(cols, cells, kinds)}
+                )
+            except ValueError as e:
+                raise ValueError(f"COPY {e}") from None
         return self.engine.insert_rows(cp["table"], cols, rows)
 
     def _copy_out(self, conn: _Conn, cp: dict) -> int:
@@ -1135,27 +1145,80 @@ def _copy_unescape(cell: str) -> str:
     return "".join(out)
 
 
+def _csv_parse(txt: str, delim: str) -> list[tuple[list[str], list[bool]]]:
+    """Minimal CSV reader that REMEMBERS which cells were quoted — csv.reader
+    can't, and PG's NULL matching needs it (quoting always protects a value
+    from NULL interpretation, r9 review #5).  Returns (cells, quoted_flags)
+    per record; embedded newlines inside quotes are data."""
+    rows: list[tuple[list[str], list[bool]]] = []
+    cells: list[str] = []
+    qflags: list[bool] = []
+    cur: list[str] = []
+    q = in_q = False
+    i, n = 0, len(txt)
+    while i < n:
+        ch = txt[i]
+        if in_q:
+            if ch == '"':
+                if i + 1 < n and txt[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                    continue
+                in_q = False
+                i += 1
+            else:
+                cur.append(ch)
+                i += 1
+            continue
+        if ch == '"' and not cur:
+            in_q = q = True
+            i += 1
+            continue
+        if ch == delim:
+            cells.append("".join(cur))
+            qflags.append(q)
+            cur, q = [], False
+            i += 1
+            continue
+        if ch in ("\n", "\r"):
+            if ch == "\r" and i + 1 < n and txt[i + 1] == "\n":
+                i += 1
+            cells.append("".join(cur))
+            qflags.append(q)
+            rows.append((cells, qflags))
+            cells, qflags, cur, q = [], [], [], False
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if cur or cells or q:
+        cells.append("".join(cur))
+        qflags.append(q)
+        rows.append((cells, qflags))
+    return rows
+
+
 def _copy_decode(data: bytes, cp: dict) -> list[list[str | None]]:
     """CopyData payload → rows of (str | None) cells.  NULL matching is on
     the RAW cell (PG matches the null string as it appears in the file,
-    before un-escaping).  CSV caveat: a QUOTED empty string is
-    indistinguishable from an unquoted one after csv parsing, so with the
-    default CSV null ('') it reads as NULL."""
+    before un-escaping); in CSV a QUOTED cell is never NULL."""
     txt = data.decode("utf-8")
     if cp["fmt"] == "csv":
-        import csv
-        import io
-
         out = []
-        rows = list(csv.reader(io.StringIO(txt), delimiter=cp["delim"]))
+        rows = _csv_parse(txt, cp["delim"])
         if cp["header"] and rows:
             rows = rows[1:]
-        for r in rows:
-            if not r:
-                continue
-            if r == ["\\."]:
+        for cells, qflags in rows:
+            if cells == [""] and not qflags[0]:
+                continue  # blank line
+            if cells == ["\\."] and not qflags[0]:
                 break
-            out.append([None if c == cp["null"] else c for c in r])
+            out.append(
+                [
+                    None if (not qd and c == cp["null"]) else c
+                    for c, qd in zip(cells, qflags)
+                ]
+            )
         return out
     out = []
     lines = txt.split("\n")
@@ -1175,16 +1238,6 @@ def _copy_decode(data: bytes, cp: dict) -> list[list[str | None]]:
     return out
 
 
-def _copy_typed(v: str | None, kind: str, col: str, lineno: int):
-    """One COPY text cell → typed python (shared with LOAD DATA LOCAL)."""
-    from incubator_horaedb_spark.wire.rowtext import typed_cell
-
-    try:
-        return typed_cell(v, kind, col, lineno)
-    except ValueError as e:
-        raise ValueError(f"COPY {e}") from None
-
-
 def _copy_encode_row(row, cp: dict) -> bytes:
     """One already-text-encoded Row → a CopyData line."""
     cells = []
@@ -1194,7 +1247,14 @@ def _copy_encode_row(row, cp: dict) -> bytes:
             continue
         s = "t" if v is True else "f" if v is False else str(v)
         if cp["fmt"] == "csv":
-            if any(c in s for c in (cp["delim"], '"', "\n", "\r")) or s == "":
+            # force-quote a value equal to the null string so the dump
+            # round-trips (quoting protects it from NULL matching on
+            # re-import — r9 review #6); same for empty strings
+            if (
+                any(c in s for c in (cp["delim"], '"', "\n", "\r"))
+                or s == ""
+                or s == cp["null"]
+            ):
                 s = '"' + s.replace('"', '""') + '"'
         else:
             s = (

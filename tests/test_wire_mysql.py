@@ -711,3 +711,51 @@ def test_mysql_load_data_errors(mysql_load):
     # connection still serves normal traffic
     _, rows = c.query("select count(*) as n from ld")
     assert rows == [("0",)]
+
+
+def test_mysql_load_data_enclosed_newline_and_trailing_junk(mysql_load):
+    # r9 review #3: a quoted field with an embedded line terminator is ONE
+    # field; review #7: characters between a closing enclosure and the next
+    # terminator stay literal data (MySQL keeps them)
+    c = mysql_load
+    data = (
+        '"multi\nline",1.0,1,1691116127622\n'
+        '"a"junk,2.0,0,1691116127623\n'
+    ).encode()
+    _, n = _load_data(
+        c,
+        "LOAD DATA LOCAL INFILE 'x' INTO TABLE ld "
+        "FIELDS TERMINATED BY ',' OPTIONALLY ENCLOSED BY '\"' (name, v, flag, t)",
+        data,
+    )
+    assert n == 2
+    _, rows = c.query("select name from ld order by t")
+    assert rows == [("multi\nline",), ("ajunk",)]
+
+
+def test_mysql_stmt_binary_blob_raw_bytes(mysql_server):
+    # r9 review #4: LONG_BLOB binary rows carry RAW bytes — no UTF-8
+    # string cast mangling non-UTF-8 values to replacement chars
+    c = MiniMySQLClient(mysql_server.port)
+    c.query(
+        "CREATE TABLE bt (b varbinary, t timestamp NOT NULL, timestamp KEY(t)) "
+        "WITH (enable_ttl='false')"
+    )
+    raw = b"\xff\x00\xc3"
+    mysql_server.engine.insert_rows("bt", ["b", "t"], [{"b": raw, "t": 1691116127622}])
+    c.seq = 0
+    c._send_packet(b"\x16" + b"select b from bt")
+    ok = c._read_packet()
+    assert ok[0] == 0x00
+    stmt_id = struct.unpack_from("<I", ok, 1)[0]
+    c.seq = 0
+    c._send_packet(b"\x17" + struct.pack("<IBI", stmt_id, 0, 1))
+    ncols, _ = c._lenenc(c._read_packet(), 0)
+    assert ncols == 1
+    assert _coldef_type(c._read_packet()) == 0xFB  # LONG_BLOB
+    assert c._read_packet()[0] == 0xFE
+    row = c._read_packet()
+    pos = 1 + (1 + 7 + 2) // 8
+    ln, pos = c._lenenc(row, pos)
+    assert row[pos : pos + ln] == raw
+    c.close()

@@ -815,13 +815,16 @@ def test_pg_copy_extended_protocol(pg_ext):
     )
     pg_ext.parse("COPY cpyx (name, v, t) FROM STDIN", name="cp")
     pg_ext.bind(name="cp", portal="cpp")
+    # psycopg3 Describes the portal before Execute — must answer NoData,
+    # not plan COPY through the engine (r9 review #1)
+    pg_ext.describe(b"P", "cpp")
     pg_ext.execute(portal="cpp")
     data = b"x\t1.5\t1691116127622\n"
     # drain ParseComplete/BindComplete; server answers CopyInResponse to
     # the Execute
     while True:
         t, b = pg_ext._read_message()
-        if t not in (b"1", b"2"):
+        if t not in (b"1", b"2", b"n"):
             break
     assert t == b"G"
     pg_ext.sock.sendall(b"d" + struct.pack("!I", len(data) + 4) + data)
@@ -831,3 +834,27 @@ def test_pg_copy_extended_protocol(pg_ext):
     assert err is None and tag == "COPY 1"
     _, _, rows = pg_ext.query("select name, v from cpyx")
     assert rows == [("x", "1.5")]
+
+
+def test_pg_copy_csv_quoted_null_distinction(pg_copy):
+    # r9 review #5/#6: quoting protects a value from NULL matching on
+    # import, and COPY TO force-quotes values equal to the null string so
+    # the dump round-trips
+    c = pg_copy
+    data = (
+        '"NIL",0.5,true,1691116127622\n'
+        "NIL,1.5,false,1691116127623\n"
+    ).encode()
+    tag, _, _, err = _copy_query(
+        c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv, NULL 'NIL')", data
+    )
+    assert err is None and tag == "COPY 2"
+    _, _, rows = c.query("select name, v from cpy order by t")
+    assert rows == [("NIL", "0.5"), (None, "1.5")]
+    tag, _, out, err = _copy_query(
+        c,
+        "COPY (select name, v from cpy order by v) TO STDOUT "
+        "WITH (FORMAT csv, NULL 'NIL')",
+    )
+    assert err is None
+    assert b"".join(out).decode() == '"NIL",0.5\nNIL,1.5\n'
