@@ -25,10 +25,12 @@ def typed_cell(v: str | None, kind: str, col: str, lineno: int):
                 return int(v)
             import datetime
 
+            from incubator_horaedb_spark.functions.timeutil import epoch_ms
+
             dt = datetime.datetime.fromisoformat(v)
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=datetime.timezone.utc)
-            return int(dt.timestamp() * 1000)
+            return epoch_ms(dt)
         if kind in ("double", "float"):
             return float(v)
         if kind == "boolean":
