@@ -119,6 +119,21 @@ def _jvm_spin_parallel_sec(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _driver_roundtrip_sec(spark) -> float:
+    """DRIVER-SIDE calibration (r9): 20 iterations of the smallest possible
+    plan→schedule→collect cycle.  Stage-level profiling (PROFILE.md) showed
+    executor task time is a small, stable fraction of wall for every
+    sub-second headline query — wall is dominated by driver-side work
+    (Catalyst planning, AQE orchestration, py4j round-trips), which the
+    pure-CPU spin probes cannot see.  When unchanged-plan medians inflate
+    while the spins sit at floor, THIS probe is the one expected to move
+    with them."""
+    t0 = time.time()
+    for _ in range(20):
+        spark.range(1).count()
+    return round(time.time() - t0, 3)
+
+
 def _cpu_mhz() -> float | None:
     try:
         with open("/proc/cpuinfo") as f:
@@ -148,6 +163,8 @@ def main() -> None:
     calib["jvm_spin_sec_before"] = _jvm_spin_sec(spark)
     _jvm_spin_parallel_sec(spark)  # discard: codegen for the parallel shape
     calib["jvm_spin_par_sec_before"] = _jvm_spin_parallel_sec(spark)
+    _driver_roundtrip_sec(spark)  # discard: first cycle pays codegen/JIT
+    calib["driver_rt_sec_before"] = _driver_roundtrip_sec(spark)
 
     # Warm the JVM, whole-stage-codegen compiler, and vectorized parquet
     # reader before timing — steady-state engine throughput is the metric,
@@ -235,6 +252,7 @@ def main() -> None:
     calib["py_spin_mc_sec_after"] = _py_spin_multicore_sec(ncores)
     calib["jvm_spin_sec_after"] = _jvm_spin_sec(spark)
     calib["jvm_spin_par_sec_after"] = _jvm_spin_parallel_sec(spark)
+    calib["driver_rt_sec_after"] = _driver_roundtrip_sec(spark)
     calib["cpu_mhz_after"] = _cpu_mhz()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
