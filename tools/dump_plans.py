@@ -27,6 +27,11 @@ QUERIES = [
     # PartitionFilters column is the evidence that tag-equality and
     # time-range predicates prune the directory listing, not just rows
     "partitioned_scan_prune",
+    # r9 (VERDICT r08 #5): entity rankings on the two-pass distributed
+    # rank — every Window node must carry a partition spec (the digest's
+    # exchange counts include the range repartition; no single-task
+    # global sort remains)
+    "pareto_customers", "rfm_segmentation", "user_activity_percentiles",
 ]
 
 
