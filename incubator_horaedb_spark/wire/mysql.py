@@ -13,11 +13,14 @@ Surface parity:
   bitmap) and substituted as injection-safe SQL literals (quotes AND
   backslashes doubled, the same rendering wire/postgresql.py proved —
   the engine lexes Hive escapes); the comment/string-aware scanner
-  counts `?` only at code positions.  COM_STMT_EXECUTE answers a
-  binary-protocol resultset with every column declared VAR_STRING;
+  counts `?` only at code positions.  COM_STMT_EXECUTE answers a TYPED
+  binary-protocol resultset (fixed-width ints/floats little-endian,
+  LONGLONG for 64-bit values, raw bytes for LONG_BLOB, lenenc strings);
   COM_STMT_CLOSE / COM_STMT_RESET supported.  Unsupported parameter
   types (datetime/blob binary encodings) get a clear
-  ER_NOT_SUPPORTED_YET.
+  ER_NOT_SUPPORTED_YET.  LOAD DATA LOCAL INFILE bulk-loads; KILL
+  [QUERY|CONNECTION] <id> cancels the target connection's active Spark
+  jobs via job groups (r9).
 - column type mapping = writer.rs convert_datum_kind_type: Timestamp →
   MYSQL_TYPE_LONG (values are epoch *milliseconds*, writer.rs
   `Datum::Timestamp(t) => write_col(t.as_i64())`), String → VARCHAR,
@@ -36,6 +39,7 @@ TABLE demo / INSERT / SELECT * FROM demo.
 
 from __future__ import annotations
 
+import itertools
 import re
 import socket
 import socketserver
@@ -80,6 +84,7 @@ TYPE_LONG_BLOB = 0xFB
 
 ER_NOT_SUPPORTED_YET = 1235
 ER_UNKNOWN_ERROR = 1105
+ER_QUERY_INTERRUPTED = 1317
 
 
 def _lenenc_int(n: int) -> bytes:
@@ -141,6 +146,18 @@ class _Conn:
         )
 
 
+
+def _send_exec_err(conn: _Conn, e: Exception) -> None:
+    """Statement-execution error → wire error; Spark job cancellations
+    (KILL / cancelJobGroup) map to ER_QUERY_INTERRUPTED like real MySQL."""
+    msg = str(e)
+    low = msg.lower()
+    if ("cancelled" in low or "canceled" in low) and "job" in low:
+        conn.send_err(ER_QUERY_INTERRUPTED, "Query execution was interrupted", "70100")
+    else:
+        conn.send_err(ER_UNKNOWN_ERROR, msg)
+
+
 # federated.rs SELECT_VAR_PATTERN and friends (driver setup probes)
 _SELECT_VAR_RE = re.compile(r"^\s*(/\*.*?\*/\s*)?SELECT\s+@@", re.I | re.S)
 _SET_RE = re.compile(r"^\s*SET\s+", re.I)
@@ -166,6 +183,11 @@ class MySQLServer:
     ):
         self.engine = engine
         self.idle_timeout = idle_timeout
+        # query cancellation (r9): connection id (sent in the greeting) →
+        # the connection's Spark job group; KILL [QUERY] <id> cancels the
+        # group's active jobs
+        self._conn_gids: dict[int, str] = {}
+        self._conn_counter = itertools.count(1)
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -176,9 +198,21 @@ class MySQLServer:
                 # so the except below closes the connection cleanly)
                 self.request.settimeout(outer.idle_timeout)
                 conn = _Conn(self.request)
+                conn_id = next(outer._conn_counter)
+                gid = f"mysql-conn-{conn_id}"
+                outer._conn_gids[conn_id] = gid
                 stmts: dict[int, _PreparedStmt] = {}  # per-connection prepared stmts
                 try:
-                    outer._handshake(conn)
+                    outer._handshake(conn, conn_id)
+                    # Spark jobs from this handler thread carry the
+                    # connection's job group (py4j pinned-thread mode),
+                    # so KILL maps to cancelJobGroup
+                    try:
+                        outer.engine.spark.sparkContext.setJobGroup(
+                            gid, f"mysql connection {conn_id}", interruptOnCancel=True
+                        )
+                    except Exception:
+                        pass
                     while True:
                         conn.seq = 0
                         pkt = conn.read_packet()
@@ -187,6 +221,8 @@ class MySQLServer:
                         outer._dispatch(conn, pkt, stmts)
                 except (ConnectionError, BrokenPipeError, OSError):
                     return
+                finally:
+                    outer._conn_gids.pop(conn_id, None)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -197,12 +233,12 @@ class MySQLServer:
         self._thread: threading.Thread | None = None
 
     # ------------------------------------------------------------ protocol
-    def _handshake(self, conn: _Conn) -> None:
+    def _handshake(self, conn: _Conn, conn_id: int) -> None:
         auth_data = b"12345678" + b"90abcdefghij"  # 20-byte nonce (unused: no auth)
         payload = (
             b"\x0a"  # protocol version 10
             + b"8.0.26-HoraeDB-Spark\x00"
-            + struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
+            + struct.pack("<I", conn_id & 0xFFFFFFFF)
             + auth_data[:8]
             + b"\x00"
             + struct.pack("<H", SERVER_CAPS & 0xFFFF)
@@ -324,7 +360,7 @@ class MySQLServer:
                 cols, rows = _render_dataframe(result, binary=True)
                 self._send_binary_resultset(conn, cols, rows)
         except Exception as e:  # noqa: BLE001 — protocol boundary
-            conn.send_err(ER_UNKNOWN_ERROR, str(e))
+            _send_exec_err(conn, e)
 
     def _send_binary_resultset(self, conn: _Conn, cols, rows) -> None:
         conn.send_packet(_lenenc_int(len(cols)))
@@ -344,6 +380,25 @@ class MySQLServer:
         conn.send_eof()
 
     def _query(self, conn: _Conn, sql: str) -> None:
+        km = re.match(r"^\s*kill\s+(?:query\s+|connection\s+)?(\d+)\s*$", sql, re.I)
+        if km:
+            # KILL [QUERY|CONNECTION] <id> → cancel that connection's
+            # active Spark jobs (KILL CONNECTION additionally relies on
+            # the victim noticing its statement died; the socket itself
+            # is not force-closed — the engine has no session state to
+            # tear down beyond the job group)
+            cid = int(km.group(1))
+            gid = self._conn_gids.get(cid)
+            if gid is None:
+                conn.send_err(1094, f"Unknown thread id: {cid}")  # ER_NO_SUCH_THREAD
+                return
+            try:
+                self.engine.spark.sparkContext.cancelJobGroup(gid)
+            except Exception as e:  # noqa: BLE001 — protocol boundary
+                conn.send_err(ER_UNKNOWN_ERROR, str(e))
+                return
+            conn.send_ok()
+            return
         if re.match(r"^\s*load\s+data\b", sql, re.I):
             try:
                 n = self._load_data(conn, sql)
@@ -369,7 +424,7 @@ class MySQLServer:
                 cols, rows = _render_dataframe(result)
                 self._send_resultset(conn, cols, rows)
         except Exception as e:  # noqa: BLE001 — protocol boundary
-            conn.send_err(ER_UNKNOWN_ERROR, str(e))
+            _send_exec_err(conn, e)
 
     def _load_data(self, conn: _Conn, sql: str) -> int:
         """LOAD DATA LOCAL INFILE — the MySQL bulk-load path (the PG-side

@@ -45,7 +45,9 @@ drop-if-exists / CREATE TABLE demo / INSERT / SELECT * FROM demo.
 
 from __future__ import annotations
 
+import itertools
 import re
+import secrets
 import socket
 import socketserver
 import struct
@@ -409,6 +411,11 @@ class PostgresServer:
     ):
         self.engine = engine
         self.idle_timeout = idle_timeout
+        # query cancellation (r9): BackendKeyData's (pid, secret) →
+        # the connection's Spark job group; a CancelRequest on a new
+        # connection cancels the group's active jobs
+        self._cancel_keys: dict[tuple[int, int], str] = {}
+        self._pid_counter = itertools.count(1)
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -417,13 +424,28 @@ class PostgresServer:
                 # thread can never block forever on a peer that stalls
                 self.request.settimeout(outer.idle_timeout)
                 conn = _Conn(self.request)
+                pid = next(outer._pid_counter)
+                skey = secrets.randbits(31)
+                gid = f"pg-conn-{pid}"
+                outer._cancel_keys[(pid, skey)] = gid
                 # extended-protocol state (per connection, like pgwire)
                 stmts: dict[str, _Prepared] = {}
                 portals: dict[str, _Portal] = {}
                 in_error = False  # after an extended-flow error: skip to Sync
                 try:
-                    if not outer._startup(conn):
+                    if not outer._startup(conn, pid, skey):
                         return
+                    # every Spark job this handler thread triggers carries
+                    # the connection's job group (py4j pinned-thread mode
+                    # keeps setJobGroup thread-local), so CancelRequest
+                    # maps to cancelJobGroup — the Spark-native statement
+                    # cancel
+                    try:
+                        outer.engine.spark.sparkContext.setJobGroup(
+                            gid, f"pg connection {pid}", interruptOnCancel=True
+                        )
+                    except Exception:
+                        pass
                     while True:
                         msg = conn.read_message()
                         if msg is None:
@@ -444,13 +466,21 @@ class PostgresServer:
                             try:
                                 outer._extended(conn, mtype, body, stmts, portals)
                             except Exception as e:  # noqa: BLE001 — protocol boundary
-                                conn.send_error(str(e))
+                                if _is_cancelled(e):
+                                    conn.send_error(
+                                        "canceling statement due to user request",
+                                        "57014",
+                                    )
+                                else:
+                                    conn.send_error(str(e))
                                 in_error = True
                         else:
                             conn.send_error(f"unsupported message {mtype!r}")
                             conn.send_ready()
                 except (ConnectionError, BrokenPipeError, OSError):
                     return
+                finally:
+                    outer._cancel_keys.pop((pid, skey), None)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -461,16 +491,28 @@ class PostgresServer:
         self._thread: threading.Thread | None = None
 
     # ------------------------------------------------------------ protocol
-    def _startup(self, conn: _Conn) -> bool:
+    def _startup(self, conn: _Conn, pid: int, skey: int) -> bool:
         while True:
             su = conn.read_startup()
             if su is None:
                 return False
-            code, _params = su
+            code, params = su
             if code == SSL_REQUEST_CODE:
                 conn.sock.sendall(b"N")  # no TLS; client retries cleartext
                 continue
             if code == CANCEL_REQUEST_CODE:
+                # pid + secret from some OTHER connection's BackendKeyData;
+                # cancel that connection's ACTIVE Spark jobs (future
+                # statements on it are unaffected, per PG semantics).  No
+                # response either way — the protocol says close silently.
+                if len(params) >= 8:
+                    cpid, ckey = struct.unpack_from("!II", params, 0)
+                    gid = self._cancel_keys.get((cpid, ckey))
+                    if gid is not None:
+                        try:
+                            self.engine.spark.sparkContext.cancelJobGroup(gid)
+                        except Exception:
+                            pass
                 return False
             if code != PROTOCOL_V3:
                 conn.send_error(f"unsupported protocol {code}")
@@ -480,7 +522,7 @@ class PostgresServer:
         conn.send_parameter_status("server_version", "13.0-HoraeDB-Spark")
         conn.send_parameter_status("client_encoding", "UTF8")
         conn.send_parameter_status("DateStyle", "ISO")
-        conn.send(b"K", struct.pack("!II", threading.get_ident() & 0x7FFFFFFF, 0))
+        conn.send(b"K", struct.pack("!II", pid, skey))
         conn.send_ready()
         return True
 
@@ -505,17 +547,22 @@ class PostgresServer:
             return
         try:
             result = self.engine.execute_sql(sql)
+            low = sql.strip().lower()
+            if result is None:
+                conn.send_command_complete(_ddl_tag(low))
+            elif isinstance(result, int):
+                conn.send_command_complete(f"INSERT 0 {result}")
+            else:
+                # the collect in _send_rows is where a CancelRequest
+                # usually lands — it must answer an ErrorResponse, not
+                # kill the connection
+                n = self._send_rows(conn, result)
+                conn.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001 — protocol boundary
-            conn.send_error(str(e))
-            return
-        low = sql.strip().lower()
-        if result is None:
-            conn.send_command_complete(_ddl_tag(low))
-        elif isinstance(result, int):
-            conn.send_command_complete(f"INSERT 0 {result}")
-        else:
-            n = self._send_rows(conn, result)
-            conn.send_command_complete(f"SELECT {n}")
+            if _is_cancelled(e):
+                conn.send_error("canceling statement due to user request", "57014")
+            else:
+                conn.send_error(str(e))
 
     # -------------------------------------------- extended query protocol
     def _extended(self, conn, mtype, body, stmts, portals) -> None:
@@ -985,6 +1032,13 @@ def _text_exprs(df):
         else:
             exprs.append(F.col(f"`{f.name}`"))
     return exprs
+
+
+def _is_cancelled(e: Exception) -> bool:
+    """Spark job-cancellation exceptions (cancelJobGroup) → the PG-side
+    'canceling statement due to user request' error, sqlstate 57014."""
+    msg = str(e).lower()
+    return ("cancelled" in msg or "canceled" in msg) and "job" in msg
 
 
 # --------------------------------------------------------------- COPY --

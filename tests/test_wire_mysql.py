@@ -759,3 +759,58 @@ def test_mysql_stmt_binary_blob_raw_bytes(mysql_server):
     ln, pos = c._lenenc(row, pos)
     assert row[pos : pos + ln] == raw
     c.close()
+
+
+# --- KILL <id> query cancellation (round 9) ---------------------------------
+
+
+def test_mysql_kill_query_cancels_running_statement(mysql_server):
+    import threading as _th
+    import time as _time
+
+    victim = MiniMySQLClient(mysql_server.port)
+    victim.sock.settimeout(120)
+    killer = MiniMySQLClient(mysql_server.port)
+    # victim's connection id rides the greeting; recover it from the
+    # server-side registry via the order of connects (victim first)
+    ids = sorted(mysql_server._conn_gids)
+    victim_id = ids[0]
+    victim.query("select 1 as one")  # pay view registration OUTSIDE the race
+
+    state = {}
+
+    def run_victim():
+        t0 = _time.time()
+        try:
+            victim.query("select sum(id % 7) as s from range(2000000000000)")
+            state["outcome"] = "completed"
+        except RuntimeError as e:
+            state["outcome"] = str(e)
+        state["secs"] = _time.time() - t0
+
+    th = _th.Thread(target=run_victim)
+    th.start()
+    # cancel only cancels ACTIVE jobs — wait until the victim's job is
+    # actually running before killing (planning is a no-op window,
+    # matching cancel-active-only semantics)
+    sc = mysql_server.engine.spark.sparkContext
+    for _ in range(300):
+        if sc.statusTracker().getActiveJobsIds():
+            break
+        _time.sleep(0.1)
+    assert sc.statusTracker().getActiveJobsIds(), "victim job never started"
+    assert killer.query(f"KILL QUERY {victim_id}") == ("ok", 0)
+    th.join(timeout=60)
+    assert not th.is_alive()
+    # 100G-row sum would take minutes; cancellation must land fast and as
+    # the MySQL interrupted error, not a connection drop
+    assert "interrupted" in state["outcome"].lower()
+    assert state["secs"] < 45
+    # victim connection stays usable after the cancel
+    _, rows = victim.query("select 1 as one")
+    assert rows == [("1",)]
+    # unknown thread id → ER_NO_SUCH_THREAD
+    with pytest.raises(RuntimeError, match="1094"):
+        killer.query("KILL QUERY 999999")
+    victim.close()
+    killer.close()

@@ -26,6 +26,7 @@ class MiniPgClient:
         body = struct.pack("!I", 196608) + params
         self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
         self.params: dict[str, str] = {}
+        self.backend_key: tuple[int, int] | None = None
         while True:
             t, b = self._read_message()
             if t == b"R":
@@ -33,6 +34,8 @@ class MiniPgClient:
             elif t == b"S":
                 k, v = b.rstrip(b"\x00").split(b"\x00")
                 self.params[k.decode()] = v.decode()
+            elif t == b"K":  # BackendKeyData (pid, secret) for CancelRequest
+                self.backend_key = struct.unpack("!II", b)
             elif t == b"Z":
                 break
 
@@ -858,3 +861,60 @@ def test_pg_copy_csv_quoted_null_distinction(pg_copy):
     )
     assert err is None
     assert b"".join(out).decode() == '"NIL",0.5\nNIL,1.5\n'
+
+
+# --- CancelRequest query cancellation (round 9) -----------------------------
+
+
+def test_pg_cancel_request_cancels_running_statement(pg_server):
+    import socket as _socket
+    import struct as _struct
+    import threading as _th
+    import time as _time
+
+    c = MiniPgClient(pg_server.port, with_ssl_probe=False)
+    c.sock.settimeout(120)
+    # BackendKeyData must have been captured during startup
+    assert c.backend_key is not None
+    pid, skey = c.backend_key
+    c.query("select 1 as one")  # pay view registration OUTSIDE the race
+
+    state = {}
+
+    def run_victim():
+        t0 = _time.time()
+        try:
+            c.query("select sum(id % 7) as s from range(2000000000000)")
+            state["outcome"] = "completed"
+        except RuntimeError as e:
+            state["outcome"] = str(e)
+        state["secs"] = _time.time() - t0
+
+    th = _th.Thread(target=run_victim)
+    th.start()
+    # cancel only lands on ACTIVE jobs — wait for the victim's job
+    sc = pg_server.engine.spark.sparkContext
+    for _ in range(300):
+        if sc.statusTracker().getActiveJobsIds():
+            break
+        _time.sleep(0.1)
+    assert sc.statusTracker().getActiveJobsIds(), "victim job never started"
+    # CancelRequest: a NEW connection carrying (code, pid, secret); the
+    # server closes it silently either way
+    s = _socket.create_connection(("127.0.0.1", pg_server.port), timeout=10)
+    s.sendall(_struct.pack("!IIII", 16, 80877102, pid, skey))
+    s.close()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "canceling statement" in state["outcome"]
+    assert state["secs"] < 45
+    # connection survives the cancel (ReadyForQuery followed the error)
+    _, _, rows = c.query("select 1 as one")
+    assert rows == [("1",)]
+    # a WRONG secret must not cancel anything
+    s = _socket.create_connection(("127.0.0.1", pg_server.port), timeout=10)
+    s.sendall(_struct.pack("!IIII", 16, 80877102, pid, (skey ^ 1)))
+    s.close()
+    _, _, rows = c.query("select 2 as two")
+    assert rows == [("2",)]
+    c.close()
