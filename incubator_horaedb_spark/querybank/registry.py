@@ -195,69 +195,84 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # family, set_intersect the set-op family, ...) follow.  The local harness
 # (tools/check_correctness.py) still checks all of them.
 DRIVER_ORDER = [    # ------------------------------------------------------------------
-    # round-9 window (VERDICT r08 next-round #1/#8: keep the 39-slot
-    # rotation cadence).  39 of the 50 slots are never-driver-verified:
-    # the two NEW protocol-write e2e gates (HTTP line-protocol /
-    # OpenTSDB-put ingest, r9 — VERDICT r08 #4), the two r8
-    # block-diagonal exact twins of the sf1-excluded quadratics
-    # (VERDICT r08 #8), the three entity-ranking queries freshly moved
-    # to the two-pass rank (pareto/rfm/percentiles — their rewired Spark
-    # sides need driver rows) plus their census sibling event_path_topk,
-    # the olap_ext/sql_extended block (ordered-set aggs, ordered string
-    # agg, UNPIVOT, NTILE quartiles), the FULL ANN index lifecycle
-    # (PQ train/ADC/IVFPQ, refine-rerank, IVF medoids, recall@k, MIPS),
-    # ten timeseries analyses (gap audit, CUSUM, ACF, lagged xcorr,
-    # correlation matrix, z-score/MAD anomalies, M4/LTTB downsampling),
-    # cohort/profile reports (TWA, seasonal profile, transition matrix,
-    # retention cohorts), embedding curation (SemDeDup, int8 quant),
-    # dedup calibration (threshold sweep, minhash accuracy), and the
-    # text-quality block (winnowing, surprisal, Gopher rules).  The 11
-    # anchors are long-driver-green headline representatives kept for
-    # family spread (scan, filter/project, join, time-range,
-    # dedup-on-read, time_bucket, PromQL align x2, LSH dedup, ANN,
-    # streaming ingest).  Every demoted query remains gated in the
-    # full-bank sweeps at all tiers every round.
-    # -- anchors (driver-green r08) --
+    # round-10 window (VERDICT r09 next-round #1: keep the 39-slot
+    # rotation cadence; 103/311 lacked driver rows entering r10).  40 of
+    # the 50 slots are never-driver-verified, led exactly where the r9
+    # verdict pointed: the NEW wire bulk-load gate (PG COPY FROM STDIN +
+    # MySQL LOAD DATA LOCAL INFILE through real sockets — VERDICT r09
+    # #2), prom_write_ingest_read (the one protocol gate without a
+    # driver row), the full promql_parsed_* r5/r6 twin block (22 — the
+    # largest never-verified block), the direct *_over_time family, the
+    # multimodal header-meta trio, the set-op ALL variants, the
+    # corpus-report block, plus the salted-distinct skew guard and the
+    # statistical-agg rep.  The 10 anchors are long-driver-green
+    # headline representatives kept for family spread (scan,
+    # filter/project, join, time-range, dedup-on-read, time_bucket,
+    # PromQL align, LSH dedup, ANN, streaming ingest).  Every demoted
+    # query remains gated in the full-bank sweeps at all tiers every
+    # round.
+    # -- anchors (driver-green r08/r09) --
     "q1_pricing_summary", "scan_filter_project",
     "join_inner_3way",
     "time_bucket_minute", "dedup_latest_by_key", "time_range_scan",
-    "promql_rate", "promql_instant",
+    "promql_rate",
     "dedup_minhash_lsh", "ann_cosine_bruteforce",
     "streaming_ingest_dedup_read",
-    # -- never-driver-verified promotions (r9) --
-    # new this round: protocol-write end-to-end gates (VERDICT r08 #4)
+    # -- never-driver-verified promotions (r10) --
+    # new this round: wire bulk-load end-to-end gate (VERDICT r09 #2)
+    "copy_load_ingest_read",
+    # the third protocol-write gate (hand-rolled prompb + snappy)
+    "prom_write_ingest_read",
+    # the promql_parsed_* twin block: text-parser twins of the
+    # builder-composed evaluator queries (aggregation ops, without(),
+    # clamp/offset/instant modifiers, *_over_time twins, unary math,
+    # threshold comparisons, vector set ops, scalar arithmetic, ratio)
+    "promql_parsed_sum", "promql_parsed_sum_without",
+    "promql_parsed_count", "promql_parsed_max",
+    "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
+    "promql_parsed_offset", "promql_parsed_instant",
+    "promql_parsed_avg_over_time", "promql_parsed_deriv",
+    "promql_parsed_changes", "promql_parsed_absent",
+    "promql_parsed_abs_delta", "promql_parsed_ln_rate",
+    "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
+    "promql_parsed_and", "promql_parsed_unless",
+    "promql_parsed_scalar_mult", "promql_parsed_time_minus",
+    "promql_parsed_ratio",
+    # the direct *_over_time evaluator family
+    "promql_avg_over_time", "promql_quantile_over_time",
+    "promql_stddev_over_time", "promql_stdvar_over_time",
+    "promql_absent_over_time",
+    # multimodal header-meta trio
+    "multimodal_image_header_meta", "multimodal_audio_header_meta",
+    "multimodal_video_header_meta",
+    # set-op ALL variants
+    "set_intersect_all", "set_except_all",
+    # corpus-report block
+    "corpus_mix_report", "corpus_split_assign", "drift_psi_report",
+    "corpus_curation_e2e",
+    # skew-guarded distinct + statistical aggregates
+    "salted_distinct_users", "stats_corr_regr",
+    # ------------------------------------------------------------------
+    # round-10 demotions (ALL driver-green r09, locally gated every
+    # round): the r9 window's first-timers
+    "promql_instant",
     "influx_write_ingest_read", "opentsdb_put_ingest_read",
-    # r8 block-diagonal exact twins (VERDICT r08 #8)
     "dedup_ngram_jaccard_blocked", "embedding_near_dup_blockdiag",
-    # entity rankings on the two-pass rank (VERDICT r08 #5) + the
-    # alphabet-bounded census sibling
     "pareto_customers", "rfm_segmentation", "user_activity_percentiles",
     "event_path_topk",
-    # olap_ext / sql_extended block
     "percentile_disc_group", "string_agg_ordered", "unpivot_metrics",
     "window_ntile_quartiles",
-    # ANN index lifecycle
     "pq_train", "ann_pq_adc", "ann_ivfpq", "ann_refine_rerank",
     "ivf_medoids", "ann_recall_at_k", "ann_mips_topk",
-    # timeseries analyses
     "ts_gap_report", "changepoint_cusum", "ts_autocorrelation",
     "ts_cross_correlation", "ts_correlation_matrix", "anomaly_zscore",
     "anomaly_mad", "m4_downsample", "lttb_downsample",
-    # cohort / profile reports
     "time_weighted_avg", "seasonal_profile", "event_transition_matrix",
     "retention_cohorts",
-    # embedding curation + dedup calibration
     "embedding_semdedup", "embedding_int8_quantize",
     "dedup_threshold_sweep", "dedup_minhash_accuracy",
-    # text-quality block
     "text_winnow_fingerprint", "text_unigram_surprisal",
     "quality_gopher_rules",
-    # ------------------------------------------------------------------
-    # round-9, below the cap: the third protocol-write gate (Prometheus
-    # remote write via the hand-rolled prompb+snappy codec) — the family
-    # is represented in-window by the influx/opentsdb reps; promote next
-    # rotation
-    "prom_write_ingest_read",
     # round-9 demotions (ALL driver-green r08, locally gated every round)
     "partitioned_scan_prune",
     "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
@@ -329,22 +344,17 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "ann_cosine_ivf", "doc_chunking", "corpus_shuffle", "multimodal_decode_meta",
     "join_left_outer", "join_semi", "promql_irate", "promql_regex_selector",
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
-    "promql_avg_over_time", "corpus_mix_report", "multimodal_image_header_meta",
-    "corpus_split_assign", "text_ttr", "text_ngram_topk",
-    "multimodal_audio_header_meta", "multimodal_video_header_meta",
-    "promql_stddev_over_time", "promql_stdvar_over_time",
+    "text_ttr", "text_ngram_topk",
     "dedup_paragraphs", "order_nulls_explicit",
-    "salted_distinct_users", "promql_rate_offset", "time_bucket_gapfill_locf",
+    "promql_rate_offset", "time_bucket_gapfill_locf",
     # round-3 late additions (statistical aggs, histogram, pivot, RANGE
     # frames, winnowing, rare-token, SemDeDup, int8 quantization)
-    "stats_corr_regr", "numeric_histogram",
-    "text_rare_token_ratio", "corpus_curation_e2e", "column_profile",
+    "numeric_histogram",
+    "text_rare_token_ratio", "column_profile",
     "text_hash_features", "quality_classifier_score",
     # round-3 second wave (wide join, FILTER modifiers, JSON extraction,
     # Gopher rules, quantile_over_time)
-    "promql_quantile_over_time",
     "decontaminate_bloom", "time_bucket_gapfill_interp", "promql_deriv", "promql_predict_linear",
-    "promql_absent_over_time",
     "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "window_distribution_family",
     # round-3 continuation: TPC-H completion (all 22 shapes now covered)
     # round-3 continuation: PromQL evaluator functions over aligned vectors
@@ -365,7 +375,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5 additions: evaluator functions reachable from PromQL text
     # (parse_promql extended=True), gated against the same oracles as the
     # builder-composed forms
-    "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
     # round-5: real baseline-JPEG pixel decode (pure numpy codec)
     # round-5: series gap audit, CUSUM change points, session path mining,
     # QUALIFY dialect support, RFM segmentation, dup-inflation report
@@ -377,14 +386,12 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "corpus_source_divergence",
     # round-5: set-op ALL variants (promql_group_left promoted to the
     # top-50 in the session swap above)
-    "set_intersect_all", "set_except_all",
     # round-5: lagged cross-correlation (dedup_dupspan_report promoted to
     # the top-50 in the session swap above)
     # round-5: corpus BPE encoding (the apply side of bpe_train_merges)
     "bpe_encode_corpus",
     # round-5: PSI drift report (session_window_agg promoted to the
     # top-50 in the session swap above)
-    "drift_psi_report",
     # round-5: Matryoshka truncation recall eval
     "embedding_mrl_truncation",
     # round-5: ANSI UNPIVOT (hybrid_rrf_fusion promoted to the
@@ -392,7 +399,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5: pairwise series correlation matrix (dedup_graph_pagerank
     # promoted to the top-50 in the round-7 rotation)
     # round-5: binary vector expressions through the text parser
-    "promql_parsed_ratio",
     # round-5: EXIF APP1/TIFF metadata round-trip
     "multimodal_exif_meta",
     # round-5: two-stage PQ-candidates + exact-refine retrieval
@@ -405,38 +411,29 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5: simplified-silhouette cluster quality eval
     "doc_cluster_quality",
     # round-5: parser-driven PromQL aggregation
-    "promql_parsed_sum",
     # round-5: without() agg path (ts_seasonal_decompose promoted to
     # the top-50 in the round-7 rotation)
-    "promql_parsed_sum_without",
     # round-5: remaining parser aggregation ops
-    "promql_parsed_count", "promql_parsed_max",
     # round-5: dedup threshold-calibration sweep
     # round-5: parsed offset modifier, embedding norm audit
-    "promql_parsed_offset", "embedding_norm_audit",
+    "embedding_norm_audit",
     # round-5: doc-embedding referential-integrity audit
     "corpus_embedding_integrity",
     # round-5: parsed instant selector
-    "promql_parsed_instant",
     # round-5: NOT IN three-valued-logic semantics
     # round-6: evaluator functions reachable from PromQL text — the direct
     # *_over_time family, absence detection, count_values, nested label
     # rewriting (parser twins of the builder-composed queries; the
     # histogram_quantile and topk-over-sum twins sit in the top-50 above)
-    "promql_parsed_avg_over_time", "promql_parsed_deriv", "promql_parsed_changes", "promql_parsed_absent",
     # (multimodal_h264_iframe_stats promoted into the top-50 mid-round)
     # round-6: unary math + vector-scalar comparison parser layer
-    "promql_parsed_abs_delta", "promql_parsed_ln_rate",
-    "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
     # round-6: vector set operators through the text parser
     # (promql_parsed_or promoted into the top-50 mid-round)
-    "promql_parsed_and", "promql_parsed_unless",
     # round-6: grammar completion — group_right, scalar operands and
     # scalar()/time() arithmetic, the @ modifier, and an agg-over-binop
     # composition (the last text forms the evaluator grammar was missing)
     # (promql_parsed_scalar_of and promql_parsed_at promoted mid-round)
-    "promql_parsed_scalar_mult",
-    "promql_parsed_time_minus", "promql_parsed_max_rate",
+    "promql_parsed_max_rate",
     # round-8: block-diagonal exact twins of the two sf1-excluded
     # quadratic baselines (VERDICT r07 #6) — sf1-tractable oracles that
     # check real pair math at every tier

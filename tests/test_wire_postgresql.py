@@ -918,3 +918,54 @@ def test_pg_cancel_request_cancels_running_statement(pg_server):
     _, _, rows = c.query("select 2 as two")
     assert rows == [("2",)]
     c.close()
+
+def test_pg_copy_csv_blank_line_semantics(pg_copy):
+    """A blank CSV line mid-payload is a one-cell record (PG loads it /
+    errors on arity for a multi-column table), NOT silently skipped;
+    only the trailing blank line is ignored (ADVICE r09 #3)."""
+    c = pg_copy
+    # trailing blank line after the final newline: ignored, 2 rows load
+    data = (
+        "a,1.5,true,1691116127622\n"
+        "b,2.5,false,1691116127623\n"
+        "\n"
+    ).encode()
+    tag, _, _, err = _copy_query(
+        c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv)", data
+    )
+    assert err is None and tag == "COPY 2"
+    # blank line MID-payload: a one-cell record → arity error naming the
+    # line (real PG: "missing data for column"), not a silent skip
+    data = (
+        "c,3.5,true,1691116127624\n"
+        "\n"
+        "d,4.5,false,1691116127625\n"
+    ).encode()
+    tag, _, _, err = _copy_query(
+        c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv)", data
+    )
+    assert err is not None and "line 2" in err
+
+
+def test_pg_copy_out_bytea_hex_roundtrip(pg_server):
+    """COPY TO renders varbinary as PG's \\x hex text form so a dump →
+    COPY FROM round-trip preserves non-UTF-8 bytes (ADVICE r09 #5)."""
+    c = MiniPgClient(pg_server.port, with_ssl_probe=False)
+    for t in ("byt", "byt2"):
+        c.query(
+            f"CREATE TABLE {t} (name string TAG, data varbinary, "
+            "t timestamp NOT NULL, timestamp KEY(t)) WITH (enable_ttl='false')"
+        )
+    # 0x00ff10 is NOT valid UTF-8 — a string cast would corrupt it
+    c.query("insert into byt (name, data, t) values ('a', x'00ff10', 1691116127622)")
+    tag, _, out, err = _copy_query(c, "COPY byt (name, data, t) TO STDOUT")
+    assert err is None and tag == "COPY 1"
+    dump = b"".join(out)
+    # wire text escapes the backslash: \\x00ff10
+    assert b"\\\\x00ff10" in dump
+    tag, _, _, err = _copy_query(c, "COPY byt2 (name, data, t) FROM STDIN", dump)
+    assert err is None and tag == "COPY 1"
+    # the re-imported dump is byte-identical
+    tag, _, out2, err = _copy_query(c, "COPY byt2 (name, data, t) TO STDOUT")
+    assert err is None and b"".join(out2) == dump
+    c.close()
