@@ -483,16 +483,19 @@ def _rfm_sql(engine: str) -> str:
 
 @register("rfm_segmentation", oracle=_rfm_sql("duckdb"))
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation (see _rfm_sql) — Spark side on the two-pass rank
-    (r9, VERDICT r08 #5): the oracle's three NTILE(4) windows each need a
-    total order over ALL customers, which Spark would execute as three
-    single-task sorts; instead each metric gets a two-pass global
-    row_number (range-repartition + offset pass, operators/rank2pass.py)
-    and the NTILE bucket is derived exactly from (rank, n) with
-    SQL-standard remainder semantics.  The tie-broken total orders make
-    the bucket assignment bit-identical to the window form."""
+    """RFM segmentation (see _rfm_sql) — Spark side on the multi-order
+    two-pass rank (r10, VERDICT r09 wrong #2): the oracle's three
+    NTILE(4) windows each need a total order over ALL customers, which
+    Spark would execute as three single-task sorts.  All three global
+    row_numbers now ride ONE pinned per-customer aggregate
+    (attach_global_orders: one localCheckpoint, driver-computed range
+    boundaries, one combined counts job, one final plan) instead of
+    three sequential checkpoint+exchange rounds; NTILE buckets derive
+    exactly from (rank, n) with SQL-standard remainder semantics.  The
+    tie-broken total orders make the bucket assignment bit-identical to
+    the window form."""
     from incubator_horaedb_spark.operators.rank2pass import (
-        attach_global_order,
+        attach_global_orders,
         ntile_from_rank,
     )
 
@@ -509,16 +512,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend"),
         )
     )
-    ranked, totals = attach_global_order(
-        a, [F.col("last_t").asc(), F.col("o_custkey").asc()], rank_name="__rr"
+    ranked, n = attach_global_orders(
+        a,
+        [
+            ("__rr", "last_t", "o_custkey"),
+            ("__rf", "freq", "o_custkey"),
+            ("__rm", "spend", "o_custkey"),
+        ],
     )
-    ranked, _ = attach_global_order(
-        ranked, [F.col("freq").asc(), F.col("o_custkey").asc()], rank_name="__rf"
-    )
-    ranked, _ = attach_global_order(
-        ranked, [F.col("spend").asc(), F.col("o_custkey").asc()], rank_name="__rm"
-    )
-    n = totals["n"]
     s = ranked.select(
         "o_custkey",
         ntile_from_rank(F.col("__rr"), n, 4).alias("r_q"),

@@ -94,3 +94,53 @@ def test_no_global_window_in_plan(toy):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "__pid" in line
+
+def test_multi_order_matches_three_single_windows(toy):
+    """attach_global_orders (r10, VERDICT r09 wrong #2): three
+    independent global ranks off ONE pinned input match three
+    single-task windows bit-for-bit."""
+    from incubator_horaedb_spark.operators.rank2pass import attach_global_orders
+
+    df = toy.withColumn("v2", (F.col("k") * 13 % 37).cast("double"))
+    got, n = attach_global_orders(
+        df,
+        [("r_grp", "grp", "k"), ("r_v", "v", "k"), ("r_v2", "v2", "k")],
+    )
+    assert n == 500
+    exp = df
+    for name, m in (("r_grp", "grp"), ("r_v", "v"), ("r_v2", "v2")):
+        w = Window.orderBy(F.col(m).asc(), F.col("k").asc())
+        exp = exp.withColumn(name, F.row_number().over(w).cast("long"))
+    cols = ["k", "r_grp", "r_v", "r_v2"]
+    assert sorted(got.select(*cols).collect()) == sorted(exp.select(*cols).collect())
+
+
+def test_multi_order_partition_count_invariance(toy):
+    from incubator_horaedb_spark.operators.rank2pass import attach_global_orders
+
+    ref = None
+    for nparts in (1, 3, 16):
+        got, n = attach_global_orders(
+            toy, [("r", "v", "k")], num_partitions=nparts
+        )
+        assert n == 500
+        vals = sorted(got.select("k", "r").collect())
+        if ref is None:
+            ref = vals
+        else:
+            assert vals == ref
+
+
+def test_multi_order_heavy_ties_split(spark):
+    """A metric that is one giant tie group must still rank correctly
+    (the boundary PAIRS carry the tiebreak, so ties split across
+    partitions)."""
+    from incubator_horaedb_spark.operators.rank2pass import attach_global_orders
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(400)], "k bigint, v double"
+    )
+    got, n = attach_global_orders(df, [("r", "v", "k")], num_partitions=8)
+    assert n == 400
+    rows = {r["k"]: r["r"] for r in got.collect()}
+    assert rows == {i: i + 1 for i in range(400)}
