@@ -19,6 +19,11 @@ Routes (src/server/src/http.rs):
   protobuf codec is transport plumbing, the query semantics
   (selector-only read, no alignment, remote.rs:60-160) are preserved.
 - ``GET /health``.
+- ``GET /metrics``            (http.rs:532-536): Prometheus text
+  exposition — the reference's ``http_handler_duration`` histogram
+  labeled (path, code) with its exponential bucket layout
+  (metrics.rs), plus rows-written / sql-statement counters
+  (metrics.py).
 
 Query handling composes the serving-layer concerns from serving.py:
 concurrent identical-query dedup (read.rs:89-165) and priority pools
@@ -82,13 +87,28 @@ class EngineServer:
     """Wraps an Engine (frontends/sql_shim.py) with the HTTP surface."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        from incubator_horaedb_spark.metrics import Registry
+
         self.engine = engine
         self.dedup = QueryDedup()
+        self.metrics = Registry()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def _observe(self, code: int) -> None:
+                # metrics.rs http_handler_duration{path, code} parity
+                import time as _time
+
+                t0 = getattr(self, "_t0", None)
+                if t0 is not None:
+                    outer.metrics.http_handler_duration.observe(
+                        getattr(self, "_mpath", self.path.split("?")[0]),
+                        str(code),
+                        value=_time.monotonic() - t0,
+                    )
 
             def _reply(self, code: int, payload: dict) -> None:
                 body = json.dumps(payload).encode()
@@ -97,6 +117,16 @@ class EngineServer:
                 self.send_header("content-length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                self._observe(code)
+
+            def _reply_text(self, code: int, text: str) -> None:
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("content-type", "text/plain; version=0.0.4")
+                self.send_header("content-length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                self._observe(code)
 
             def _is_protobuf(self) -> bool:
                 return (
@@ -115,12 +145,19 @@ class EngineServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                import time as _time
                 import urllib.parse
 
                 parsed = urllib.parse.urlparse(self.path)
+                self._t0 = _time.monotonic()
+                self._mpath = parsed.path
                 try:
                     if parsed.path == "/health":
                         self._reply(200, {"status": "ok"})
+                    elif parsed.path == "/metrics":
+                        # GET /metrics (http.rs:532-536): Prometheus text
+                        # exposition of every registered family
+                        self._reply_text(200, outer.metrics.dump())
                     elif parsed.path.startswith("/route/"):
                         # GET /route/{table} (http.rs:350-358)
                         table = urllib.parse.unquote(parsed.path[len("/route/") :])
@@ -135,8 +172,12 @@ class EngineServer:
                     self._reply(400, {"error": str(e)})
 
             def do_POST(self):
+                import time as _time
+
                 n = int(self.headers.get("content-length", 0))
                 raw = self.rfile.read(n)
+                self._t0 = _time.monotonic()
+                self._mpath = self.path.split("?")[0]
                 try:
                     if self.path == "/sql":
                         req = json.loads(raw)
@@ -191,9 +232,11 @@ class EngineServer:
         # dedup_handle_sql); deduping writes would silently drop one of two
         # concurrent identical INSERTs, so writes/DDL execute directly.
         if query.strip().lower().startswith(self._READ_PREFIXES):
+            self.metrics.sql_queries.inc("read")
             return self.dedup.run(
                 query, lambda: sql_response(self.engine.execute_sql(query))
             )
+        self.metrics.sql_queries.inc("write")
         return sql_response(self.engine.execute_sql(query))
 
     def handle_line_protocol(self, text: str) -> None:
@@ -203,12 +246,14 @@ class EngineServer:
             ingest_rows(
                 self.engine, measurement, batch.rows, tag_cols=sorted(batch.tag_keys)
             )
+            self.metrics.write_rows.inc("influxdb", by=len(batch.rows))
 
     def handle_opentsdb_put(self, payload) -> None:
         from incubator_horaedb_spark.streaming.ingest import ingest_rows
 
         for metric, batch in parse_put_typed(payload).items():
             ingest_rows(self.engine, metric, batch.rows, tag_cols=sorted(batch.tag_keys))
+            self.metrics.write_rows.inc("opentsdb", by=len(batch.rows))
 
     def handle_prom_write(self, payload) -> None:
         from incubator_horaedb_spark.frontends.prom_remote import parse_remote_write_typed
@@ -216,6 +261,7 @@ class EngineServer:
 
         for metric, batch in parse_remote_write_typed(payload).items():
             ingest_rows(self.engine, metric, batch.rows, tag_cols=sorted(batch.tag_keys))
+            self.metrics.write_rows.inc("prometheus", by=len(batch.rows))
 
     def handle_route(self, table: str) -> dict:
         """GET /route/{table} (proxy/src/http/route.rs RouteResponse):

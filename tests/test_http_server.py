@@ -152,3 +152,33 @@ def test_prom_remote_write_read_roundtrip(server):
     (series,) = out["results"][0]
     assert series["labels"] == {"job": "api", "inst": "a"}
     assert series["samples"] == [[t0, 1.0], [t0 + 60_000, 2.0]]
+
+def test_metrics_route_prometheus_exposition(server):
+    """GET /metrics (http.rs:532-536 parity): Prometheus text exposition
+    with the reference's http_handler_duration{path, code} histogram
+    (exponential buckets 0.01*2^k) plus serving counters."""
+    # traffic to count: one write statement, one read, one influx write
+    _post(server, "/sql", {"query": (
+        "CREATE TABLE mtest (k string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')")})
+    _post(server, "/sql", {"query": "insert into mtest (k, v, t) values ('a', 1.0, 1691116127622)"})
+    _post(server, "/sql", {"query": "select count(*) as n from mtest"})
+    _post(server, "/influxdb/v1/write", b"m1,k=a value=1.5 1691116127622000000")
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/metrics")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert "text/plain" in resp.headers["content-type"]
+        text = resp.read().decode()
+    # histogram family with reference bucket layout and (path, code) labels
+    assert "# TYPE http_handler_duration histogram" in text
+    assert 'http_handler_duration_bucket{path="/sql",code="200",le="0.01"}' in text
+    assert 'le="163.84"' in text and 'le="+Inf"' in text
+    assert 'http_handler_duration_count{path="/sql",code="200"} 3' in text
+    # serving counters
+    assert 'sql_queries_total{kind="read"} 1' in text
+    assert 'sql_queries_total{kind="write"} 2' in text
+    assert 'write_rows_total{protocol="influxdb"} 1' in text
+    # scrape again: the /metrics request itself is now observed
+    with urllib.request.urlopen(req) as resp:
+        text2 = resp.read().decode()
+    assert 'http_handler_duration_count{path="/metrics",code="200"} 1' in text2
