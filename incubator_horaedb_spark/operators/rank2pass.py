@@ -154,12 +154,19 @@ def attach_global_orders(
         bounds = pairs[step::step][: nparts - 1]
         pid: Column = F.lit(0)
         # pid = count of boundaries ≤ (metric, key): monotone in the
-        # total order, so lower pids hold strictly lower-ranked rows
-        for i, (bm, bk) in enumerate(reversed(bounds)):
+        # total order, so lower pids hold strictly lower-ranked rows.
+        # Build the when-chain ASCENDING so the LARGEST boundary's
+        # condition ends up outermost — each iteration wraps the previous
+        # chain, and the outermost WHEN is evaluated first (r10 review
+        # #1: the reversed order made the smallest boundary outermost,
+        # collapsing every pid to {0, 1} — ranks stayed correct because
+        # offsets use real counts, but the partition balance this
+        # function exists for was silently absent)
+        for i, (bm, bk) in enumerate(bounds):
             cond = (F.col(metric) > F.lit(bm)) | (
                 (F.col(metric) == F.lit(bm)) & (F.col(key) >= F.lit(bk))
             )
-            pid = F.when(cond, F.lit(len(bounds) - i)).otherwise(pid)
+            pid = F.when(cond, F.lit(i + 1)).otherwise(pid)
         return pid
 
     pid_cols = {

@@ -181,15 +181,6 @@ class _MyBulk:
         )
         self.seq = (self.seq + 1) & 0xFF
 
-    def query(self, sql: str) -> None:
-        self.seq = 0
-        self._send_packet(b"\x03" + sql.encode())
-        first = self._read_packet()
-        if first[0:1] == b"\xff":
-            raise RuntimeError(f"mysql: {first[10:].decode()}")
-        if first[0:1] != b"\x00":
-            raise RuntimeError("unexpected resultset from DDL")
-
     def load_data(self, sql: str, payload: bytes) -> None:
         self.seq = 0
         self._send_packet(b"\x03" + sql.encode())
@@ -216,27 +207,24 @@ class _MyBulk:
 # --------------------------------------------------------------- payloads --
 
 
-def _esc_copy(v: str) -> str:
-    """PG COPY text-format escaping (backslash first)."""
+def _esc_tsv(v) -> str:
+    """One TSV cell: backslash-first escaping, identical for PG COPY text
+    format and MySQL LOAD DATA's default clauses (ESCAPED BY '\\\\'), and
+    ``\\N`` for NULL — the NULL spelling both loaders accept.  A None
+    reaching either loader unescaped would crash (None.replace) or load
+    the literal string 'None' (r10 review #8)."""
+    if v is None:
+        return "\\N"
     return (
-        v.replace("\\", "\\\\")
+        str(v)
+        .replace("\\", "\\\\")
         .replace("\t", "\\t")
         .replace("\n", "\\n")
         .replace("\r", "\\r")
     )
 
 
-def _esc_load(v: str) -> str:
-    """MySQL LOAD DATA default-clause escaping (ESCAPED BY '\\\\')."""
-    return (
-        v.replace("\\", "\\\\")
-        .replace("\t", "\\t")
-        .replace("\n", "\\n")
-        .replace("\r", "\\r")
-    )
-
-
-def _tsv_rows(spark: SparkSession, sf_dir: str, pred: str, esc) -> bytes:
+def _tsv_rows(spark: SparkSession, sf_dir: str, pred: str) -> bytes:
     """The fixture half as tab-separated text rows:
     event_id, event_type, props, value, user_id, ts(epoch-ms)."""
     df = load(spark, sf_dir, "events").filter(F.expr(pred))
@@ -247,12 +235,12 @@ def _tsv_rows(spark: SparkSession, sf_dir: str, pred: str, esc) -> bytes:
     lines = [
         "\t".join(
             (
-                str(r.event_id),
-                esc(r.event_type),
-                esc(r.props),
-                repr(r.value),
-                str(r.user_id),
-                str(r.us // 1000),
+                _esc_tsv(r.event_id),
+                _esc_tsv(r.event_type),
+                _esc_tsv(r.props),
+                "\\N" if r.value is None else repr(r.value),
+                _esc_tsv(r.user_id),
+                "\\N" if r.us is None else str(r.us // 1000),
             )
         )
         for r in rows
@@ -290,7 +278,7 @@ def _bulk_table(spark: SparkSession, sf_dir: str):
             )
             pg.copy_in(
                 f"COPY {name} {cols} FROM STDIN",
-                _tsv_rows(spark, sf_dir, _PG_PRED, _esc_copy),
+                _tsv_rows(spark, sf_dir, _PG_PRED),
             )
         finally:
             pg.close()
@@ -302,7 +290,7 @@ def _bulk_table(spark: SparkSession, sf_dir: str):
         try:
             my.load_data(
                 f"LOAD DATA LOCAL INFILE 'ev_bulk.tsv' INTO TABLE {name} {cols}",
-                _tsv_rows(spark, sf_dir, _MY_PRED, _esc_load),
+                _tsv_rows(spark, sf_dir, _MY_PRED),
             )
         finally:
             my.close()

@@ -98,17 +98,32 @@ class EngineServer:
             def log_message(self, *a):  # quiet
                 pass
 
+            # bounded label set (r10 review #5): the raw request path
+            # would let a port scanner allocate one histogram series per
+            # probe URL forever; unknown paths share one "other" label
+            # and /route/<table> collapses to /route
+            _KNOWN_PATHS = {
+                "/sql", "/health", "/metrics",
+                "/influxdb/v1/write", "/influxdb/v1/query",
+                "/opentsdb/api/put", "/opentsdb/api/query",
+                "/prom/v1/write", "/prom/v1/read",
+            }
+
             def _observe(self, code: int) -> None:
                 # metrics.rs http_handler_duration{path, code} parity
                 import time as _time
 
                 t0 = getattr(self, "_t0", None)
-                if t0 is not None:
-                    outer.metrics.http_handler_duration.observe(
-                        getattr(self, "_mpath", self.path.split("?")[0]),
-                        str(code),
-                        value=_time.monotonic() - t0,
-                    )
+                if t0 is None:
+                    return
+                path = getattr(self, "_mpath", self.path.split("?")[0])
+                if path.startswith("/route/"):
+                    path = "/route"
+                elif path not in self._KNOWN_PATHS:
+                    path = "other"
+                outer.metrics.http_handler_duration.observe(
+                    path, str(code), value=_time.monotonic() - t0
+                )
 
             def _reply(self, code: int, payload: dict) -> None:
                 body = json.dumps(payload).encode()
@@ -143,6 +158,7 @@ class EngineServer:
                 self.send_header("content-length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                self._observe(200)  # protobuf remote-read counts too (r10 #4)
 
             def do_GET(self):
                 import time as _time

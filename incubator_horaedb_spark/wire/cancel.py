@@ -138,5 +138,11 @@ def is_cancelled(e: Exception, gid: str | None) -> bool:
     error that merely mentions a cancelled job (ADVICE r09 #2)."""
     if gid is None:
         return False
+    import re
+
     msg = str(e)
-    return gid in msg and ("cancel" in msg.lower())
+    # boundary-anchored: gid "pg-conn-3" must not match text mentioning
+    # "pg-conn-31" (another connection's cancel — r10 review #2)
+    return bool(re.search(re.escape(gid) + r"(?![0-9])", msg)) and (
+        "cancel" in msg.lower()
+    )

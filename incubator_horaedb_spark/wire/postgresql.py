@@ -1291,13 +1291,16 @@ def _copy_decode(data: bytes, cp: dict) -> list[list[str | None]]:
         rows = _csv_parse(txt, cp["delim"])
         if cp["header"] and rows:
             rows = rows[1:]
-        for idx, (cells, qflags) in enumerate(rows):
-            if cells == [""] and not qflags[0] and idx == len(rows) - 1:
-                # ONLY the trailing blank line is ignored; a blank line
-                # mid-payload is a legitimate one-cell record (NULL under
-                # the default null='') exactly as PG loads it
-                # (ADVICE r09 #3)
-                continue
+        for cells, qflags in rows:
+            # EVERY blank line is a one-cell record, exactly as PG loads
+            # it (NULL under the default null='' for a 1-column table,
+            # "missing data for column" arity error otherwise).  The
+            # final newline of the last record produces no record at all
+            # (_csv_parse only flushes pending cell state), so nothing
+            # needs a trailing-line special case — ADVICE r09 #3 asked to
+            # keep ignoring a trailing blank, but a last-index [""] row
+            # here IS a genuine blank line ("...\n\n"), which real PG
+            # also loads (r10 review #3).
             if cells == ["\\."] and not qflags[0]:
                 break
             out.append(

@@ -920,31 +920,31 @@ def test_pg_cancel_request_cancels_running_statement(pg_server):
     c.close()
 
 def test_pg_copy_csv_blank_line_semantics(pg_copy):
-    """A blank CSV line mid-payload is a one-cell record (PG loads it /
-    errors on arity for a multi-column table), NOT silently skipped;
-    only the trailing blank line is ignored (ADVICE r09 #3)."""
+    """A blank CSV line ANYWHERE is a one-cell record (PG loads it /
+    errors on arity for a multi-column table), never silently skipped;
+    the final newline of the last record produces no record at all
+    (ADVICE r09 #3 + r10 review #3)."""
     c = pg_copy
-    # trailing blank line after the final newline: ignored, 2 rows load
+    # normal final newline: terminates the last record, adds nothing
     data = (
         "a,1.5,true,1691116127622\n"
         "b,2.5,false,1691116127623\n"
-        "\n"
     ).encode()
     tag, _, _, err = _copy_query(
         c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv)", data
     )
     assert err is None and tag == "COPY 2"
-    # blank line MID-payload: a one-cell record → arity error naming the
-    # line (real PG: "missing data for column"), not a silent skip
-    data = (
-        "c,3.5,true,1691116127624\n"
-        "\n"
-        "d,4.5,false,1691116127625\n"
-    ).encode()
-    tag, _, _, err = _copy_query(
-        c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv)", data
-    )
-    assert err is not None and "line 2" in err
+    # blank line mid-payload AND a genuine trailing blank line: both are
+    # one-cell records → arity errors for a 4-column table (real PG:
+    # "missing data for column"), reported at the right line
+    for payload, at_line in (
+        (b"c,3.5,true,1691116127624\n\nd,4.5,false,1691116127625\n", 2),
+        (b"e,5.5,true,1691116127626\n\n", 2),
+    ):
+        tag, _, _, err = _copy_query(
+            c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT csv)", payload
+        )
+        assert err is not None and f"line {at_line}" in err
 
 
 def test_pg_copy_out_bytea_hex_roundtrip(pg_server):
