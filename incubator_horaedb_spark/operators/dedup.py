@@ -318,6 +318,97 @@ def minhash_lsh_sql(d: Dialect, table: str = "documents", threshold: float = 0.8
     )
 
 
+# --- incremental dedup against a persisted LSH index ----------------------
+# The daily-crawl shape (public: Lee et al. 2022 §4, the "dedup new data
+# against the existing corpus" deployment of MinHash-LSH): the corpus half
+# is indexed ONCE (signatures → banded bucket keys, persisted), and each
+# new batch is shingled/minhashed alone and joined against the stored
+# bands — candidate cost is |delta| × bands, never a corpus re-scan.  The
+# split is doc_id mod 5 (< 3 → indexed corpus, >= 3 → new batch) so both
+# sides stay populated at every SF and the synthetic duplicate partners —
+# uniform over the id space — produce real cross-side pairs.
+INC_MOD = 5
+INC_CORPUS_LT = 3
+
+
+def incremental_corpus_pred(col: str = "doc_id") -> str:
+    return f"({col} % {INC_MOD}) < {INC_CORPUS_LT}"
+
+
+def incremental_delta_pred(col: str = "doc_id") -> str:
+    return f"({col} % {INC_MOD}) >= {INC_CORPUS_LT}"
+
+
+def incremental_pairs_ctes(
+    d: Dialect,
+    hs_src: str,
+    idx_bands_src: str,
+    delta_bands_src: str,
+    bucket_cap: int = BAND_BUCKET_CAP,
+) -> list[tuple[str, str]]:
+    """Hot-bucket gate → index×delta candidates → exact-Jaccard verify.
+
+    The gate counts bucket membership over BOTH sides (a bucket's candidate
+    count is |idx ∩ bucket| × |delta ∩ bucket|, so the joint population is
+    what must stay bounded — same definition as the batch pipeline's
+    self-join cap).  ``doc_a`` is always the indexed corpus document,
+    ``doc_b`` the new-batch document; verification fetches both documents'
+    shingles from ``hs_src`` by id, exactly the fetch-candidates-by-key
+    access an index deployment does."""
+    return [
+        (
+            "allb",
+            f"SELECT band_idx, band_key FROM {idx_bands_src} "
+            f"UNION ALL SELECT band_idx, band_key FROM {delta_bands_src}",
+        ),
+        (
+            "hot",
+            f"SELECT band_idx, band_key FROM allb "
+            f"GROUP BY band_idx, band_key HAVING count(*) > {bucket_cap}",
+        ),
+        (
+            "cand",
+            f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {idx_bands_src} a
+      JOIN {delta_bands_src} b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = a.band_idx AND h.band_key = a.band_key)""",
+        ),
+        (
+            "verified",
+            f"""SELECT c.doc_a, c.doc_b,
+             (CAST(floor(({_jaccard(d, "x.shs", "y.shs")}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS jaccard
+      FROM cand c
+      JOIN {hs_src} x ON x.doc_id = c.doc_a
+      JOIN {hs_src} y ON y.doc_id = c.doc_b""",
+        ),
+    ]
+
+
+def incremental_lsh_sql(
+    d: Dialect, table: str = "documents", threshold: float = 0.8
+) -> str:
+    """One-shot rendering of the incremental pipeline (oracle side): bands
+    over ALL documents, split into index/delta halves by the mod-5
+    predicate — definitionally identical to the engine's
+    persisted-index-plus-fresh-delta plan, because the union of the stored
+    corpus bands and the batch bands IS the all-documents band set."""
+    ctes = (
+        _shingle_ctes(d, table)
+        + [
+            ("ex", d.unnest_select("doc_id", "shs", "h", "hs")),
+            ("sig", f"SELECT doc_id,\n           {_sig_cols()}\n      FROM ex GROUP BY doc_id"),
+            ("bands", bands_select(d, "sig")),
+            ("idxb", f"SELECT * FROM bands WHERE {incremental_corpus_pred()}"),
+            ("dltb", f"SELECT * FROM bands WHERE {incremental_delta_pred()}"),
+        ]
+        + incremental_pairs_ctes(d, "hs", "idxb", "dltb")
+    )
+    return d.cte_query(
+        ctes, f"SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}"
+    )
+
+
 SIMHASH_BITS = 28  # <= 31: bit j of the token hash (mod 2^31-1) is uniform
 SIMHASH_BANDS = 4
 BITS_PER_BAND = SIMHASH_BITS // SIMHASH_BANDS

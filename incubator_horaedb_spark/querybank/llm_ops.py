@@ -283,6 +283,58 @@ _sql_query(
 )
 
 
+# --- incremental dedup against a persisted LSH index ----------------------
+def _staged_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-once / dedup-each-batch: the corpus half's banded LSH index is
+    PERSISTED to parquet and read back (the train-once index-management
+    shape save_ivf_index already proves for vectors); only the new batch is
+    shingled and minhashed at query time, and candidates come from an
+    equi-join of the batch's bands against the stored index — never a
+    corpus re-scan.  At 100 TB the index table is partitioned by
+    (band_idx, band_key bucket) so each daily batch joins co-located.
+    Verification fetches both sides' shingles by doc_id, the
+    fetch-candidates-by-key read a real deployment does against the
+    document store."""
+    import tempfile
+
+    hs = _staged_shingles(spark, sf_dir, materialize=False)
+    spark.sql(
+        f"SELECT * FROM {hs} WHERE {dedup.incremental_corpus_pred()}"
+    ).createOrReplaceTempView("__inc_hs_idx")
+    spark.sql(
+        f"SELECT * FROM {hs} WHERE {dedup.incremental_delta_pred()}"
+    ).createOrReplaceTempView("__inc_hs_delta")
+    # build + persist the corpus index (one-time cost, amortized over
+    # every future batch), then read it back — the query below must only
+    # see the on-disk copy
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__inc_hs_idx"), "__inc_sig_idx")
+    path = tempfile.mkdtemp(prefix="lsh_index_")
+    spark.sql(dedup.bands_select(SPARK, "__inc_sig_idx")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("__inc_bands_idx")
+    # the new batch: signature + bands over the delta half only (staged —
+    # referenced by the hot-bucket gate and the candidate join)
+    _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__inc_hs_delta"), "__inc_sig_dlt")
+    _stage(spark.sql(dedup.bands_select(SPARK, "__inc_sig_dlt")), "__inc_bands_dlt")
+    return spark.sql(
+        SPARK.cte_query(
+            dedup.incremental_pairs_ctes(
+                SPARK, hs, "__inc_bands_idx", "__inc_bands_dlt"
+            ),
+            "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8",
+        )
+    )
+
+
+_staged_incremental_lsh.__doc__ = (
+    dedup.incremental_lsh_sql.__doc__ + "\n\n" + _staged_incremental_lsh.__doc__
+)
+register(
+    "dedup_incremental_lsh", oracle=dedup.incremental_lsh_sql(DUCK, threshold=0.8)
+)(_staged_incremental_lsh)
+
+
 def _staged_nd_edges(spark: SparkSession, sf_dir: str) -> str:
     """Build the staged minhash-LSH → verified pairs → edge-list views;
     returns the edge view name.  Shared by the CC labeling chain and the

@@ -253,6 +253,12 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # skew-guarded distinct + statistical aggregates
     "salted_distinct_users", "stats_corr_regr",
     # ------------------------------------------------------------------
+    # NEW this round (first slots past the 50-query window; they lead the
+    # r11 rotation): multi-resolution GROUPING SETS rollup ladder,
+    # mergeable HLL-sketch rollup, incremental dedup against a persisted
+    # LSH index
+    "ts_rollup_ladder", "hll_rollup_merge", "dedup_incremental_lsh",
+    # ------------------------------------------------------------------
     # round-10 demotions (ALL driver-green r09, locally gated every
     # round): the r9 window's first-timers
     "promql_instant",

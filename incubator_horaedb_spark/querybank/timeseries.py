@@ -2027,3 +2027,84 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dau_wau_stickiness.__doc__ = _stickiness_sql.__doc__
+
+
+# --- multi-resolution rollup ladder (continuous-aggregate shape) ----------
+# The hypertable/continuous-aggregate rollup the reference's
+# segment-duration ladder serves (sampler.rs:42-51 picks the segment
+# granularity; a TSDB dashboard reads minute, hour AND day resolutions of
+# the same measure).  One GROUPING SETS pass computes the whole ladder:
+# Spark plans Expand (3 rows per input) + ONE partial/final hash aggregate
+# — one shuffle for all three resolutions, where three separate group-bys
+# would scan and shuffle three times.  At 100 TB the win is strictly
+# larger: the Expand runs map-side inside the scan stage, and the shuffle
+# carries only partial aggregates (bucket cardinality), not input rows.
+# Addends are dyadic-quantized so every engine sums bit-identically.
+_ROLLUP_LADDER_SQL = f"""
+    SELECT CASE WHEN grouping(bucket_minute) = 0 THEN 'minute'
+                WHEN grouping(bucket_hour) = 0 THEN 'hour'
+                ELSE 'day' END AS res,
+           coalesce(bucket_minute, bucket_hour, bucket_day) AS bucket,
+           event_type,
+           count(*) AS n,
+           {r_out_sql(f"sum({dyadic_sql('value', BITS_SMALL)})", 4)} AS sum_value
+    FROM (SELECT date_trunc('minute', ts) AS bucket_minute,
+                 date_trunc('hour', ts) AS bucket_hour,
+                 date_trunc('day', ts) AS bucket_day,
+                 event_type, value
+          FROM events) __ladder
+    GROUP BY GROUPING SETS ((bucket_minute, event_type),
+                            (bucket_hour, event_type),
+                            (bucket_day, event_type))
+    """
+
+
+@register("ts_rollup_ladder", oracle=_ROLLUP_LADDER_SQL)
+def ts_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ROLLUP_LADDER_SQL)
+
+
+ts_rollup_ladder.__doc__ = (
+    "Minute/hour/day rollups of the same measure in ONE shuffle via "
+    "GROUPING SETS — the continuous-aggregate ladder; see module comment "
+    "above _ROLLUP_LADDER_SQL."
+)
+
+
+# --- mergeable-sketch rollup (HLL union across granularities) -------------
+# The companion to thetasketch_distinct for the ROLLUP case: distinct
+# counts do not sum, so a day NDV normally needs a full re-scan — unless
+# the hour partials are SKETCHES, which union losslessly.  Per (type,
+# hour) Datasketches-HLL sketches (Spark's hll_sketch_agg, lgK=12) are
+# merged to (type, day) with hll_union_agg and estimated once: the
+# second aggregation shuffles only kilobyte sketch blobs.  This is how a
+# 100 TB deployment maintains its NDV rollup ladder — materialize hour
+# sketches on ingest, answer day/week/month by union, never re-scan.
+# No exact hash oracle (sketch constants are impl-specific, like the
+# reference's thetasketch golden files); the harness value-checks each
+# group against DuckDB's exact NDV within 3·rsd, rsd = 1.04/√2¹² ≈ 1.63%.
+@register(
+    "hll_rollup_merge",
+    oracle=None,
+    tolerance=(
+        """
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS bucket_day,
+               count(DISTINCT user_id) AS approx_ndv_users
+        FROM events GROUP BY 1, 2
+        """,
+        "approx_ndv_users",
+        3 * 1.04 / (2 ** 6),
+    ),
+)
+def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return hourly.groupBy(
+        "event_type", F.to_date("bucket_hour").alias("bucket_day")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_ndv_users")
+    )

@@ -1,0 +1,154 @@
+"""Round-10 operators: multi-resolution GROUPING SETS rollup ladder,
+mergeable HLL-sketch rollup, and incremental dedup against a persisted LSH
+index.  Each test asserts the operator's own scale/semantics claim (plan
+shape, cross-resolution consistency, merge losslessness, equivalence with
+the batch pipeline) — the oracle hash gate runs separately in the
+correctness harness."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from incubator_horaedb_spark.operators import dedup
+from incubator_horaedb_spark.operators.dialect import SPARK
+from incubator_horaedb_spark.plans.inspect import explain_str
+from incubator_horaedb_spark.querybank import registry
+from incubator_horaedb_spark.querybank import llm_ops  # noqa: F401 - registers
+from incubator_horaedb_spark.querybank import timeseries  # noqa: F401 - registers
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return {n: e.fn for n, e in registry.QUERIES.items()}
+
+
+def _exchanges(df) -> int:
+    text = explain_str(df, "simple")
+    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", text))
+
+
+# --- ts_rollup_ladder ------------------------------------------------------
+
+
+def test_rollup_ladder_one_shuffle_via_expand(spark, sf_dir, qs):
+    # the whole three-resolution ladder is Expand + ONE hash aggregate:
+    # exactly one exchange, and an Expand node feeding it
+    df = qs["ts_rollup_ladder"](spark, sf_dir)
+    text = explain_str(df, "simple")
+    assert _exchanges(df) == 1, text
+    assert "Expand" in text, text
+
+
+def test_rollup_ladder_resolutions_consistent(spark, sf_dir, qs):
+    # the ladder is self-consistent: each day row's count equals the sum
+    # of its hour rows' counts, and each hour row's count the sum of its
+    # minute rows' — the invariant a continuous-aggregate maintains
+    rows = qs["ts_rollup_ladder"](spark, sf_dir).collect()
+    by_res: dict[str, dict] = {"minute": {}, "hour": {}, "day": {}}
+    for r in rows:
+        by_res[r["res"]][(r["bucket"], r["event_type"])] = r["n"]
+
+    def _roll(fine: dict, trunc) -> dict:
+        out: dict = {}
+        for (b, et), n in fine.items():
+            k = (trunc(b), et)
+            out[k] = out.get(k, 0) + n
+        return out
+
+    assert by_res["hour"] == _roll(
+        by_res["minute"], lambda b: b.replace(minute=0)
+    )
+    assert by_res["day"] == _roll(by_res["hour"], lambda b: b.replace(hour=0))
+
+
+# --- hll_rollup_merge ------------------------------------------------------
+
+
+def test_hll_union_matches_direct_sketch(spark, sf_dir):
+    # merge losslessness: estimating the UNION of per-hour sketches gives
+    # the same estimate as sketching the day's stream directly (same lgK,
+    # same family) — the property that makes the rollup ladder maintainable
+    # without re-scans
+    from pyspark.sql import functions as F
+
+    ev = registry.load(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bh"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type", F.to_date("bh").alias("bd"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("hour", "ts")).alias("bd")
+    ).agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+    m = {(r["event_type"], r["bd"]): r["est"] for r in merged.collect()}
+    d = {(r["event_type"], r["bd"]): r["est"] for r in direct.collect()}
+    assert m == d
+
+
+def test_hll_rollup_exact_at_small_cardinality(spark, sf_dir, qs):
+    # sf0.001 group cardinalities sit in the sketch's exact (sparse) range:
+    # every estimate must equal the exact distinct count
+    from pyspark.sql import functions as F
+
+    ev = registry.load(spark, sf_dir, "events")
+    exact = {
+        (r["event_type"], r["bucket_day"]): r["ndv"]
+        for r in ev.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("bucket_day")
+        )
+        .agg(F.count_distinct("user_id").alias("ndv"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["bucket_day"]): r["approx_ndv_users"]
+        for r in qs["hll_rollup_merge"](spark, sf_dir).collect()
+    }
+    assert got == exact
+
+
+# --- dedup_incremental_lsh -------------------------------------------------
+
+
+def test_incremental_equals_cross_side_of_batch(spark, sf_dir, qs):
+    # the incremental pipeline (persisted corpus index + fresh delta bands)
+    # finds EXACTLY the batch pipeline's pairs whose sides fall in
+    # different halves: the index path loses nothing and adds nothing
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qs["dedup_incremental_lsh"](spark, sf_dir).collect()
+    }
+    corpus = lambda i: i % dedup.INC_MOD < dedup.INC_CORPUS_LT  # noqa: E731
+    batch = {}
+    for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if corpus(a) != corpus(b):
+            lo, hi = (a, b) if corpus(a) else (b, a)
+            batch[(lo, hi)] = r["jaccard"]
+    assert inc == batch
+    # orientation contract: doc_a is always the indexed corpus side
+    for a, b in inc:
+        assert corpus(a) and not corpus(b)
+
+
+def test_incremental_index_roundtrips_through_parquet(spark, sf_dir):
+    # the persisted band index read back from parquet is row-identical to
+    # the bands computed in-session (the query must only see the on-disk
+    # copy, so the write path must be lossless)
+    import tempfile
+
+    from incubator_horaedb_spark.querybank.llm_ops import _staged_shingles
+
+    hs = _staged_shingles(spark, sf_dir)
+    spark.sql(
+        f"SELECT * FROM {hs} WHERE {dedup.incremental_corpus_pred()}"
+    ).createOrReplaceTempView("__t10_hs_idx")
+    sig = dedup.minhash_sig_select(SPARK, "__t10_hs_idx")
+    spark.sql(sig).createOrReplaceTempView("__t10_sig")
+    bands = spark.sql(dedup.bands_select(SPARK, "__t10_sig"))
+    path = tempfile.mkdtemp(prefix="t10_lsh_idx_")
+    bands.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, bands.collect()))
