@@ -258,6 +258,7 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # mergeable HLL-sketch rollup, incremental dedup against a persisted
     # LSH index
     "ts_rollup_ladder", "hll_rollup_merge", "dedup_incremental_lsh",
+    "snapshot_read_as_of",
     # ------------------------------------------------------------------
     # round-10 demotions (ALL driver-green r09, locally gated every
     # round): the r9 window's first-timers

@@ -116,6 +116,9 @@ def _ingested_events(spark: SparkSession, sf_dir: str):
         options=opts,
     )
     q.awaitTermination()
+    # snapshot token between passes: the sequence-snapshot gate reads the
+    # table as of the LAST pass-1 batch — pass 2/3 writes must be invisible
+    _STATE["seq_pass1"] = Table(spark, engine.catalog, "ev_stream").last_seq()
     # pass 2: the update overlay — same tags + timestamp, shifted value,
     # later __seq (a separate checkpoint; same table)
     upd = (
@@ -240,6 +243,48 @@ def streaming_ingest_dedup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return out
+
+
+# --- sequence-snapshot read (instance/read.rs) -----------------------------
+# A reader that pins the table at the pass-1 snapshot must see NONE of the
+# pass-2 value updates or the pass-3 evolved rows: per-type counts equal
+# the raw source and sums carry the UN-shifted values.  This is the
+# reference's sequence-snapshot semantics (a read holds the sst+memtable
+# view at a sequence) made a correctness row — the same contract the
+# maintenance race gates assert under concurrency.
+
+_SNAPSHOT_SQL = f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {r_out_sql("sum(" + dyadic_sql("value", 20) + ")", 6)} AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register("snapshot_read_as_of", oracle=_SNAPSHOT_SQL)
+def snapshot_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup view at ``as_of_seq`` = the last pass-1 sequence: the update
+    overlay (pass 2) and the evolved rows (pass 3) are written but must be
+    invisible, so the snapshot equals the raw source exactly."""
+    tbl = _ingested_events(spark, sf_dir)
+    df = tbl.read(as_of_seq=_STATE["seq_pass1"])
+    q = 1 << 20
+    qv = F.floor(F.col("value") * F.lit(float(q)) + F.lit(0.5)).cast("double") / F.lit(
+        float(q)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.floor(F.sum(qv) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --- TTL + Append (chain read) leg ----------------------------------------

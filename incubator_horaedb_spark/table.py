@@ -175,9 +175,34 @@ class Table:
         return seq
 
     # -------------------------------------------------------------- read --
-    def read(self, now_ms: int | None = None, with_internal: bool = False) -> DataFrame:
+    def last_seq(self) -> int:
+        """Highest sequence number allocated so far (0 before any write) —
+        the snapshot token a reader passes back as ``as_of_seq``."""
+        return self.meta.next_seq - 1
+
+    def read(
+        self,
+        now_ms: int | None = None,
+        with_internal: bool = False,
+        as_of_seq: int | None = None,
+    ) -> DataFrame:
         """The dedup-view read (SURVEY §7.1): Append → chain, Overwrite →
-        newest-per-primary-key."""
+        newest-per-primary-key.
+
+        ``as_of_seq`` is the sequence-snapshot read (instance/read.rs: a
+        read pins the memtable+SST view at a sequence; rows from later
+        writes are invisible).  Batches carry one monotonic ``__seq``
+        each, so filtering ``__seq <= as_of_seq`` BEFORE the dedup window
+        reconstructs the table state after write ``as_of_seq`` — the
+        Overwrite dedup picks the newest surviving version as of that
+        point, not the newest ever.  Snapshot retention follows the
+        reference's compaction semantics: ``compact()`` applies the
+        Overwrite dedup while rewriting, reclaiming superseded versions
+        (an LSM compaction GCs versions below the snapshot watermark when
+        no live read pins them), so a snapshot older than the last
+        compaction sees only the versions that survived it.  Concurrent
+        reader-vs-maintenance visibility is covered separately by the
+        maintenance race gates."""
         meta = self.meta
         schema = meta.schema
         data = self.catalog.data_dir(self.name)
@@ -191,6 +216,9 @@ class Table:
             df = self.spark.read.schema(
                 self._read_schema()
             ).parquet(data)
+
+        if as_of_seq is not None:
+            df = df.filter(F.col(SEQ_COLUMN) <= as_of_seq)
 
         if meta.options.enable_ttl:
             now_ms = int(time.time() * 1000) if now_ms is None else now_ms

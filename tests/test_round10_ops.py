@@ -133,6 +133,41 @@ def test_incremental_equals_cross_side_of_batch(spark, sf_dir, qs):
         assert corpus(a) and not corpus(b)
 
 
+# --- sequence-snapshot reads (Table.read as_of_seq) -------------------------
+
+
+def test_snapshot_read_as_of_seq(spark, tmp_path):
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.table import Table
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.execute_sql(
+        "CREATE TABLE snap (k string TAG, v double, t timestamp NOT NULL, "
+        "timestamp KEY (t)) ENGINE=Analytic "
+        "WITH(enable_ttl='false', update_mode='OVERWRITE', segment_duration='2h')"
+    )
+    engine.execute_sql("INSERT INTO snap (k, v, t) VALUES ('a', 1, 1000), ('b', 2, 2000)")
+    tbl = Table(spark, engine.catalog, "snap")
+    s1 = tbl.last_seq()
+    engine.execute_sql("INSERT INTO snap (k, v, t) VALUES ('a', 10, 1000), ('c', 3, 3000)")
+
+    def state(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    # latest: 'a' overwritten, 'c' appended
+    assert state(tbl.read()) == [("a", 10.0), ("b", 2.0), ("c", 3.0)]
+    # snapshot at s1: the second write is invisible — 'a' still 1, no 'c'
+    assert state(tbl.read(as_of_seq=s1)) == [("a", 1.0), ("b", 2.0)]
+    # before any write: empty
+    assert state(tbl.read(as_of_seq=0)) == []
+    # compaction GCs superseded versions (LSM semantics): the old 'a'
+    # version is reclaimed, so the pre-compaction snapshot now sees only
+    # the versions that survived; the latest view is unchanged
+    tbl.compact()
+    assert state(tbl.read(as_of_seq=s1)) == [("b", 2.0)]
+    assert state(tbl.read()) == [("a", 10.0), ("b", 2.0), ("c", 3.0)]
+
+
 def test_incremental_index_roundtrips_through_parquet(spark, sf_dir):
     # the persisted band index read back from parquet is row-identical to
     # the bands computed in-session (the query must only see the on-disk
