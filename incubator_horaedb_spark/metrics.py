@@ -125,9 +125,19 @@ class Registry:
             "SQL statements served over HTTP by kind",
             ("kind",),
         )
+        self.slow_queries = CounterVec(
+            "slow_queries_total",
+            "SQL statements slower than the /debug/slow_threshold setting",
+            (),
+        )
 
     def dump(self) -> str:
         lines: list[str] = []
-        for fam in (self.http_handler_duration, self.write_rows, self.sql_queries):
+        for fam in (
+            self.http_handler_duration,
+            self.write_rows,
+            self.sql_queries,
+            self.slow_queries,
+        ):
             lines.extend(fam.render())
         return "\n".join(lines) + "\n"

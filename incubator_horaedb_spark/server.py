@@ -92,6 +92,9 @@ class EngineServer:
         self.engine = engine
         self.dedup = QueryDedup()
         self.metrics = Registry()
+        # PUT /debug/slow_threshold/{secs} re-configures this at runtime;
+        # statements slower than it are logged and counted
+        self.slow_threshold_secs = 5
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -107,6 +110,9 @@ class EngineServer:
                 "/influxdb/v1/write", "/influxdb/v1/query",
                 "/opentsdb/api/put", "/opentsdb/api/query",
                 "/prom/v1/write", "/prom/v1/read",
+                "/admin/block", "/debug/config", "/debug/flush_memtable",
+                "/debug/log_level", "/debug/slow_threshold",
+                "/debug/shards", "/debug/wal_stats", "/debug/profile",
             }
 
             def _observe(self, code: int) -> None:
@@ -119,6 +125,12 @@ class EngineServer:
                 path = getattr(self, "_mpath", self.path.split("?")[0])
                 if path.startswith("/route/"):
                     path = "/route"
+                elif path.startswith("/debug/log_level/"):
+                    path = "/debug/log_level"
+                elif path.startswith("/debug/slow_threshold/"):
+                    path = "/debug/slow_threshold"
+                elif path.startswith("/debug/profile/"):
+                    path = "/debug/profile"
                 elif path not in self._KNOWN_PATHS:
                     path = "other"
                 outer.metrics.http_handler_duration.observe(
@@ -182,6 +194,47 @@ class EngineServer:
                         qs = urllib.parse.parse_qs(parsed.query)
                         q = (qs.get("q") or [""])[0]
                         self._reply(200, outer.handle_influxql_query(q))
+                    elif parsed.path == "/debug/config":
+                        # GET /debug/config (http.rs server_config): the
+                        # running configuration as text
+                        self._reply_text(200, outer.handle_debug_config())
+                    elif parsed.path == "/debug/shards":
+                        # GET /debug/shards — standalone deployments answer
+                        # the reference's cluster-only error (http.rs:150)
+                        self._reply(
+                            400,
+                            {"error": "Querying shards is only supported in cluster mode"},
+                        )
+                    elif parsed.path == "/debug/wal_stats":
+                        self._reply_text(200, outer.handle_wal_stats())
+                    elif parsed.path.startswith("/debug/profile/"):
+                        # native CPU/heap profilers (jemalloc/pprof) have no
+                        # analogue here; reject loudly instead of faking a dump
+                        self._reply(
+                            400,
+                            {"error": "profiling is not supported by this engine "
+                                      "(native profiler routes)"},
+                        )
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as e:  # noqa: BLE001 — HTTP boundary
+                    self._reply(400, {"error": str(e)})
+
+            def do_PUT(self):
+                import time as _time
+
+                self._t0 = _time.monotonic()
+                self._mpath = self.path.split("?")[0]
+                try:
+                    if self.path.startswith("/debug/log_level/"):
+                        # PUT /debug/log_level/{level} (http.rs:639-657)
+                        level = self.path[len("/debug/log_level/") :]
+                        self._reply(200, outer.handle_log_level(level))
+                    elif self.path.startswith("/debug/slow_threshold/"):
+                        # PUT /debug/slow_threshold/{seconds} (http.rs:700-716)
+                        secs = int(self.path[len("/debug/slow_threshold/") :])
+                        outer.slow_threshold_secs = secs
+                        self._reply_text(200, f"current_slow_threshold:{secs}s")
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as e:  # noqa: BLE001 — HTTP boundary
@@ -230,6 +283,11 @@ class EngineServer:
                             self._reply_proto(outer.handle_prom_read_protobuf(raw))
                         else:
                             self._reply(200, outer.handle_prom_read(json.loads(raw)))
+                    elif self.path == "/admin/block":
+                        # POST /admin/block (handlers/admin.rs handle_block)
+                        self._reply(200, outer.handle_admin_block(json.loads(raw)))
+                    elif self.path == "/debug/flush_memtable":
+                        self._reply(200, outer.handle_flush_memtable())
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as e:  # noqa: BLE001 — HTTP boundary
@@ -247,13 +305,30 @@ class EngineServer:
         # reference dedups only the read path (proxy/src/read.rs
         # dedup_handle_sql); deduping writes would silently drop one of two
         # concurrent identical INSERTs, so writes/DDL execute directly.
-        if query.strip().lower().startswith(self._READ_PREFIXES):
-            self.metrics.sql_queries.inc("read")
-            return self.dedup.run(
-                query, lambda: sql_response(self.engine.execute_sql(query))
-            )
-        self.metrics.sql_queries.inc("write")
-        return sql_response(self.engine.execute_sql(query))
+        import time as _time
+
+        t0 = _time.monotonic()
+        try:
+            if query.strip().lower().startswith(self._READ_PREFIXES):
+                self.metrics.sql_queries.inc("read")
+                return self.dedup.run(
+                    query, lambda: sql_response(self.engine.execute_sql(query))
+                )
+            self.metrics.sql_queries.inc("write")
+            return sql_response(self.engine.execute_sql(query))
+        finally:
+            # slow-query log (proxy slow_threshold): over-threshold
+            # statements are logged and counted — the observability hook
+            # PUT /debug/slow_threshold re-tunes at runtime
+            took = _time.monotonic() - t0
+            if took >= self.slow_threshold_secs:
+                import logging
+
+                self.metrics.slow_queries.inc()
+                logging.getLogger("incubator_horaedb_spark.server").warning(
+                    "slow query (%.3fs >= %ds): %.200s",
+                    took, self.slow_threshold_secs, query,
+                )
 
     def handle_line_protocol(self, text: str) -> None:
         from incubator_horaedb_spark.streaming.ingest import ingest_rows
@@ -287,6 +362,163 @@ class EngineServer:
             return {"routes": []}
         host, port = self.httpd.server_address[0], self.port
         return {"routes": [{"table": table, "endpoint": {"addr": host, "port": port}}]}
+
+    # -------------------------------------------------- admin/debug routes
+    @staticmethod
+    def _parse_readable_duration_ms(s) -> int:
+        """ReadableDuration-style strings ("1h", "30m", "1h30m", "500ms")
+        → milliseconds (limiter.rs deserialize_readable_duration)."""
+        import re as _re
+
+        if isinstance(s, (int, float)):
+            return int(s)  # already milliseconds (the serialize form)
+        parts = _re.findall(r"(\d+)\s*(ms|us|s|m|h|d)", s)
+        if not parts or "".join(n + u for n, u in parts) != s.replace(" ", ""):
+            raise ValueError(f"invalid duration {s!r}")
+        unit_ms = {"us": 0.001, "ms": 1, "s": 1000, "m": 60000, "h": 3600000, "d": 86400000}
+        return int(sum(int(n) * unit_ms[u] for n, u in parts))
+
+    @classmethod
+    def _rule_from_json(cls, r: dict) -> tuple:
+        """BlockRule serde shape (limiter.rs: adjacently tagged
+        type/content) → the Limiter's tuple form."""
+        t = r.get("type")
+        if t in ("QueryWithoutPredicate", "AnyQuery", "AnyInsert"):
+            return (t,)
+        if t == "QueryRange":
+            return ("QueryRange", cls._parse_readable_duration_ms(r.get("content")))
+        raise ValueError(f"unknown block rule type {t!r}")
+
+    @staticmethod
+    def _rule_to_json(rule: tuple) -> dict:
+        if rule[0] == "QueryRange":
+            # serde serializes the inner i64 (milliseconds) as content
+            return {"type": "QueryRange", "content": rule[1]}
+        return {"type": rule[0]}
+
+    def handle_admin_block(self, req: dict) -> dict:
+        """POST /admin/block (handlers/admin.rs handle_block): Add/Set/
+        Remove on the write/read block lists and block rules of the SAME
+        Limiter execute_sql consults, answering the full resulting state
+        (BlockResponse, BTreeSet-sorted)."""
+        op = req.get("operation")
+        wl = [str(t) for t in (req.get("write_block_list") or [])]
+        rl = [str(t) for t in (req.get("read_block_list") or [])]
+        rules = [self._rule_from_json(r) for r in (req.get("block_rules") or [])]
+        lim = self.engine.limiter
+        if op == "Add":
+            lim.block_write(*wl)
+            lim.block_read(*rl)
+            for r in rules:
+                lim.add_rule(*r)
+        elif op == "Set":
+            lim.set_write(wl)
+            lim.set_read(rl)
+            lim.set_rules(rules)
+        elif op == "Remove":
+            lim.unblock_write(*wl)
+            lim.unblock_read(*rl)
+            for r in rules:
+                lim.remove_rule(*r)
+        else:
+            raise ValueError(f"unknown operation {op!r} (expected Add|Set|Remove)")
+        w, r, rs = lim.snapshot()
+        return {
+            "write_block_list": w,
+            "read_block_list": r,
+            "block_rules": [self._rule_to_json(t) for t in rs],
+        }
+
+    def handle_flush_memtable(self) -> dict:
+        """POST /debug/flush_memtable (http.rs:480-526): flush every
+        table, answering {"success": [...], "failed": [...]}.  Writes here
+        are durable at batch commit (streaming substitution, SURVEY §1.7),
+        so the actionable part of a flush is the SST maintenance rewrite —
+        each table gets a compact() pass."""
+        from incubator_horaedb_spark.table import Table
+
+        success, failed = [], []
+        for name in self.engine.catalog.list_tables():
+            try:
+                Table(self.engine.spark, self.engine.catalog, name).compact()
+                success.append(name)
+            except Exception:  # noqa: BLE001 — per-table isolation, like the reference
+                failed.append(name)
+        return {"success": success, "failed": failed}
+
+    def handle_log_level(self, level: str):
+        """PUT /debug/log_level/{level} (http.rs:639-657): set the engine
+        log level; replies the level as a JSON string like the reference."""
+        mapping = {
+            "trace": "TRACE", "debug": "DEBUG", "info": "INFO",
+            "warn": "WARN", "error": "ERROR", "off": "OFF",
+        }
+        target = mapping.get(level.lower())
+        if target is None:
+            raise ValueError(f"invalid log level {level!r}")
+        self.engine.spark.sparkContext.setLogLevel(target)
+        return level
+
+    def handle_debug_config(self) -> str:
+        """GET /debug/config (http.rs server_config): the running
+        configuration as text — store root, bind address, limiter state,
+        slow threshold, and the session's result-affecting Spark confs."""
+        w, r, rules = self.engine.limiter.snapshot()
+        conf = self.engine.spark.conf
+        lines = [
+            "[server]",
+            f"addr = {self.httpd.server_address[0]!r}",
+            f"port = {self.port}",
+            f"slow_threshold_secs = {self.slow_threshold_secs}",
+            "",
+            "[catalog]",
+            f"store = {self.engine.catalog.root!r}",
+            f"tables = {self.engine.catalog.list_tables()}",
+            "",
+            "[limiter]",
+            f"write_block_list = {w}",
+            f"read_block_list = {r}",
+            f"rules = {[self._rule_to_json(t) for t in rules]}",
+            "",
+            "[spark]",
+        ]
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.session.timeZone",
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+        ):
+            try:
+                lines.append(f"{k} = {conf.get(k)}")
+            except Exception:  # noqa: BLE001 — unset conf
+                lines.append(f"{k} = <unset>")
+        return "\n".join(lines) + "\n"
+
+    def handle_wal_stats(self) -> str:
+        """GET /debug/wal_stats (http.rs:610-637): the durability layer's
+        stats as text.  The WAL is substituted by per-batch durable parquet
+        commits + streaming checkpoints (SURVEY §1.7), so the equivalent
+        observable state is per-table sequence and segment counts."""
+        from incubator_horaedb_spark import fsops
+        from incubator_horaedb_spark.schema import SEGMENT_COLUMN
+
+        lines = [
+            "[Data wal stats]:",
+            "(design substitution: per-batch durable parquet commits + "
+            "Structured Streaming checkpoints replace the WAL)",
+        ]
+        for name in self.engine.catalog.list_tables():
+            meta = self.engine.catalog.get(name)
+            data = self.engine.catalog.data_dir(name)
+            segs = fsops.list_dirs(self.engine.spark, data, prefix=f"{SEGMENT_COLUMN}=")
+            lines.append(
+                f"table={name} next_seq={meta.next_seq} segments={len(segs)}"
+            )
+        lines.append("")
+        lines.append("[Manifest wal stats]:")
+        lines.append(f"(catalog metadata at {self.engine.catalog.root!r})")
+        return "\n".join(lines) + "\n"
 
     def handle_influxql_query(self, q: str) -> dict:
         """GET/POST /influxdb/v1/query (http.rs:401-421): InfluxQL text →

@@ -140,6 +140,28 @@ class Limiter:
         with self._lock:
             self.write_block_list -= set(tables)
 
+    def set_read(self, tables: list[str]) -> None:
+        with self._lock:
+            self.read_block_list = set(tables)
+
+    def set_write(self, tables: list[str]) -> None:
+        with self._lock:
+            self.write_block_list = set(tables)
+
+    def set_rules(self, rules: list[tuple]) -> None:
+        with self._lock:
+            self.rules = {tuple(r) for r in rules}
+
+    def snapshot(self) -> tuple[list[str], list[str], list[tuple]]:
+        """(write_block_list, read_block_list, rules), sorted — the
+        BlockResponse shape (handlers/admin.rs BTreeSet ordering)."""
+        with self._lock:
+            return (
+                sorted(self.write_block_list),
+                sorted(self.read_block_list),
+                sorted(self.rules),
+            )
+
     def add_rule(self, *rule) -> None:
         with self._lock:
             self.rules.add(tuple(rule))

@@ -1,0 +1,167 @@
+"""Admin/debug HTTP surface (server.py ↔ http.rs admin/debug routes):
+POST /admin/block drives the SAME limiter execute_sql consults; the debug
+routes answer config, flush, log level, slow threshold, wal stats, and
+the reference's cluster-only /debug/shards error."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from incubator_horaedb_spark.frontends.sql_shim import Engine
+from incubator_horaedb_spark.server import EngineServer
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    srv = EngineServer(Engine(spark, str(tmp_path / "store"))).start()
+    yield srv
+    srv.stop()
+
+
+def _req(srv, path, data=None, method=None):
+    body = None
+    if data is not None:
+        body = data if isinstance(data, bytes) else json.dumps(data).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body, method=method
+    )
+    with urllib.request.urlopen(req) as resp:
+        raw = resp.read()
+        ctype = resp.headers.get("content-type", "")
+        return resp.status, json.loads(raw) if "json" in ctype else raw.decode()
+
+
+def _sql(srv, query):
+    return _req(srv, "/sql", {"query": query})[1]
+
+
+def _mk_demo(srv):
+    _sql(
+        srv,
+        "CREATE TABLE demo (name string TAG, value double NOT NULL, "
+        "t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE=Analytic "
+        "with(enable_ttl='false')",
+    )
+    _sql(srv, "insert into demo (name, value, t) values ('a', 1, 1683280523000)")
+
+
+def test_admin_block_read_list_blocks_query(server):
+    _mk_demo(server)
+    st, resp = _req(
+        server,
+        "/admin/block",
+        {
+            "operation": "Add",
+            "write_block_list": [],
+            "read_block_list": ["demo"],
+            "block_rules": [],
+        },
+    )
+    assert st == 200 and resp["read_block_list"] == ["demo"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _sql(server, "select * from demo")
+    assert e.value.code == 400
+    body = json.loads(e.value.read())
+    # limiter.rs Error::BlockedTable display parity
+    assert "Table operation is blocked, table:demo, op:query" in body["error"]
+    # writes unaffected by the READ list
+    assert _sql(
+        server, "insert into demo (name, value, t) values ('b', 2, 1683280524000)"
+    ) == {"affected_rows": 1}
+    # Remove unblocks
+    st, resp = _req(
+        server,
+        "/admin/block",
+        {
+            "operation": "Remove",
+            "write_block_list": [],
+            "read_block_list": ["demo"],
+            "block_rules": [],
+        },
+    )
+    assert resp["read_block_list"] == []
+    assert len(_sql(server, "select * from demo")["rows"]) == 2
+
+
+def test_admin_block_rules_set_and_serde(server):
+    _mk_demo(server)
+    st, resp = _req(
+        server,
+        "/admin/block",
+        {
+            "operation": "Set",
+            "write_block_list": ["w1"],
+            "read_block_list": [],
+            "block_rules": [
+                {"type": "QueryRange", "content": "1h"},
+                {"type": "AnyInsert"},
+            ],
+        },
+    )
+    assert resp["write_block_list"] == ["w1"]
+    # QueryRange round-trips as milliseconds (serde serializes the i64)
+    assert {"type": "QueryRange", "content": 3600000} in resp["block_rules"]
+    assert {"type": "AnyInsert"} in resp["block_rules"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _sql(server, "insert into demo (name, value, t) values ('c', 3, 1683280525000)")
+    assert "blocked by rule" in json.loads(e.value.read())["error"]
+    # Set with empty payload clears everything
+    _, resp = _req(
+        server,
+        "/admin/block",
+        {"operation": "Set", "write_block_list": [], "read_block_list": [],
+         "block_rules": []},
+    )
+    assert resp == {"write_block_list": [], "read_block_list": [], "block_rules": []}
+
+
+def test_debug_config_and_wal_stats(server):
+    _mk_demo(server)
+    st, text = _req(server, "/debug/config")
+    assert st == 200
+    assert "slow_threshold_secs = 5" in text
+    assert "spark.sql.shuffle.partitions" in text
+    assert "demo" in text
+    st, text = _req(server, "/debug/wal_stats")
+    assert st == 200
+    assert "[Data wal stats]:" in text and "[Manifest wal stats]:" in text
+    assert "table=demo next_seq=" in text
+
+
+def test_debug_flush_memtable_compacts_tables(server):
+    _mk_demo(server)
+    _sql(server, "insert into demo (name, value, t) values ('b', 2, 1683280524000)")
+    st, resp = _req(server, "/debug/flush_memtable", data={}, method="POST")
+    assert st == 200
+    assert resp == {"success": ["demo"], "failed": []}
+    # table still reads correctly after the maintenance pass
+    assert len(_sql(server, "select * from demo")["rows"]) == 2
+
+
+def test_debug_log_level_and_slow_threshold(server):
+    st, resp = _req(server, "/debug/log_level/warn", data=b"", method="PUT")
+    assert (st, resp) == (200, "warn")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "/debug/log_level/nope", data=b"", method="PUT")
+    assert e.value.code == 400
+    st, text = _req(server, "/debug/slow_threshold/9", data=b"", method="PUT")
+    assert (st, text) == (200, "current_slow_threshold:9s")
+    assert server.slow_threshold_secs == 9
+
+
+def test_debug_shards_standalone_error(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "/debug/shards")
+    assert e.value.code == 400
+    assert "only supported in cluster mode" in json.loads(e.value.read())["error"]
+
+
+def test_debug_profile_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "/debug/profile/cpu/5")
+    assert e.value.code == 400
+    assert "profiling is not supported" in json.loads(e.value.read())["error"]
