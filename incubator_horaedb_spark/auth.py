@@ -1,0 +1,64 @@
+"""File-backed Basic authentication (proxy/src/auth/{mod,with_file}.rs).
+
+The reference loads a CSV credential file (one ``user,password`` per
+line) and verifies the ``authorization: Basic <base64(user:pass)>``
+header on incoming requests — disabled auth admits everything, enabled
+auth rejects missing/malformed headers and unknown users.  The reference
+wires this as a request interceptor; here the HTTP server
+(server.EngineServer) consults it on every route when constructed with
+an enabled instance.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import os
+
+
+AUTHORIZATION = "authorization"  # auth/mod.rs:23
+
+
+class AuthWithFile:
+    """auth/with_file.rs AuthWithFile: enable flag + user→password map."""
+
+    def __init__(self, enable: bool, file_path: str):
+        self.enable = enable
+        self.file_path = file_path
+        self.users: dict[str, str] = {}
+
+    def load_credential(self) -> None:
+        """Load the CSV credential file (with_file.rs load_credential):
+        no-op when disabled; missing file and malformed lines are errors."""
+        if not self.enable:
+            return
+        if not os.path.exists(self.file_path):
+            raise FileNotFoundError(f"file not existed: {self.file_path!r}")
+        with open(self.file_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if "," not in line:
+                    raise ValueError(f"invalid line: {line!r}")
+                user, password = line.split(",", 1)
+                self.users[user] = password
+
+    def identify(self, header: str | None) -> bool:
+        """with_file.rs identify: disabled → admit; otherwise the header
+        must be ``Basic <base64(user:pass)>`` for a known user."""
+        if not self.enable:
+            return True
+        if header is None:
+            return False
+        if "Basic " not in header:
+            return False
+        encoded = header.split("Basic ", 1)[1]
+        try:
+            decoded = base64.b64decode(encoded, validate=True).decode("utf-8")
+        except (binascii.Error, UnicodeDecodeError, ValueError):
+            return False
+        if ":" not in decoded:
+            return False
+        user, password = decoded.split(":", 1)
+        return self.users.get(user) == password

@@ -86,7 +86,7 @@ def sql_response(result: DataFrame | int | None) -> dict:
 class EngineServer:
     """Wraps an Engine (frontends/sql_shim.py) with the HTTP surface."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0, auth=None):
         from incubator_horaedb_spark.metrics import Registry
 
         self.engine = engine
@@ -95,6 +95,8 @@ class EngineServer:
         # PUT /debug/slow_threshold/{secs} re-configures this at runtime;
         # statements slower than it are logged and counted
         self.slow_threshold_secs = 5
+        # optional file-backed Basic auth (auth.AuthWithFile, proxy auth/)
+        self.auth = auth
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -155,6 +157,24 @@ class EngineServer:
                 self.wfile.write(body)
                 self._observe(code)
 
+            def _authorized(self) -> bool:
+                # file-backed Basic auth (auth/with_file.rs identify):
+                # consulted on every route when enabled; failures answer
+                # 401 with the WWW-Authenticate challenge
+                if outer.auth is None or outer.auth.identify(
+                    self.headers.get("authorization")
+                ):
+                    return True
+                body = json.dumps({"error": "unauthorized"}).encode()
+                self.send_response(401)
+                self.send_header("www-authenticate", 'Basic realm="horaedb"')
+                self.send_header("content-type", "application/json")
+                self.send_header("content-length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                self._observe(401)
+                return False
+
             def _is_protobuf(self) -> bool:
                 return (
                     "protobuf" in self.headers.get("content-type", "")
@@ -179,6 +199,8 @@ class EngineServer:
                 parsed = urllib.parse.urlparse(self.path)
                 self._t0 = _time.monotonic()
                 self._mpath = parsed.path
+                if not self._authorized():
+                    return
                 try:
                     if parsed.path == "/health":
                         self._reply(200, {"status": "ok"})
@@ -225,6 +247,8 @@ class EngineServer:
 
                 self._t0 = _time.monotonic()
                 self._mpath = self.path.split("?")[0]
+                if not self._authorized():
+                    return
                 try:
                     if self.path.startswith("/debug/log_level/"):
                         # PUT /debug/log_level/{level} (http.rs:639-657)
@@ -247,6 +271,8 @@ class EngineServer:
                 raw = self.rfile.read(n)
                 self._t0 = _time.monotonic()
                 self._mpath = self.path.split("?")[0]
+                if not self._authorized():
+                    return
                 try:
                     if self.path == "/sql":
                         req = json.loads(raw)

@@ -165,3 +165,80 @@ def test_debug_profile_rejected(server):
         _req(server, "/debug/profile/cpu/5")
     assert e.value.code == 400
     assert "profiling is not supported" in json.loads(e.value.read())["error"]
+
+
+# --- file-backed Basic auth (auth.AuthWithFile) ------------------------------
+
+
+def test_auth_with_file(tmp_path):
+    import base64
+
+    from incubator_horaedb_spark.auth import AuthWithFile
+
+    cred = tmp_path / "users.csv"
+    cred.write_text("alice,secret\nbob,hunter2\n")
+    auth = AuthWithFile(True, str(cred))
+    auth.load_credential()
+
+    def hdr(user, pw):
+        return "Basic " + base64.b64encode(f"{user}:{pw}".encode()).decode()
+
+    assert auth.identify(hdr("alice", "secret"))
+    assert auth.identify(hdr("bob", "hunter2"))
+    assert not auth.identify(hdr("alice", "wrong"))
+    assert not auth.identify(hdr("carol", "secret"))
+    assert not auth.identify(None)
+    assert not auth.identify("Bearer xyz")
+    assert not auth.identify("Basic not-base64!!")
+    # disabled auth admits everything, and load is a no-op (with_file.rs)
+    off = AuthWithFile(False, "/nonexistent")
+    off.load_credential()
+    assert off.identify(None)
+    # enabled + missing file is a loud error
+    with pytest.raises(FileNotFoundError):
+        AuthWithFile(True, str(tmp_path / "missing.csv")).load_credential()
+    with pytest.raises(ValueError):
+        bad = tmp_path / "bad.csv"
+        bad.write_text("no-comma-line\n")
+        AuthWithFile(True, str(bad)).load_credential()
+
+
+def test_server_enforces_basic_auth(spark, tmp_path):
+    import base64
+
+    from incubator_horaedb_spark.auth import AuthWithFile
+
+    cred = tmp_path / "users.csv"
+    cred.write_text("alice,secret\n")
+    auth = AuthWithFile(True, str(cred))
+    auth.load_credential()
+    srv = EngineServer(Engine(spark, str(tmp_path / "store")), auth=auth).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/health"
+        # no header -> 401 with the Basic challenge
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(url)
+        assert e.value.code == 401
+        assert e.value.headers.get("www-authenticate") == 'Basic realm="horaedb"'
+        # wrong password -> 401; POST /sql equally protected
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/sql",
+            data=json.dumps({"query": "SHOW TABLES"}).encode(),
+            headers={"authorization": "Basic "
+                     + base64.b64encode(b"alice:wrong").decode()},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 401
+        # correct credentials -> 200 on both verbs
+        ok = {"authorization": "Basic " + base64.b64encode(b"alice:secret").decode()}
+        with urllib.request.urlopen(urllib.request.Request(url, headers=ok)) as r:
+            assert r.status == 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/sql",
+            data=json.dumps({"query": "SHOW TABLES"}).encode(), headers=ok,
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+    finally:
+        srv.stop()

@@ -32,6 +32,10 @@ QUERIES = [
     # exchange counts include the range repartition; no single-task
     # global sort remains)
     "pareto_customers", "rfm_segmentation", "user_activity_percentiles",
+    # r10: the GROUPING SETS ladder must show Expand + ONE exchange; the
+    # incremental dedup must show the index-vs-delta band equi-join (no
+    # cartesian, no full-corpus re-scan on the index side)
+    "ts_rollup_ladder", "dedup_incremental_lsh", "hll_rollup_merge",
 ]
 
 
