@@ -45,11 +45,17 @@ BENCH_QUERIES = [
     # directory pruning is the plan property that matters at 100 TB
     # (fixture table built once in the warm-up run, excluded from timing)
     "partitioned_scan_prune",
+    # r10: the multi-resolution GROUPING SETS ladder (Expand ×3 through
+    # ONE hash agg — the continuous-aggregate maintenance shape) and the
+    # persisted-index incremental dedup (index parquet write + delta band
+    # join; consumes the shared shingle stage like the other dedups)
+    "ts_rollup_ladder",
+    "dedup_incremental_lsh",
 ]
 
 # queries that consume the shared shingle stage: between runs, drop every
 # cache EXCEPT the stage views so the timing isolates incremental work
-SHINGLE_CONSUMERS = {"dedup_minhash_lsh", "dedup_simhash"}
+SHINGLE_CONSUMERS = {"dedup_minhash_lsh", "dedup_simhash", "dedup_incremental_lsh"}
 SHINGLE_VIEWS = ("__shingle_tokh", "__shingle_hs")
 
 
@@ -196,7 +202,12 @@ def main() -> None:
     # work.
     import statistics
 
-    WARMUPS = {"stage_shingles": 3, "dedup_minhash_lsh": 3, "dedup_simhash": 3}
+    WARMUPS = {
+        "stage_shingles": 3,
+        "dedup_minhash_lsh": 3,
+        "dedup_simhash": 3,
+        "dedup_incremental_lsh": 3,
+    }
     TIMED_RUNS = 5
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}

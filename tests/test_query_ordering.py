@@ -18,57 +18,61 @@ def test_driver_order_is_front_of_queries():
 
 def test_driver_order_covers_families_in_first_50():
     first50 = set(list(querybank.queries())[:50])
-    # round-9 window (VERDICT r08 next-round #1/#8): 39 of 50 slots are
-    # never-driver-verified promotions — the two new protocol-write e2e
-    # gates, the r8 block-diagonal twins, the entity rankings freshly
-    # moved to the two-pass rank, the olap_ext block, the full ANN index
-    # lifecycle, ten timeseries analyses, cohort/profile reports,
-    # embedding curation, dedup calibration, and the text-quality block.
-    # 11 anchors keep family spread.  Demoted queries (all driver-green
-    # r08) stay gated in the full-bank sweeps.
+    # round-10 window (VERDICT r09 next-round #1): 40 of 50 slots are
+    # never-driver-verified promotions — the new wire bulk-load gate, the
+    # Prometheus remote-write gate, the full promql_parsed_* twin block,
+    # the direct *_over_time family, the multimodal header-meta trio, the
+    # set-op ALL variants, the corpus-report block, the skew-guarded
+    # distinct and the statistical aggregates.  10 anchors keep family
+    # spread.  Demoted queries (all driver-green r09 or earlier) stay
+    # gated in the full-bank sweeps.
     for rep in [
         # anchors
         "q1_pricing_summary", "scan_filter_project",
         "join_inner_3way", "time_bucket_minute", "dedup_latest_by_key",
-        "time_range_scan", "promql_rate", "promql_instant",
+        "time_range_scan", "promql_rate",
         "dedup_minhash_lsh", "ann_cosine_bruteforce",
         "streaming_ingest_dedup_read",
-        # never-driver-verified promotions (r9)
-        "influx_write_ingest_read", "opentsdb_put_ingest_read",
-        "dedup_ngram_jaccard_blocked", "embedding_near_dup_blockdiag",
-        "pareto_customers", "rfm_segmentation",
-        "user_activity_percentiles", "event_path_topk",
-        "percentile_disc_group", "string_agg_ordered", "unpivot_metrics",
-        "window_ntile_quartiles",
-        "pq_train", "ann_pq_adc", "ann_ivfpq", "ann_refine_rerank",
-        "ivf_medoids", "ann_recall_at_k", "ann_mips_topk",
-        "ts_gap_report", "changepoint_cusum", "ts_autocorrelation",
-        "ts_cross_correlation", "ts_correlation_matrix", "anomaly_zscore",
-        "anomaly_mad", "m4_downsample", "lttb_downsample",
-        "time_weighted_avg", "seasonal_profile", "event_transition_matrix",
-        "retention_cohorts",
-        "embedding_semdedup", "embedding_int8_quantize",
-        "dedup_threshold_sweep", "dedup_minhash_accuracy",
-        "text_winnow_fingerprint", "text_unigram_surprisal",
-        "quality_gopher_rules",
+        # never-driver-verified promotions (r10)
+        "copy_load_ingest_read", "prom_write_ingest_read",
+        "promql_parsed_sum", "promql_parsed_sum_without",
+        "promql_parsed_count", "promql_parsed_max",
+        "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
+        "promql_parsed_offset", "promql_parsed_instant",
+        "promql_parsed_avg_over_time", "promql_parsed_deriv",
+        "promql_parsed_changes", "promql_parsed_absent",
+        "promql_parsed_abs_delta", "promql_parsed_ln_rate",
+        "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
+        "promql_parsed_and", "promql_parsed_unless",
+        "promql_parsed_scalar_mult", "promql_parsed_time_minus",
+        "promql_parsed_ratio",
+        "promql_avg_over_time", "promql_quantile_over_time",
+        "promql_stddev_over_time", "promql_stdvar_over_time",
+        "promql_absent_over_time",
+        "multimodal_image_header_meta", "multimodal_audio_header_meta",
+        "multimodal_video_header_meta",
+        "set_intersect_all", "set_except_all",
+        "corpus_mix_report", "corpus_split_assign", "drift_psi_report",
+        "corpus_curation_e2e",
+        "salted_distinct_users", "stats_corr_regr",
     ]:
         assert rep in first50, rep
 
 
-def test_round9_window_is_majority_never_driver_verified():
-    # the rotation's whole point: >=35 slots had zero driver rows
-    # through CORRECTNESS_r08 (VERDICT r08 next-round #1 acceptance)
+def test_round10_window_is_majority_never_driver_verified():
+    # the rotation's whole point: >=39 slots had zero driver rows
+    # through CORRECTNESS_r09 (VERDICT r09 next-round #1 acceptance)
     import json
     import pathlib
 
     seen: set[str] = set()
-    for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r0[1-8].json")):
+    for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r0[1-9].json")):
         seen |= set(json.loads(f.read_text()).keys())
     if not seen:  # driver artifacts absent (fresh checkout) — vacuous
         return
     first50 = list(querybank.queries())[:50]
     never = [q for q in first50 if q not in seen]
-    assert len(never) >= 35, (len(never), never)
+    assert len(never) >= 39, (len(never), never)
 
 
 def test_oracles_follow_query_order():
