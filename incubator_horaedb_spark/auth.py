@@ -29,29 +29,39 @@ class AuthWithFile:
 
     def load_credential(self) -> None:
         """Load the CSV credential file (with_file.rs load_credential):
-        no-op when disabled; missing file and malformed lines are errors."""
+        no-op when disabled; missing file and malformed lines are errors.
+        Re-loading replaces the whole credential set, so removing a user
+        from the file revokes them on the next load — an append-only map
+        would keep deleted credentials valid until restart."""
         if not self.enable:
             return
         if not os.path.exists(self.file_path):
             raise FileNotFoundError(f"file not existed: {self.file_path!r}")
+        users: dict[str, str] = {}
         with open(self.file_path, encoding="utf-8") as fh:
             for line in fh:
-                line = line.rstrip("\n")
+                # tolerate CRLF files: a \r kept in the password would
+                # reject every correct login with 401
+                line = line.rstrip("\r\n")
                 if not line:
                     continue
                 if "," not in line:
                     raise ValueError(f"invalid line: {line!r}")
                 user, password = line.split(",", 1)
-                self.users[user] = password
+                users[user] = password
+        self.users = users
 
     def identify(self, header: str | None) -> bool:
         """with_file.rs identify: disabled → admit; otherwise the header
-        must be ``Basic <base64(user:pass)>`` for a known user."""
+        must be ``Basic <base64(user:pass)>`` for a known user.  The
+        scheme is a PREFIX match (RFC 7617): a header merely containing
+        "Basic " elsewhere (e.g. ``Bearer Basic <blob>``) is not Basic
+        auth and is rejected."""
         if not self.enable:
             return True
         if header is None:
             return False
-        if "Basic " not in header:
+        if not header.startswith("Basic "):
             return False
         encoded = header.split("Basic ", 1)[1]
         try:

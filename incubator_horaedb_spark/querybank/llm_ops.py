@@ -284,6 +284,25 @@ _sql_query(
 
 
 # --- incremental dedup against a persisted LSH index ----------------------
+# one index directory per process, reused across invocations (bench runs
+# the query 8 times; per-call mkdtemp would leak one band-parquet dir per
+# run — the same leak class streaming_e2e's _LIVE_STORES fixed) and
+# reclaimed at interpreter exit
+_INC_INDEX_STATE: dict = {"store": None}
+
+
+def _inc_index_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if _INC_INDEX_STATE["store"] is None:
+        store = tempfile.mkdtemp(prefix="lsh_index_")
+        _INC_INDEX_STATE["store"] = store
+        atexit.register(lambda: shutil.rmtree(store, ignore_errors=True))
+    return _INC_INDEX_STATE["store"]
+
+
 def _staged_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-once / dedup-each-batch: the corpus half's banded LSH index is
     PERSISTED to parquet and read back (the train-once index-management
@@ -295,8 +314,6 @@ def _staged_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification fetches both sides' shingles by doc_id, the
     fetch-candidates-by-key read a real deployment does against the
     document store."""
-    import tempfile
-
     hs = _staged_shingles(spark, sf_dir, materialize=False)
     spark.sql(
         f"SELECT * FROM {hs} WHERE {dedup.incremental_corpus_pred()}"
@@ -308,7 +325,7 @@ def _staged_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every future batch), then read it back — the query below must only
     # see the on-disk copy
     _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__inc_hs_idx"), "__inc_sig_idx")
-    path = tempfile.mkdtemp(prefix="lsh_index_")
+    path = _inc_index_dir()
     spark.sql(dedup.bands_select(SPARK, "__inc_sig_idx")).write.mode(
         "overwrite"
     ).parquet(path)

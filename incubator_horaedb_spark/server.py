@@ -249,14 +249,17 @@ class EngineServer:
                 self._mpath = self.path.split("?")[0]
                 if not self._authorized():
                     return
+                # route on the query-stripped path (do_GET parity): a
+                # trailing "?x=1" must not corrupt the path parameter
+                path = self._mpath
                 try:
-                    if self.path.startswith("/debug/log_level/"):
+                    if path.startswith("/debug/log_level/"):
                         # PUT /debug/log_level/{level} (http.rs:639-657)
-                        level = self.path[len("/debug/log_level/") :]
+                        level = path[len("/debug/log_level/") :]
                         self._reply(200, outer.handle_log_level(level))
-                    elif self.path.startswith("/debug/slow_threshold/"):
+                    elif path.startswith("/debug/slow_threshold/"):
                         # PUT /debug/slow_threshold/{seconds} (http.rs:700-716)
-                        secs = int(self.path[len("/debug/slow_threshold/") :])
+                        secs = int(path[len("/debug/slow_threshold/") :])
                         outer.slow_threshold_secs = secs
                         self._reply_text(200, f"current_slow_threshold:{secs}s")
                     else:

@@ -151,6 +151,11 @@ def test_debug_log_level_and_slow_threshold(server):
     st, text = _req(server, "/debug/slow_threshold/9", data=b"", method="PUT")
     assert (st, text) == (200, "current_slow_threshold:9s")
     assert server.slow_threshold_secs == 9
+    # PUT routes on the query-stripped path (do_GET parity)
+    st, text = _req(server, "/debug/slow_threshold/7?source=ui", data=b"", method="PUT")
+    assert (st, text) == (200, "current_slow_threshold:7s")
+    st, resp = _req(server, "/debug/log_level/info?x=1", data=b"", method="PUT")
+    assert (st, resp) == (200, "info")
 
 
 def test_debug_shards_standalone_error(server):
@@ -190,6 +195,9 @@ def test_auth_with_file(tmp_path):
     assert not auth.identify(None)
     assert not auth.identify("Bearer xyz")
     assert not auth.identify("Basic not-base64!!")
+    # scheme is a PREFIX match: a non-Basic scheme smuggling a valid
+    # Basic blob later in the value must NOT authenticate
+    assert not auth.identify("Bearer " + hdr("alice", "secret"))
     # disabled auth admits everything, and load is a no-op (with_file.rs)
     off = AuthWithFile(False, "/nonexistent")
     off.load_credential()
@@ -201,6 +209,20 @@ def test_auth_with_file(tmp_path):
         bad = tmp_path / "bad.csv"
         bad.write_text("no-comma-line\n")
         AuthWithFile(True, str(bad)).load_credential()
+    # CRLF files load cleanly (no trailing \r in passwords, no phantom
+    # final line)
+    crlf = tmp_path / "crlf.csv"
+    crlf.write_bytes(b"dora,pw1\r\nemil,pw2\r\n")
+    a2 = AuthWithFile(True, str(crlf))
+    a2.load_credential()
+    assert a2.users == {"dora": "pw1", "emil": "pw2"}
+    assert a2.identify(hdr("dora", "pw1"))
+    # re-load REPLACES the credential set: a user removed from the file
+    # is revoked on the next load
+    crlf.write_bytes(b"emil,pw2\n")
+    a2.load_credential()
+    assert not a2.identify(hdr("dora", "pw1"))
+    assert a2.identify(hdr("emil", "pw2"))
 
 
 def test_server_enforces_basic_auth(spark, tmp_path):
