@@ -37,7 +37,13 @@ _INTERVAL_RE = re.compile(r"^time\((\d+)([smhd])\)$", re.I)
 # (the reference reaches it through the influxql-logical-planner crates,
 # src/query_frontend/src/influxql/planner.rs:51)
 _DERIV_RE = re.compile(
-    r"^derivative\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*,\s*(\d+)([smhd])\s*\)$",
+    r"^(non_negative_)?derivative\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*,\s*(\d+)([smhd])\s*\)$",
+    re.I,
+)
+# moving_average(agg(col), N): rolling mean over N consecutive buckets,
+# emitted from the Nth bucket on (InfluxQL transformation family)
+_MAVG_RE = re.compile(
+    r"^moving_average\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*,\s*(\d+)\s*\)$",
     re.I,
 )
 _UNIT_MS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -70,6 +76,10 @@ class InfluxQuery:
     fill: float | str | None = None  # number | "null" (default grid) | "none"
     # derivative(agg(col), n unit): (inner agg, column, unit in ms)
     derivative: tuple[str, str, int] | None = None
+    # non_negative_derivative drops negative results (InfluxDB semantics)
+    derivative_nonneg: bool = False
+    # moving_average(agg(col), N): (inner agg, column, window size)
+    moving_average: tuple[str, str, int] | None = None
 
 
 def parse_influxql(q: str) -> InfluxQuery:
@@ -98,13 +108,20 @@ def parse_influxql(q: str) -> InfluxQuery:
             depth -= ch == ")"
             cur.append(ch)
     items.append("".join(cur))
+    derivative_nonneg, moving_average = False, None
     for item in items:
         item = item.strip()
         d_m = _DERIV_RE.match(item)
         if d_m:
-            unit_ms = int(d_m.group(3)) * _UNIT_MS[d_m.group(4).lower()]
-            derivative = (d_m.group(1).lower(), d_m.group(2), unit_ms)
-            projections.append((d_m.group(1).lower(), d_m.group(2)))
+            unit_ms = int(d_m.group(4)) * _UNIT_MS[d_m.group(5).lower()]
+            derivative = (d_m.group(2).lower(), d_m.group(3), unit_ms)
+            derivative_nonneg = bool(d_m.group(1))
+            projections.append((d_m.group(2).lower(), d_m.group(3)))
+            continue
+        ma_m = _MAVG_RE.match(item)
+        if ma_m:
+            moving_average = (ma_m.group(1).lower(), ma_m.group(2), int(ma_m.group(3)))
+            projections.append((ma_m.group(1).lower(), ma_m.group(2)))
             continue
         agg_m = _AGG_RE.match(item)
         if agg_m:
@@ -145,6 +162,8 @@ def parse_influxql(q: str) -> InfluxQuery:
         limit=int(m.group("limit")) if m.group("limit") else None,
         fill=fill,
         derivative=derivative,
+        derivative_nonneg=derivative_nonneg,
+        moving_average=moving_average,
     )
 
 
@@ -233,18 +252,42 @@ def influxql_to_df(
             # InfluxQL DERIVATIVE: per-series delta between consecutive
             # buckets scaled to the unit argument — one extra lag window
             # over the already-bucketed series, never raw samples.
+            # NON_NEGATIVE_DERIVATIVE additionally drops negative results
+            # (InfluxDB semantics: the rows are omitted, not clamped).
             agg, col, unit_ms = iq.derivative
             from pyspark.sql.window import Window
 
             w = Window.partitionBy(*[F.col(t) for t in iq.group_tags]).orderBy("time")
             v, t = F.col(f"{agg}_{col}"), F.unix_millis(F.col("time").cast("timestamp"))
             dv, dt = v - F.lag(v).over(w), t - F.lag(t).over(w)
+            name = ("non_negative_" if iq.derivative_nonneg else "") + f"derivative_{col}"
+            out = out.withColumn(
+                "__d", dv / (dt.cast("double") / F.lit(float(unit_ms)))
+            ).filter(F.col("__d").isNotNull())
+            if iq.derivative_nonneg:
+                out = out.filter(F.col("__d") >= 0)
+            out = out.select("time", *iq.group_tags, F.col("__d").alias(name))
+        if iq.moving_average is not None:
+            # InfluxQL MOVING_AVERAGE: rolling mean of the last N bucket
+            # values per series, emitted only once the window holds N
+            # points (InfluxDB starts at the Nth value).  One ROWS-frame
+            # window over the bucketed series.
+            agg, col, n = iq.moving_average
+            from pyspark.sql.window import Window
+
+            w = (
+                Window.partitionBy(*[F.col(t) for t in iq.group_tags])
+                .orderBy("time")
+                .rowsBetween(-(n - 1), 0)
+            )
+            v = F.col(f"{agg}_{col}")
             out = (
-                out.withColumn("__d", dv / (dt.cast("double") / F.lit(float(unit_ms))))
-                .filter(F.col("__d").isNotNull())
+                out.withColumn("__ma", F.avg(v).over(w))
+                .withColumn("__mn", F.count(v).over(w))
+                .filter(F.col("__mn") == n)
                 .select(
                     "time", *iq.group_tags,
-                    F.col("__d").alias(f"derivative_{col}"),
+                    F.col("__ma").alias(f"moving_average_{col}"),
                 )
             )
         order = F.col("time") if iq.group_time_ms else None

@@ -278,6 +278,101 @@ def influxql_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "influxql_non_negative_derivative",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             avg(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576) AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT time, event_type,
+             (m - lag(m) OVER w)
+               / ((epoch_ms(time) - lag(epoch_ms(time)) OVER w) / 1000.0) AS der
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    )
+    SELECT time, event_type,
+           (CAST(floor((der) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE)) AS non_negative_derivative_value
+    FROM d WHERE der IS NOT NULL AND der >= 0
+    """,
+)
+def influxql_non_negative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL NON_NEGATIVE_DERIVATIVE — derivative with negative results
+    OMITTED (not clamped), the standard counter-rate transformation for
+    monotonic gauges.  Same exactness argument as influxql_derivative:
+    bucket means are single IEEE divisions of exact dyadic sums, the
+    delta/scale chain is one subtraction + one division, and the >= 0
+    filter compares bit-identical doubles on both engines."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    df = influxql_to_df(
+        "SELECT non_negative_derivative(mean(value), 1s) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(none)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type",
+        r_out("non_negative_derivative_value", 6).alias("non_negative_derivative_value"),
+    )
+
+
+@register(
+    "influxql_moving_average",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             sum(CAST(floor((value * 1048576) + 0.5) AS DOUBLE) / 1048576) AS s
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT time, event_type,
+             avg(s) OVER w AS mavg,
+             count(s) OVER w AS mn
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY time
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT time, event_type,
+           (CAST(floor((mavg) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE)) AS moving_average_value
+    FROM ma WHERE mn = 4
+    """,
+)
+def influxql_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL MOVING_AVERAGE — `moving_average(sum(value), 4)` over 6h
+    buckets: rolling mean of the last 4 bucket sums per series, emitted
+    from the 4th bucket on (InfluxDB starts at the Nth value).  Exactness:
+    bucket sums of dyadic-quantized addends are exact dyadic rationals
+    (order-independent), their 4-window sum stays exact, and dividing by
+    4 (a power of two) is exact — so the moving average is bit-identical
+    on both engines regardless of summation order or DuckDB's
+    segment-tree window accumulation."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    df = influxql_to_df(
+        "SELECT moving_average(sum(value), 4) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(none)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type",
+        r_out("moving_average_value", 6).alias("moving_average_value"),
+    )
+
+
+@register(
     "influxql_show_tag_values",
     oracle="""
     SELECT 'event_type' AS key, event_type AS value

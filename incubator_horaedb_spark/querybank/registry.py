@@ -259,6 +259,7 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # LSH index
     "ts_rollup_ladder", "hll_rollup_merge", "dedup_incremental_lsh",
     "snapshot_read_as_of",
+    "influxql_non_negative_derivative", "influxql_moving_average",
     # ------------------------------------------------------------------
     # round-10 demotions (ALL driver-green r09, locally gated every
     # round): the r9 window's first-timers

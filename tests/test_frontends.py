@@ -231,3 +231,49 @@ def test_line_protocol_tag_escape_roundtrip():
     got = [r["props"] for r in batches["m"].rows]
     assert got == nasty
     assert batches["m"].tag_keys == {"props", "event_id"}
+
+
+def test_influxql_nonneg_derivative_and_moving_average_parse():
+    q = parse_influxql(
+        "SELECT non_negative_derivative(mean(v), 1s) FROM m GROUP BY time(6h), tag"
+    )
+    assert q.derivative == ("mean", "v", 1000)
+    assert q.derivative_nonneg
+    q2 = parse_influxql("SELECT moving_average(sum(v), 4) FROM m GROUP BY time(1h), tag")
+    assert q2.moving_average == ("sum", "v", 4)
+    assert not q2.derivative_nonneg and q2.derivative is None
+
+
+def test_influxql_moving_average_semantics(spark):
+    # golden: per-series rolling mean of the last 3 buckets, emitted only
+    # from the 3rd bucket on (InfluxDB starts at the Nth value)
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1.0), (1, 2.0), (2, 3.0), (3, 10.0)]
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df(
+        "SELECT moving_average(sum(v), 3) FROM m GROUP BY time(1h), tag fill(none)",
+        {"m": df},
+    )
+    got = [(r["time"].hour, r["moving_average_v"]) for r in out.collect()]
+    assert got == [(2, 2.0), (3, 5.0)]
+
+
+def test_influxql_nonneg_derivative_drops_negative_rows(spark):
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1.0), (1, 5.0), (2, 2.0), (3, 8.0)]
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df(
+        "SELECT non_negative_derivative(sum(v), 1h) FROM m GROUP BY time(1h), tag fill(none)",
+        {"m": df},
+    )
+    got = [(r["time"].hour, r["non_negative_derivative_v"]) for r in out.collect()]
+    # hour1: +4, hour2: -3 (dropped), hour3: +6
+    assert got == [(1, 4.0), (3, 6.0)]
