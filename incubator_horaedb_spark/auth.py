@@ -71,4 +71,11 @@ class AuthWithFile:
         if ":" not in decoded:
             return False
         user, password = decoded.split(":", 1)
-        return self.users.get(user) == password
+        # constant-time comparison: dict.get == password leaks the match
+        # prefix length through timing; unknown user still compares against
+        # "" so the reject path costs the same either way
+        import hmac
+
+        return user in self.users and hmac.compare_digest(
+            self.users.get(user, ""), password
+        )

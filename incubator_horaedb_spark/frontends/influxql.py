@@ -46,6 +46,30 @@ _MAVG_RE = re.compile(
     r"^moving_average\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*,\s*(\d+)\s*\)$",
     re.I,
 )
+# difference / non_negative_difference (agg(col)): per-series delta between
+# consecutive values, no unit scaling (InfluxQL transformation family)
+_DIFF_RE = re.compile(
+    r"^(non_negative_)?difference\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*\)$",
+    re.I,
+)
+# cumulative_sum(agg(col)): per-series running sum, emitted at every point
+_CUMSUM_RE = re.compile(
+    r"^cumulative_sum\(\s*(sum|count|mean|min|max|first|last)\((\w+)\)\s*\)$",
+    re.I,
+)
+# elapsed(col, unit) / elapsed(agg(col), unit): per-series time delta
+# between consecutive points in integral units (InfluxDB truncates)
+_ELAPSED_RE = re.compile(
+    r"^elapsed\(\s*(?:(sum|count|mean|min|max|first|last)\((\w+)\)|(\w+))\s*,\s*(\d+)([smhd])\s*\)$",
+    re.I,
+)
+# percentile(col, N): InfluxDB's nearest-rank selector — sorts the group's
+# values ascending and returns the element at floor(n*N/100 + 0.5) (1-based;
+# out-of-range → null), NOT an interpolated quantile
+_PCTL_RE = re.compile(r"^percentile\(\s*(\w+)\s*,\s*(\d+(?:\.\d+)?)\s*\)$", re.I)
+# top/bottom(col, N): multi-row selectors returning the N extreme points per
+# series with their own timestamps preserved
+_TOPBOT_RE = re.compile(r"^(top|bottom)\(\s*(\w+)\s*,\s*(\d+)\s*\)$", re.I)
 _UNIT_MS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 # Each entry takes (field column name, timestamp column name).  The
 # selector functions first/last are InfluxQL's value-at-min/max-time —
@@ -74,12 +98,39 @@ class InfluxQuery:
     order_desc: bool
     limit: int | None
     fill: float | str | None = None  # number | "null" (default grid) | "none"
-    # derivative(agg(col), n unit): (inner agg, column, unit in ms)
-    derivative: tuple[str, str, int] | None = None
-    # non_negative_derivative drops negative results (InfluxDB semantics)
-    derivative_nonneg: bool = False
-    # moving_average(agg(col), N): (inner agg, column, window size)
-    moving_average: tuple[str, str, int] | None = None
+    # Transformation pipeline entries in projection order, each
+    # (kind, inner agg | None, column, param).  kind ∈ {derivative,
+    # non_negative_derivative, moving_average, difference,
+    # non_negative_difference, cumulative_sum, elapsed}; param is the unit
+    # in ms (derivative/elapsed), the window size N (moving_average), or
+    # None.  Multiple transforms over different inner aggs share ONE
+    # grouped frame (ADVICE r10: derivative+moving_average combinations
+    # must compute both, not fail at runtime).
+    transforms: list[tuple[str, str | None, str, int | None]] = field(default_factory=list)
+    # percentile(col, N) selectors: column → N (nearest-rank, ascending)
+    percentiles: dict[str, float] = field(default_factory=dict)
+    # top/bottom(col, N) multi-row selector: (kind, column, N) — InfluxDB
+    # forbids mixing these with other projections, and so do we
+    selector: tuple[str, str, int] | None = None
+
+    # -- legacy accessors (pre-r11 callers/tests read these) --
+    @property
+    def derivative(self) -> tuple[str, str, int] | None:
+        for kind, agg, col, param in self.transforms:
+            if kind in ("derivative", "non_negative_derivative"):
+                return (agg, col, param)
+        return None
+
+    @property
+    def derivative_nonneg(self) -> bool:
+        return any(t[0] == "non_negative_derivative" for t in self.transforms)
+
+    @property
+    def moving_average(self) -> tuple[str, str, int] | None:
+        for kind, agg, col, param in self.transforms:
+            if kind == "moving_average":
+                return (agg, col, param)
+        return None
 
 
 def parse_influxql(q: str) -> InfluxQuery:
@@ -95,7 +146,6 @@ def parse_influxql(q: str) -> InfluxQuery:
     if not m:
         raise ValueError(f"unsupported InfluxQL: {q!r}")
     projections: list[tuple[str | None, str]] = []
-    derivative = None
     # paren-aware projection split: the comma inside derivative(mean(v), 1s)
     # is part of the call, not a projection separator
     items, depth, cur = [], 0, []
@@ -108,26 +158,65 @@ def parse_influxql(q: str) -> InfluxQuery:
             depth -= ch == ")"
             cur.append(ch)
     items.append("".join(cur))
-    derivative_nonneg, moving_average = False, None
+    transforms: list[tuple[str, str | None, str, int | None]] = []
+    percentiles: dict[str, float] = {}
+    selector: tuple[str, str, int] | None = None
     for item in items:
         item = item.strip()
         d_m = _DERIV_RE.match(item)
         if d_m:
             unit_ms = int(d_m.group(4)) * _UNIT_MS[d_m.group(5).lower()]
-            derivative = (d_m.group(2).lower(), d_m.group(3), unit_ms)
-            derivative_nonneg = bool(d_m.group(1))
+            kind = "non_negative_derivative" if d_m.group(1) else "derivative"
+            transforms.append((kind, d_m.group(2).lower(), d_m.group(3), unit_ms))
             projections.append((d_m.group(2).lower(), d_m.group(3)))
             continue
         ma_m = _MAVG_RE.match(item)
         if ma_m:
-            moving_average = (ma_m.group(1).lower(), ma_m.group(2), int(ma_m.group(3)))
+            transforms.append(
+                ("moving_average", ma_m.group(1).lower(), ma_m.group(2), int(ma_m.group(3)))
+            )
             projections.append((ma_m.group(1).lower(), ma_m.group(2)))
+            continue
+        df_m = _DIFF_RE.match(item)
+        if df_m:
+            kind = "non_negative_difference" if df_m.group(1) else "difference"
+            transforms.append((kind, df_m.group(2).lower(), df_m.group(3), None))
+            projections.append((df_m.group(2).lower(), df_m.group(3)))
+            continue
+        cs_m = _CUMSUM_RE.match(item)
+        if cs_m:
+            transforms.append(("cumulative_sum", cs_m.group(1).lower(), cs_m.group(2), None))
+            projections.append((cs_m.group(1).lower(), cs_m.group(2)))
+            continue
+        el_m = _ELAPSED_RE.match(item)
+        if el_m:
+            unit_ms = int(el_m.group(4)) * _UNIT_MS[el_m.group(5).lower()]
+            agg = el_m.group(1).lower() if el_m.group(1) else None
+            col = el_m.group(2) if el_m.group(1) else el_m.group(3)
+            transforms.append(("elapsed", agg, col, unit_ms))
+            projections.append((agg, col))
+            continue
+        p_m = _PCTL_RE.match(item)
+        if p_m:
+            percentiles[p_m.group(1)] = float(p_m.group(2))
+            projections.append(("percentile", p_m.group(1)))
+            continue
+        tb_m = _TOPBOT_RE.match(item)
+        if tb_m:
+            if selector is not None:
+                raise ValueError("only one top()/bottom() selector per query")
+            selector = (tb_m.group(1).lower(), tb_m.group(2), int(tb_m.group(3)))
+            projections.append((tb_m.group(1).lower(), tb_m.group(2)))
             continue
         agg_m = _AGG_RE.match(item)
         if agg_m:
             projections.append((agg_m.group(1).lower(), agg_m.group(2)))
         else:
             projections.append((None, item.strip('"')))
+    if selector is not None and len(projections) > 1:
+        # influxdb: "selector function top() cannot be combined with other
+        # functions" — reject at parse time, not with an AnalysisException
+        raise ValueError("top()/bottom() cannot be combined with other projections")
     group_time_ms, group_tags, fill = None, [], None
     if m.group("group"):
         group_raw = m.group("group")
@@ -161,9 +250,9 @@ def parse_influxql(q: str) -> InfluxQuery:
         order_desc=bool(m.group("desc")),
         limit=int(m.group("limit")) if m.group("limit") else None,
         fill=fill,
-        derivative=derivative,
-        derivative_nonneg=derivative_nonneg,
-        moving_average=moving_average,
+        transforms=transforms,
+        percentiles=percentiles,
+        selector=selector,
     )
 
 
@@ -235,62 +324,86 @@ def influxql_to_df(
             elif op in ("<", "<="):
                 hi_ms = ms + (1 if op == "<=" else 0)  # exclusive upper
 
-    if any(agg for agg, _ in iq.projections):
+    if iq.selector is not None:
+        # top/bottom(col, N): N extreme POINTS per series (per time bucket
+        # when GROUP BY time() is present), each with its own timestamp —
+        # a rank window, never a groupBy that loses the point time.
+        # Tie-break on point time ascending so the result multiset is
+        # deterministic across engines.
+        from pyspark.sql.window import Window
+
+        kind, col, n = iq.selector
+        parts = [F.col(t) for t in iq.group_tags]
+        if iq.group_time_ms:
+            parts.append(date_bin(iq.group_time_ms, ts_col))
+        rank_order = F.col(col).desc() if kind == "top" else F.col(col).asc()
+        w = Window.partitionBy(*parts).orderBy(rank_order, F.col(ts_col).asc())
+        out = (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .select(
+                F.col(ts_col).alias("time"), *iq.group_tags,
+                F.col(col).alias(f"{kind}_{col}"),
+            )
+        )
+        order = F.col("time")
+    elif any(agg for agg, _ in iq.projections):
         group_cols = []
         if iq.group_time_ms:
             group_cols.append(date_bin(iq.group_time_ms, ts_col).alias("time"))
         group_cols += [F.col(t) for t in iq.group_tags]
-        aggs = [
-            _AGG_FNS[agg](col, ts_col).alias(f"{agg}_{col}")
-            for agg, col in iq.projections
-            if agg
-        ]
+
+        def _agg_expr(agg: str, col: str):
+            if agg == "percentile":
+                # InfluxDB nearest-rank: sort ascending, take the element at
+                # floor(n·p/100 + 0.5) (1-based); index 0 → null.  F.get is
+                # 0-based and null-safe out of range (no ANSI throw).
+                p = iq.percentiles[col]
+                arr = F.sort_array(F.collect_list(F.col(col)))
+                idx = F.floor(
+                    F.size(arr) * F.lit(p) / F.lit(100.0) + F.lit(0.5)
+                ).cast("int")
+                return F.get(arr, idx - 1).alias(f"percentile_{col}")
+            return _AGG_FNS[agg](col, ts_col).alias(f"{agg}_{col}")
+
+        # dedupe by alias: two transforms over the same inner agg (e.g.
+        # derivative(sum(v),..) + moving_average(sum(v),..)) share ONE
+        # aggregate column in the grouped frame
+        aggs, seen = [], set()
+        for agg, col in iq.projections:
+            if not agg:
+                continue
+            name = f"{agg}_{col}"
+            if name not in seen:
+                seen.add(name)
+                aggs.append(_agg_expr(agg, col))
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         if iq.group_time_ms and iq.fill != "none":
             out = _fill_time_grid(out, iq, lo_ms, hi_ms)
-        if iq.derivative is not None:
-            # InfluxQL DERIVATIVE: per-series delta between consecutive
-            # buckets scaled to the unit argument — one extra lag window
-            # over the already-bucketed series, never raw samples.
-            # NON_NEGATIVE_DERIVATIVE additionally drops negative results
-            # (InfluxDB semantics: the rows are omitted, not clamped).
-            agg, col, unit_ms = iq.derivative
-            from pyspark.sql.window import Window
-
-            w = Window.partitionBy(*[F.col(t) for t in iq.group_tags]).orderBy("time")
-            v, t = F.col(f"{agg}_{col}"), F.unix_millis(F.col("time").cast("timestamp"))
-            dv, dt = v - F.lag(v).over(w), t - F.lag(t).over(w)
-            name = ("non_negative_" if iq.derivative_nonneg else "") + f"derivative_{col}"
-            out = out.withColumn(
-                "__d", dv / (dt.cast("double") / F.lit(float(unit_ms)))
-            ).filter(F.col("__d").isNotNull())
-            if iq.derivative_nonneg:
-                out = out.filter(F.col("__d") >= 0)
-            out = out.select("time", *iq.group_tags, F.col("__d").alias(name))
-        if iq.moving_average is not None:
-            # InfluxQL MOVING_AVERAGE: rolling mean of the last N bucket
-            # values per series, emitted only once the window holds N
-            # points (InfluxDB starts at the Nth value).  One ROWS-frame
-            # window over the bucketed series.
-            agg, col, n = iq.moving_average
-            from pyspark.sql.window import Window
-
-            w = (
-                Window.partitionBy(*[F.col(t) for t in iq.group_tags])
-                .orderBy("time")
-                .rowsBetween(-(n - 1), 0)
-            )
-            v = F.col(f"{agg}_{col}")
-            out = (
-                out.withColumn("__ma", F.avg(v).over(w))
-                .withColumn("__mn", F.count(v).over(w))
-                .filter(F.col("__mn") == n)
-                .select(
-                    "time", *iq.group_tags,
-                    F.col("__ma").alias(f"moving_average_{col}"),
-                )
-            )
+        if iq.transforms:
+            out = _apply_transforms(out, iq)
         order = F.col("time") if iq.group_time_ms else None
+    elif iq.transforms and iq.transforms[0][0] == "elapsed" and iq.transforms[0][1] is None:
+        # raw elapsed(field, unit): per-series time delta between
+        # consecutive raw points in integral units (InfluxDB truncates) —
+        # one lag window over the raw scan, first point omitted
+        from pyspark.sql.window import Window
+
+        _, _, col, unit_ms = iq.transforms[0]
+        w = Window.partitionBy(*[F.col(t) for t in iq.group_tags]).orderBy(ts_col)
+        t_ms = F.unix_millis(F.col(ts_col))
+        out = (
+            df.withColumn(
+                "__e",
+                F.floor((t_ms - F.lag(t_ms).over(w)) / F.lit(unit_ms)).cast("bigint"),
+            )
+            .filter(F.col("__e").isNotNull())
+            .select(
+                F.col(ts_col).alias("time"), *iq.group_tags,
+                F.col("__e").alias(f"elapsed_{col}"),
+            )
+        )
+        order = F.col("time")
     else:
         cols = [F.col(ts_col).alias("time")] + [F.col(c) for _, c in iq.projections]
         out = df.select(*cols)
@@ -301,6 +414,60 @@ def influxql_to_df(
     if iq.limit:
         out = out.limit(iq.limit)
     return out
+
+
+def _apply_transforms(out: DataFrame, iq: InfluxQuery) -> DataFrame:
+    """Apply the InfluxQL transformation pipeline over the grouped frame.
+
+    Every transform is one window expression over the ALREADY-bucketed
+    series (per-series lag / ROWS frame / running sum — never raw samples),
+    all sharing the same partition-by-tags/order-by-time window, so N
+    transforms cost one sort, not N.  A row is emitted when ANY transform
+    produced a value: single-transform queries keep InfluxDB's exact
+    drop-the-null-rows semantics (first point for difference/derivative,
+    first N-1 for moving_average, negatives for the non_negative variants),
+    and combined queries align on the union with nulls for the transforms
+    that have no value there (InfluxDB's dense multi-column output).
+
+    Reference surface: iox transformation functions reached through
+    src/query_frontend/src/influxql/planner.rs:51."""
+    import functools
+    import operator
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(t) for t in iq.group_tags]).orderBy("time")
+    t_ms = F.unix_millis(F.col("time").cast("timestamp"))
+    names: list[str] = []
+    cols: list = []
+    for kind, agg, col, param in iq.transforms:
+        v = F.col(f"{agg}_{col}")
+        if kind in ("derivative", "non_negative_derivative"):
+            dv, dt = v - F.lag(v).over(w), t_ms - F.lag(t_ms).over(w)
+            expr = dv / (dt.cast("double") / F.lit(float(param)))
+            if kind == "non_negative_derivative":
+                expr = F.when(expr >= 0, expr)  # negatives omitted, not clamped
+        elif kind in ("difference", "non_negative_difference"):
+            expr = v - F.lag(v).over(w)
+            if kind == "non_negative_difference":
+                expr = F.when(expr >= 0, expr)
+        elif kind == "moving_average":
+            wn = w.rowsBetween(-(param - 1), 0)
+            # emitted only once the window holds N points (InfluxDB starts
+            # at the Nth value)
+            expr = F.when(F.count(v).over(wn) == param, F.avg(v).over(wn))
+        elif kind == "cumulative_sum":
+            expr = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif kind == "elapsed":
+            expr = F.floor((t_ms - F.lag(t_ms).over(w)) / F.lit(param)).cast("bigint")
+        else:  # pragma: no cover - parse layer only emits the kinds above
+            raise ValueError(f"unknown transform {kind!r}")
+        name = f"{kind}_{col}"
+        out = out.withColumn(name, expr)
+        names.append(name)
+        cols.append(F.col(name))
+    keep = functools.reduce(operator.or_, (F.col(n).isNotNull() for n in names))
+    return out.filter(keep).select("time", *iq.group_tags, *cols)
 
 
 def _fill_time_grid(out: DataFrame, iq: InfluxQuery, lo_ms: int | None, hi_ms: int | None) -> DataFrame:

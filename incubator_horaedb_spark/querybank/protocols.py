@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 from incubator_horaedb_spark.frontends.influxql import influxql_to_df
 from incubator_horaedb_spark.frontends.opentsdb import parse_query_request, query_to_dfs
-from incubator_horaedb_spark.functions.detfloat import BITS_SMALL, dyadic, r_out
+from incubator_horaedb_spark.functions.detfloat import (
+    BITS_SMALL,
+    dyadic,
+    dyadic_sql,
+    r_out,
+    r_out_sql,
+)
 from incubator_horaedb_spark.functions.time_bucket import date_bin_sql
 from incubator_horaedb_spark.querybank.registry import load, load_time_range, register
 
@@ -368,6 +374,260 @@ def influxql_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "time", "event_type",
+        r_out("moving_average_value", 6).alias("moving_average_value"),
+    )
+
+
+@register(
+    "influxql_difference",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             sum({dyadic_sql('value', BITS_SMALL)}) AS s
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT time, event_type, s - lag(s) OVER w AS dv
+      FROM agg WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    )
+    SELECT time, event_type, {r_out_sql('dv', 6)} AS difference_value
+    FROM d WHERE dv IS NOT NULL
+    """,
+)
+def influxql_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL DIFFERENCE transformation — `difference(sum(value))` over
+    6h buckets: per-series delta between consecutive bucket values, no unit
+    scaling, first point omitted (iox transformation surface reached via
+    src/query_frontend/src/influxql/planner.rs:51).  Exactness: bucket sums
+    of dyadic-quantized addends are exact rationals, and their difference
+    stays exact — bit-identical on both engines."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    df = influxql_to_df(
+        "SELECT difference(sum(value)) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(none)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type", r_out("difference_value", 6).alias("difference_value")
+    )
+
+
+@register(
+    "influxql_cumulative_sum",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             sum({dyadic_sql('value', BITS_SMALL)}) AS s
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT time, event_type,
+             sum(s) OVER (PARTITION BY event_type ORDER BY time
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM agg
+    )
+    SELECT time, event_type, {r_out_sql('cs', 6)} AS cumulative_sum_value
+    FROM c
+    """,
+)
+def influxql_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL CUMULATIVE_SUM — `cumulative_sum(sum(value))` over 6h
+    buckets: per-series running sum emitted at EVERY bucket (InfluxDB emits
+    from the first point, unlike difference/derivative).  A running sum of
+    exact dyadic bucket sums stays exact (addends share the 2^-20 grid and
+    the total is far below 2^53·2^-20), so both engines agree bitwise."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    df = influxql_to_df(
+        "SELECT cumulative_sum(sum(value)) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(none)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type",
+        r_out("cumulative_sum_value", 6).alias("cumulative_sum_value"),
+    )
+
+
+@register(
+    "influxql_elapsed",
+    oracle="""
+    WITH d AS (
+      SELECT ts AS time, event_type,
+             CAST(floor((epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                    PARTITION BY event_type ORDER BY ts)) / 1000.0) AS BIGINT)
+               AS elapsed_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+    )
+    SELECT time, event_type, elapsed_value FROM d WHERE elapsed_value IS NOT NULL
+    """,
+)
+def influxql_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ELAPSED — `elapsed(value, 1s)` over the RAW point stream:
+    per-series time delta between consecutive points truncated to whole
+    units, first point omitted.  Pure integer arithmetic on epoch ms, so
+    exact; ties in ts yield a 0 delta in any stable order, making the
+    output multiset order-independent.  One lag window per series — at
+    scale a single sort-within-partition after a tag-hash exchange."""
+    ev = load_time_range(
+        spark, sf_dir, "events", "ts",
+        lo=1704412800000, hi=1704585600000,  # 2024-01-05 .. 2024-01-07
+    )
+    return influxql_to_df(
+        "SELECT elapsed(value, 1s) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-07 00:00:00' "
+        "GROUP BY event_type",
+        {"events": ev},
+    )
+
+
+@register(
+    "influxql_percentile",
+    oracle=f"""
+    WITH g AS (
+      SELECT {date_bin_sql(86400000, 'ts')} AS time, event_type,
+             list_sort(list(value)) AS arr, count(*) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT time, event_type,
+           arr[CAST(floor(n * 90 / 100.0 + 0.5) AS INT)] AS percentile_value
+    FROM g
+    """,
+)
+def influxql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL PERCENTILE — `percentile(value, 90)` per 1d bucket and tag:
+    InfluxDB's NEAREST-RANK selector (sort ascending, take the element at
+    floor(n·p/100 + 0.5), 1-based) — it returns a REAL point value, not an
+    interpolated quantile, so the untouched double passes through both
+    engines bit-identically.  Spark side is sort_array(collect_list) +
+    F.get — per-bucket group sizes, map-side combinable."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END)
+    return influxql_to_df(
+        "SELECT percentile(value, 90) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(1d), event_type fill(none)",
+        {"events": ev},
+    )
+
+
+@register(
+    "influxql_top",
+    oracle="""
+    WITH r AS (
+      SELECT ts AS time, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts ASC) AS rk
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT time, event_type, value AS top_value FROM r WHERE rk <= 3
+    """,
+)
+def influxql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL TOP — `top(value, 3)` per tag: the N largest POINTS per
+    series with their own timestamps preserved (a multi-row selector, not
+    an aggregate).  Rank window ordered (value DESC, ts ASC) so the result
+    multiset is deterministic across engines; values pass through exact.
+    At scale: per-series top-k via one rank window — Spark pushes a
+    partial top-k into each partition before the exchange."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END)
+    return influxql_to_df(
+        "SELECT top(value, 3) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY event_type",
+        {"events": ev},
+    )
+
+
+@register(
+    "influxql_bottom",
+    oracle="""
+    WITH r AS (
+      SELECT ts AS time, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, ts ASC) AS rk
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT time, event_type, value AS bottom_value FROM r WHERE rk <= 3
+    """,
+)
+def influxql_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL BOTTOM — `bottom(value, 3)` per tag: the N smallest points
+    per series (see influxql_top for the determinism/scale argument)."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END)
+    return influxql_to_df(
+        "SELECT bottom(value, 3) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY event_type",
+        {"events": ev},
+    )
+
+
+@register(
+    "influxql_multi_transform",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(21600000, 'ts')} AS time,
+             event_type,
+             avg({dyadic_sql('value', BITS_SMALL)}) AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT time, event_type,
+             (m - lag(m) OVER w)
+               / ((epoch_ms(time) - lag(epoch_ms(time)) OVER w) / 1000.0) AS d,
+             CASE WHEN count(m) OVER w4 = 4 THEN avg(m) OVER w4 END AS ma
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY time),
+             w4 AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT time, event_type,
+           {r_out_sql('d', 6)} AS derivative_value,
+           {r_out_sql('ma', 6)} AS moving_average_value
+    FROM t WHERE d IS NOT NULL OR ma IS NOT NULL
+    """,
+)
+def influxql_multi_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined InfluxQL transforms in ONE statement —
+    `derivative(mean(value), 1s), moving_average(mean(value), 4)`: both
+    computed off a SINGLE shared grouped frame (one shuffle, one window
+    sort), rows aligned on the union with nulls where a transform has no
+    value yet (ADVICE r10: the combination must compute both, not fail).
+    The shared inner agg `mean(value)` is deduplicated to one aggregate
+    column.  avg of a power-of-two window count (4) over exact dyadic
+    means keeps the usual exactness headroom; outputs rounded to 6dp with
+    the tie-proof floor form on both sides."""
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    df = influxql_to_df(
+        "SELECT derivative(mean(value), 1s), moving_average(mean(value), 4) "
+        "FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(none)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type",
+        r_out("derivative_value", 6).alias("derivative_value"),
         r_out("moving_average_value", 6).alias("moving_average_value"),
     )
 

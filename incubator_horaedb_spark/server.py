@@ -259,7 +259,11 @@ class EngineServer:
                         self._reply(200, outer.handle_log_level(level))
                     elif path.startswith("/debug/slow_threshold/"):
                         # PUT /debug/slow_threshold/{seconds} (http.rs:700-716)
+                        # — the reference parses u64, so negatives are a
+                        # routing error, not a threshold of "everything"
                         secs = int(path[len("/debug/slow_threshold/") :])
+                        if secs < 0:
+                            raise ValueError(f"invalid slow threshold {secs}")
                         outer.slow_threshold_secs = secs
                         self._reply_text(200, f"current_slow_threshold:{secs}s")
                     else:

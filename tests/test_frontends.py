@@ -277,3 +277,136 @@ def test_influxql_nonneg_derivative_drops_negative_rows(spark):
     got = [(r["time"].hour, r["non_negative_derivative_v"]) for r in out.collect()]
     # hour1: +4, hour2: -3 (dropped), hour3: +6
     assert got == [(1, 4.0), (3, 6.0)]
+
+
+def test_influxql_transform_tail_parse():
+    # the r11 transform tail: difference / non_negative_difference /
+    # cumulative_sum / elapsed / percentile / top / bottom
+    q = parse_influxql("SELECT difference(sum(v)) FROM m GROUP BY time(1h), tag")
+    assert q.transforms == [("difference", "sum", "v", None)]
+    q = parse_influxql("SELECT non_negative_difference(max(v)) FROM m GROUP BY time(1h)")
+    assert q.transforms == [("non_negative_difference", "max", "v", None)]
+    q = parse_influxql("SELECT cumulative_sum(mean(v)) FROM m GROUP BY time(1h), tag")
+    assert q.transforms == [("cumulative_sum", "mean", "v", None)]
+    q = parse_influxql("SELECT elapsed(sum(v), 10s) FROM m GROUP BY time(1m), tag")
+    assert q.transforms == [("elapsed", "sum", "v", 10_000)]
+    q = parse_influxql("SELECT elapsed(v, 1m) FROM m GROUP BY tag")
+    assert q.transforms == [("elapsed", None, "v", 60_000)]
+    q = parse_influxql("SELECT percentile(v, 90) FROM m GROUP BY time(1h), tag")
+    assert q.percentiles == {"v": 90.0} and q.projections == [("percentile", "v")]
+    q = parse_influxql("SELECT top(v, 5) FROM m GROUP BY tag")
+    assert q.selector == ("top", "v", 5)
+    q = parse_influxql("SELECT bottom(v, 2) FROM m GROUP BY tag")
+    assert q.selector == ("bottom", "v", 2)
+    # combined transforms over one shared inner agg parse into a pipeline
+    q = parse_influxql(
+        "SELECT derivative(mean(v), 1s), moving_average(mean(v), 4) "
+        "FROM m GROUP BY time(1h), tag"
+    )
+    assert [t[0] for t in q.transforms] == ["derivative", "moving_average"]
+    # InfluxDB forbids mixing top/bottom with other projections
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_influxql("SELECT top(v, 2), mean(v) FROM m GROUP BY tag")
+
+
+def test_influxql_difference_and_cumulative_sum_semantics(spark):
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1.0), (1, 5.0), (2, 2.0), (3, 8.0)]
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df(
+        "SELECT difference(sum(v)) FROM m GROUP BY time(1h), tag fill(none)", {"m": df}
+    )
+    got = [(r["time"].hour, r["difference_v"]) for r in out.collect()]
+    assert got == [(1, 4.0), (2, -3.0), (3, 6.0)]  # first point omitted
+    out = influxql_to_df(
+        "SELECT non_negative_difference(sum(v)) FROM m GROUP BY time(1h), tag fill(none)",
+        {"m": df},
+    )
+    got = [(r["time"].hour, r["non_negative_difference_v"]) for r in out.collect()]
+    assert got == [(1, 4.0), (3, 6.0)]  # negative delta omitted, not clamped
+    out = influxql_to_df(
+        "SELECT cumulative_sum(sum(v)) FROM m GROUP BY time(1h), tag fill(none)",
+        {"m": df},
+    )
+    got = [(r["time"].hour, r["cumulative_sum_v"]) for r in out.collect()]
+    assert got == [(0, 1.0), (1, 6.0), (2, 8.0), (3, 16.0)]  # emitted at EVERY point
+
+
+def test_influxql_elapsed_truncates_to_unit(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + datetime.timedelta(seconds=90), 2.0),   # 1.5 min -> 1
+        ("a", base + datetime.timedelta(seconds=150), 3.0),  # 1.0 min -> 1
+        ("b", base, 4.0),
+        ("b", base + datetime.timedelta(seconds=59), 5.0),   # 0.98 min -> 0
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df("SELECT elapsed(v, 1m) FROM m GROUP BY tag", {"m": df})
+    got = sorted((r["tag"], r["elapsed_v"]) for r in out.collect())
+    assert got == [("a", 1), ("a", 1), ("b", 0)]
+
+
+def test_influxql_percentile_nearest_rank(spark):
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0, m), float(v))
+        for m, v in enumerate([1.0, 2.0, 5.0, 8.0, 8.0])
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    # n=5, p=50: floor(5*0.5 + 0.5) = 3 -> 3rd smallest = 5.0 (a REAL point,
+    # not the interpolated 5.0-ish median)
+    out = influxql_to_df("SELECT percentile(v, 50) FROM m GROUP BY tag", {"m": df})
+    assert [(r["tag"], r["percentile_v"]) for r in out.collect()] == [("a", 5.0)]
+    # p=100 -> max; p=10 with n=5 -> floor(1.0)=1 -> min
+    out = influxql_to_df("SELECT percentile(v, 100) FROM m GROUP BY tag", {"m": df})
+    assert out.collect()[0]["percentile_v"] == 8.0
+    out = influxql_to_df("SELECT percentile(v, 10) FROM m GROUP BY tag", {"m": df})
+    assert out.collect()[0]["percentile_v"] == 1.0
+
+
+def test_influxql_top_bottom_points(spark):
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1.0), (1, 9.0), (2, 9.0), (3, 4.0)]
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df("SELECT top(v, 2) FROM m GROUP BY tag", {"m": df})
+    got = sorted((r["time"].hour, r["top_v"]) for r in out.collect())
+    # value ties broken by earliest time: hours 1 and 2 (both 9.0)
+    assert got == [(1, 9.0), (2, 9.0)]
+    out = influxql_to_df("SELECT bottom(v, 1) FROM m GROUP BY tag", {"m": df})
+    assert [(r["time"].hour, r["bottom_v"]) for r in out.collect()] == [(0, 1.0)]
+
+
+def test_influxql_combined_transforms_share_one_frame(spark):
+    # ADVICE r10: derivative + moving_average in one SELECT must compute
+    # both off the shared grouped frame (union-aligned rows), not fail
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1.0), (1, 3.0), (2, 5.0)]
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df(
+        "SELECT derivative(sum(v), 1h), moving_average(sum(v), 3) "
+        "FROM m GROUP BY time(1h), tag fill(none)",
+        {"m": df},
+    )
+    got = {
+        r["time"].hour: (r["derivative_v"], r["moving_average_v"]) for r in out.collect()
+    }
+    # hour0 dropped (both null); hour1 has derivative only; hour2 has both
+    assert got == {1: (2.0, None), 2: (2.0, 3.0)}

@@ -156,6 +156,12 @@ def test_debug_log_level_and_slow_threshold(server):
     assert (st, text) == (200, "current_slow_threshold:7s")
     st, resp = _req(server, "/debug/log_level/info?x=1", data=b"", method="PUT")
     assert (st, resp) == (200, "info")
+    # negatives are a 400 like the reference's u64 route parse, never a
+    # threshold that marks every query slow
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "/debug/slow_threshold/-5", data=b"", method="PUT")
+    assert e.value.code == 400
+    assert server.slow_threshold_secs == 7
 
 
 def test_debug_shards_standalone_error(server):
