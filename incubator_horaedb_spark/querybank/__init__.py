@@ -35,5 +35,6 @@ from incubator_horaedb_spark.querybank import streaming_e2e  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import partitioned  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import protocol_e2e  # noqa: E402,F401
 from incubator_horaedb_spark.querybank import wire_e2e  # noqa: E402,F401
+from incubator_horaedb_spark.querybank import wire_binary_e2e  # noqa: E402,F401
 
 __all__ = ["QUERIES", "register", "queries", "oracles", "tolerance_oracles"]

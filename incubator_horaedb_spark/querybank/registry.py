@@ -194,7 +194,83 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # (promql_increase is the rate family, time_bucket_hour the time_bucket
 # family, set_intersect the set-op family, ...) follow.  The local harness
 # (tools/check_correctness.py) still checks all of them.
-DRIVER_ORDER = [    # ------------------------------------------------------------------
+DRIVER_ORDER = [
+    # ------------------------------------------------------------------
+    # round-11 window (VERDICT r10 next-round #1: promote >=40 of the 71
+    # remaining never-driver-verified queries).  40 of the 50 slots are
+    # first-timers, led exactly where the r10 verdict pointed: the five
+    # round-10 features, the NEW binary-wire roundtrip gate (VERDICT r10
+    # #2), the r11 InfluxQL transform tail, the 17-query direct promql_*
+    # evaluator family, the window families, and the text/embedding
+    # audits.  The 10 anchors are long-driver-green headline
+    # representatives kept for family spread.  Every demoted query
+    # remains gated in the full-bank sweeps at all tiers every round.
+    # ------------------------------------------------------------------
+    # -- anchors (long-driver-green family representatives: scan,
+    # filter/project, join, time-range, dedup-on-read, time_bucket,
+    # PromQL align, LSH dedup, ANN, streaming ingest) --
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "join_inner_3way",
+    "time_bucket_minute",
+    "dedup_latest_by_key",
+    "time_range_scan",
+    "promql_rate",
+    "dedup_minhash_lsh",
+    "ann_cosine_bruteforce",
+    "streaming_ingest_dedup_read",
+    # -- never-driver-verified promotions (r11; VERDICT r10 #1) --
+    # the five round-10 features + the r10 InfluxQL transform pair
+    "ts_rollup_ladder",
+    "hll_rollup_merge",
+    "snapshot_read_as_of",
+    "dedup_incremental_lsh",
+    "influxql_non_negative_derivative",
+    "influxql_moving_average",
+    # NEW r11: the binary wire gate (VERDICT r10 #2 — MySQL
+    # COM_STMT_EXECUTE typed params in, PG binary portal out) and the
+    # InfluxQL transform tail (VERDICT r10 #4)
+    "wire_binary_roundtrip",
+    "influxql_difference",
+    "influxql_cumulative_sum",
+    "influxql_elapsed",
+    "influxql_percentile",
+    "influxql_top",
+    "influxql_bottom",
+    "influxql_multi_transform",
+    # the direct promql_* evaluator family (largest never-verified block)
+    "promql_clamp",
+    "promql_label_replace",
+    "promql_count_values",
+    "promql_deriv",
+    "promql_predict_linear",
+    "promql_changes",
+    "promql_resets",
+    "promql_count_over_time",
+    "promql_sum_over_time",
+    "promql_min_over_time",
+    "promql_max_over_time",
+    "promql_last_over_time",
+    "promql_agg_quantile",
+    "promql_binary_vector_ops",
+    "promql_bottomk_series",
+    "promql_rate_offset",
+    "promql_wow_delta",
+    # window families
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_distribution_family",
+    # text/embedding/multimodal audits + gap-fill pair
+    "text_bigram_surprisal",
+    "embedding_norm_audit",
+    "embedding_mrl_truncation",
+    "multimodal_exif_meta",
+    "time_bucket_gapfill_locf",
+    "time_bucket_gapfill_interp",
+    # ------------------------------------------------------------------
+    # round-11 demotions (ALL driver-green r10, locally gated every
+    # round): the r10 window's first-timers
+    # ------------------------------------------------------------------
     # round-10 window (VERDICT r09 next-round #1: keep the 39-slot
     # rotation cadence; 103/311 lacked driver rows entering r10).  40 of
     # the 50 slots are never-driver-verified, led exactly where the r9
@@ -212,12 +288,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # query remains gated in the full-bank sweeps at all tiers every
     # round.
     # -- anchors (driver-green r08/r09) --
-    "q1_pricing_summary", "scan_filter_project",
-    "join_inner_3way",
-    "time_bucket_minute", "dedup_latest_by_key", "time_range_scan",
-    "promql_rate",
-    "dedup_minhash_lsh", "ann_cosine_bruteforce",
-    "streaming_ingest_dedup_read",
     # -- never-driver-verified promotions (r10) --
     # new this round: wire bulk-load end-to-end gate (VERDICT r09 #2)
     "copy_load_ingest_read",
@@ -257,9 +327,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # r11 rotation): multi-resolution GROUPING SETS rollup ladder,
     # mergeable HLL-sketch rollup, incremental dedup against a persisted
     # LSH index
-    "ts_rollup_ladder", "hll_rollup_merge", "dedup_incremental_lsh",
-    "snapshot_read_as_of",
-    "influxql_non_negative_derivative", "influxql_moving_average",
     # ------------------------------------------------------------------
     # round-10 demotions (ALL driver-green r09, locally gated every
     # round): the r9 window's first-timers
@@ -354,7 +421,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "downsample_stddev", "date_bin_15m", "ts_literal_coercion",
     "text_ttr", "text_ngram_topk",
     "dedup_paragraphs", "order_nulls_explicit",
-    "promql_rate_offset", "time_bucket_gapfill_locf",
     # round-3 late additions (statistical aggs, histogram, pivot, RANGE
     # frames, winnowing, rare-token, SemDeDup, int8 quantization)
     "numeric_histogram",
@@ -362,25 +428,18 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     "text_hash_features", "quality_classifier_score",
     # round-3 second wave (wide join, FILTER modifiers, JSON extraction,
     # Gopher rules, quantile_over_time)
-    "decontaminate_bloom", "time_bucket_gapfill_interp", "promql_deriv", "promql_predict_linear",
-    "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", "window_distribution_family",
-    # round-3 continuation: TPC-H completion (all 22 shapes now covered)
+    "decontaminate_bloom", "multimodal_png_resize_stats", "sample_weighted_mix", "doc_cluster_assign", # round-3 continuation: TPC-H completion (all 22 shapes now covered)
     # round-3 continuation: PromQL evaluator functions over aligned vectors
-    "promql_bottomk_series",
-    "promql_count_values", "promql_clamp", "promql_label_replace",
     # round-4 additions (family representatives promoted to the top-50
     # above in the round-5 rotation)
     "split_leakage_check",
-    "bpe_pair_counts", "text_bigram_surprisal",
-    "embedding_abtt_postprocess",
-    "promql_binary_vector_ops", "promql_agg_quantile", 
+    "bpe_pair_counts", "embedding_abtt_postprocess",
     "dedup_edit_survivors", 
     "corpus_budget_select",
     "dedup_degree_histogram", "text_langid_confusion",
     "time_to_conversion",
     "dedup_cross_source",
-    "embedding_distance_histogram", "promql_wow_delta",
-    # round-5 additions: evaluator functions reachable from PromQL text
+    "embedding_distance_histogram", # round-5 additions: evaluator functions reachable from PromQL text
     # (parse_promql extended=True), gated against the same oracles as the
     # builder-composed forms
     # round-5: real baseline-JPEG pixel decode (pure numpy codec)
@@ -401,14 +460,12 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5: PSI drift report (session_window_agg promoted to the
     # top-50 in the session swap above)
     # round-5: Matryoshka truncation recall eval
-    "embedding_mrl_truncation",
     # round-5: ANSI UNPIVOT (hybrid_rrf_fusion promoted to the
     # top-50 in the round-7 rotation)
     # round-5: pairwise series correlation matrix (dedup_graph_pagerank
     # promoted to the top-50 in the round-7 rotation)
     # round-5: binary vector expressions through the text parser
     # round-5: EXIF APP1/TIFF metadata round-trip
-    "multimodal_exif_meta",
     # round-5: two-stage PQ-candidates + exact-refine retrieval
     # round-5: exact-k per-stratum sample, InfluxQL metadata statements
     "sample_topk_per_group", "influxql_show_tag_values",
@@ -424,7 +481,6 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # round-5: remaining parser aggregation ops
     # round-5: dedup threshold-calibration sweep
     # round-5: parsed offset modifier, embedding norm audit
-    "embedding_norm_audit",
     # round-5: doc-embedding referential-integrity audit
     "corpus_embedding_integrity",
     # round-5: parsed instant selector
@@ -449,6 +505,7 @@ DRIVER_ORDER = [    # ----------------------------------------------------------
     # vector expressions and the `or vector(0)` fallback (precedence and
     # absent_bool promoted into the top-50 mid-round)
     ]
+
 
 
 def _ordered() -> dict[str, Entry]:

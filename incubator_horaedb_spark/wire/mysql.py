@@ -9,7 +9,9 @@ Surface parity:
   worker.rs on_prepare answers ER_NOT_SUPPORTED_YET for everything):
   binary-protocol parameters are decoded for the common MYSQL_TYPE_*
   (TINY/SHORT/LONG/INT24/LONGLONG signed+unsigned, FLOAT/DOUBLE,
-  DECIMAL/NEWDECIMAL, VARCHAR/VAR_STRING/STRING, NULL via the null
+  DECIMAL/NEWDECIMAL, VARCHAR/VAR_STRING/STRING, DATE/DATETIME/TIMESTAMP
+  binary component encodings — rendered as epoch-ms ints, the engine's
+  timestamp literal form — and NULL via the null
   bitmap) and substituted as injection-safe SQL literals (quotes AND
   backslashes doubled, the same rendering wire/postgresql.py proved —
   the engine lexes Hive escapes); the comment/string-aware scanner
@@ -17,7 +19,7 @@ Surface parity:
   binary-protocol resultset (fixed-width ints/floats little-endian,
   LONGLONG for 64-bit values, raw bytes for LONG_BLOB, lenenc strings);
   COM_STMT_CLOSE / COM_STMT_RESET supported.  Unsupported parameter
-  types (datetime/blob binary encodings) get a clear
+  types (blob binary encodings, zero dates) get a clear
   ER_NOT_SUPPORTED_YET.  LOAD DATA LOCAL INFILE bulk-loads; KILL
   [QUERY|CONNECTION] <id> cancels the target connection's active Spark
   jobs via job groups (r9).
@@ -744,9 +746,22 @@ def _bind_stmt_execute(st: _PreparedStmt, body: bytes) -> str:
             else:
                 literals.append(_render_param_literal(text))
             continue
+        if ptype in _BINARY_DATETIME_TYPES:
+            # binary date/datetime/timestamp value: one length byte
+            # (0/4/7/11), then year u16le, month u8, day u8 [, hour u8,
+            # minute u8, second u8 [, microseconds u32le]]
+            if len(body) < off + 1:
+                raise ValueError(f"malformed COM_STMT_EXECUTE: truncated param {k + 1}")
+            ln = body[off]
+            off += 1
+            if ln not in (4, 7, 11) or len(body) < off + ln:
+                raise ValueError(f"malformed datetime parameter {k + 1} (length {ln})")
+            literals.append(str(_binary_datetime_ms(body[off : off + ln])))
+            off += ln
+            continue
         raise NotImplementedError(
             f"parameter type {ptype:#x} is not supported "
-            "(send numeric, decimal, or string parameters)"
+            "(send numeric, decimal, string, or datetime parameters)"
         )
     return _substitute_question_params(st.sql, literals)
 
@@ -765,6 +780,29 @@ _FIXED_PARAM_TYPES = {
 }
 _LENENC_TEXT_TYPES = {0x0F, 0xFD, 0xFE}  # VARCHAR, VAR_STRING, STRING
 _LENENC_NUMERIC_TYPES = {0x00, 0xF6}  # DECIMAL, NEWDECIMAL (ascii digits)
+_BINARY_DATETIME_TYPES = {0x07, 0x0A, 0x0C}  # TIMESTAMP, DATE, DATETIME
+
+
+def _binary_datetime_ms(raw: bytes) -> int:
+    """Binary DATE/DATETIME/TIMESTAMP parameter components → epoch ms
+    (UTC, matching the engine's session zone).  Rendered as an integer
+    literal because the engine's timestamp columns accept epoch-ms ints
+    (the reference's own sqlness INSERTs use ms ints); sub-ms microseconds
+    truncate to the engine's ms storage grain like every other write path.
+    Zero dates (length 0) are rejected by the caller — the engine has no
+    0000-00-00 representation."""
+    import calendar
+
+    year, month, day = struct.unpack_from("<HBB", raw, 0)
+    hour = minute = second = micros = 0
+    if len(raw) >= 7:
+        hour, minute, second = raw[4], raw[5], raw[6]
+    if len(raw) == 11:
+        (micros,) = struct.unpack_from("<I", raw, 7)
+    if not (1 <= month <= 12 and 1 <= day <= 31):
+        raise ValueError(f"invalid datetime parameter {raw.hex()}")
+    secs = calendar.timegm((year, month, day, hour, minute, second, 0, 0, 0))
+    return secs * 1000 + micros // 1000
 _NUM_LITERAL_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
 
 

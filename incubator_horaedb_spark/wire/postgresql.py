@@ -11,7 +11,9 @@ Surface parity:
   a parameterized query (beyond-reference: pgwire's SimpleQueryHandler
   in the reference answers only 'Q').  Binary-format parameters decode
   for the fixed-width core OIDs (bool/int2/int4/int8/float4/float8,
-  big-endian; r8) — other OIDs keep a clear rejection.  Binary RESULT
+  big-endian; r8) plus timestamp (int64 2000-epoch microseconds, the
+  inverse of the binary result encoding; r11) — other OIDs keep a clear
+  rejection.  Binary RESULT
   format codes are honored for bool/int2/int4/int8/float4/float8/
   timestamp/bytea (r9 — the psycopg3/JDBC default-binary mode gap;
   timestamps encode as the PG wire's 2000-epoch microseconds in binary
@@ -178,6 +180,12 @@ def _sql_literal(text: str, oid: int) -> str:
         if not _re.match(_NUM_RE_TXT, text):
             raise ValueError(f"invalid numeric parameter {text!r}")
         return text
+    if oid == OID_TIMESTAMP and _re.match(r"^-?\d+$", text):
+        # digit-only timestamp parameter = epoch milliseconds (handler.rs
+        # renders timestamps as epoch-ms i64 in text mode; binary Bind
+        # decodes to this form too) — inline raw so the engine's
+        # int→timestamp coercion applies; ISO strings keep the quoted path
+        return text
     if oid == OID_BOOL:
         if text.lower() in ("t", "true", "1", "on", "yes"):
             return "TRUE"
@@ -309,12 +317,24 @@ def _decode_binary_param(raw: bytes, oid: int, idx: int) -> str:
         if len(raw) != 1:
             raise ValueError(f"binary bool parameter ${idx} must be 1 byte, got {len(raw)}")
         return "t" if raw[0] else "f"
+    if oid == OID_TIMESTAMP:
+        # binary timestamp parameter: int64 big-endian microseconds since
+        # the PG epoch (2000-01-01) — the exact inverse of the binary
+        # RESULT encoding; rendered as epoch-ms digits, which _sql_literal
+        # inlines raw for OID 1114 (sub-ms truncates to the engine's ms
+        # storage grain like every other write path)
+        if len(raw) != 8:
+            raise ValueError(
+                f"binary timestamp parameter ${idx} must be 8 bytes, got {len(raw)}"
+            )
+        (us,) = struct.unpack("!q", raw)
+        return str((us + _PG_EPOCH_US) // 1000)
     spec = _BINARY_PARAM_FMT.get(oid)
     if spec is None:
         raise ValueError(
             f"binary-format parameter ${idx} with OID {oid} is not supported "
-            "(binary decode covers bool/int2/int4/int8/float4/float8; "
-            "send text format for other types)"
+            "(binary decode covers bool/int2/int4/int8/float4/float8/"
+            "timestamp; send text format for other types)"
         )
     fmt, width = spec
     if len(raw) != width:

@@ -492,6 +492,34 @@ def test_mysql_param_select_roundtrip(mysql_params):
     assert rows == [("1",)]
 
 
+def test_mysql_param_binary_datetime(mysql_params):
+    # binary DATETIME/TIMESTAMP parameters (r11): length byte 4/7/11 +
+    # year u16le, month, day [, h, m, s [, micros u32le]] → epoch-ms
+    # literal (UTC).  1691116127623 ms = 2023-08-04 02:28:47.623
+    c = mysql_params
+    full = struct.pack("<HBB", 2023, 8, 4) + bytes([2, 28, 47]) + struct.pack(
+        "<I", 623_000
+    )
+    sid, _ = _prepare(c, b"select name from pdemo where t = ? order by name")
+    _, rows = _execute(c, sid, [(0x0C, False, bytes([11]) + full)])
+    assert [r[0] for r in rows] == ["b"]
+    # 7-byte form (second precision) with TIMESTAMP type code
+    secs7 = struct.pack("<HBB", 2023, 8, 4) + bytes([2, 28, 47])
+    sid2, _ = _prepare(c, b"select count(*) as n from pdemo where t >= ?")
+    _, rows = _execute(c, sid2, [(0x07, False, bytes([7]) + secs7)])
+    assert rows == [("3",)]
+    # 4-byte DATE form = midnight
+    date4 = struct.pack("<HBB", 2023, 8, 5)
+    _, rows = _execute(c, sid2, [(0x0A, False, bytes([4]) + date4)])
+    assert rows == [("0",)]
+    # invalid month → clean error packet, connection survives
+    bad = struct.pack("<HBB", 2023, 13, 4) + bytes([0, 0, 0])
+    with pytest.raises(RuntimeError, match="datetime"):
+        _execute(c, sid2, [(0x0C, False, bytes([7]) + bad)])
+    _, rows = _execute(c, sid2, [(0x07, False, bytes([7]) + secs7)])
+    assert rows == [("3",)]
+
+
 def test_mysql_param_null_and_insert(mysql_params):
     c = mysql_params
     sid, _ = _prepare(
@@ -545,9 +573,14 @@ def test_mysql_param_decimal_and_unsupported(mysql_params):
     # malformed decimal rejected, connection stays usable
     with pytest.raises(RuntimeError, match="decimal parameter"):
         _execute(c, sid, [(0xF6, False, _lenenc_bytes(b"2.5; drop"))])
-    # unsupported binary type (DATETIME 0x0c) → ER_NOT_SUPPORTED_YET
-    with pytest.raises(RuntimeError, match="1235"):
+    # zero-length (zero-date) DATETIME 0x0c → clean rejection (the engine
+    # has no 0000-00-00); well-formed datetime params are covered by
+    # test_mysql_param_binary_datetime
+    with pytest.raises(RuntimeError, match="datetime"):
         _execute(c, sid, [(0x0C, False, b"\x00")])
+    # unsupported binary type (TINY_BLOB 0xf9) → ER_NOT_SUPPORTED_YET
+    with pytest.raises(RuntimeError, match="1235"):
+        _execute(c, sid, [(0xF9, False, b"\x00")])
     # truncated fixed-width value → clean error, no hang
     with pytest.raises(RuntimeError, match="truncated"):
         _execute(c, sid, [(0x05, False, struct.pack("<f", 1.0))])

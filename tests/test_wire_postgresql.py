@@ -391,6 +391,28 @@ def test_pg_extended_binary_params(pg_ext):
     assert err is None and rows == [("1.5",)]
 
 
+def test_pg_extended_binary_timestamp_param(pg_ext):
+    # binary timestamp parameter (r11): int64 big-endian microseconds
+    # since 2000-01-01, the inverse of the binary result encoding —
+    # t >= 1691116127623 ms should match the rows at ...625 ms
+    pg_epoch_us = 946_684_800_000_000
+    us_2000 = 1691116127623 * 1000 - pg_epoch_us
+    pg_ext.parse(
+        "select name from extdemo where t >= $1 order by name", oids=[1114]
+    )
+    pg_ext.bind([struct.pack("!q", us_2000)], param_fmts=[1])
+    pg_ext.execute()
+    pg_ext.sync()
+    _, tag, _, rows, err = pg_ext.drain()
+    assert err is None and [r[0] for r in rows] == ["b", "o'brien"]
+    # text-format digit-only timestamp param inlines as epoch ms too
+    tag, _, rows = pg_ext.exec_params(
+        "select count(*) as n from extdemo where t >= $1",
+        ["1691116127623"], oids=[1114],
+    )
+    assert rows == [("2",)]
+
+
 def test_pg_extended_binary_param_errors(pg_ext):
     # wrong width → clear error, connection recovers after Sync
     pg_ext.parse("select $1 from extdemo", oids=[20])
@@ -404,12 +426,18 @@ def test_pg_extended_binary_param_errors(pg_ext):
     pg_ext.sync()
     _, _, _, _, err = pg_ext.drain()
     assert err is not None and "declared type OID" in err
-    # unsupported binary OID (timestamp) keeps a clear rejection
-    pg_ext.parse("select $1", oids=[1114])
+    # unsupported binary OID (bytea) keeps a clear rejection
+    pg_ext.parse("select $1", oids=[17])
     pg_ext.bind([struct.pack("!q", 5)], param_fmts=[1])
     pg_ext.sync()
     _, _, _, _, err = pg_ext.drain()
     assert err is not None and "not supported" in err
+    # wrong-width binary timestamp → clear error
+    pg_ext.parse("select $1", oids=[1114])
+    pg_ext.bind([struct.pack("!i", 5)], param_fmts=[1])
+    pg_ext.sync()
+    _, _, _, _, err = pg_ext.drain()
+    assert err is not None and "8 bytes" in err
     # connection usable afterwards
     tag, _, rows = pg_ext.exec_params("select name from extdemo where name = $1", ["b"])
     assert rows == [("b",)]
