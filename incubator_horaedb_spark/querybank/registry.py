@@ -224,6 +224,8 @@ DRIVER_ORDER = [
     "ts_rollup_ladder",
     "hll_rollup_merge",
     "snapshot_read_as_of",
+    # NEW r11: snapshot-across-compaction retention gate (VERDICT r10 #5)
+    "snapshot_compacted_read",
     "dedup_incremental_lsh",
     "influxql_non_negative_derivative",
     "influxql_moving_average",
@@ -266,6 +268,8 @@ DRIVER_ORDER = [
     "embedding_mrl_truncation",
     "multimodal_exif_meta",
     "time_bucket_gapfill_locf",
+    # (time_bucket_gapfill_interp waits for r12 — same gap-fill family as
+    # the locf rep above; snapshot_compacted_read took its slot)
     "time_bucket_gapfill_interp",
     # ------------------------------------------------------------------
     # round-11 demotions (ALL driver-green r10, locally gated every

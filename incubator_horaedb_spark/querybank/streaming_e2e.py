@@ -378,3 +378,107 @@ def streaming_ingest_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
         F.min(F.unix_millis("ts")).cast("long").alias("oldest_ms"),
     )
+
+
+# --- sequence snapshot ACROSS the compaction boundary ----------------------
+# VERDICT r10 next-round #5: `as_of_seq` documents that compaction
+# reclaims superseded versions (table.py Table.read docstring — an LSM
+# compaction GCs versions below the watermark; instance/read.rs +
+# row_iter/merge.rs:126 is the reference's sequence-snapshot-under-merge
+# contract).  This gate PROVES that retention semantics instead of only
+# unit-testing it: pass 1 writes the 'error' rows, the snapshot token is
+# taken, pass 2 overlays updated values for the even-user half, then the
+# table is COMPACTED.  Compaction keeps only each key's newest version
+# (original __seq preserved), so a post-compaction snapshot read at the
+# pass-1 token sees exactly the keys whose pass-1 version SURVIVED —
+# the odd-user half — while the current read still equals the full
+# post-update state (the dedup invariant the maintenance race gates
+# assert under concurrency).
+
+_SNAPC_PRED = "event_type = 'error'"
+_SNAPC_SHIFT = 10.0  # exact dyadic: quantize(v + 10) == quantize(v) + 10
+_SNAPC_STATE: dict = {"sf_dir": None, "table": None, "store": None, "snap1": None}
+
+
+def _compacted_snapshot_table(spark: SparkSession, sf_dir: str):
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.querybank.registry import load
+    from incubator_horaedb_spark.table import Table
+
+    if _SNAPC_STATE["sf_dir"] == sf_dir and _SNAPC_STATE["table"] is not None:
+        tbl = _SNAPC_STATE["table"]
+        if tbl.spark is spark:
+            return tbl
+    _ts_read_confs(spark)
+    store = _new_store("sg_snap_compact_", _SNAPC_STATE)
+    engine = Engine(spark, store)
+    engine.execute_sql(
+        "CREATE TABLE ev_snapc (event_id string TAG, event_type string TAG, "
+        "props string TAG, value double, user_id bigint, ts timestamp NOT NULL, "
+        "timestamp KEY(ts)) ENGINE=Analytic "
+        "WITH(enable_ttl='false', update_mode='OVERWRITE')"
+    )
+    tbl = Table(spark, engine.catalog, "ev_snapc")
+    src = load(spark, sf_dir, "events").filter(F.expr(_SNAPC_PRED)).select(
+        "event_id", "event_type", "props", "value", "user_id", "ts"
+    )
+    tbl.write(src)  # pass 1: originals
+    _SNAPC_STATE["snap1"] = tbl.last_seq()
+    upd = src.filter("(user_id % 2) = 0").withColumn(
+        "value", F.col("value") + F.lit(_SNAPC_SHIFT)
+    )
+    tbl.write(upd)  # pass 2: update overlay, later __seq
+    tbl.compact()  # reclaim superseded pass-1 versions
+    _SNAPC_STATE["sf_dir"] = sf_dir
+    _SNAPC_STATE["table"] = tbl
+    return tbl
+
+
+_SNAPC_SQL = f"""
+    WITH e AS (SELECT user_id, value FROM events WHERE {_SNAPC_PRED}),
+    snap AS (
+      SELECT CAST(count(*) AS BIGINT) AS snap_n_rows,
+             {r_out_sql("sum(" + dyadic_sql("value", 20) + ")", 6)} AS snap_sum_value
+      FROM e WHERE (user_id % 2) = 1
+    ),
+    cur AS (
+      SELECT CAST(count(*) AS BIGINT) AS cur_n_rows,
+             {r_out_sql(
+                 "sum(" + dyadic_sql(
+                     "value + (CASE WHEN (user_id % 2) = 0 THEN 10.0 ELSE 0.0 END)",
+                     20,
+                 ) + ")", 6)} AS cur_sum_value
+      FROM e
+    )
+    SELECT snap_n_rows, snap_sum_value, cur_n_rows, cur_sum_value
+    FROM snap CROSS JOIN cur
+    """
+
+
+@register("snapshot_compacted_read", oracle=_SNAPC_SQL)
+def snapshot_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-across-compaction gate: after compact(), read(as_of_seq =
+    pass-1 token) returns ONLY the odd-user keys (whose pass-1 version
+    survived compaction — updated keys' old versions were reclaimed, so
+    they vanish from the snapshot, the documented LSM retention
+    semantics), while the current read equals the full post-update state.
+    Both reads aggregate in one returned row; the oracle states both
+    directly over the raw events table."""
+    tbl = _compacted_snapshot_table(spark, sf_dir)
+    q = 1 << 20
+
+    def _agg(df, prefix):
+        qv = F.floor(F.col("value") * F.lit(float(q)) + F.lit(0.5)).cast(
+            "double"
+        ) / F.lit(float(q))
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_rows"),
+            (
+                F.floor(F.sum(qv) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0)
+            ).alias(f"{prefix}_sum_value"),
+        )
+
+    snap = _agg(tbl.read(as_of_seq=_SNAPC_STATE["snap1"]), "snap")
+    cur = _agg(tbl.read(), "cur")
+    return snap.crossJoin(cur)
