@@ -9,11 +9,24 @@ DataFrame ops.
 
 Grammar supported::
 
-    SELECT <agg>(<field>) | <field-list>
+    SELECT <agg>(<field>) | <field-list> | <transform> | <selector>
     FROM <measurement>
     [WHERE <cond> [AND <cond>]...]         -- time >=/<= literal, tag = 'v'
-    [GROUP BY time(<interval>)[, <tag>...]]
+    [GROUP BY time(<interval>)[, <tag>...] [fill(null|none|previous|linear|<n>)]]
     [ORDER BY time [DESC]] [LIMIT n]
+
+    <agg>       := sum|count|mean|min|max|stddev|first|last|spread
+                   | percentile(field, N)          -- nearest-rank selector
+    <transform> := [non_negative_]derivative(agg(f), dur)
+                   | moving_average(agg(f), N)
+                   | [non_negative_]difference(agg(f))
+                   | cumulative_sum(agg(f))
+                   | elapsed(f|agg(f), dur)
+    <selector>  := top(f, N) | bottom(f, N)        -- multi-row, exclusive
+
+Multiple transforms combine in one SELECT off a single shared grouped
+frame (iox transformation surface reached through
+src/query_frontend/src/influxql/planner.rs:51).
 
 Line protocol (write side): ``measurement[,tag=v...] field=v[,field2=v...] [ts]``
 (src/proxy/src/influxdb/types.rs:1-903) — measurement → table, tags →
@@ -222,10 +235,14 @@ def parse_influxql(q: str) -> InfluxQuery:
         group_raw = m.group("group")
         # fill(<n>|null|none) trails the GROUP BY list
         # (influxql/basic.sql `group by location, time(5m) fill(666)`)
-        f_m = re.search(r"\bfill\(\s*(-?\d+(?:\.\d+)?|null|none|previous)\s*\)", group_raw, re.I)
+        f_m = re.search(
+            r"\bfill\(\s*(-?\d+(?:\.\d+)?|null|none|previous|linear)\s*\)",
+            group_raw,
+            re.I,
+        )
         if f_m:
             v = f_m.group(1).lower()
-            fill = v if v in ("null", "none", "previous") else float(f_m.group(1))
+            fill = v if v in ("null", "none", "previous", "linear") else float(f_m.group(1))
             group_raw = group_raw[: f_m.start()] + group_raw[f_m.end() :]
         for g in group_raw.split(","):
             g = g.strip()
@@ -286,7 +303,20 @@ def _condition_to_column(cond: str, ts_col: str):
             value = F.timestamp_millis(F.lit(epoch_ms))
             bound = (op, epoch_ms)
         else:
+            # ISO string literal: the comparison Column uses the engine's
+            # cast, but the fill grid needs the bound too — without it a
+            # sparse tier's grid would shrink to the data extent instead
+            # of the query's stated window (r11: fill(linear) at sf0.001)
             value = F.lit(raw.strip("'")).cast("timestamp")
+            try:
+                import datetime as _dt
+
+                dt = _dt.datetime.fromisoformat(raw.strip("'")).replace(
+                    tzinfo=_dt.timezone.utc
+                )
+                bound = (op, int(dt.timestamp() * 1000))
+            except ValueError:
+                bound = None
     elif raw.startswith("'"):
         value = F.lit(raw.strip("'"))
     else:
@@ -521,6 +551,41 @@ def _fill_time_grid(out: DataFrame, iq: InfluxQuery, lo_ms: int | None, hi_ms: i
         agg_cols = [c for c in out.columns if c not in ("time", *iq.group_tags)]
         for c in agg_cols:
             joined = joined.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    elif iq.fill == "linear":
+        # InfluxDB fill(linear): missing buckets interpolate between the
+        # nearest known values before and after; buckets outside the known
+        # range stay NULL.  Two per-series windows (carry-forward and
+        # carry-backward of value AND its bucket time) — no self-join.
+        from pyspark.sql import Window
+
+        wp = (
+            Window.partitionBy(*iq.group_tags)
+            .orderBy("time")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy(*iq.group_tags)
+            .orderBy("time")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        tms = F.unix_millis(F.col("time").cast("timestamp")).cast("double")
+        agg_cols = [c for c in joined.columns if c not in ("time", *iq.group_tags)]
+        for c in agg_cols:
+            v = F.col(c)
+            pv = F.last(v, ignorenulls=True).over(wp)
+            nv = F.first(v, ignorenulls=True).over(wn)
+            pt = F.last(F.when(v.isNotNull(), tms), ignorenulls=True).over(wp)
+            nt = F.first(F.when(v.isNotNull(), tms), ignorenulls=True).over(wn)
+            interp = pv + (nv - pv) * (tms - pt) / (nt - pt)
+            joined = joined.withColumn(
+                c,
+                F.coalesce(
+                    v,
+                    F.when(pv.isNotNull() & nv.isNotNull(), interp).cast(
+                        joined.schema[c].dataType
+                    ),
+                ),
+            )
     return joined
 
 

@@ -632,6 +632,83 @@ def influxql_multi_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIN_START = 1704412800000  # 2024-01-05
+_LIN_END = 1705708800000  # 2024-01-20 (exclusive)
+_LIN_STEP = 21600000  # 6h
+
+
+@register(
+    "influxql_fill_linear",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(_LIN_STEP, 'ts')} AS time,
+             event_type,
+             sum({dyadic_sql('value', BITS_SMALL)}) AS s
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        AND (user_id % 20) = 3
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT make_timestamp(g.ms * 1000) AS time, t.event_type
+      FROM (SELECT unnest(generate_series({_LIN_START}, {_LIN_END - _LIN_STEP},
+                                          {_LIN_STEP})) AS ms) g
+      CROSS JOIN (SELECT DISTINCT event_type FROM agg) t
+    ),
+    j AS (
+      SELECT grid.time, grid.event_type, agg.s
+      FROM grid LEFT JOIN agg USING (time, event_type)
+    ),
+    f AS (
+      SELECT time, event_type, s,
+             last_value(s IGNORE NULLS) OVER wp AS pv,
+             first_value(s IGNORE NULLS) OVER wn AS nv,
+             last_value(CASE WHEN s IS NOT NULL
+                             THEN CAST(epoch_ms(time) AS DOUBLE) END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(CASE WHEN s IS NOT NULL
+                              THEN CAST(epoch_ms(time) AS DOUBLE) END IGNORE NULLS)
+               OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT time, event_type,
+           {r_out_sql(
+               "coalesce(s, CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+               "pv + (nv - pv) * (CAST(epoch_ms(time) AS DOUBLE) - pt) / (nt - pt) "
+               "END)", 6)} AS sum_value
+    FROM f
+    """,
+)
+def influxql_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL fill(linear) — the remaining fill() mode (null/none/
+    previous/<number> landed earlier): missing grid buckets interpolate
+    linearly between the nearest known values per series; buckets outside
+    the known range stay NULL.  The source is sparsified (every 20th user)
+    so real gaps exist at the small tiers.  Exactness: bucket sums are
+    exact dyadics, bucket times are exact integers, and both engines
+    compute the same single-division interpolation — rounded to 6dp with
+    the tie-proof floor form.  Distributed shape: two per-series
+    carry-forward/backward windows over the grid join, never a self-join."""
+    ev = (
+        load_time_range(spark, sf_dir, "events", "ts", lo=_LIN_START, hi=_LIN_END)
+        .filter("(user_id % 20) = 3")
+        .withColumn("value", dyadic("value", BITS_SMALL))
+    )
+    df = influxql_to_df(
+        "SELECT sum(value) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(linear)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type", r_out("sum_value", 6).alias("sum_value")
+    )
+
+
 @register(
     "influxql_show_tag_values",
     oracle="""

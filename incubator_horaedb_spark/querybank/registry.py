@@ -268,9 +268,10 @@ DRIVER_ORDER = [
     "embedding_mrl_truncation",
     "multimodal_exif_meta",
     "time_bucket_gapfill_locf",
-    # (time_bucket_gapfill_interp waits for r12 — same gap-fill family as
-    # the locf rep above; snapshot_compacted_read took its slot)
-    "time_bucket_gapfill_interp",
+    # (these wait for r12, first past the cap — gap-fill/interp family is
+    # represented by the locf rep above; snapshot_compacted_read took the
+    # interp slot, and fill(linear) landed after the window was sized)
+    "time_bucket_gapfill_interp", "influxql_fill_linear",
     # ------------------------------------------------------------------
     # round-11 demotions (ALL driver-green r10, locally gated every
     # round): the r10 window's first-timers

@@ -410,3 +410,27 @@ def test_influxql_combined_transforms_share_one_frame(spark):
     }
     # hour0 dropped (both null); hour1 has derivative only; hour2 has both
     assert got == {1: (2.0, None), 2: (2.0, 3.0)}
+
+
+def test_influxql_fill_linear_interpolates_gaps(spark):
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), 10.0),
+        ("a", datetime.datetime(2024, 1, 1, 3), 40.0),
+        ("b", datetime.datetime(2024, 1, 1, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df(
+        "SELECT sum(v) FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 04:00:00' "
+        "GROUP BY time(1h), tag fill(linear)",
+        {"m": df},
+    )
+    got = {(r["tag"], r["time"].hour): r["sum_v"] for r in out.collect()}
+    # a: gaps at hours 1,2 interpolate 20/30; b: single point, everything
+    # outside the known range stays NULL (InfluxDB does not extrapolate)
+    assert got[("a", 0)] == 10.0 and got[("a", 3)] == 40.0
+    assert got[("a", 1)] == 20.0 and got[("a", 2)] == 30.0
+    assert got[("b", 1)] == 5.0
+    assert got[("b", 0)] is None and got[("b", 2)] is None and got[("b", 3)] is None

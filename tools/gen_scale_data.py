@@ -228,16 +228,23 @@ def copy_dims(out: str) -> None:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3:])  # optional table subset, e.g. "documents events"
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
     prof = _base_profile()
-    gen_documents(out, factor, rng, prof)
-    gen_events(out, factor, rng, prof)
-    gen_embeddings(out, factor, rng)
-    gen_lineitem(out, factor)
-    gen_orders(out, factor)
-    copy_dims(out)
-    for t in ("documents", "events", "embeddings", "lineitem", "orders"):
+    gens = {
+        "documents": lambda: gen_documents(out, factor, rng, prof),
+        "events": lambda: gen_events(out, factor, rng, prof),
+        "embeddings": lambda: gen_embeddings(out, factor, rng),
+        "lineitem": lambda: gen_lineitem(out, factor),
+        "orders": lambda: gen_orders(out, factor),
+    }
+    todo = [t for t in gens if not only or t in only]
+    for t in todo:
+        gens[t]()
+    if not only:
+        copy_dims(out)
+    for t in todo:
         meta = pq.read_metadata(f"{out}/{t}.parquet")
         print(f"{t}: {meta.num_rows} rows, {os.path.getsize(f'{out}/{t}.parquet') >> 20} MB")
 
