@@ -311,10 +311,12 @@ def _condition_to_column(cond: str, ts_col: str):
             try:
                 import datetime as _dt
 
+                from incubator_horaedb_spark.functions import timeutil
+
                 dt = _dt.datetime.fromisoformat(raw.strip("'")).replace(
                     tzinfo=_dt.timezone.utc
                 )
-                bound = (op, int(dt.timestamp() * 1000))
+                bound = (op, timeutil.epoch_ms(dt))
             except ValueError:
                 bound = None
     elif raw.startswith("'"):

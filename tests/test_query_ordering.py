@@ -18,14 +18,13 @@ def test_driver_order_is_front_of_queries():
 
 def test_driver_order_covers_families_in_first_50():
     first50 = set(list(querybank.queries())[:50])
-    # round-10 window (VERDICT r09 next-round #1): 40 of 50 slots are
-    # never-driver-verified promotions — the new wire bulk-load gate, the
-    # Prometheus remote-write gate, the full promql_parsed_* twin block,
-    # the direct *_over_time family, the multimodal header-meta trio, the
-    # set-op ALL variants, the corpus-report block, the skew-guarded
-    # distinct and the statistical aggregates.  10 anchors keep family
-    # spread.  Demoted queries (all driver-green r09 or earlier) stay
-    # gated in the full-bank sweeps.
+    # round-11 window (VERDICT r10 next-round #1): 40 of 50 slots are
+    # never-driver-verified promotions — the five round-10 features, the
+    # NEW binary-wire and snapshot-across-compaction gates, the r11
+    # InfluxQL transform tail, the 17-query direct promql_* evaluator
+    # family, the window families, and the text/embedding/multimodal
+    # audits.  10 anchors keep family spread.  Demoted queries (all
+    # driver-green r10 or earlier) stay gated in the full-bank sweeps.
     for rep in [
         # anchors
         "q1_pricing_summary", "scan_filter_project",
@@ -33,46 +32,44 @@ def test_driver_order_covers_families_in_first_50():
         "time_range_scan", "promql_rate",
         "dedup_minhash_lsh", "ann_cosine_bruteforce",
         "streaming_ingest_dedup_read",
-        # never-driver-verified promotions (r10)
-        "copy_load_ingest_read", "prom_write_ingest_read",
-        "promql_parsed_sum", "promql_parsed_sum_without",
-        "promql_parsed_count", "promql_parsed_max",
-        "promql_parsed_topk", "promql_parsed_bottomk", "promql_parsed_clamp",
-        "promql_parsed_offset", "promql_parsed_instant",
-        "promql_parsed_avg_over_time", "promql_parsed_deriv",
-        "promql_parsed_changes", "promql_parsed_absent",
-        "promql_parsed_abs_delta", "promql_parsed_ln_rate",
-        "promql_parsed_threshold_bool", "promql_parsed_threshold_filter",
-        "promql_parsed_and", "promql_parsed_unless",
-        "promql_parsed_scalar_mult", "promql_parsed_time_minus",
-        "promql_parsed_ratio",
-        "promql_avg_over_time", "promql_quantile_over_time",
-        "promql_stddev_over_time", "promql_stdvar_over_time",
-        "promql_absent_over_time",
-        "multimodal_image_header_meta", "multimodal_audio_header_meta",
-        "multimodal_video_header_meta",
-        "set_intersect_all", "set_except_all",
-        "corpus_mix_report", "corpus_split_assign", "drift_psi_report",
-        "corpus_curation_e2e",
-        "salted_distinct_users", "stats_corr_regr",
+        # never-driver-verified promotions (r11)
+        "ts_rollup_ladder", "hll_rollup_merge", "snapshot_read_as_of",
+        "snapshot_compacted_read", "dedup_incremental_lsh",
+        "influxql_non_negative_derivative", "influxql_moving_average",
+        "wire_binary_roundtrip",
+        "influxql_difference", "influxql_cumulative_sum", "influxql_elapsed",
+        "influxql_percentile", "influxql_top", "influxql_bottom",
+        "influxql_multi_transform",
+        "promql_clamp", "promql_label_replace", "promql_count_values",
+        "promql_deriv", "promql_predict_linear", "promql_changes",
+        "promql_resets", "promql_count_over_time", "promql_sum_over_time",
+        "promql_min_over_time", "promql_max_over_time",
+        "promql_last_over_time", "promql_agg_quantile",
+        "promql_binary_vector_ops", "promql_bottomk_series",
+        "promql_rate_offset", "promql_wow_delta",
+        "window_lag_delta", "window_moving_avg",
+        "window_distribution_family",
+        "text_bigram_surprisal", "embedding_norm_audit",
+        "embedding_mrl_truncation", "multimodal_exif_meta",
+        "time_bucket_gapfill_locf",
     ]:
         assert rep in first50, rep
 
 
-def test_round10_window_is_majority_never_driver_verified():
-    # the rotation's whole point: >=39 slots had zero driver rows
-    # through CORRECTNESS_r09 (VERDICT r09 next-round #1 acceptance)
+def test_round11_window_is_majority_never_driver_verified():
+    # the rotation's whole point: >=40 slots had zero driver rows
+    # through CORRECTNESS_r10 (VERDICT r10 next-round #1 acceptance)
     import json
     import pathlib
 
     seen: set[str] = set()
-    for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r0[1-9].json")):
+    for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r*.json")):
         seen |= set(json.loads(f.read_text()).keys())
     if not seen:  # driver artifacts absent (fresh checkout) — vacuous
         return
     first50 = list(querybank.queries())[:50]
     never = [q for q in first50 if q not in seen]
-    assert len(never) >= 39, (len(never), never)
+    assert len(never) >= 40, (len(never), never)
 
 
 def test_oracles_follow_query_order():
