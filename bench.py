@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # join; consumes the shared shingle stage like the other dedups)
     "ts_rollup_ladder",
     "dedup_incremental_lsh",
+    # r11: the mergeable-sketch rollup (day level re-aggregates KB HLL
+    # blobs — the 100 TB NDV-ladder shape) joins the headline set so all
+    # round-10/11 features carry per-round bench rows
+    "hll_rollup_merge",
 ]
 
 # queries that consume the shared shingle stage: between runs, drop every

@@ -36,6 +36,11 @@ QUERIES = [
     # incremental dedup must show the index-vs-delta band equi-join (no
     # cartesian, no full-corpus re-scan on the index side)
     "ts_rollup_ladder", "dedup_incremental_lsh", "hll_rollup_merge",
+    # r11: combined InfluxQL transforms must share ONE grouped frame
+    # (one exchange + one window sort for both outputs); fill(linear)
+    # must show the grid left-join + two frame-bounded windows, no
+    # self-join; the nearest-rank percentile stays one hash aggregate
+    "influxql_multi_transform", "influxql_fill_linear", "influxql_percentile",
 ]
 
 
