@@ -2108,3 +2108,60 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_ndv_users")
     )
+
+
+# --- mergeable-histogram quantile rollup (p99 ladder shape) ----------------
+# The quantile companion to hll_rollup_merge: percentiles do not sum, so a
+# day p99 normally needs a full re-scan — unless the hour partials are
+# FIXED-BIN HISTOGRAMS, which merge by adding counts.  Hour-level
+# (type, hour, bin) counts (map-side combinable; bins are a deterministic
+# function of the value: floor(value/8), clamped to 128 bins) roll up to
+# (type, day, bin) by summing — the second aggregation shuffles only
+# bin-count rows (<=128 per group, KBs), never raw values — and the
+# quantile is read off the binned CDF (smallest bin whose running count
+# reaches ceil(q*n); reported as the bin's upper bound).  This is how a
+# 100 TB deployment maintains its latency-percentile ladder: materialize
+# hour histograms on ingest, answer day/week/month by count-merge.
+# Unlike the HLL gate this is EXACTLY oracle-checkable: bins, counts and
+# the CDF rule are integer-deterministic, so the same SQL text runs on
+# both engines and hashes must match bit-for-bit.
+_HIST_QUANTILE_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket_hour,
+             LEAST(127, GREATEST(0, CAST(floor(value / 8.0) AS INT))) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', bucket_hour) AS DATE) AS bucket_day,
+             bin, CAST(sum(c) AS BIGINT) AS c
+      FROM h GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, bucket_day, bin, c,
+             sum(c) OVER (PARTITION BY event_type, bucket_day
+                          ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type, bucket_day) AS n
+      FROM d
+    )
+    SELECT event_type, bucket_day, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= ceil(0.50 * n) THEN (bin + 1) * 8.0 END) AS DOUBLE) AS p50_ub,
+           CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN (bin + 1) * 8.0 END) AS DOUBLE) AS p95_ub,
+           CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN (bin + 1) * 8.0 END) AS DOUBLE) AS p99_ub
+    FROM cum GROUP BY event_type, bucket_day
+    """
+
+
+@register("hist_quantile_rollup", oracle=_HIST_QUANTILE_SQL)
+def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HIST_QUANTILE_SQL)
+
+
+hist_quantile_rollup.__doc__ = (
+    "Per-(type, day) p50/p95/p99 upper bounds from hour-level fixed-bin "
+    "histogram partials merged by count-sum — the mergeable quantile "
+    "ladder; see module comment above _HIST_QUANTILE_SQL."
+)

@@ -92,3 +92,45 @@ def test_mysql_binary_datetime_ms_decode():
     assert _binary_datetime_ms(raw4) == 1691107200000  # midnight
     with pytest.raises(ValueError):
         _binary_datetime_ms(struct.pack("<HBB", 2023, 13, 4) + bytes([0, 0, 0]))
+
+
+def test_hist_quantile_rollup_mergeability(spark):
+    # hour-level histogram partials merged to day must give the SAME
+    # quantiles as binning the raw day directly — the mergeability
+    # property that lets the ladder answer day/week/month by count-sum
+    import datetime
+
+    import numpy as np
+
+    from incubator_horaedb_spark.querybank.timeseries import _HIST_QUANTILE_SQL
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            "t",
+            datetime.datetime(2024, 1, 1 + int(i % 2), int(i % 24)),
+            float(v),
+        )
+        for i, v in enumerate(rng.uniform(0, 700, 500))
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    df.createOrReplaceTempView("events")
+    got = {
+        (r["event_type"], r["bucket_day"]): (r["n"], r["p50_ub"], r["p95_ub"], r["p99_ub"])
+        for r in spark.sql(_HIST_QUANTILE_SQL).collect()
+    }
+    # direct single-pass reference: bin the raw rows per day, same CDF rule
+    import collections
+    import math
+
+    byday = collections.defaultdict(list)
+    for _t, ts, v in rows:
+        byday[ts.date()].append(min(127, max(0, math.floor(v / 8.0))))
+    for day, bins in byday.items():
+        n = len(bins)
+        bins.sort()
+        expect = []
+        for q in (0.50, 0.95, 0.99):
+            k = math.ceil(q * n)
+            expect.append((bins[k - 1] + 1) * 8.0)
+        assert got[("t", day)] == (n, *expect), day
