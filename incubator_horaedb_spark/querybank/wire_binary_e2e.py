@@ -557,3 +557,160 @@ def wire_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, sum_value, n_users, oldest_ts, newest_ms)], schema
     )
+
+
+# --- binary COPY roundtrip gate --------------------------------------------
+# The bulk twin of wire_binary_roundtrip: copy_load_ingest_read proves the
+# TEXT COPY/LOAD paths, wire_binary_roundtrip the binary prepared/portal
+# paths; this gate closes binary COPY (r11) — a third disjoint fixture
+# slice streams in as a hand-framed PGCOPY binary stream (typed big-endian
+# fields, timestamps as 2000-epoch µs, NULLs as -1 lengths) and the
+# verification aggregate reads back through COPY (SELECT ...) TO STDOUT
+# (FORMAT binary), decoded client-side into the compared DataFrame.
+
+_CPB_PRED = "event_type = 'signup' AND (user_id % 5) = 2"
+_CPB_STATE: dict = {"sf_dir": None, "table": None, "store": None}
+
+
+def _pgcopy_binary_payload(rows) -> bytes:
+    out = [b"PGCOPY\n\xff\r\n\x00" + struct.pack("!II", 0, 0)]
+    for r in rows:
+        cells = [
+            str(r.event_id).encode(),
+            str(r.event_type).encode(),
+            None if r.props is None else r.props.encode(),
+            None if r.value is None else struct.pack("!d", r.value),
+            struct.pack("!q", r.user_id),
+            struct.pack("!q", r.us - _PG_EPOCH_US),
+        ]
+        body = struct.pack("!h", len(cells))
+        for cell in cells:
+            if cell is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!i", len(cell)) + cell
+        out.append(body)
+    out.append(struct.pack("!h", -1))
+    return b"".join(out)
+
+
+def _copy_binary_table(spark: SparkSession, sf_dir: str):
+    from incubator_horaedb_spark.frontends.sql_shim import Engine
+    from incubator_horaedb_spark.querybank.wire_e2e import _PgBulk
+    from incubator_horaedb_spark.wire.postgresql import PostgresServer
+
+    if _CPB_STATE["sf_dir"] == sf_dir and _CPB_STATE["table"] is not None:
+        eng = _CPB_STATE["table"]
+        if eng.spark is spark:
+            return eng
+    _ts_read_confs(spark)
+    store = _new_store("sg_copy_bin_", _CPB_STATE)
+    engine = Engine(spark, store)
+    name = "ev_cpb"
+    srv = PostgresServer(engine).start()
+    try:
+        pg = _PgBulk(srv.port)
+        try:
+            pg.query(
+                f"CREATE TABLE IF NOT EXISTS {name} ("
+                "event_id string TAG, event_type string TAG, props string TAG, "
+                "value double, user_id bigint, ts timestamp NOT NULL, "
+                "timestamp KEY(ts)) WITH (enable_ttl='false')"
+            )
+            rows = _fixture_rows(spark, sf_dir, _CPB_PRED)
+            pg.copy_in(
+                f"COPY {name} (event_id, event_type, props, value, user_id, ts) "
+                "FROM STDIN WITH (FORMAT binary)",
+                _pgcopy_binary_payload(rows),
+            )
+        finally:
+            pg.close()
+    finally:
+        srv.stop()
+    _CPB_STATE["sf_dir"] = sf_dir
+    _CPB_STATE["table"] = engine
+    return engine
+
+
+_CPB_READ_SPARK = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           {r_out_sql("sum(" + dyadic_sql("value", 20) + ")", 6)} AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(ts) AS oldest_ts,
+           CAST(max(unix_millis(ts)) AS BIGINT) AS newest_ms
+    FROM ev_cpb
+    """
+
+_CPB_ORACLE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           {r_out_sql("sum(" + dyadic_sql("value", 20) + ")", 6)} AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           make_timestamp(CAST(min(epoch_ms(ts)) AS BIGINT) * 1000) AS oldest_ts,
+           CAST(max(epoch_ms(ts)) AS BIGINT) AS newest_ms
+    FROM events
+    WHERE {_CPB_PRED}
+    """
+
+
+@register("copy_binary_ingest_read", oracle=_CPB_ORACLE)
+def copy_binary_ingest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary COPY roundtrip gate: the fixture slice streams in through a
+    real PG socket as COPY FROM STDIN (FORMAT binary) — PGCOPY signature,
+    typed big-endian fields, 2000-epoch-µs timestamps, NULL bitmap-free
+    -1 lengths (postgresql.py:_copy_decode_binary) — and the aggregate
+    reads back through COPY (SELECT ...) TO STDOUT (FORMAT binary)
+    (postgresql.py:_copy_binary_cell), decoded client-side.  Corruption
+    anywhere in frame→decode→store→aggregate→encode→decode shows as a
+    hash mismatch against the raw-events oracle."""
+    from incubator_horaedb_spark.querybank.wire_e2e import _PgBulk
+    from incubator_horaedb_spark.wire.postgresql import PostgresServer
+
+    engine = _copy_binary_table(spark, sf_dir)
+    srv = PostgresServer(engine).start()
+    try:
+        pg = _PgBulk(srv.port)
+        try:
+            dump = pg.copy_out(
+                f"COPY ({_CPB_READ_SPARK.strip()}) TO STDOUT WITH (FORMAT binary)"
+            )
+        finally:
+            pg.close()
+    finally:
+        srv.stop()
+    if not dump.startswith(b"PGCOPY\n\xff\r\n\x00"):
+        raise RuntimeError("COPY TO binary: bad signature")
+    off = 11 + 8
+    (nf,) = struct.unpack_from("!h", dump, off)
+    off += 2
+    if nf != 5:
+        raise RuntimeError(f"COPY TO binary: expected 5 fields, got {nf}")
+    cells = []
+    for _ in range(nf):
+        (ln,) = struct.unpack_from("!i", dump, off)
+        off += 4
+        if ln == -1:
+            cells.append(None)
+            continue
+        cells.append(dump[off : off + ln])
+        off += ln
+    (trailer,) = struct.unpack_from("!h", dump, off)
+    if trailer != -1:
+        raise RuntimeError("COPY TO binary: missing trailer")
+    n_rows = struct.unpack("!q", cells[0])[0]
+    sum_value = None if cells[1] is None else struct.unpack("!d", cells[1])[0]
+    n_users = struct.unpack("!q", cells[2])[0]
+    ts_us = struct.unpack("!q", cells[3])[0] + _PG_EPOCH_US
+    oldest_ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=ts_us)
+    newest_ms = struct.unpack("!q", cells[4])[0]
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("n_users", T.LongType()),
+            T.StructField("oldest_ts", T.TimestampType()),
+            T.StructField("newest_ms", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n_rows, sum_value, n_users, oldest_ts, newest_ms)], schema
+    )

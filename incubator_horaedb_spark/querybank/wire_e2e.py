@@ -132,6 +132,24 @@ class _PgBulk:
             raise RuntimeError(f"pg COPY: {err}")
         return tag or ""
 
+    def copy_out(self, sql: str) -> bytes:
+        """COPY ... TO STDOUT exchange; returns the concatenated CopyData
+        payload (text lines or the PGCOPY binary stream)."""
+        self._send(sql)
+        chunks: list[bytes] = []
+        err = None
+        while True:
+            t, b = self._read()
+            if t == b"d":
+                chunks.append(b)
+            elif t == b"E":
+                err = self._err(b)
+            elif t == b"Z":
+                break
+        if err is not None:
+            raise RuntimeError(f"pg COPY TO: {err}")
+        return b"".join(chunks)
+
     def close(self) -> None:
         try:
             self.sock.sendall(b"X" + struct.pack("!I", 4))

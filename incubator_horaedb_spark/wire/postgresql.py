@@ -835,21 +835,27 @@ class PostgresServer:
     # Beyond-reference like the extended protocol: the reference's pgwire
     # handler is simple-query-only (handler.rs:44), but COPY FROM STDIN is
     # the standard PG bulk-load path (psql \copy, psycopg copy_expert),
-    # and a time-series engine's ingest story needs it.  Text and CSV
-    # formats; binary COPY format is rejected with a clear error.
+    # and a time-series engine's ingest story needs it.  Text, CSV, and
+    # (r11) binary formats — the PGCOPY stream with typed big-endian
+    # fields, the form psycopg3's copy() uses by default.
 
     def _copy_in(self, conn: _Conn, cp: dict) -> int:
         """COPY <table> [(cols)] FROM STDIN: CopyInResponse, absorb
         CopyData until CopyDone/CopyFail, then parse + type + write
         through the engine's INSERT path (one distributed write per COPY
-        statement, not per row)."""
+        statement, not per row).  FORMAT binary decodes the PGCOPY
+        stream (signature + flags + typed big-endian fields; timestamps
+        as 2000-epoch µs) straight to typed values — no text layer."""
         if cp["query"] is not None:
             raise ValueError("COPY FROM supports a table name, not a query")
         meta = self.engine.catalog.get(cp["table"])
         cols = cp["cols"] or [c.name for c in meta.schema.columns]
         for c in cols:
             meta.schema.column(c)  # unknown column → error before CopyIn
-        conn.send(b"G", struct.pack("!bh", 0, len(cols)) + b"\x00\x00" * len(cols))
+        ofmt = 1 if cp["fmt"] == "binary" else 0
+        conn.send(
+            b"G", struct.pack("!bh", ofmt, len(cols)) + struct.pack("!h", ofmt) * len(cols)
+        )
         chunks: list[bytes] = []
         failed: str | None = None
         while True:
@@ -872,8 +878,14 @@ class PostgresServer:
             raise ValueError(f"COPY aborted by client: {failed}")
         from incubator_horaedb_spark.wire.rowtext import typed_cell
 
-        cells_rows = _copy_decode(b"".join(chunks), cp)
         kinds = [meta.schema.column(c).kind for c in cols]  # hoisted (r9 #8)
+        if cp["fmt"] == "binary":
+            rows = [
+                dict(zip(cols, cells))
+                for cells in _copy_decode_binary(b"".join(chunks), kinds, cols)
+            ]
+            return self.engine.insert_rows(cp["table"], cols, rows)
+        cells_rows = _copy_decode(b"".join(chunks), cp)
         rows = []
         for lineno, cells in enumerate(cells_rows, 1):
             if len(cells) != len(cols):
@@ -890,13 +902,37 @@ class PostgresServer:
 
     def _copy_out(self, conn: _Conn, cp: dict) -> int:
         """COPY <table>|(query) [(cols)] TO STDOUT: CopyOutResponse + one
-        CopyData per row.  Values use the server's text encoding
-        (timestamps as epoch-ms i64, handler.rs parity) in both formats."""
+        CopyData per row.  Text/csv values use the server's text encoding
+        (timestamps as epoch-ms i64, handler.rs parity); FORMAT binary
+        emits the PGCOPY stream (typed big-endian fields, timestamps as
+        2000-epoch µs, bytea raw) so a binary dump round-trips through
+        COPY FROM byte-exactly."""
         if cp["query"] is not None:
             df = self.engine.execute_sql(cp["query"])
         else:
             sel = ", ".join(f"`{c}`" for c in cp["cols"]) if cp["cols"] else "*"
             df = self.engine.execute_sql(f"SELECT {sel} FROM `{cp['table']}`")
+        if cp["fmt"] == "binary":
+            exprs, kinds = _wire_exprs(df)
+            names = [f.name for f in df.schema.fields]
+            rows = df.select(*exprs).collect()
+            ncols = len(names)
+            conn.send(
+                b"H", struct.pack("!bh", 1, ncols) + struct.pack("!h", 1) * ncols
+            )
+            conn.send(b"d", _COPY_BIN_MAGIC + struct.pack("!II", 0, 0))
+            for row in rows:
+                body = struct.pack("!h", ncols)
+                for v, kind, name in zip(row, kinds, names):
+                    if v is None:
+                        body += struct.pack("!i", -1)
+                    else:
+                        s = _copy_binary_cell(v, kind, name)
+                        body += struct.pack("!i", len(s)) + s
+                conn.send(b"d", body)
+            conn.send(b"d", struct.pack("!h", -1))  # file trailer
+            conn.send(b"c")  # CopyDone
+            return len(rows)
         rows = df.select(*_text_exprs(df, binary_hex=True)).collect()
         ncols = len(df.columns)
         conn.send(b"H", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
@@ -1092,16 +1128,113 @@ def _is_cancelled(e: Exception, conn: _Conn) -> bool:
 
 # --------------------------------------------------------------- COPY --
 
+# PG binary COPY file signature (the PGCOPY magic + flags + extension
+# header precede the tuples; a -1 field count terminates the stream)
+_COPY_BIN_MAGIC = b"PGCOPY\n\xff\r\n\x00"
+_COPY_INT_FMT = {1: "!b", 2: "!h", 4: "!i", 8: "!q"}
+
+
+def _copy_binary_cell(v, kind: str, name: str) -> bytes:
+    """One COPY binary field from a `_wire_exprs` value.  Same encodings
+    as the binary RESULT path, plus text columns as raw UTF-8 (binary
+    COPY carries every type; binary resultsets deliberately reject
+    strings because clients default them to text)."""
+    if kind == "string":
+        return str(v).encode()
+    return _encode_binary_result(v, kind, name)
+
+
+def _decode_copy_binary_cell(raw: bytes, kind: str, col: str):
+    """One COPY binary field → the typed value Engine.insert_rows expects
+    for the SCHEMA kind (note: schema kinds, not Spark typeNames)."""
+    if kind == "string":
+        return raw.decode("utf-8")
+    if kind == "varbinary":
+        return bytes(raw)
+    if kind == "boolean":
+        if len(raw) != 1:
+            raise ValueError(f"COPY binary: bool column {col} must be 1 byte")
+        return bool(raw[0])
+    if kind == "double":
+        if len(raw) != 8:
+            raise ValueError(f"COPY binary: double column {col} must be 8 bytes")
+        return struct.unpack("!d", raw)[0]
+    if kind == "float":
+        if len(raw) != 4:
+            raise ValueError(f"COPY binary: float column {col} must be 4 bytes")
+        return struct.unpack("!f", raw)[0]
+    if kind == "timestamp":
+        if len(raw) != 8:
+            raise ValueError(f"COPY binary: timestamp column {col} must be 8 bytes")
+        (us,) = struct.unpack("!q", raw)
+        return (us + _PG_EPOCH_US) // 1000  # engine epoch-ms grain
+    # integer kinds (bigint/int/smallint/tinyint/uint*): width-dispatched
+    fmt = _COPY_INT_FMT.get(len(raw))
+    if fmt is None:
+        raise ValueError(
+            f"COPY binary: integer column {col} has invalid width {len(raw)}"
+        )
+    return struct.unpack(fmt, raw)[0]
+
+
+def _copy_decode_binary(data: bytes, kinds: list[str], cols: list[str]) -> list[list]:
+    """PGCOPY stream → typed rows.  Critical header flags (the upper 16
+    bits, e.g. the pre-8.3 OIDs-in-data bit) reject; the header extension
+    area is skipped per spec."""
+    if not data.startswith(_COPY_BIN_MAGIC):
+        raise ValueError("COPY binary: bad signature (expected PGCOPY magic)")
+    off = len(_COPY_BIN_MAGIC)
+    if len(data) < off + 8:
+        raise ValueError("COPY binary: truncated header")
+    (flags,) = struct.unpack_from("!I", data, off)
+    off += 4
+    if flags & 0xFFFF0000:
+        raise ValueError("COPY binary: unsupported critical header flags")
+    (extlen,) = struct.unpack_from("!I", data, off)
+    off += 4 + extlen
+    rows: list[list] = []
+    while True:
+        if len(data) < off + 2:
+            raise ValueError("COPY binary: stream ends without the -1 trailer")
+        (nf,) = struct.unpack_from("!h", data, off)
+        off += 2
+        if nf == -1:
+            break
+        if nf != len(cols):
+            raise ValueError(
+                f"COPY row {len(rows) + 1}: expected {len(cols)} fields, got {nf}"
+            )
+        cells: list = []
+        for c, kind in zip(cols, kinds):
+            if len(data) < off + 4:
+                raise ValueError(f"COPY binary: truncated field {c}")
+            (ln,) = struct.unpack_from("!i", data, off)
+            off += 4
+            if ln == -1:
+                cells.append(None)
+                continue
+            if ln < 0 or len(data) < off + ln:
+                raise ValueError(f"COPY binary: truncated field {c}")
+            try:
+                cells.append(_decode_copy_binary_cell(data[off : off + ln], kind, c))
+            except (UnicodeDecodeError, struct.error) as e:
+                raise ValueError(f"COPY binary: column {c}: {e}") from None
+            off += ln
+        rows.append(cells)
+    return rows
+
+
 def _parse_copy(sql: str) -> dict | None:
     """Parse ``COPY <table>[(cols)] FROM STDIN [opts]`` / ``COPY
     <table>|(query) [(cols)] TO STDOUT [opts]``.  Returns None when the
     statement is not a STDIN/STDOUT COPY (file-target COPY falls through
     to the engine, which rejects it as an unsupported statement).
 
-    Options: new-style ``WITH (FORMAT text|csv, HEADER [bool], DELIMITER
-    'c', NULL 's')`` and the legacy bare forms (``CSV HEADER``,
-    ``DELIMITER E'\\t'``).  FORMAT binary and the quoting-control options
-    (QUOTE/ESCAPE/FORCE_*) are rejected with a clear error."""
+    Options: new-style ``WITH (FORMAT text|csv|binary, HEADER [bool],
+    DELIMITER 'c', NULL 's')`` and the legacy bare forms (``CSV HEADER``,
+    ``DELIMITER E'\\t'``).  BINARY rejects the text-only options like
+    real PG; the quoting-control options (QUOTE/ESCAPE/FORCE_*) are
+    rejected with a clear error."""
     s = sql.strip().rstrip(";").strip()
     if not re.match(r"^copy\b", s, re.I):
         return None
@@ -1166,9 +1299,7 @@ def _parse_copy(sql: str) -> dict | None:
         elif t == "format":
             k += 1
             if k >= len(toks) or toks[k].lower() not in ("text", "csv", "binary"):
-                raise ValueError("COPY: FORMAT must be text or csv")
-            if toks[k].lower() == "binary":
-                raise ValueError("COPY: FORMAT binary is not supported (use text or csv)")
+                raise ValueError("COPY: FORMAT must be text, csv, or binary")
             cp["fmt"] = toks[k].lower()
             k += 1
         elif t == "csv":
@@ -1178,7 +1309,8 @@ def _parse_copy(sql: str) -> dict | None:
             cp["fmt"] = "text"
             k += 1
         elif t == "binary":
-            raise ValueError("COPY: FORMAT binary is not supported (use text or csv)")
+            cp["fmt"] = "binary"
+            k += 1
         elif t == "header":
             k += 1
             if k < len(toks) and toks[k].lower() in ("true", "false", "on", "off"):
@@ -1199,6 +1331,11 @@ def _parse_copy(sql: str) -> dict | None:
             k += 1
         else:
             raise ValueError(f"COPY: unsupported option {toks[k]!r}")
+    if cp["fmt"] == "binary":
+        # real PG: "cannot specify HEADER/DELIMITER/NULL in BINARY mode"
+        if cp["header"] or cp["delim"] is not None or cp["null"] is not None:
+            raise ValueError("COPY: cannot specify HEADER/DELIMITER/NULL in BINARY mode")
+        return cp
     if cp["delim"] is None:
         cp["delim"] = "," if cp["fmt"] == "csv" else "\t"
     if cp["null"] is None:

@@ -817,11 +817,97 @@ def test_pg_copy_out_text_and_csv(pg_copy):
     assert b"".join(out).decode() == 'name,v\na,1.5\n"b,c",2.5\n'
 
 
+_PGCOPY_MAGIC = b"PGCOPY\n\xff\r\n\x00"
+
+
+def _bin_copy_payload(rows):
+    """Hand-framed PGCOPY stream: rows are lists of pre-encoded field
+    bytes (or None)."""
+    out = _PGCOPY_MAGIC + struct.pack("!II", 0, 0)
+    for cells in rows:
+        out += struct.pack("!h", len(cells))
+        for cell in cells:
+            if cell is None:
+                out += struct.pack("!i", -1)
+            else:
+                out += struct.pack("!i", len(cell)) + cell
+    return out + struct.pack("!h", -1)
+
+
+def test_pg_copy_binary_in_and_roundtrip(pg_copy):
+    # COPY FROM STDIN (FORMAT binary): typed big-endian fields, timestamps
+    # as 2000-epoch µs, NULL via -1 length (r11)
+    c = pg_copy
+    pg_epoch_us = 946_684_800_000_000
+    ts1 = (1691116127622 * 1000) - pg_epoch_us
+    ts2 = (1691116127623 * 1000) - pg_epoch_us
+    payload = _bin_copy_payload(
+        [
+            [b"alpha", struct.pack("!d", 1.5), b"\x01", struct.pack("!q", ts1)],
+            [None, struct.pack("!d", 2.5), None, struct.pack("!q", ts2)],
+        ]
+    )
+    tag, resp, _, err = _copy_query(
+        c, "COPY cpy (name, v, flag, t) FROM STDIN WITH (FORMAT binary)", payload
+    )
+    assert err is None and tag == "COPY 2"
+    fmt, ncols = struct.unpack_from("!bh", resp, 0)
+    assert fmt == 1 and ncols == 4  # binary overall + per-column codes
+    _, _, rows = c.query("select name, v, flag, t from cpy order by t")
+    assert rows == [
+        ("alpha", "1.5", "t", "1691116127622"),
+        (None, "2.5", None, "1691116127623"),
+    ]
+    # COPY TO STDOUT (FORMAT binary) → dump → COPY FROM round-trips exactly
+    tag, resp, out, err = _copy_query(
+        c, "COPY cpy (name, v, flag, t) TO STDOUT WITH (FORMAT binary)"
+    )
+    assert err is None and tag == "COPY 2"
+    fmt, ncols = struct.unpack_from("!bh", resp, 0)
+    assert fmt == 1 and ncols == 4
+    dump = b"".join(out)
+    assert dump.startswith(_PGCOPY_MAGIC) and dump.endswith(struct.pack("!h", -1))
+    c.query("CREATE TABLE cpy2 (name string TAG, v double, flag boolean, "
+            "t timestamp NOT NULL, timestamp KEY(t)) WITH (enable_ttl='false')")
+    tag, _, _, err = _copy_query(
+        c, "COPY cpy2 (name, v, flag, t) FROM STDIN WITH (FORMAT binary)", dump
+    )
+    assert err is None and tag == "COPY 2"
+    _, _, rows2 = c.query("select name, v, flag, t from cpy2 order by t")
+    assert rows2 == rows
+
+
+def test_pg_copy_binary_errors(pg_copy):
+    c = pg_copy
+    # bad signature → clean statement error, connection stays usable
+    tag, _, _, err = _copy_query(
+        c, "COPY cpy FROM STDIN WITH (FORMAT binary)", b"NOTPGCOPY"
+    )
+    assert err is not None and "signature" in err
+    # critical header flags reject
+    bad = _PGCOPY_MAGIC + struct.pack("!II", 1 << 16, 0) + struct.pack("!h", -1)
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN WITH (FORMAT binary)", bad)
+    assert err is not None and "flags" in err
+    # wrong field count reports the row
+    payload = _bin_copy_payload([[b"x", struct.pack("!d", 1.0)]])
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN WITH (FORMAT binary)", payload)
+    assert err is not None and "expected 4 fields" in err
+    # missing trailer
+    payload = _PGCOPY_MAGIC + struct.pack("!II", 0, 0)
+    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN WITH (FORMAT binary)", payload)
+    assert err is not None and "trailer" in err
+    # text-only options forbidden in binary mode, like real PG
+    tag, _, _, err = _copy_query(
+        c, "COPY cpy FROM STDIN WITH (FORMAT binary, HEADER)", b""
+    )
+    assert err is not None and "BINARY" in err
+    # connection still healthy
+    _, _, rows = c.query("select count(*) as n from cpy")
+    assert rows == [("0",)]
+
+
 def test_pg_copy_errors(pg_copy):
     c = pg_copy
-    # FORMAT binary → clear rejection, connection stays usable
-    tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN WITH (FORMAT binary)", b"")
-    assert err is not None and "binary" in err
     # arity mismatch reports the line
     tag, _, _, err = _copy_query(c, "COPY cpy FROM STDIN", b"only_one_cell\n")
     assert err is not None and "line 1" in err
