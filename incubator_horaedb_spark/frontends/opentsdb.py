@@ -35,17 +35,38 @@ _AGGREGATORS = {
 
 @dataclass
 class OpenTsdbFilter:
-    type: str  # literal_or | not_literal_or
+    type: str  # literal_or | not_literal_or | iliteral_or | not_iliteral_or
+    #           | wildcard | iwildcard | regexp (OpenTSDB 2.x filter set;
+    #           the reference exposes only the literal forms, mod.rs:103-116)
     tagk: str
-    filter: str  # pipe-separated values, e.g. "web01|web02"
+    filter: str  # pipe-separated values, or a *-glob, or a regex
 
     def to_column(self) -> Column:
-        values = self.filter.split("|")
         col = F.col(self.tagk)
-        if self.type == "literal_or":
-            return col.isin(values)
-        if self.type == "not_literal_or":
-            return ~col.isin(values)
+        kind = self.type.lower()
+        if kind in ("literal_or", "not_literal_or", "iliteral_or", "not_iliteral_or"):
+            values = self.filter.split("|")
+            if kind.endswith("iliteral_or"):
+                col = F.lower(col)
+                values = [v.lower() for v in values]
+            cond = col.isin(values)
+            return ~cond if kind.startswith("not_") else cond
+        if kind in ("wildcard", "iwildcard"):
+            # OpenTSDB glob: '*' matches anything; translate to SQL LIKE
+            # with LIKE's own metacharacters escaped (a literal % or _ in
+            # a tag value must not act as a wildcard)
+            pat = (
+                self.filter.replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+                .replace("*", "%")
+            )
+            if kind == "iwildcard":
+                return F.lower(col).like(pat.lower())
+            return col.like(pat)
+        if kind == "regexp":
+            # OpenTSDB uses Java Pattern.matches (FULL match) — anchor
+            return col.rlike(f"^(?:{self.filter})$")
         raise ValueError(f"unsupported filter type {self.type!r}")
 
 

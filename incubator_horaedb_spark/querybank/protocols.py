@@ -789,3 +789,57 @@ def opentsdb_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (df,) = query_to_dfs(ev, request)
     return df.select("event_type", "ts", r_out("value", 8).alias("value"))
+
+
+
+@register(
+    "opentsdb_filter_types",
+    oracle=f"""
+    SELECT event_type,
+           {date_bin_sql(3600000, 'ts')} AS ts,
+           {r_out_sql("avg(" + dyadic_sql('value', BITS_SMALL) + ")", 4)} AS value
+    FROM events
+    WHERE epoch_ms(ts) >= {_START} AND epoch_ms(ts) <= {_END}
+      AND event_type LIKE '%i%'
+      AND regexp_full_match(event_type, 'click|view|error')
+    GROUP BY 1, 2
+    """,
+)
+def opentsdb_filter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTSDB 2.x filter types beyond the reference's literal set
+    (mod.rs:103-116 has only literal_or/not_literal_or): a WILDCARD
+    filter (*-glob -> SQL LIKE with LIKE metachars escaped, groupBy=True)
+    intersected with a REGEXP filter (Java Pattern.matches semantics ->
+    anchored rlike), over the standard 1h-avg downsample.  Both filters
+    reach the scan as pushable string predicates."""
+    request = parse_query_request(
+        {
+            "start": _START,
+            "end": _END,
+            "queries": [
+                {
+                    "metric": "events",
+                    "aggregator": "avg",
+                    "downsample": "1h-avg",
+                    "filters": [
+                        {
+                            "type": "wildcard",
+                            "tagk": "event_type",
+                            "filter": "*i*",
+                            "groupBy": True,
+                        },
+                        {
+                            "type": "regexp",
+                            "tagk": "event_type",
+                            "filter": "click|view|error",
+                        },
+                    ],
+                }
+            ],
+        }
+    )
+    ev = load_time_range(spark, sf_dir, "events", "ts", lo=_START, hi=_END).withColumn(
+        "value", dyadic("value", BITS_SMALL)
+    )
+    (df,) = query_to_dfs(ev, request)
+    return df.select("event_type", "ts", r_out("value", 4).alias("value"))

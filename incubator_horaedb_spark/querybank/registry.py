@@ -272,7 +272,7 @@ DRIVER_ORDER = [
     # represented by the locf rep above; snapshot_compacted_read took the
     # interp slot, and fill(linear) landed after the window was sized)
     "time_bucket_gapfill_interp", "influxql_fill_linear",
-    "hist_quantile_rollup", "copy_binary_ingest_read",
+    "hist_quantile_rollup", "copy_binary_ingest_read", "opentsdb_filter_types",
     # ------------------------------------------------------------------
     # round-11 demotions (ALL driver-green r10, locally gated every
     # round): the r10 window's first-timers

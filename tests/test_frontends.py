@@ -434,3 +434,38 @@ def test_influxql_fill_linear_interpolates_gaps(spark):
     assert got[("a", 1)] == 20.0 and got[("a", 2)] == 30.0
     assert got[("b", 1)] == 5.0
     assert got[("b", 0)] is None and got[("b", 2)] is None and got[("b", 3)] is None
+
+
+def test_opentsdb_filter_types(spark):
+    # OpenTSDB 2.x filter set beyond the reference's literal forms:
+    # wildcard globs (LIKE metachars escaped), case-insensitive variants,
+    # full-match regexp (Java Pattern.matches semantics)
+    from incubator_horaedb_spark.frontends.opentsdb import OpenTsdbFilter
+
+    df = spark.createDataFrame(
+        [("web01",), ("Web02",), ("db%1",), ("api_3",), ("apiX3",)], ["host"]
+    )
+
+    def names(flt):
+        return sorted(r["host"] for r in df.filter(flt.to_column()).collect())
+
+    assert names(OpenTsdbFilter("wildcard", "host", "web*")) == ["web01"]
+    assert names(OpenTsdbFilter("iwildcard", "host", "web*")) == ["Web02", "web01"]
+    # a literal % or _ in the glob must not act as a LIKE wildcard
+    assert names(OpenTsdbFilter("wildcard", "host", "db%*")) == ["db%1"]
+    assert names(OpenTsdbFilter("wildcard", "host", "api_*")) == ["api_3"]
+    # regexp is a FULL match: 'web0' alone matches nothing
+    assert names(OpenTsdbFilter("regexp", "host", "web0")) == []
+    assert names(OpenTsdbFilter("regexp", "host", "web0.|api.3")) == [
+        "apiX3", "api_3", "web01",
+    ]
+    assert names(OpenTsdbFilter("iliteral_or", "host", "WEB01|web02")) == [
+        "Web02", "web01",
+    ]
+    assert names(OpenTsdbFilter("not_iliteral_or", "host", "WEB01|web02")) == [
+        "apiX3", "api_3", "db%1",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        OpenTsdbFilter("nope", "host", "x").to_column()
