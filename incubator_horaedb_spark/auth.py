@@ -72,10 +72,16 @@ class AuthWithFile:
             return False
         user, password = decoded.split(":", 1)
         # constant-time comparison: dict.get == password leaks the match
-        # prefix length through timing; unknown user still compares against
-        # "" so the reject path costs the same either way
+        # prefix length through timing.  Compare UTF-8 BYTES — compare_digest
+        # on str raises TypeError for non-ASCII input, which would abort the
+        # connection instead of returning 401 and lock out legitimate
+        # non-ASCII passwords (ADVICE r11).  Evaluate the digest compare
+        # UNCONDITIONALLY before AND-ing with membership: `user in self.users
+        # and ...` would short-circuit and reopen the username-enumeration
+        # timing signal this path exists to close (ADVICE r11).
         import hmac
 
-        return user in self.users and hmac.compare_digest(
-            self.users.get(user, ""), password
+        ok = hmac.compare_digest(
+            self.users.get(user, "").encode("utf-8"), password.encode("utf-8")
         )
+        return ok and user in self.users

@@ -126,11 +126,15 @@ def subquery_to_df(
         .agg(agg_fn(value_col).alias(value_col))
     )
     if sub.rate:
-        # OpenTSDB `rate` option (beyond-reference: the reference's
-        # SubQuery type carries no rate flag): per-series first
-        # difference per second over the downsampled series — emitted
-        # from the second point, like OpenTSDB.  One window sharing the
-        # series key; bucket timestamps are exact integers.
+        # OpenTSDB `rate` option.  The reference PARSES `rate: bool` on
+        # its SubQuery (opentsdb/types.rs:38) but never uses it in
+        # planning (subquery_to_plan, opentsdb/mod.rs:137-200 ignores
+        # it), same as `msResolution` (types.rs:51-52, parsed-but-unused)
+        # — so actually computing rate here goes beyond the reference:
+        # per-series first difference per second over the downsampled
+        # series — emitted from the second point, like OpenTSDB.  One
+        # window sharing the series key; bucket timestamps are exact
+        # integers.
         from pyspark.sql import Window
 
         w = Window.partitionBy(

@@ -710,6 +710,94 @@ def influxql_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "influxql_transform_over_fill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {date_bin_sql(_LIN_STEP, 'ts')} AS time,
+             event_type,
+             sum({dyadic_sql('value', BITS_SMALL)}) AS s
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        AND (user_id % 20) = 3
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT make_timestamp(g.ms * 1000) AS time, t.event_type
+      FROM (SELECT unnest(generate_series({_LIN_START}, {_LIN_END - _LIN_STEP},
+                                          {_LIN_STEP})) AS ms) g
+      CROSS JOIN (SELECT DISTINCT event_type FROM agg) t
+    ),
+    j AS (
+      SELECT grid.time, grid.event_type, agg.s
+      FROM grid LEFT JOIN agg USING (time, event_type)
+    ),
+    f AS (
+      SELECT time, event_type, s,
+             last_value(s IGNORE NULLS) OVER wp AS pv,
+             first_value(s IGNORE NULLS) OVER wn AS nv,
+             last_value(CASE WHEN s IS NOT NULL
+                             THEN CAST(epoch_ms(time) AS DOUBLE) END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(CASE WHEN s IS NOT NULL
+                              THEN CAST(epoch_ms(time) AS DOUBLE) END IGNORE NULLS)
+               OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    filled AS (
+      SELECT time, event_type,
+             coalesce(s, CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(epoch_ms(time) AS DOUBLE) - pt) / (nt - pt)
+             END) AS fv
+      FROM f
+    ),
+    t AS (
+      SELECT time, event_type,
+             (fv - lag(fv) OVER w)
+               / ((epoch_ms(time) - lag(epoch_ms(time)) OVER w) / 1000.0) AS d
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    )
+    SELECT time, event_type, {r_out_sql('d', 6)} AS derivative_value
+    FROM t WHERE d IS NOT NULL
+    """,
+)
+def influxql_transform_over_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed fill × transform (VERDICT r11 #7) —
+    `derivative(sum(value), 1s) .. GROUP BY time(6h), event_type
+    fill(linear)`: InfluxDB applies transforms AFTER fill, so the
+    derivative runs over the interpolated grid, not the sparse buckets —
+    interior gaps contribute the interpolated slope, and the grid's edge
+    buckets (no surrounding known pair → still NULL after fill(linear))
+    yield NULL derivatives whose rows drop, matching the engine pipeline's
+    order (`frontends/influxql.py`: `_fill_time_grid` before
+    `_apply_transforms`).  Source sparsified like influxql_fill_linear so
+    real gaps exist at every tier; every series keeps ≥2 known buckets,
+    so the filled interior is gap-free and lag-based derivative equals
+    InfluxDB's skip-nulls walk.  Both engines evaluate the identical
+    interpolation and quotient expression over exact dyadic sums → 6dp
+    tie-proof rounding hashes bit-for-bit.
+    Reference surface: iox transforms via influxql/planner.rs:51."""
+    ev = (
+        load_time_range(spark, sf_dir, "events", "ts", lo=_LIN_START, hi=_LIN_END)
+        .filter("(user_id % 20) = 3")
+        .withColumn("value", dyadic("value", BITS_SMALL))
+    )
+    df = influxql_to_df(
+        "SELECT derivative(sum(value), 1s) FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+        "GROUP BY time(6h), event_type fill(linear)",
+        {"events": ev},
+    )
+    return df.select(
+        "time", "event_type", r_out("derivative_value", 6).alias("derivative_value")
+    )
+
+
+@register(
     "influxql_show_tag_values",
     oracle="""
     SELECT 'event_type' AS key, event_type AS value

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic, r_out
+from incubator_horaedb_spark.functions.detfloat import (
+    BITS_MONEY,
+    BITS_SMALL,
+    dyadic,
+    r_out,
+    r_out_sql,
+)
 from incubator_horaedb_spark.querybank.registry import load, register
 
 
@@ -299,31 +305,34 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- approximate percentile (DataFusion approx_percentile_cont family) ----
-# Different sketch (Spark GK vs DuckDB t-digest), so no hash oracle; the
-# local harness value-checks each group within 5% of the exact quantile
-# (registry tolerance oracle, same mechanism as thetasketch).
+# Exact-by-construction gate (VERDICT r11 #3): the GK sketch's raw value
+# can't hash-match DuckDB's t-digest, so the hash lane carries (a) the
+# exact p95 (Spark `percentile` vs DuckDB `quantile_cont`, both linear
+# interpolation — deterministic to the quantization used everywhere else)
+# and (b) `within_5pct` — |approx − exact| ≤ 5%·exact, TRUE by the GK
+# error bound (accuracy 10000 → ≤0.01% rank error, orders of magnitude
+# inside the bound even under merge-order jitter).  A broken sketch flips
+# the boolean and the hash.  The GK path stays what's actually exercised:
+# mergeable partials, map-side combine, one small state per group across
+# the shuffle instead of the raw values.
 @register(
     "approx_percentile_price",
-    oracle=None,
-    tolerance=(
-        """
-        SELECT o_orderstatus,
-               quantile_cont(o_totalprice, 0.95) AS p95_approx
-        FROM orders GROUP BY o_orderstatus
-        """,
-        "p95_approx",
-        0.05,
-    ),
+    oracle=f"""
+    SELECT o_orderstatus,
+           {r_out_sql('quantile_cont(o_totalprice, 0.95)', 4)} AS p95_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
 )
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentile — the scale path for quantiles (GK sketch:
-    mergeable partials, map-side combine; one small state per group
-    crosses the shuffle instead of the raw values)."""
+    exact = F.expr("percentile(o_totalprice, 0.95)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.95, 10000)")
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("p95_approx")
+            r_out(exact, 4).alias("p95_exact"),
+            (F.abs(approx - exact) <= F.lit(0.05) * exact).alias("within_5pct"),
         )
     )
 

@@ -799,8 +799,17 @@ def _binary_datetime_ms(raw: bytes) -> int:
         hour, minute, second = raw[4], raw[5], raw[6]
     if len(raw) == 11:
         (micros,) = struct.unpack_from("<I", raw, 7)
-    if not (1 <= month <= 12 and 1 <= day <= 31):
-        raise ValueError(f"invalid datetime parameter {raw.hex()}")
+    # Validate the full calendar date + time-of-day: a bare month/day range
+    # check lets impossible dates (2023-02-30) through, which
+    # calendar.timegm silently normalizes to 2023-03-02 — real MySQL
+    # rejects invalid dates like the other malformed-parameter paths
+    # (ADVICE r11).
+    import datetime
+
+    try:
+        datetime.datetime(year, month, day, hour, minute, second)
+    except ValueError:
+        raise ValueError(f"invalid datetime parameter {raw.hex()}") from None
     secs = calendar.timegm((year, month, day, hour, minute, second, 0, 0, 0))
     return secs * 1000 + micros // 1000
 _NUM_LITERAL_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")

@@ -1133,6 +1133,25 @@ def _is_cancelled(e: Exception, conn: _Conn) -> bool:
 _COPY_BIN_MAGIC = b"PGCOPY\n\xff\r\n\x00"
 _COPY_INT_FMT = {1: "!b", 2: "!h", 4: "!i", 8: "!q"}
 
+# declared engine kind → admissible value range for COPY binary integer
+# fields (schema.py _TYPE_MAP widths; unsigned kinds are stored widened,
+# uint64 capped at the signed-long storage bound documented in SURVEY §1.2)
+_INT_KIND_RANGE = {
+    "tinyint": (-(2**7), 2**7 - 1),
+    "int8": (-(2**7), 2**7 - 1),
+    "smallint": (-(2**15), 2**15 - 1),
+    "int16": (-(2**15), 2**15 - 1),
+    "int": (-(2**31), 2**31 - 1),
+    "int32": (-(2**31), 2**31 - 1),
+    "bigint": (-(2**63), 2**63 - 1),
+    "int64": (-(2**63), 2**63 - 1),
+    "time": (-(2**63), 2**63 - 1),
+    "uint8": (0, 2**8 - 1),
+    "uint16": (0, 2**16 - 1),
+    "uint32": (0, 2**32 - 1),
+    "uint64": (0, 2**63 - 1),
+}
+
 
 def _copy_binary_cell(v, kind: str, name: str) -> bytes:
     """One COPY binary field from a `_wire_exprs` value.  Same encodings
@@ -1168,13 +1187,23 @@ def _decode_copy_binary_cell(raw: bytes, kind: str, col: str):
             raise ValueError(f"COPY binary: timestamp column {col} must be 8 bytes")
         (us,) = struct.unpack("!q", raw)
         return (us + _PG_EPOCH_US) // 1000  # engine epoch-ms grain
-    # integer kinds (bigint/int/smallint/tinyint/uint*): width-dispatched
+    # integer kinds (bigint/int/smallint/tinyint/uint*): the field width
+    # picks the struct format, but the decoded value must fit the DECLARED
+    # kind — real PG raises "incorrect binary data format" when an int8
+    # field is COPYed into an int4 column; silently storing the full long
+    # range would widen the column's contract (ADVICE r11).
     fmt = _COPY_INT_FMT.get(len(raw))
     if fmt is None:
         raise ValueError(
             f"COPY binary: integer column {col} has invalid width {len(raw)}"
         )
-    return struct.unpack(fmt, raw)[0]
+    v = struct.unpack(fmt, raw)[0]
+    rng = _INT_KIND_RANGE.get(kind)
+    if rng is not None and not (rng[0] <= v <= rng[1]):
+        raise ValueError(
+            f"COPY binary: value {v} out of range for {kind} column {col}"
+        )
+    return v
 
 
 def _copy_decode_binary(data: bytes, kinds: list[str], cols: list[str]) -> list[list]:

@@ -436,6 +436,31 @@ def test_influxql_fill_linear_interpolates_gaps(spark):
     assert got[("b", 0)] is None and got[("b", 2)] is None and got[("b", 3)] is None
 
 
+def test_influxql_transform_over_fill_golden(spark):
+    # InfluxDB applies transforms AFTER fill: derivative over a
+    # fill(linear) grid sees the interpolated values (VERDICT r11 #7).
+    # Series a: known buckets h0=10, h3=40 → filled h1=20, h2=30 →
+    # derivative(…, 1h) = 10 at h1, h2, h3 (h0 drops: no predecessor).
+    # Series b: single known point → no interpolated pair anywhere → every
+    # derivative NULL → b contributes no rows at all.
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), 10.0),
+        ("a", datetime.datetime(2024, 1, 1, 3), 40.0),
+        ("b", datetime.datetime(2024, 1, 1, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["tag", "ts", "v"])
+    out = influxql_to_df(
+        "SELECT derivative(sum(v), 1h) FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 04:00:00' "
+        "GROUP BY time(1h), tag fill(linear)",
+        {"m": df},
+    )
+    got = {(r["tag"], r["time"].hour): r["derivative_v"] for r in out.collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0}
+
+
 def test_opentsdb_filter_types(spark):
     # OpenTSDB 2.x filter set beyond the reference's literal forms:
     # wildcard globs (LIKE metachars escaped), case-insensitive variants,

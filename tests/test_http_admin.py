@@ -231,6 +231,19 @@ def test_auth_with_file(tmp_path):
     # scheme is a PREFIX match: a non-Basic scheme smuggling a valid
     # Basic blob later in the value must NOT authenticate
     assert not auth.identify("Bearer " + hdr("alice", "secret"))
+    # non-ASCII passwords authenticate (ADVICE r11: compare_digest on str
+    # raises TypeError for non-ASCII — the compare must run on UTF-8
+    # bytes, never abort the connection)
+    uni = tmp_path / "uni.csv"
+    uni.write_text("dana,pässwörd✓\n")
+    a2 = AuthWithFile(True, str(uni))
+    a2.load_credential()
+    assert a2.identify(hdr("dana", "pässwörd✓"))
+    assert not a2.identify(hdr("dana", "password"))
+    # a non-ASCII SUPPLIED password against an ASCII store → clean reject
+    assert not auth.identify(hdr("alice", "pässwörd"))
+    # unknown user with a non-ASCII password → clean reject, no exception
+    assert not a2.identify(hdr("nobody", "pässwörd✓"))
     # disabled auth admits everything, and load is a no-op (with_file.rs)
     off = AuthWithFile(False, "/nonexistent")
     off.load_credential()

@@ -7,6 +7,39 @@ from __future__ import annotations
 from incubator_horaedb_spark import querybank
 from incubator_horaedb_spark.querybank.registry import DRIVER_ORDER
 
+# The r12 window's 46 debt-clearing slots (the complete never-hash-green
+# set computed from CORRECTNESS_r1..r11 plus this round's new composed
+# gate).  PINNED AS A LITERAL — VERDICT r11 #1: the r11 version of this
+# test globbed ALL CORRECTNESS_r*.json files, so it self-invalidated the
+# moment the driver wrote the round's own artifact.  The never-seen claim
+# is a statement about rounds 1-11 only and must stay one.
+R12_PROMOTIONS = [
+    "influxql_transform_over_fill",
+    "hll_rollup_merge", "thetasketch_distinct_users", "approx_percentile_price",
+    "time_bucket_gapfill_interp", "hist_quantile_rollup", "time_to_conversion",
+    "influxql_fill_linear", "influxql_show_tag_values", "opentsdb_filter_types",
+    "copy_binary_ingest_read",
+    "order_nulls_explicit", "join_cross_small", "set_union_distinct",
+    "numeric_histogram", "column_profile",
+    "text_ttr", "text_ngram_topk", "text_rare_token_ratio", "text_hash_features",
+    "text_langid_confusion", "quality_classifier_score",
+    "bpe_pair_counts", "bpe_encode_corpus",
+    "dedup_paragraphs", "dedup_edit_survivors", "dedup_degree_histogram",
+    "dedup_cross_source", "dedup_inflation_report",
+    "decontaminate_bloom", "sample_weighted_mix", "sample_topk_per_group",
+    "split_leakage_check", "corpus_budget_select", "corpus_source_divergence",
+    "corpus_embedding_integrity",
+    "doc_cluster_assign", "doc_cluster_quality", "embedding_abtt_postprocess",
+    "embedding_distance_histogram", "embedding_near_dup_blocked",
+    "ann_topk_multiblock",
+    "multimodal_png_resize_stats", "multimodal_frame_sample",
+    "multimodal_resize_meta", "multimodal_audio_windows",
+]
+
+R12_ANCHORS = [
+    "q1_pricing_summary", "scan_filter_project", "join_inner_3way", "promql_rate",
+]
+
 
 def test_driver_order_is_front_of_queries():
     names = list(querybank.queries())
@@ -16,60 +49,45 @@ def test_driver_order_is_front_of_queries():
     assert len(set(names)) == len(names)
 
 
-def test_driver_order_covers_families_in_first_50():
-    first50 = set(list(querybank.queries())[:50])
-    # round-11 window (VERDICT r10 next-round #1): 40 of 50 slots are
-    # never-driver-verified promotions — the five round-10 features, the
-    # NEW binary-wire and snapshot-across-compaction gates, the r11
-    # InfluxQL transform tail, the 17-query direct promql_* evaluator
-    # family, the window families, and the text/embedding/multimodal
-    # audits.  10 anchors keep family spread.  Demoted queries (all
-    # driver-green r10 or earlier) stay gated in the full-bank sweeps.
-    for rep in [
-        # anchors
-        "q1_pricing_summary", "scan_filter_project",
-        "join_inner_3way", "time_bucket_minute", "dedup_latest_by_key",
-        "time_range_scan", "promql_rate",
-        "dedup_minhash_lsh", "ann_cosine_bruteforce",
-        "streaming_ingest_dedup_read",
-        # never-driver-verified promotions (r11)
-        "ts_rollup_ladder", "hll_rollup_merge", "snapshot_read_as_of",
-        "snapshot_compacted_read", "dedup_incremental_lsh",
-        "influxql_non_negative_derivative", "influxql_moving_average",
-        "wire_binary_roundtrip",
-        "influxql_difference", "influxql_cumulative_sum", "influxql_elapsed",
-        "influxql_percentile", "influxql_top", "influxql_bottom",
-        "influxql_multi_transform",
-        "promql_clamp", "promql_label_replace", "promql_count_values",
-        "promql_deriv", "promql_predict_linear", "promql_changes",
-        "promql_resets", "promql_count_over_time", "promql_sum_over_time",
-        "promql_min_over_time", "promql_max_over_time",
-        "promql_last_over_time", "promql_agg_quantile",
-        "promql_binary_vector_ops", "promql_bottomk_series",
-        "promql_rate_offset", "promql_wow_delta",
-        "window_lag_delta", "window_moving_avg",
-        "window_distribution_family",
-        "text_bigram_surprisal", "embedding_norm_audit",
-        "embedding_mrl_truncation", "multimodal_exif_meta",
-        "time_bucket_gapfill_locf",
-    ]:
-        assert rep in first50, rep
+def test_round12_window_clears_all_driver_debt():
+    # VERDICT r11 #2: the first 50 slots must be exactly the 4 anchors +
+    # the complete 45-query never-hash-green backlog + the one new gate,
+    # so a green CORRECTNESS_r12.json makes cumulative driver-verified ==
+    # bank size.
+    first50 = list(querybank.queries())[:50]
+    assert set(first50) == set(R12_ANCHORS) | set(R12_PROMOTIONS)
+    assert len(first50) == 50
 
 
-def test_round11_window_is_majority_never_driver_verified():
-    # the rotation's whole point: >=40 slots had zero driver rows
-    # through CORRECTNESS_r10 (VERDICT r10 next-round #1 acceptance)
+def test_r12_promotions_never_hash_green_through_r11():
+    # the rotation's whole point: every promoted slot (minus the new
+    # r12-only gate) had zero hash-green driver rows through round 11.
+    # Globs ONLY rounds 1-11 — the claim is historical and must not be
+    # re-evaluated against this or future rounds' driver artifacts
+    # (VERDICT r11 #1: the r11 test self-invalidated by globbing all).
     import json
     import pathlib
+    import re
 
-    seen: set[str] = set()
+    green: set[str] = set()
+    pat = re.compile(r"CORRECTNESS_r(0[1-9]|1[01])\.json$")
     for f in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r*.json")):
-        seen |= set(json.loads(f.read_text()).keys())
-    if not seen:  # driver artifacts absent (fresh checkout) — vacuous
+        if not pat.search(f.name):
+            continue
+        for name, row in json.loads(f.read_text()).items():
+            if row.get("hash_match") is True:
+                green.add(name)
+    if not green:  # driver artifacts absent (fresh checkout) — vacuous
         return
-    first50 = list(querybank.queries())[:50]
-    never = [q for q in first50 if q not in seen]
-    assert len(never) >= 40, (len(never), never)
+    promoted_old = [q for q in R12_PROMOTIONS if q != "influxql_transform_over_fill"]
+    leaked = [q for q in promoted_old if q in green]
+    assert not leaked, leaked
+    # and the debt is COMPLETE: nothing in the bank outside the window is
+    # still never-green (through r11)
+    bank = set(querybank.queries())
+    never = {q for q in bank if q not in green}
+    outside = never - set(R12_PROMOTIONS) - set(R12_ANCHORS)
+    assert not outside, outside
 
 
 def test_oracles_follow_query_order():

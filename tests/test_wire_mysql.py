@@ -516,6 +516,15 @@ def test_mysql_param_binary_datetime(mysql_params):
     bad = struct.pack("<HBB", 2023, 13, 4) + bytes([0, 0, 0])
     with pytest.raises(RuntimeError, match="datetime"):
         _execute(c, sid2, [(0x0C, False, bytes([7]) + bad)])
+    # impossible CALENDAR date (Feb 30) → rejected like real MySQL, not
+    # silently normalized to Mar 2 by timegm (ADVICE r11); same for an
+    # out-of-range time-of-day
+    feb30 = struct.pack("<HBB", 2023, 2, 30) + bytes([0, 0, 0])
+    with pytest.raises(RuntimeError, match="datetime"):
+        _execute(c, sid2, [(0x0C, False, bytes([7]) + feb30)])
+    bad_hour = struct.pack("<HBB", 2023, 8, 4) + bytes([25, 0, 0])
+    with pytest.raises(RuntimeError, match="datetime"):
+        _execute(c, sid2, [(0x0C, False, bytes([7]) + bad_hour)])
     _, rows = _execute(c, sid2, [(0x07, False, bytes([7]) + secs7)])
     assert rows == [("3",)]
 

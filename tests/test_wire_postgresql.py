@@ -901,6 +901,32 @@ def test_pg_copy_binary_errors(pg_copy):
         c, "COPY cpy FROM STDIN WITH (FORMAT binary, HEADER)", b""
     )
     assert err is not None and "BINARY" in err
+    # integer fields are range-checked against the DECLARED column kind
+    # (ADVICE r11): an int8-width field whose value exceeds int4 must
+    # error like real PG, not silently store the full long range
+    c.query(
+        "CREATE TABLE cpyint (name string TAG, n int, t timestamp NOT NULL, "
+        "timestamp KEY(t)) WITH (enable_ttl='false')"
+    )
+    pg_us = (1691116127000 * 1000) - 946_684_800_000_000
+    over = _bin_copy_payload(
+        [[b"x", struct.pack("!q", 2**33), struct.pack("!q", pg_us)]]
+    )
+    tag, _, _, err = _copy_query(
+        c, "COPY cpyint (name, n, t) FROM STDIN WITH (FORMAT binary)", over
+    )
+    assert err is not None and "out of range" in err and "int" in err
+    # an in-range value in a wider-than-declared field still loads (the
+    # width picks the decode; the declared kind bounds the value)
+    ok = _bin_copy_payload(
+        [[b"x", struct.pack("!q", 41), struct.pack("!q", pg_us)]]
+    )
+    tag, _, _, err = _copy_query(
+        c, "COPY cpyint (name, n, t) FROM STDIN WITH (FORMAT binary)", ok
+    )
+    assert err is None and tag == "COPY 1"
+    _, _, rows = c.query("select n from cpyint")
+    assert rows == [("41",)]
     # connection still healthy
     _, _, rows = c.query("select count(*) as n from cpy")
     assert rows == [("0",)]

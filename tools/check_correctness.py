@@ -75,12 +75,18 @@ def tolerance_problems(scols, srows, ocols, orows, vcol, rtol) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    # SPARK_GRAFT_EXCLUDE: comma-separated names to skip — the sf1 sweep
-    # excludes dedup_ngram_jaccard's all-pairs oracle (quadratic in docs;
-    # the engine side is equivalence-property-tested instead)
+    # SPARK_GRAFT_EXCLUDE: comma-separated names to skip entirely
+    # (emergency hatch; sweeps should not need it since r12)
     excluded = {
         x for x in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if x
     }
+    # SPARK_GRAFT_QUAR_ORACLE=1 (VERDICT r11 #4): at tiers where the two
+    # quadratic-BY-SPEC all-pairs oracles are intractable (sf1+), still
+    # RUN the Spark side of those queries but skip only the DuckDB
+    # compare, reporting them on an explicit quarantine tier — the sweep
+    # line stays "full bank, 0 excluded" and the quarantined set is the
+    # reviewed literal registry.QUADRATIC_ORACLES, not a growable env var.
+    quarantine_oracle = bool(os.environ.get("SPARK_GRAFT_QUAR_ORACLE"))
 
     from incubator_horaedb_spark import querybank
 
@@ -109,10 +115,13 @@ def main() -> int:
             # only queries touching the absent table will fail, loudly
             pass
 
+    from incubator_horaedb_spark.querybank.registry import QUADRATIC_ORACLES
+
     qs, os_ = querybank.queries(), querybank.oracles()
     tols = querybank.tolerance_oracles()
     failures = 0
     n_checked = 0
+    n_quarantined = 0
     for name, fn in qs.items():
         if (only and name not in only) or name in excluded:
             continue
@@ -125,6 +134,14 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures += 1
+            continue
+        if quarantine_oracle and name in QUADRATIC_ORACLES:
+            n_quarantined += 1
+            print(
+                f"QUAR  {name}: engine ran ({len(srows)} rows, "
+                f"{time.time()-t0:.1f}s); quadratic-by-spec oracle "
+                "quarantined at this tier (registry.QUADRATIC_ORACLES)"
+            )
             continue
         if name not in os_:
             tol = tols.get(name)
@@ -212,7 +229,12 @@ def main() -> int:
         else:
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     checked = n_checked
-    print(f"\n{failures} failures / {checked} checked")
+    quar = (
+        f" ({n_quarantined} engine-only: quadratic-by-spec oracle quarantined)"
+        if n_quarantined
+        else ""
+    )
+    print(f"\n{failures} failures / {checked} checked{quar}")
     record = os.environ.get("SPARK_GRAFT_RECORD")
     if record:
         # machine-emitted round-close record (VERDICT r06 next-round #6):
@@ -235,6 +257,8 @@ def main() -> int:
         scope = f"subset={len(only)}" if only else "full-bank"
         if excluded:
             scope += f" excl={','.join(sorted(excluded))}"
+        if n_quarantined:
+            scope += f" oracle-quarantined={n_quarantined}"
         with open(record, "a", encoding="utf-8") as fh:
             fh.write(
                 f"- sweep {stamp} | HEAD {head} | sf_dir={sf_dir} | "
