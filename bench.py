@@ -144,6 +144,27 @@ def _driver_roundtrip_sec(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _completed_stage_cpu(spark) -> dict[tuple[int, int], float]:
+    """(stageId, attemptId) → executorCpuTime ms for completed stages, via
+    the UI REST API (same source as tools/profile_query.py).  Returns {}
+    when the UI is unavailable — callers degrade to wall-only metrics."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=30
+        ) as r:
+            stages = json.loads(r.read())
+        return {
+            (st["stageId"], st["attemptId"]): st.get("executorCpuTime", 0) * 1e-6
+            for st in stages
+        }
+    except Exception:
+        return {}
+
+
 def _cpu_mhz() -> float | None:
     try:
         with open("/proc/cpuinfo") as f:
@@ -162,7 +183,12 @@ def main() -> None:
     from incubator_horaedb_spark import querybank
     from incubator_horaedb_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # UI on: the per-query executor-CPU attribution (queries_cpu_ms) reads
+    # the REST stage API.  CPU milliseconds are the stable per-query metric
+    # the wall medians are read against (VERDICT r11 #6: shared-stage dedup
+    # walls swing with run-order attribution on a bursty VM while their
+    # executor CPU is steady).
+    spark = get_spark("bench", ui=True)
     qs = querybank.queries()
 
     ncores = min(32, os.cpu_count() or 1)
@@ -216,6 +242,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    cpu_ms: dict[str, float | None] = {}
+    cpu_all: dict[str, list[float]] = {}
     from incubator_horaedb_spark.querybank import llm_ops
 
     def _clear_except_shingles() -> None:
@@ -233,33 +261,54 @@ def main() -> None:
     for name in BENCH_QUERIES:
         warm = WARMUPS.get(name, 1)
         runs, n = [], 0
+        cpu_runs: list[float | None] = []
         for i in range(warm + TIMED_RUNS):
             if name == "stage_shingles":
                 # time the cold stage build itself; the LAST build stays
                 # warm for the consumers below
                 spark.catalog.clearCache()
                 llm_ops._SHINGLE_STATE["sf_dir"] = None
+                seen = _completed_stage_cpu(spark) if i >= warm else {}
                 t0 = time.time()
                 hs = llm_ops._staged_shingles(spark, sf_dir)
                 if i >= warm:
                     runs.append(time.time() - t0)
+                    time.sleep(0.2)  # let the UI store ingest stage events
+                    now = _completed_stage_cpu(spark)
+                    cpu_runs.append(
+                        sum(v for k, v in now.items() if k not in seen)
+                        if now
+                        else None
+                    )
                 n = spark.table(hs).count()  # cache read, outside timing
                 continue
             if name in SHINGLE_CONSUMERS:
                 _clear_except_shingles()
             else:
                 spark.catalog.clearCache()
+            seen = _completed_stage_cpu(spark) if i >= warm else {}
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()
+            dt = time.time() - t0
             if i >= warm:
-                runs.append(time.time() - t0)
+                runs.append(dt)
+                time.sleep(0.2)  # let the UI store ingest stage events
+                now = _completed_stage_cpu(spark)
+                cpu_runs.append(
+                    sum(v for k, v in now.items() if k not in seen)
+                    if now
+                    else None
+                )
         timings[name] = round(statistics.median(runs), 3)
         mins[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
+        cvals = [c for c in cpu_runs if c is not None]
+        cpu_ms[name] = round(statistics.median(cvals), 1) if cvals else None
+        cpu_all[name] = [round(c, 1) for c in cvals]
         print(
             f"# {name}: {n} rows median {timings[name]}s min {mins[name]}s "
-            f"spread {spreads[name]}s (n={len(runs)})",
+            f"spread {spreads[name]}s cpu {cpu_ms[name]}ms (n={len(runs)})",
             file=sys.stderr,
         )
 
@@ -284,6 +333,15 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": mins,
                 "queries_spread": spreads,
+                # median executor CPU per query (REST stage attribution):
+                # the run-order-insensitive metric — read wall deltas
+                # against this before calling anything a regression
+                # (VERDICT r11 #6); null when the UI store was unreadable
+                "queries_cpu_ms": cpu_ms,
+                # every timed run's CPU, so a cross-round reader can see
+                # whether two medians differ beyond the per-run dispersion
+                # (the ann_cosine_bruteforce lesson, PROFILE.md r12)
+                "queries_cpu_runs": cpu_all,
                 "runs_per_query": TIMED_RUNS,
                 # fixed-workload calibration bracketing the run: if these
                 # differ from their cross-round baseline, the environment

@@ -23,7 +23,14 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def get_spark(app_name: str = "incubator-horaedb-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "incubator-horaedb-spark",
+    cpus: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """``ui=True`` enables the Spark UI so callers can read the REST stage
+    metrics API (bench.py's per-query executor-CPU attribution); queries and
+    tests keep it off — the UI store adds per-stage bookkeeping overhead."""
     cpus = cpus or default_cpus()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -42,6 +49,8 @@ def get_spark(app_name: str = "incubator-horaedb-spark", cpus: int | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
     )
+    if ui:
+        builder = builder.config("spark.ui.port", "4048")  # auto-increments
     return builder.getOrCreate()

@@ -41,6 +41,22 @@ def bench(spark, qs, sf_dir: str, warm: int = 3, reps: int = 3) -> dict[str, flo
 def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     sf5_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf5"
+    # generated tiers are gitignored (ADVICE r11: 103 MB of regenerable
+    # parquet doesn't belong in clones) — build any missing tier on demand
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for d, factor, tables in (
+        (sf1_dir, "10", []),  # full four-table tier (sweeps need it too)
+        (sf5_dir, "50", ["documents", "events"]),  # probe slice only
+    ):
+        if not os.path.isdir(d):
+            print(f"# generating {d} (factor {factor})", file=sys.stderr)
+            subprocess.run(
+                [sys.executable, os.path.join(here, "gen_scale_data.py"),
+                 d, factor, *tables],
+                check=True,
+            )
     from incubator_horaedb_spark import querybank
     from incubator_horaedb_spark.session import get_spark
 

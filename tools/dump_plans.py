@@ -41,6 +41,12 @@ QUERIES = [
     # must show the grid left-join + two frame-bounded windows, no
     # self-join; the nearest-rank percentile stays one hash aggregate
     "influxql_multi_transform", "influxql_fill_linear", "influxql_percentile",
+    # r12: the composed fill(linear) × derivative pipeline reuses the fill
+    # plan plus ONE extra per-series window — no second grid join; the
+    # reshaped KMV sketch gates must show two-branch aggregation + one
+    # equi-join (merged vs direct), no cartesian, no Python eval
+    "influxql_transform_over_fill", "thetasketch_distinct_users",
+    "approx_percentile_price",
 ]
 
 
