@@ -59,8 +59,15 @@ def kmv_partial(col: Union[Column, str], k: int = KMV_K) -> Column:
     """Aggregate expression: KMV theta-sketch of ``col`` — the k smallest
     distinct ``xxhash64`` values as a sorted LONG array (ascending, i.e.
     smallest in the signed-64 order; the estimator maps signed → uniform
-    [0,1) so signed order == unsigned-fraction order shifted by 2^63)."""
-    return F.slice(F.array_sort(F.collect_set(F.xxhash64(col))), 1, k)
+    [0,1) so signed order == unsigned-fraction order shifted by 2^63).
+    NULL inputs are excluded like COUNT(DISTINCT) and the reference's
+    accumulator — ``xxhash64(NULL)`` would otherwise contribute the seed
+    hash as a phantom distinct value (collect_set drops null ELEMENTS,
+    so the hash must be nulled explicitly, not relied on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.slice(
+        F.array_sort(F.collect_set(F.when(c.isNotNull(), F.xxhash64(c)))), 1, k
+    )
 
 
 def kmv_merge(sketch_col: Union[Column, str], k: int = KMV_K) -> Column:

@@ -35,17 +35,26 @@ class Entry:
 
 QUERIES: dict[str, Entry] = {}
 
-# Quadratic-BY-SPEC oracles (VERDICT r11 #4).  The ENGINE side of both
-# queries is subquadratic (banded LSH / blocked candidates); only the
-# all-pairs DuckDB ORACLE definition is O(n²) in documents/embeddings, so
-# comparing it above sf0.1 is an oracle-cost problem, not an engine gap.
-# Large-tier sweeps (SPARK_GRAFT_QUAR_ORACLE=1) still RUN the Spark side
-# for these names and report them on an explicit quarantine tier instead
-# of silently excluding them — the set is a reviewed literal, so the
-# quarantine mechanism cannot grow without a named edit here.  The
-# sf1-tractable block-diagonal twins (dedup_ngram_jaccard_blocked,
-# embedding_near_dup_blockdiag) stay fully oracle-compared at every tier.
-QUADRATIC_ORACLES = frozenset({"dedup_ngram_jaccard", "embedding_near_dup_pairs"})
+# Quadratic-BY-SPEC queries (VERDICT r11 #4).  Large-tier sweeps
+# (SPARK_GRAFT_QUAR_ORACLE=1) report these on an explicit quarantine tier
+# instead of silently excluding them — the mapping is a reviewed literal,
+# so the quarantine mechanism cannot grow without a named edit here.
+# Value = which side is O(n²) BY DEFINITION:
+#   "oracle" — the engine side is staged/prefix-filtered (subquadratic)
+#              and still RUNS at the quarantine tier (measured 7.7 s at
+#              sf1); only the all-pairs DuckDB oracle compare is skipped.
+#   "both"   — the QUERY ITSELF is the exact all-pairs baseline (the
+#              accuracy yardstick for its LSH/blocked scale-path twins),
+#              so running it at sf1 is the same O(n²) the exclusion
+#              existed for (measured: one ~200M-pair task, >12 min,
+#              killed); it is skipped entirely with a loud QUAR line.
+# The sf1-tractable block-diagonal twins (dedup_ngram_jaccard_blocked,
+# embedding_near_dup_blockdiag) stay fully oracle-compared at every tier,
+# as do the LSH/blocked scale paths.
+QUADRATIC_ORACLES: dict[str, str] = {
+    "dedup_ngram_jaccard": "oracle",
+    "embedding_near_dup_pairs": "both",
+}
 
 
 def register(name: str, oracle: str | None = None, tolerance: tuple[str, str, float] | None = None):

@@ -103,6 +103,24 @@ def test_kmv_merge_matches_direct_sketch(spark, sf_dir):
     assert m == d
 
 
+def test_kmv_excludes_nulls_like_count_distinct(spark):
+    # xxhash64(NULL) is the SEED hash, not NULL — without the explicit
+    # null gate the sketch would count a phantom distinct value that
+    # COUNT(DISTINCT) (and the reference's accumulator) excludes
+    from pyspark.sql import functions as F
+
+    from incubator_horaedb_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_partial,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (None,), (None,)], "v int")
+    r = df.agg(kmv_partial("v", 64).alias("sk")).select(
+        F.size("sk").alias("n"), kmv_estimate("sk", 64).alias("est")
+    ).collect()[0]
+    assert (r["n"], r["est"]) == (3, 3.0)
+
+
 def test_kmv_estimator_accuracy_beyond_k(spark):
     # true-approx regime: 10_000 distinct ids sketched at k=256 must land
     # within 4·rsd (≈25%) of the truth — in practice far closer
