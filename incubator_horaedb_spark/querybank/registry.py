@@ -230,11 +230,13 @@ DRIVER_ORDER = [
     # headline family spread.  Every demoted query remains gated in the
     # full-bank sweeps at all tiers every round.
     # ------------------------------------------------------------------
-    # -- anchors (long-driver-green family representatives) --
+    # -- anchors (long-driver-green family representatives; promql_rate
+    # ceded its slot to the second r12-new gate — the direct promql
+    # family is cumulatively driver-green since r11) --
     "q1_pricing_summary", "scan_filter_project", "join_inner_3way",
-    "promql_rate",
-    # -- new this round: fill(linear) × derivative composition --
-    "influxql_transform_over_fill",
+    # -- new this round: fill(linear) × derivative composition, and the
+    # persisted KMV sketch-table round-trip --
+    "influxql_transform_over_fill", "sketch_rollup_persisted",
     # -- the 45 never-driver-verified promotions (complete debt) --
     # converted approx-sketch gates (VERDICT r11 #3)
     "hll_rollup_merge", "thetasketch_distinct_users",
@@ -273,8 +275,8 @@ DRIVER_ORDER = [
     # sweeps at every tier every round.  Relative order preserved from
     # the r11 rotation (newest demotions first).
     # ------------------------------------------------------------------
-    "time_bucket_minute", "dedup_latest_by_key", "time_range_scan",
-    "dedup_minhash_lsh", "ann_cosine_bruteforce",
+    "promql_rate", "time_bucket_minute", "dedup_latest_by_key",
+    "time_range_scan", "dedup_minhash_lsh", "ann_cosine_bruteforce",
     "streaming_ingest_dedup_read", "ts_rollup_ladder", "snapshot_read_as_of",
     "snapshot_compacted_read", "dedup_incremental_lsh",
     "influxql_non_negative_derivative", "influxql_moving_average",

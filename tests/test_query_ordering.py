@@ -14,7 +14,7 @@ from incubator_horaedb_spark.querybank.registry import DRIVER_ORDER
 # moment the driver wrote the round's own artifact.  The never-seen claim
 # is a statement about rounds 1-11 only and must stay one.
 R12_PROMOTIONS = [
-    "influxql_transform_over_fill",
+    "influxql_transform_over_fill", "sketch_rollup_persisted",
     "hll_rollup_merge", "thetasketch_distinct_users", "approx_percentile_price",
     "time_bucket_gapfill_interp", "hist_quantile_rollup", "time_to_conversion",
     "influxql_fill_linear", "influxql_show_tag_values", "opentsdb_filter_types",
@@ -37,7 +37,7 @@ R12_PROMOTIONS = [
 ]
 
 R12_ANCHORS = [
-    "q1_pricing_summary", "scan_filter_project", "join_inner_3way", "promql_rate",
+    "q1_pricing_summary", "scan_filter_project", "join_inner_3way",
 ]
 
 
@@ -79,7 +79,10 @@ def test_r12_promotions_never_hash_green_through_r11():
                 green.add(name)
     if not green:  # driver artifacts absent (fresh checkout) — vacuous
         return
-    promoted_old = [q for q in R12_PROMOTIONS if q != "influxql_transform_over_fill"]
+    promoted_old = [
+        q for q in R12_PROMOTIONS
+        if q not in ("influxql_transform_over_fill", "sketch_rollup_persisted")
+    ]
     leaked = [q for q in promoted_old if q in green]
     assert not leaked, leaked
     # and the debt is COMPLETE: nothing in the bank outside the window is
