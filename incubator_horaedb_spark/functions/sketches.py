@@ -86,11 +86,20 @@ def kmv_estimate(sketch_col: Union[Column, str], k: int = KMV_K) -> Column:
     Otherwise the classic KMV estimator: the k-th smallest of n uniform
     hashes sits at fraction ≈ k/(n+1) of the hash space, so
     n ≈ (k-1)/fraction with fraction = (h_k + 2^63)/2^64 for signed-LONG
-    hashes.  Deterministic double arithmetic over identical arrays, so
-    merged and direct sketches yield bitwise-equal estimates."""
+    hashes.  The fraction is clamped to ≥ 2^-64 — the discrete floor
+    P(X ≤ MIN) for a uniform 64-bit hash — because h_k == -2^63 (hash
+    equal to LONG_MIN lands as the k-th minimum) would otherwise divide
+    by zero and emit NaN/Infinity (found by Hypothesis,
+    tests/test_kmv_property.py; probability ~2^-64 per element on real
+    data, but the estimator must be total).  Deterministic double
+    arithmetic over identical arrays, so merged and direct sketches
+    yield bitwise-equal estimates."""
     c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
     kth = F.element_at(c, k)  # 1-based; null if size < k
-    frac = (kth.cast("double") + F.lit(float(2**63))) / F.lit(float(2**64))
+    frac = F.greatest(
+        (kth.cast("double") + F.lit(float(2**63))) / F.lit(float(2**64)),
+        F.lit(2.0**-64),
+    )
     return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(
         F.lit(float(k - 1)) / frac
     )

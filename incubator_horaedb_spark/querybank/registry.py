@@ -224,11 +224,12 @@ DRIVER_ORDER = [
     # this round to exact-by-construction oracles (VERDICT r11 #3:
     # hll_rollup_merge / thetasketch_distinct_users /
     # approx_percentile_price now emit merge-identity zeros, accuracy
-    # booleans and exact payloads instead of raw sketch values).  One
-    # slot is this round's new composed gate
-    # (influxql_transform_over_fill, VERDICT r11 #7).  Four anchors keep
-    # headline family spread.  Every demoted query remains gated in the
-    # full-bank sweeps at all tiers every round.
+    # booleans and exact payloads instead of raw sketch values).  Two
+    # slots are this round's new gates (influxql_transform_over_fill,
+    # VERDICT r11 #7; sketch_rollup_persisted, the stored-sketch
+    # round-trip).  Three anchors keep headline family spread.  Every
+    # demoted query remains gated in the full-bank sweeps at all tiers
+    # every round.
     # ------------------------------------------------------------------
     # -- anchors (long-driver-green family representatives; promql_rate
     # ceded its slot to the second r12-new gate — the direct promql

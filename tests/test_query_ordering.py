@@ -50,10 +50,10 @@ def test_driver_order_is_front_of_queries():
 
 
 def test_round12_window_clears_all_driver_debt():
-    # VERDICT r11 #2: the first 50 slots must be exactly the 4 anchors +
-    # the complete 45-query never-hash-green backlog + the one new gate,
-    # so a green CORRECTNESS_r12.json makes cumulative driver-verified ==
-    # bank size.
+    # VERDICT r11 #2: the first 50 slots must be exactly the 3 anchors +
+    # the complete 45-query never-hash-green backlog + the two r12-new
+    # gates, so a green CORRECTNESS_r12.json makes cumulative
+    # driver-verified == bank size.
     first50 = list(querybank.queries())[:50]
     assert set(first50) == set(R12_ANCHORS) | set(R12_PROMOTIONS)
     assert len(first50) == 50

@@ -47,6 +47,10 @@ QUERIES = [
     # equi-join (merged vs direct), no cartesian, no Python eval
     "influxql_transform_over_fill", "thetasketch_distinct_users",
     "approx_percentile_price",
+    # r12 late addition: day NDV answered from the PERSISTED hour-sketch
+    # table — the stored branch must scan the sketch parquet (not raw
+    # events) and join the fresh/exact branches without a cartesian
+    "sketch_rollup_persisted",
 ]
 
 
