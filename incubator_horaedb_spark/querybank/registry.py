@@ -100,14 +100,57 @@ def _ts_read_confs(spark: SparkSession) -> None:
             pass
 
 
+# Parquet FILE schemas memoized per (sf_dir, table): schema inference reads
+# the footer through a driver-side Hadoop open on EVERY spark.read.parquet
+# call (~140 ms measured vs ~29 ms with an explicit schema).  The schema is
+# metadata, inferred once from the real file per process — results are
+# still computed from the parquet inputs on every run.  (guide §5: the
+# driver should do almost no data work per query.)
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _file_schema(spark: SparkSession, sf_dir: str, name: str):
+    key = (sf_dir, name)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ts_read_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    sch = _file_schema(spark, sf_dir, name)
+    df = spark.read.schema(sch).parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
-        field = next(f for f in df.schema.fields if f.name == col)
+        field = next(f for f in sch.fields if f.name == col)
         if field.dataType.typeName() in ("long", "bigint"):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
+
+
+# widen_for_compute's sizing decision memoized per (sf_dir table list,
+# parallelism, target): the probe costs ~200 ms per call (inputFiles +
+# per-file FS status + df.rdd.getNumPartitions materializes the RDD
+# conversion) and its inputs — file sizes and core count — are fixed for a
+# process.  The memo stores the repartition target (or 0 = no-op), purely a
+# plan-construction decision.
+_WIDEN_CACHE: dict[tuple, int] = {}
+
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-valued conf ("128MB", "134217728b", "4194304")."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in _BYTE_SUFFIX:
+            return int(float(raw[:-1]) * _BYTE_SUFFIX[raw[-1]])
+        return int(raw)
+    except Exception:
+        return default
 
 
 def widen_for_compute(df: DataFrame, target_bytes: int = 64 << 10) -> DataFrame:
@@ -122,24 +165,41 @@ def widen_for_compute(df: DataFrame, target_bytes: int = 64 << 10) -> DataFrame:
     natural split count already meets the target (any real-scale dataset),
     this is a no-op — no shuffle is inserted.
     """
-    try:
-        from incubator_horaedb_spark import fsops
-
-        files = df.inputFiles()
-        # Hadoop FS status (not os.path.getsize): inputFiles returns URIs
-        # of whatever store the session reads — file:, hdfs:, s3a: — and
-        # the FS API resolves each scheme (object-store-safe, one HEAD
-        # per file; widen targets small inputs, so the list is short)
-        total = 0
-        for f in files:
-            fs, jpath = fsops.hadoop_fs(df.sparkSession, f)
-            total += int(fs.getFileStatus(jpath).getLen())
-    except Exception:
-        return df
     spark = df.sparkSession
     cap = spark.sparkContext.defaultParallelism * 2
-    want = min(cap, max(1, -(-total // target_bytes)))
-    if want > df.rdd.getNumPartitions():
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        key = (files, cap, target_bytes)
+        want = _WIDEN_CACHE.get(key)
+        if want is None:
+            from incubator_horaedb_spark import fsops
+
+            # Hadoop FS status (not os.path.getsize): inputFiles returns
+            # URIs of whatever store the session reads — file:, hdfs:,
+            # s3a: — and the FS API resolves each scheme
+            # (object-store-safe, one HEAD per file; widen targets small
+            # inputs, so the list is short)
+            total = 0
+            for f in files:
+                fs, jpath = fsops.hadoop_fs(df.sparkSession, f)
+                total += int(fs.getFileStatus(jpath).getLen())
+            want = min(cap, max(1, -(-total // target_bytes)))
+            # natural scan-split estimate from the same file sizes
+            # (FilePartition packing: splits of maxSplitBytes =
+            # min(maxPartitionBytes, max(openCost, total/parallelism)),
+            # each file charged openCost) — replaces the old
+            # df.rdd.getNumPartitions() probe, which materialized the RDD
+            # conversion on every call just to read a count
+            max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+            open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+            par = spark.sparkContext.defaultParallelism
+            split = min(max_part, max(open_cost, (total + len(files) * open_cost) // max(par, 1)))
+            natural = max(1, -(-(total + len(files) * open_cost) // max(split, 1)))
+            want = want if want > natural else 0
+            _WIDEN_CACHE[key] = want
+    except Exception:
+        return df
+    if want:
         return df.repartition(want)
     return df
 
@@ -167,8 +227,9 @@ def load_time_range(
     the timestamp column directly — Spark pushes timestamp comparisons to
     the parquet scan natively (asserted by test_time_range_scan_pushdown)."""
     _ts_read_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    field = next(f for f in df.schema.fields if f.name == col)
+    sch = _file_schema(spark, sf_dir, name)
+    df = spark.read.schema(sch).parquet(f"{sf_dir}/{name}.parquet")
+    field = next(f for f in sch.fields if f.name == col)
     if field.dataType.typeName() in ("long", "bigint"):
         import datetime
 
