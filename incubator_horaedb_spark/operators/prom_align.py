@@ -159,14 +159,24 @@ def prom_align(
 
     n_steps = (end_ms - start_ms) // step_ms  # k ranges over [0, n_steps]
 
-    ts_ms = F.unix_millis(F.col(ts_col)) + F.lit(offset_ms)
-    base = df.select(
-        *series_cols,
-        ts_ms.alias("__ts"),
-        F.col(value_col).cast("double").alias("__val"),
-    ).filter(
-        (F.col("__ts") >= F.lit(start_ms - lookback_ms)) & (F.col("__ts") <= F.lit(end_ms))
-    )
+    # r12 NOTE (guide §5, driver overhead): this builder used to assemble
+    # every expression from pyspark Column objects — ~170 py4j round-trips
+    # per construction, 0.4-1.1 s of pure driver time PER QUERY BUILD at
+    # bench scale.  The same expression trees are now rendered as SQL
+    # strings (selectExpr / F.expr, windows inline in OVER clauses) — a
+    # handful of py4j calls.  Every fragment mirrors the Column form it
+    # replaced 1:1 (double literals via CAST(x AS DOUBLE) where the Column
+    # form used F.lit(float), integer arithmetic association preserved), so
+    # the analyzed plan — and therefore the result hash — is unchanged;
+    # the property tests compare against the Python model and every
+    # promql_* query stays oracle-gated.
+    series_q = ", ".join(f"`{c}`" for c in series_cols)
+
+    base = df.selectExpr(
+        *[f"`{c}`" for c in series_cols],
+        f"(unix_millis(`{ts_col}`) + {offset_ms}) AS __ts",
+        f"CAST(`{value_col}` AS DOUBLE) AS __val",
+    ).where(f"__ts >= {start_ms - lookback_ms} AND __ts <= {end_ms}")
 
     # Duplicate-timestamp dedup for order-sensitive functions (_DEDUP_FUNCS
     # rationale above): the last row of each (series, ts) group under a
@@ -180,12 +190,13 @@ def prom_align(
             # dedup rides the same exchange: the last row of each
             # (series, ts) group under a (ts, value) sort is the
             # max-value survivor
-            w0 = Window.partitionBy(*series_cols).orderBy("__ts", "__val")
             base = (
-                base.withColumn("__lead_ts", F.lead("__ts").over(w0))
-                .filter(
-                    F.col("__lead_ts").isNull() | (F.col("__lead_ts") != F.col("__ts"))
+                base.selectExpr(
+                    "*",
+                    f"lead(__ts) OVER (PARTITION BY {series_q} "
+                    "ORDER BY __ts, __val) AS __lead_ts",
                 )
+                .where("__lead_ts IS NULL OR __lead_ts <> __ts")
                 .drop("__lead_ts")
             )
         elif func in ("delta", "holt_winters"):
@@ -196,7 +207,7 @@ def prom_align(
             # (result identical to the oracle's lead-filter dedup: the
             # max-value survivor per (series, ts))
             base = base.groupBy(*series_cols, "__ts").agg(
-                F.max("__val").alias("__val")
+                F.expr("max(__val) AS __val")
             )
         # instant / last_over_time need NO pre-pass at all: their only
         # order-sensitive read is last_val, whose struct-max aggregate
@@ -212,103 +223,91 @@ def prom_align(
     # is skipped outright.  Timestamps are unique per series here (dedup
     # above), so the sort key is unambiguous.
     if needs_lag:
-        w = Window.partitionBy(*series_cols).orderBy("__ts")
-        base = base.withColumn("__prev_ts", F.lag("__ts").over(w)).withColumn(
-            "__prev_val", F.lag("__val").over(w)
+        over = f"OVER (PARTITION BY {series_q} ORDER BY __ts)"
+        base = base.selectExpr(
+            "*",
+            f"lag(__ts) {over} AS __prev_ts",
+            f"lag(__val) {over} AS __prev_val",
         )
 
     # Explode each sample to the step indices whose window [t-lookback, t]
     # contains it:  k in [ceil((ts-start)/step), floor((ts+lookback-start)/step)].
-    k_lo = F.greatest(-F.floor((F.lit(start_ms) - F.col("__ts")) / step_ms), F.lit(0))
-    k_hi = F.least(
-        F.floor((F.col("__ts") + F.lit(lookback_ms) - F.lit(start_ms)) / step_ms),
-        F.lit(n_steps),
-    )
     # Guard: when lookback < step a sample may fall in no window (k_lo > k_hi);
     # Spark's sequence() would generate a *descending* range there, so gate it.
-    ks = F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi)).otherwise(F.array().cast("array<bigint>"))
-    exploded = (
-        base.withColumn("__k", F.explode(ks))
-        .withColumn("__t", (F.lit(start_ms) + F.col("__k") * step_ms).cast("long"))
-        .withColumn("__mint", F.col("__t") - F.lit(lookback_ms))
+    k_lo = f"greatest(-floor(({start_ms} - __ts) / {step_ms}), 0)"
+    k_hi = f"least(floor(((__ts + {lookback_ms}) - {start_ms}) / {step_ms}), {n_steps})"
+    ks = (
+        f"CASE WHEN ({k_hi}) >= ({k_lo}) THEN sequence({k_lo}, {k_hi}) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
+    exploded = base.selectExpr("*", f"explode({ks}) AS __k").selectExpr(
+        "*",
+        f"CAST({start_ms} + __k * {step_ms} AS BIGINT) AS __t",
+    ).selectExpr("*", f"(__t - {lookback_ms}) AS __mint")
 
-    prev_in_window = F.col("__prev_ts").isNotNull() & (F.col("__prev_ts") >= F.col("__mint"))
+    prev_in_window = "__prev_ts IS NOT NULL AND __prev_ts >= __mint"
+    _half = "CAST(0.5 AS DOUBLE)"
+    _vq = f"(CAST(floor((__val * {_Q}) + {_half}) AS DOUBLE) / {_Q})"
+    _vq2 = f"(CAST(floor(__val * {_Q2} + {_half}) AS DOUBLE) / {_Q2})"
     # Aggregate catalog — each func family pays ONLY for the columns it
     # reads (computing all 12 for every func cost rate +22% / instant +49%
     # at sf0.1, VERDICT r02).  `n` is always included (the sample-count
     # filters need it).
     agg_exprs = {
-        "first_ts": lambda: F.min("__ts").alias("first_ts"),
-        "last_ts": lambda: F.max("__ts").alias("last_ts"),
-        "first_val": lambda: F.min_by("__val", "__ts").alias("first_val"),
+        "first_ts": "min(__ts) AS first_ts",
+        "last_ts": "max(__ts) AS last_ts",
+        "first_val": "min_by(__val, __ts) AS first_val",
         # lexicographic struct max = newest sample, MAX VALUE on duplicate
         # timestamps — tie-safe without any pre-dedup (max_by's duplicate
         # tie-break is engine-dependent; found by the sf1 sweep)
-        "last_val": lambda: F.max(F.struct("__ts", "__val"))["__val"].alias("last_val"),
+        "last_val": "max(struct(__ts, __val)).__val AS last_val",
         # Counter reset correction: sum of previous values at in-window
         # resets.  Addends are dyadic-quantized (functions/detfloat.py) so
         # the group sum is exact and order-independent — the only
         # order-sensitive float sum in this operator (deviation from the
         # reference math <= 2^-21 per reset, invisible at 6-digit rounding).
-        "reset_corr": lambda: F.sum(
-            F.when(
-                prev_in_window & (F.col("__val") < F.col("__prev_val")),
-                F.floor((F.col("__prev_val") * (1 << 20)) + F.lit(0.5)).cast("double") / (1 << 20),
-            ).otherwise(F.lit(0.0))
-        ).alias("reset_corr"),
+        "reset_corr": (
+            f"sum(CASE WHEN {prev_in_window} AND __val < __prev_val "
+            f"THEN CAST(floor((__prev_val * {1 << 20}) + {_half}) AS DOUBLE) / {1 << 20} "
+            "ELSE CAST(0.0 AS DOUBLE) END) AS reset_corr"
+        ),
         # second-last in-window sample = the series-predecessor of the last
-        "second_last_ts": lambda: F.max_by("__prev_ts", "__ts").alias("second_last_ts"),
-        "second_last_val": lambda: F.max_by("__prev_val", "__ts").alias("second_last_val"),
+        "second_last_ts": "max_by(__prev_ts, __ts) AS second_last_ts",
+        "second_last_val": "max_by(__prev_val, __ts) AS second_last_val",
         # *_over_time inputs: min/max exact; sum over dyadic-quantized
         # addends so the aggregation order cannot change the result
-        "val_min": lambda: F.min("__val").alias("val_min"),
-        "val_max": lambda: F.max("__val").alias("val_max"),
-        "val_sum_q": lambda: F.sum(F.floor((F.col("__val") * _Q) + F.lit(0.5)).cast("double") / _Q).alias("val_sum_q"),
+        "val_min": "min(__val) AS val_min",
+        "val_max": "max(__val) AS val_max",
+        "val_sum_q": f"sum({_vq}) AS val_sum_q",
         # dispersion inputs: tie-proof floor quantization at the coarser
         # 2^-10 grid (squares are then exact multiples of 2^-20)
-        "val_sum_q2": lambda: F.sum(
-            F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2
-        ).alias("val_sum_q2"),
-        "val_sumsq_q": lambda: F.sum(
-            (F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2)
-            * (F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2)
-        ).alias("val_sumsq_q"),
+        "val_sum_q2": f"sum({_vq2}) AS val_sum_q2",
+        "val_sumsq_q": f"sum({_vq2} * {_vq2}) AS val_sumsq_q",
         # changes()/resets(): consecutive-pair counters (exact integers)
-        "n_changes": lambda: F.sum(
-            F.when(
-                prev_in_window & (F.col("__val") != F.col("__prev_val")), F.lit(1)
-            ).otherwise(F.lit(0))
-        ).alias("n_changes"),
-        "n_resets": lambda: F.sum(
-            F.when(
-                prev_in_window & (F.col("__val") < F.col("__prev_val")), F.lit(1)
-            ).otherwise(F.lit(0))
-        ).alias("n_resets"),
+        "n_changes": (
+            f"sum(CASE WHEN {prev_in_window} AND __val <> __prev_val "
+            "THEN 1 ELSE 0 END) AS n_changes"
+        ),
+        "n_resets": (
+            f"sum(CASE WHEN {prev_in_window} AND __val < __prev_val "
+            "THEN 1 ELSE 0 END) AS n_resets"
+        ),
         # quantile_over_time input: the sorted quantized window values.
         # collect_list is bounded by the per-window sample count
         # (lookback / scrape interval), not the series length.
-        "vals_sorted": lambda: F.sort_array(
-            F.collect_list(F.floor(F.col("__val") * _Q + F.lit(0.5)).cast("double") / _Q)
-        ).alias("vals_sorted"),
+        "vals_sorted": f"sort_array(collect_list({_vq})) AS vals_sorted",
         # holt_winters input: the window samples time-sorted (struct sort
         # key = (t, v); t unique after dedup).  Bounded like vals_sorted.
-        "ts_vals_sorted": lambda: F.sort_array(
-            F.collect_list(
-                F.struct(F.col("__ts").alias("t"), F.col("__val").alias("v"))
-            )
-        ).alias("ts_vals_sorted"),
+        "ts_vals_sorted": (
+            "sort_array(collect_list(named_struct('t', __ts, 'v', __val))) "
+            "AS ts_vals_sorted"
+        ),
         # least-squares moments for deriv/predict_linear: integer t_rel
         # offsets and 2^-10-quantized values (exactness argument at
         # OVER_TIME_FUNCS)
-        "lr_t": lambda: F.sum(F.col("__ts") - F.col("__t")).alias("lr_t"),
-        "lr_tv": lambda: F.sum(
-            (F.col("__ts") - F.col("__t")).cast("double")
-            * (F.floor(F.col("__val") * _Q2 + F.lit(0.5)).cast("double") / _Q2)
-        ).alias("lr_tv"),
-        "lr_tt": lambda: F.sum(
-            (F.col("__ts") - F.col("__t")) * (F.col("__ts") - F.col("__t"))
-        ).alias("lr_tt"),
+        "lr_t": "sum(__ts - __t) AS lr_t",
+        "lr_tv": f"sum(CAST(__ts - __t AS DOUBLE) * {_vq2}) AS lr_tv",
+        "lr_tt": "sum((__ts - __t) * (__ts - __t)) AS lr_tt",
     }
     needed_by_func = {
         "rate": ["first_ts", "last_ts", "first_val", "last_val", "reset_corr"],
@@ -333,98 +332,89 @@ def prom_align(
         "holt_winters": ["ts_vals_sorted"],
     }
     agg = exploded.groupBy(*series_cols, "__t").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[agg_exprs[c]() for c in needed_by_func[func]],
+        F.expr("count(1) AS n"),
+        *[F.expr(agg_exprs[c]) for c in needed_by_func[func]],
     )
-
-    t = F.col("__t")
-    mint = t - F.lit(lookback_ms)
 
     if func in OVER_TIME_FUNCS:
         # population variance; greatest(,0) guards the -epsilon a constant
         # window can produce from the two inexact divisions (identical on
         # both engines, but sqrt of a negative diverges)
-        _var = F.greatest(
-            F.col("val_sumsq_q") / F.col("n")
-            - (F.col("val_sum_q2") / F.col("n")) * (F.col("val_sum_q2") / F.col("n")),
-            F.lit(0.0),
-        ) if func in ("stdvar_over_time", "stddev_over_time") else None
         out_val = {
-            "avg_over_time": F.col("val_sum_q") / F.col("n"),
-            "min_over_time": F.col("val_min"),
-            "max_over_time": F.col("val_max"),
-            "sum_over_time": F.col("val_sum_q"),
-            "count_over_time": F.col("n").cast("double"),
-            "last_over_time": F.col("last_val"),
-            "changes": F.col("n_changes").cast("double"),
-            "resets": F.col("n_resets").cast("double"),
-            "stdvar_over_time": _var,
-            "stddev_over_time": F.sqrt(_var) if _var is not None else None,
-            "quantile_over_time": F.expr(_quantile_expr_sql("spark", quantile))
-            if func == "quantile_over_time"
-            else None,
-            "deriv": F.expr(_linreg_value_sql("deriv")),
-            "predict_linear": F.expr(
-                _linreg_value_sql("predict_linear", offset_s=predict_offset_s)
+            "avg_over_time": "val_sum_q / n",
+            "min_over_time": "val_min",
+            "max_over_time": "val_max",
+            "sum_over_time": "val_sum_q",
+            "count_over_time": "CAST(n AS DOUBLE)",
+            "last_over_time": "last_val",
+            "changes": "CAST(n_changes AS DOUBLE)",
+            "resets": "CAST(n_resets AS DOUBLE)",
+            "stdvar_over_time": _VAR_SQL,
+            "stddev_over_time": f"sqrt({_VAR_SQL})",
+            "quantile_over_time": _quantile_expr_sql("spark", quantile),
+            "deriv": _linreg_value_sql("deriv"),
+            "predict_linear": _linreg_value_sql(
+                "predict_linear", offset_s=predict_offset_s
             ),
-            "holt_winters": F.expr(
-                _holt_winters_value_sql("spark", hw_sf, hw_tf)
-            )
-            if func == "holt_winters"
-            else None,
+            "holt_winters": _holt_winters_value_sql("spark", hw_sf, hw_tf),
         }[func]
-        result = agg.withColumn("value", out_val)
+        result = agg.selectExpr("*", f"({out_val}) AS value")
         if func in ("deriv", "predict_linear"):
             # least squares needs >= 2 samples and time variance in the
             # window (Prometheus returns no point otherwise)
-            result = result.filter(F.expr(_LINREG_GUARD_SQL))
+            result = result.where(_LINREG_GUARD_SQL)
         elif func == "holt_winters":
             # the fold needs an initial trend v1 - v0 (functions.go: < 2
             # samples → no output point)
-            result = result.filter(F.col("n") >= 2)
+            result = result.where("n >= 2")
     elif func == "instant":
-        out_val = F.col("last_val")
-        result = agg.withColumn("value", out_val)
+        result = agg.selectExpr("*", "last_val AS value")
     elif func in ("irate", "idelta"):
         # instant_value: requires tail_index >= 2, i.e. >= 3 in-window samples.
-        gap_s = (F.col("last_ts") - F.col("second_last_ts")) / F.lit(1000.0)
         if func == "irate":
-            diff = F.when(
-                F.col("last_val") < F.col("second_last_val"), F.col("last_val")
-            ).otherwise(F.col("last_val") - F.col("second_last_val"))
-            out_val = diff / gap_s
+            out_val = (
+                "(CASE WHEN last_val < second_last_val THEN last_val "
+                "ELSE last_val - second_last_val END) "
+                "/ ((last_ts - second_last_ts) / CAST(1000.0 AS DOUBLE))"
+            )
         else:
-            out_val = F.col("last_val") - F.col("second_last_val")
-        result = agg.filter(F.col("n") >= 3).withColumn("value", out_val)
+            out_val = "last_val - second_last_val"
+        result = agg.where("n >= 3").selectExpr("*", f"({out_val}) AS value")
     else:
         # extrapolate_fn_helper: requires tail_index >= 1, i.e. >= 2 samples.
-        difference = F.col("last_val") - F.col("first_val") + (
-            F.col("reset_corr") if is_counter else F.lit(0.0)
-        )
-        data_duration = (F.col("last_ts") - F.col("first_ts")).cast("double")
-        avg_dur = data_duration / (F.col("n") - 1)
-        range_to_start = (F.col("first_ts") - mint).cast("double")
-        range_to_end = (t - F.col("last_ts")).cast("double")
+        # Composition identical to the Column form this replaced: the
+        # shared sub-expressions are textually inlined, which re-renders
+        # the same expression tree the Column DAG produced.
+        corr = " + reset_corr" if is_counter else " + CAST(0.0 AS DOUBLE)"
+        diff = f"(last_val - first_val{corr})"
+        dd = "CAST(last_ts - first_ts AS DOUBLE)"
+        avg_dur = f"({dd} / (n - 1))"
+        rts0 = f"CAST(first_ts - (__t - {lookback_ms}) AS DOUBLE)"
         if is_counter:
-            zero_point = data_duration * F.col("first_val") / difference
-            range_to_start = F.when(
-                (difference > 0) & (F.col("first_val") >= 0),
-                F.least(range_to_start, zero_point),
-            ).otherwise(range_to_start)
-        threshold = avg_dur * EXTRAPOLATION_COEFF
-        range_to_start = F.when(range_to_start > threshold, avg_dur / 2).otherwise(range_to_start)
-        range_to_end = F.when(range_to_end > threshold, avg_dur / 2).otherwise(range_to_end)
-        extrapolated = difference * (data_duration + range_to_start + range_to_end) / data_duration
+            zp = f"({dd} * first_val / {diff})"
+            rts1 = (
+                f"(CASE WHEN ({diff} > 0) AND (first_val >= 0) "
+                f"THEN least({rts0}, {zp}) ELSE {rts0} END)"
+            )
+        else:
+            rts1 = rts0
+        thr = f"({avg_dur} * {EXTRAPOLATION_COEFF!r})"
+        rts = f"(CASE WHEN {rts1} > {thr} THEN {avg_dur} / 2 ELSE {rts1} END)"
+        rte0 = "CAST(__t - last_ts AS DOUBLE)"
+        rte = f"(CASE WHEN {rte0} > {thr} THEN {avg_dur} / 2 ELSE {rte0} END)"
+        extrapolated = f"{diff} * ({dd} + {rts} + {rte}) / {dd}"
         if is_rate:
-            extrapolated = extrapolated / F.lit(lookback_ms / 1000.0)
-        result = agg.filter((F.col("n") >= 2) & (F.col("last_ts") > F.col("first_ts"))).withColumn(
-            "value", extrapolated
+            extrapolated = (
+                f"({extrapolated}) / CAST({lookback_ms / 1000.0!r} AS DOUBLE)"
+            )
+        result = agg.where("n >= 2 AND last_ts > first_ts").selectExpr(
+            "*", f"({extrapolated}) AS value"
         )
 
-    return result.select(
-        *series_cols,
-        F.timestamp_millis(F.col("__t")).alias("ts"),
-        F.col("value").cast("double").alias("value"),
+    return result.selectExpr(
+        *[f"`{c}`" for c in series_cols],
+        "timestamp_millis(__t) AS ts",
+        "CAST(value AS DOUBLE) AS value",
     )
 
 
