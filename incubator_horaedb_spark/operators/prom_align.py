@@ -240,10 +240,15 @@ def prom_align(
         f"CASE WHEN ({k_hi}) >= ({k_lo}) THEN sequence({k_lo}, {k_hi}) "
         "ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
+    # __t and __mint both derive from __k alone, so one projection computes
+    # both (the optimizer collapses adjacent projects anyway — this just
+    # saves one analysis pass at build time)
+    _t_sql = f"CAST({start_ms} + __k * {step_ms} AS BIGINT)"
     exploded = base.selectExpr("*", f"explode({ks}) AS __k").selectExpr(
         "*",
-        f"CAST({start_ms} + __k * {step_ms} AS BIGINT) AS __t",
-    ).selectExpr("*", f"(__t - {lookback_ms}) AS __mint")
+        f"{_t_sql} AS __t",
+        f"({_t_sql} - {lookback_ms}) AS __mint",
+    )
 
     prev_in_window = "__prev_ts IS NOT NULL AND __prev_ts >= __mint"
     _half = "CAST(0.5 AS DOUBLE)"

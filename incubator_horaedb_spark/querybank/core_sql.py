@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_horaedb_spark.functions.detfloat import BITS_MONEY, BITS_SMALL, dyadic, r_out
+from incubator_horaedb_spark.functions.detfloat import (
+    BITS_MONEY,
+    BITS_SMALL,
+    dyadic,
+    dyadic_sql,
+    r_out,
+    r_out_sql,
+)
 from incubator_horaedb_spark.querybank.registry import load, register
 
 
@@ -48,20 +55,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_time_range(spark, sf_dir, "lineitem", "l_shipdate", hi="2024-09-01 00:00:00")
     # Addends are dyadic-quantized (functions/detfloat.py) so group sums are
     # exact and order-independent — required for cross-engine hash equality,
-    # harmless at the rounded output precision.
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # harmless at the rounded output precision.  The aggregate list is
+    # rendered through the SAME dyadic_sql/r_out_sql fragments the oracle
+    # uses (engine-neutral arithmetic): one F.expr per output instead of
+    # ~90 Column-object py4j round-trips (r12, guide §5 — build 0.25→0.1 s).
+    disc_price = "(l_extendedprice * (1 - l_discount))"
+    charge = f"({disc_price} * (1 + l_tax))"
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r_out(F.sum(dyadic("l_quantity", BITS_SMALL)), 2).alias("sum_qty"),
-            r_out(F.sum(dyadic("l_extendedprice", BITS_MONEY)), 2).alias("sum_base_price"),
-            r_out(F.sum(dyadic(disc_price, BITS_MONEY)), 2).alias("sum_disc_price"),
-            r_out(F.sum(dyadic(charge, BITS_MONEY)), 2).alias("sum_charge"),
-            r_out(F.avg(dyadic("l_quantity", BITS_SMALL)), 4).alias("avg_qty"),
-            r_out(F.avg(dyadic("l_extendedprice", BITS_MONEY)), 4).alias("avg_price"),
-            r_out(F.avg(dyadic("l_discount", BITS_SMALL)), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            *[
+                F.expr(f"{e} AS {name}")
+                for name, e in (
+                    ("sum_qty", r_out_sql("sum(" + dyadic_sql("l_quantity", BITS_SMALL) + ")", 2)),
+                    ("sum_base_price", r_out_sql("sum(" + dyadic_sql("l_extendedprice", BITS_MONEY) + ")", 2)),
+                    ("sum_disc_price", r_out_sql("sum(" + dyadic_sql(disc_price, BITS_MONEY) + ")", 2)),
+                    ("sum_charge", r_out_sql("sum(" + dyadic_sql(charge, BITS_MONEY) + ")", 2)),
+                    ("avg_qty", r_out_sql("avg(" + dyadic_sql("l_quantity", BITS_SMALL) + ")", 4)),
+                    ("avg_price", r_out_sql("avg(" + dyadic_sql("l_extendedprice", BITS_MONEY) + ")", 4)),
+                    ("avg_disc", r_out_sql("avg(" + dyadic_sql("l_discount", BITS_SMALL) + ")", 4)),
+                    ("count_order", "count(1)"),
+                )
+            ]
         )
     )
 
