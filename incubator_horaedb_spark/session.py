@@ -39,15 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-plan partitioning INSIDE cached plans (off by default):
-        # without it a cached stage pins its full spark.sql.shuffle.partitions
-        # fan-out and every downstream scan of the cache pays that many
-        # tasks regardless of data size.  Size-adaptive at any scale — AQE
-        # coalesces toward advisoryPartitionSizeInBytes, so big cached
-        # stages keep big layouts (guide §2.2: fewer, larger partitions).
-        # Measured at sf0.1: dedup_incremental_lsh −40%, dedup_simhash
-        # −25%, dedup_minhash_lsh −16% wall, identical results.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # NOTE (r12 optimization round): canChangeCachedPlanOutputPartitioning
+        # =true was trialled here — it cut the dedup family 16-40% at sf0.1
+        # by coalescing near-empty cached-scan tasks, but at the 10× sf1
+        # tier it REGRESSED dedup_simhash ~1.8× (AQE coalesces the cached
+        # interpreted-HOF stages' partitioning down to byte-size, starving
+        # the compute-dense folds of parallelism).  A small-data-only win
+        # that inverts with scale — rejected; see OPTIMIZATION_r12.md §6.
         # Scan pruning — the Spark analogue of the reference's SST row-group
         # pruning (sst/parquet/row_group_pruner.rs) and predicate pushdown
         # (table_engine/provider.rs:313-345).
