@@ -93,18 +93,37 @@ def attach_global_order(
             run_sums[n] += r[f"__t_{n}"]
     totals["n"] = run_n
     totals.update(run_sums)
-    off_schema = ", ".join(
-        ["__pid int", "__off_rn bigint"]
-        + [f"__off_{n} {sum_types[n]}" for n in running_sums]
+
+    # Per-partition offsets attached as a LITERAL map lookup rendered in
+    # one SQL string (r12 §10) instead of createDataFrame(offsets) + a
+    # broadcast join: the offsets are driver-held metadata (one entry per
+    # partition), and the createDataFrame path alone cost ~0.5 s of
+    # driver work per call (schema parse + Python→JVM row conversion —
+    # the same tax the §2 partition-id memo removed).  Every pid present
+    # in the data has an entry (offsets are derived from the per-pid
+    # counts of the same pinned input), so the map lookup is total —
+    # identical semantics to the inner join it replaces.
+    def _val_sql(v, t: str) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)" if t == "double" else f"CAST({v} AS BIGINT)"
+
+    def _map_sql(col_idx: int, t: str) -> str:
+        if not offsets:
+            return "map()"
+        items = ", ".join(
+            f"{row[0]}, {_val_sql(row[col_idx], t)}" for row in offsets
+        )
+        return f"map({items})"
+
+    rn_map = _map_sql(1, "bigint")
+    out = out.withColumn(
+        rank_name, (F.expr(f"{rn_map}[__pid]") + F.col("__lrn")).cast("long")
     )
-    off_df = spark.createDataFrame(offsets, off_schema)
-    out = out.join(F.broadcast(off_df), "__pid")
-    out = out.withColumn(rank_name, (F.col("__off_rn") + F.col("__lrn")).cast("long"))
-    for name in running_sums:
-        out = out.withColumn(name, F.col(f"__off_{name}") + F.col(f"__lrs_{name}"))
-    drop = ["__pid", "__lrn", "__off_rn"] + [
-        c for n in running_sums for c in (f"__lrs_{n}", f"__off_{n}")
-    ]
+    for j, name in enumerate(running_sums):
+        off_map = _map_sql(2 + j, sum_types[name])
+        out = out.withColumn(
+            name, F.expr(f"{off_map}[__pid]") + F.col(f"__lrs_{name}")
+        )
+    drop = ["__pid", "__lrn"] + [f"__lrs_{n}" for n in running_sums]
     return out.drop(*drop), totals
 
 
@@ -127,12 +146,12 @@ def attach_global_orders(
     ``repartitionByRange``, whose SAMPLED boundaries can differ between
     the offsets job and the final job unless the exchange itself is
     pinned.  Here the range boundaries are computed ONCE on the driver
-    (from a metadata-sized ``takeSample``) and the partition id becomes a
-    PURE FUNCTION of the row (a codegen'd comparison ladder), so every
+    (from a metadata-sized hash-ordered top-N sample) and the partition
+    id becomes a PURE FUNCTION of the row (a codegen'd comparison ladder), so every
     job derives identical partition membership from the single pinned
     input — no per-order checkpoint, no sampling race.
 
-    Jobs: 1 checkpoint materialization + takeSample + ONE combined
+    Jobs: 1 checkpoint materialization + 1 sample job + ONE combined
     per-(order, pid) counts job (exploded — 3·nparts rows, never
     nparts³) + the final job (one window exchange per spec, chained in a
     single plan).  Balance: boundaries are every (sample/nparts)-th
@@ -146,22 +165,66 @@ def attach_global_orders(
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     base = df.localCheckpoint(eager=True)
     need = sorted({c for _, m, k in specs for c in (m, k)})
-    sample = base.select(*need).rdd.takeSample(False, 64 * nparts, seed=7)
+    # Boundary sample: order by a hash of the sampled columns and take the
+    # first 64·nparts rows — TakeOrderedAndProject (per-partition partial
+    # top-N, metadata-sized driver merge), ONE job with no RDD conversion.
+    # The old rdd.takeSample paid the full DataFrame→pickled-Python-RDD
+    # path plus takeSample's own count job (~0.4 s/call, r12 §10).
+    # xxhash64 of the (metric, tiebreak) columns is a deterministic
+    # uniform order, so the boundary QUALITY matches random sampling; the
+    # boundary CHOICE never affects results — every row's global rank is
+    # its local rank plus the count of rows in lower ranges regardless of
+    # where the boundaries fell (module docstring).
+    sample = (
+        base.select(*need)
+        .orderBy(F.xxhash64(*[F.col(c) for c in need]))
+        .limit(64 * nparts)
+        .collect()
+    )
+
+    def _lit_sql(v) -> str | None:
+        """Render a boundary literal for the pid CASE expression; doubles
+        round-trip through a string cast (exact IEEE parse).  Returns None
+        for types the SQL renderer does not cover."""
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        return None
 
     def _pid(metric: str, key: str) -> Column:
         pairs = sorted((r[metric], r[key]) for r in sample)
         step = max(1, len(pairs) // nparts)
         bounds = pairs[step::step][: nparts - 1]
-        pid: Column = F.lit(0)
         # pid = count of boundaries ≤ (metric, key): monotone in the
         # total order, so lower pids hold strictly lower-ranked rows.
-        # Build the when-chain ASCENDING so the LARGEST boundary's
-        # condition ends up outermost — each iteration wraps the previous
-        # chain, and the outermost WHEN is evaluated first (r10 review
-        # #1: the reversed order made the smallest boundary outermost,
-        # collapsing every pid to {0, 1} — ranks stayed correct because
-        # offsets use real counts, but the partition balance this
-        # function exists for was silently absent)
+        # Build the chain ASCENDING so the LARGEST boundary's condition
+        # ends up outermost — each iteration wraps the previous chain,
+        # and the outermost WHEN is evaluated first (r10 review #1: the
+        # reversed order made the smallest boundary outermost, collapsing
+        # every pid to {0, 1} — ranks stayed correct because offsets use
+        # real counts, but the partition balance this function exists for
+        # was silently absent).
+        #
+        # Rendered as ONE SQL string (r12 §10): the nparts-1 nested WHENs
+        # built from pyspark Column objects cost ~8 py4j round-trips per
+        # boundary × 3 specs ≈ 2 s of pure driver latency per call —
+        # the same construction tax §5 removed from prom_align.  The CASE
+        # string is fragment-identical to the Column tree it replaces.
+        lits = [(_lit_sql(bm), _lit_sql(bk)) for bm, bk in bounds]
+        if all(m is not None and k is not None for m, k in lits):
+            expr = "0"
+            for i, (bm_s, bk_s) in enumerate(lits):
+                cond = (
+                    f"(`{metric}` > {bm_s} OR "
+                    f"(`{metric}` = {bm_s} AND `{key}` >= {bk_s}))"
+                )
+                expr = f"CASE WHEN {cond} THEN {i + 1} ELSE ({expr}) END"
+            return F.expr(expr)
+        # non-numeric boundary types: keep the Column-tree path
+        pid: Column = F.lit(0)
         for i, (bm, bk) in enumerate(bounds):
             cond = (F.col(metric) > F.lit(bm)) | (
                 (F.col(metric) == F.lit(bm)) & (F.col(key) >= F.lit(bk))

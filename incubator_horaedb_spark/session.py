@@ -23,6 +23,36 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def default_local_dir() -> str | None:
+    """Shuffle/scratch directory for local mode (guide §2.1: shuffle blocks
+    live on local disk; machines are expected to have FAST local disks).
+
+    Mid-stage thread dumps of the dedup-family shuffles (OPTIMIZATION_r12.md
+    §9) showed 24-30 of 32 executor threads simultaneously RUNNABLE inside
+    DiskBlockObjectWriter.open → FileOutputStream.open0 — shuffle temp-file
+    creation on this sandbox's journaled root fs serializes under 32-way
+    concurrency, owning most of those stages' task time.  Production nodes
+    provision NVMe scratch for spark.local.dir where creates are
+    microseconds; pointing local-mode scratch at tmpfs restores that
+    intended behavior.  Deployment keeps control: SPARK_LOCAL_DIRS (Spark's
+    own env, which overrides spark.local.dir anyway) or
+    SPARK_GRAFT_LOCAL_DIR wins; the tmpfs default applies only when neither
+    is set and /dev/shm is writable.  Shuffle volumes at bench/sweep scale
+    are MBs against a 128 GiB tmpfs; a real 100 TB deployment must use
+    disk-backed scratch — set SPARK_LOCAL_DIRS there."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None  # Spark's env wins regardless; don't fight it
+    shm = "/dev/shm/spark-graft-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm if os.access(shm, os.W_OK) else None
+    except OSError:
+        return None
+
+
 def get_spark(
     app_name: str = "incubator-horaedb-spark",
     cpus: int | None = None,
@@ -52,12 +82,32 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # Small-fan-out shuffles use the sort-path writer (ONE data+index
+        # file pair per map task) instead of the bypass writer (one file
+        # PER REDUCE PARTITION per map task).  The engine's
+        # compute-widened stages (widen_for_compute) deliberately run many
+        # map tasks over few bytes, so bypass's M×R file creates dominate
+        # those shuffles (thread-dump evidence in OPTIMIZATION_r12.md §9;
+        # interleaved A/Bs: dedup family ×0.6-0.74 at sf0.1 AND ×0.4-0.62
+        # at the 10× sf1 tier, rollup/join/q1 controls flat at both
+        # tiers).  Scale-safe by construction: production-sized shuffles
+        # have R > 200 where the bypass path is disabled regardless of
+        # this threshold — the knob only affects deliberately-small
+        # fan-outs, exactly the shape the measurement covered.
+        # Env-overridable for deployments that want Spark's default back.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "2"),
+        )
         # Arrow for the few pandas-UDF paths (multimodal / UDF framework).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "true" if ui else "false")
     )
+    local_dir = default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if ui:
         builder = builder.config("spark.ui.port", "4048")  # auto-increments
     return builder.getOrCreate()
