@@ -474,10 +474,15 @@ def save_ivf_index(centroids_df, buckets_df, path: str) -> None:
 
 
 def load_ivf_index(spark, path: str):
-    """(centroids_df, buckets_df) from :func:`save_ivf_index` output."""
+    """(centroids_df, buckets_df) from :func:`save_ivf_index` output.
+    Schemas memoized per path (read_parquet_memo): the index is written
+    once per process and read back per run — inference would re-open both
+    footers on the driver every call."""
+    from incubator_horaedb_spark.querybank.registry import read_parquet_memo
+
     return (
-        spark.read.parquet(f"{path}/centroids"),
-        spark.read.parquet(f"{path}/buckets"),
+        read_parquet_memo(spark, f"{path}/centroids"),
+        read_parquet_memo(spark, f"{path}/buckets"),
     )
 
 

@@ -340,7 +340,9 @@ def _staged_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(dedup.bands_select(SPARK, "__inc_sig_idx")).write.mode(
             "overwrite"
         ).parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView("__inc_bands_idx")
+    from incubator_horaedb_spark.querybank.registry import read_parquet_memo
+
+    read_parquet_memo(spark, path).createOrReplaceTempView("__inc_bands_idx")
     # the new batch: signature + bands over the delta half only (staged —
     # referenced by the hot-bucket gate and the candidate join)
     _stage_lazy(spark, dedup.minhash_sig_select(SPARK, "__inc_hs_delta"), "__inc_sig_dlt")

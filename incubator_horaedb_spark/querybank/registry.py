@@ -118,6 +118,22 @@ def _file_schema(spark: SparkSession, sf_dir: str, name: str):
     return sch
 
 
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the file schema memoized per path — for
+    engine-written stores (the LSH band index, the persisted sketch table,
+    the IVF index) that are written once per process and read back on
+    every run: schema inference re-reads the footer through a driver-side
+    Hadoop open per call (~60-140 ms measured, same tax as §1's table
+    memo).  The schema is fixed by the writer; the data is still read
+    from parquet on every run."""
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ts_read_confs(spark)
     sch = _file_schema(spark, sf_dir, name)

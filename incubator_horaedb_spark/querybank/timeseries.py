@@ -2236,8 +2236,10 @@ def sketch_rollup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, built = _sketch_store_dir(sf_dir)
     if not built:
         hourly.write.mode("overwrite").parquet(path)
+    from incubator_horaedb_spark.querybank.registry import read_parquet_memo
+
     stored = (
-        spark.read.parquet(path)
+        read_parquet_memo(spark, path)
         .groupBy("event_type", F.to_date("bucket_hour").alias("bucket_day"))
         .agg(kmv_merge("sk").alias("sk_stored"))
     )
