@@ -176,3 +176,47 @@ def test_multi_order_partitions_balanced(spark):
     counts = [r["c"] for r in df.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("c")).collect()]
     assert len(counts) == nparts
     assert max(counts) <= 1000, counts
+
+
+def test_multi_order_hash_sample_balanced(spark):
+    """r12 optimization §10 lock: the boundary sample now comes from a
+    hash-ordered top-N (orderBy(xxhash64).limit) instead of
+    rdd.takeSample.  Balance must survive the swap: re-derive bounds the
+    way attach_global_orders does and check the pid spread (boundary
+    CHOICE never affects rank values — covered by the bit-parity tests —
+    but the spread is the property the sample exists for)."""
+    from incubator_horaedb_spark.operators.rank2pass import attach_global_orders
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7919) % 1000)) for i in range(2000)], "k bigint, v double"
+    )
+    nparts = 8
+    got, n = attach_global_orders(df, [("r", "v", "k")], num_partitions=nparts)
+    assert n == 2000
+    # mirror the internals: need = sorted({metric, key}); hash-ordered top-N
+    base = df.localCheckpoint(eager=True)
+    need = sorted({"v", "k"})
+    sample = (
+        base.select(*need)
+        .orderBy(F.xxhash64(*[F.col(c) for c in need]))
+        .limit(64 * nparts)
+        .collect()
+    )
+    pairs = sorted((r["v"], r["k"]) for r in sample)
+    step = max(1, len(pairs) // nparts)
+    bounds = pairs[step::step][: nparts - 1]
+    expr = "0"
+    for i, (bm, bk) in enumerate(bounds):
+        cond = (
+            f"(`v` > CAST('{bm!r}' AS DOUBLE) OR "
+            f"(`v` = CAST('{bm!r}' AS DOUBLE) AND `k` >= CAST({bk} AS BIGINT)))"
+        )
+        expr = f"CASE WHEN {cond} THEN {i + 1} ELSE ({expr}) END"
+    counts = [
+        r["c"]
+        for r in df.groupBy(F.expr(expr).alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(counts) == nparts
+    assert max(counts) <= 1000, counts
